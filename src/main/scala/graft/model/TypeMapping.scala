@@ -1,0 +1,91 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** The reference's canonical scalar type lattice mapped onto Spark types.
+  *
+  * Reference: pkg/abstract/typesystem/schema.go:48-68 (YT scalar types) and
+  * pkg/abstract/changeitem/col_schema.go:14-29 (per-column schema carrier).
+  * Spark `StructField.metadata` carries what `ColSchema` carried: primary
+  * key flag, original provider type, nested path.
+  */
+object TypeMapping {
+  val PrimaryKeyMeta = "graft.primaryKey"
+  val OriginalTypeMeta = "graft.originalType"
+
+  /** YT canonical type name -> Spark DataType.
+    * uint64 maps to Decimal(20,0): Spark has no unsigned 64-bit integral
+    * and silently overflowing to Long would corrupt hash checks. */
+  val ytToSpark: Map[String, DataType] = Map(
+    "int8" -> ByteType,
+    "int16" -> ShortType,
+    "int32" -> IntegerType,
+    "int64" -> LongType,
+    "uint8" -> ShortType,
+    "uint16" -> IntegerType,
+    "uint32" -> LongType,
+    "uint64" -> DecimalType(20, 0),
+    "float" -> FloatType,
+    "float32" -> FloatType,
+    "double" -> DoubleType,
+    "float64" -> DoubleType,
+    "bytes" -> BinaryType,
+    "string" -> StringType,
+    "utf8" -> StringType,
+    "boolean" -> BooleanType,
+    "date" -> DateType,
+    "datetime" -> TimestampType,      // second precision at source
+    "timestamp" -> TimestampType,     // microsecond precision
+    "interval" -> DayTimeIntervalType(),
+    "any" -> StringType               // canonical JSON text (sorted keys)
+  )
+
+  /** Spark DataType -> canonical YT name (inverse, lossy on unsigned). */
+  def sparkToYt(dt: DataType): String = dt match {
+    case ByteType => "int8"
+    case ShortType => "int16"
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case FloatType => "float32"
+    case DoubleType => "float64"
+    case d: DecimalType if d.precision == 20 && d.scale == 0 => "uint64"
+    case BinaryType => "bytes"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case _: DayTimeIntervalType => "interval"
+    case _ => "any"
+  }
+
+  def field(name: String, ytType: String, primaryKey: Boolean = false,
+            originalType: String = ""): StructField = {
+    val mb = new MetadataBuilder()
+      .putBoolean(PrimaryKeyMeta, primaryKey)
+    if (originalType.nonEmpty) mb.putString(OriginalTypeMeta, originalType)
+    StructField(name, ytToSpark.getOrElse(ytType, StringType),
+      nullable = !primaryKey, metadata = mb.build())
+  }
+
+  def isPrimaryKey(f: StructField): Boolean =
+    f.metadata.contains(PrimaryKeyMeta) && f.metadata.getBoolean(PrimaryKeyMeta)
+
+  def primaryKeys(schema: StructType): Seq[String] =
+    schema.fields.filter(isPrimaryKey).map(_.name).toSeq
+
+  /** Strictify: cast every value to the canonical representation of its
+    * declared type (reference: changeitem/strictify/strictify.go:18-43).
+    * In Spark this is analyzer-inserted casts over the whole frame. */
+  def strictify(df: DataFrame, target: StructType): DataFrame = {
+    val byName = target.fields.map(f => f.name -> f).toMap
+    df.select(df.columns.toSeq.map { c =>
+      byName.get(c) match {
+        case Some(f) if f.dataType != df.schema(c).dataType =>
+          col(c).cast(f.dataType).as(c, f.metadata)
+        case _ => col(c)
+      }
+    }: _*)
+  }
+}

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.internal.SessionState
+
+/** Bridge into Spark's `private[sql]` Column/Expression internals.
+  *
+  * Spark 4 hides the Column <-> Catalyst Expression conversion behind
+  * `org.apache.spark.sql.classic.ExpressionUtils` (private[sql]); every
+  * library that ships custom Catalyst expressions (Delta, Sedona, ...)
+  * uses a same-package bridge like this one.
+  */
+object bridge {
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def sessionState(spark: SparkSession): SessionState = spark.sessionState
+
+  def functionRegistry(spark: SparkSession): FunctionRegistry =
+    spark.sessionState.functionRegistry
+}
