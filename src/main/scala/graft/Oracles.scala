@@ -1,0 +1,414 @@
+package graft
+
+/** DuckDB oracle SQL for every entry in [[Queries.all]]. Written against
+  * the same parquet tables; every query is value-deterministic across
+  * engines: decimal-exact aggregation, md5-derived hashing, explicit
+  * ORDER BY, rounded float scores.
+  */
+object Oracles {
+
+  /** md5-derived stable 32-bit hash (DuckDB spelling of
+    * [[graft.functions.Hashing.hex8ToLong]]). */
+  private def hex8(x: String): String =
+    s"CAST(('0x'||substr(md5($x),1,8)) AS BIGINT)"
+
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private val ordersKindSql =
+    "CASE WHEN o_orderkey % 7 = 0 THEN 'delete' " +
+      "WHEN o_orderkey % 3 = 0 THEN 'update' ELSE 'insert' END"
+
+  /** decimal-exact revenue term: exact 2dp decimals, exact multiply. */
+  private val revTerm =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  private val nginxPat =
+    """^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+) [^"]*" (\d+) (\d+)"""
+
+  private val langMarkersSql: Map[String, String] =
+    graft.functions.TextAnalysis.LangMarkers.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+
+  private val stopwordsSql =
+    graft.functions.TextAnalysis.Stopwords.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+
+  val all: Map[String, String] = Map(
+    "filter_columns" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders ORDER BY o_orderkey",
+
+    "filter_rows" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority FROM orders " +
+        "WHERE (o_totalprice > 400000 AND o_orderstatus = 'F') " +
+        "OR (o_orderpriority = '1-URGENT' AND o_totalprice <= 5000) " +
+        "OR o_orderstatus IN ('P') " +
+        "OR regexp_matches(o_orderpriority, '^5') ORDER BY o_orderkey"),
+
+    "filter_rows_by_ids" ->
+      s"SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (${(0 to 40 by 3).mkString(",")}) ORDER BY c_custkey",
+
+    "skip_events" ->
+      (s"""SELECT o_orderkey, $ordersKindSql AS "__kind" FROM orders """ +
+        "WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"),
+
+    "rename_tables" ->
+      """SELECT r_regionkey, r_name, 'public.region_v2' AS "__table" FROM region ORDER BY r_regionkey""",
+
+    "mask_field" ->
+      "SELECT c_custkey, sha256('s3cret'||c_name) AS c_name FROM customer ORDER BY c_custkey",
+
+    "sql_transform" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "convert_to_string" ->
+      ("SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey, " +
+        "CAST(l_linenumber AS VARCHAR) AS l_linenumber, l_returnflag, " +
+        "CAST(l_shipdate AS VARCHAR) AS l_shipdate " +
+        "FROM lineitem ORDER BY lineitem.l_orderkey, lineitem.l_linenumber"),
+
+    "convert_to_datetime" ->
+      ("SELECT event_id, TIMESTAMP '1970-01-01 00:00:00' + " +
+        "user_id * INTERVAL '1 second' AS user_ts FROM events ORDER BY event_id"),
+
+    "number_to_float" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k " +
+        "FROM events ORDER BY event_id"),
+
+    "regex_replace" ->
+      "SELECT p_partkey, regexp_replace(p_name, 'a+', 'X', 'g') AS p_name FROM part ORDER BY p_partkey",
+
+    "replace_primary_key" ->
+      "SELECT o_orderkey, o_custkey, 'o_custkey' AS pk_cols FROM orders ORDER BY o_orderkey",
+
+    "mongo_pk_extender" ->
+      ("""SELECT to_json(struct_pack(d := 'tenant1', id := c_custkey)) AS "_id", c_name """ +
+        "FROM customer ORDER BY c_name"),
+
+    "raw_doc_grouper" ->
+      ("SELECT o_orderkey, to_json(struct_pack(o_custkey := o_custkey, " +
+        "o_orderstatus := o_orderstatus, o_totalprice := o_totalprice, " +
+        "o_orderpriority := o_orderpriority)) AS doc FROM orders ORDER BY o_orderkey"),
+
+    "raw_cdc_doc_grouper" ->
+      ("SELECT o_orderkey, to_json(struct_pack(o_custkey := o_custkey, " +
+        "o_orderstatus := o_orderstatus, o_totalprice := o_totalprice, " +
+        "o_orderpriority := o_orderpriority)) AS doc, " +
+        "(o_orderkey % 7 = 0) AS deleted_flg FROM orders ORDER BY o_orderkey"),
+
+    "sharder" ->
+      (s"""SELECT o_orderkey, CAST(${hex8("CAST(o_orderkey AS VARCHAR)||chr(1)||CAST(o_custkey AS VARCHAR)")} % 8 AS INTEGER) AS "__part_id" """ +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "table_splitter" ->
+      """SELECT o_orderkey, 'orders/'||o_orderstatus AS "__table" FROM orders ORDER BY o_orderkey""",
+
+    "batch_splitter" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "yt_dict" ->
+      s"SELECT doc_id, to_json($toks) AS toks FROM documents ORDER BY doc_id",
+
+    "remove_columns" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "parse_json_good" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events WHERE event_id % 50 <> 0 ORDER BY event_id"),
+
+    "parse_json_quarantine" ->
+      ("SELECT event_id, '{bad' AS unparsed_raw FROM events " +
+        "WHERE event_id % 50 = 0 ORDER BY event_id"),
+
+    "parse_tskv" ->
+      "SELECT CAST(r_regionkey AS INTEGER) AS rkey, r_name AS rname FROM region ORDER BY rkey",
+
+    "debezium_roundtrip" ->
+      (s"""SELECT o_orderkey, o_custkey, o_totalprice, $ordersKindSql AS "__kind", """ +
+        """o_orderkey AS "__lsn" FROM orders ORDER BY o_orderkey"""),
+
+    "serialize_json" ->
+      ("SELECT to_json(struct_pack(o_orderkey := o_orderkey, " +
+        "o_orderstatus := o_orderstatus, o_totalprice := o_totalprice)) AS value " +
+        "FROM orders ORDER BY value"),
+
+    "cdc_collapse" ->
+      ("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v0 FROM orders WHERE o_orderkey % 20 < 3),
+         |ev AS (SELECT k, v0 + seq AS val,
+         |  CASE WHEN (k+seq)%6=0 THEN 'delete' WHEN (k+seq)%3=0 THEN 'insert' ELSE 'update' END AS kind,
+         |  seq AS lsn FROM base, (SELECT unnest(range(0,4)) AS seq) s),
+         |t0 AS (SELECT ev.*, r.rl FROM ev LEFT JOIN (
+         |  SELECT k, max(CASE WHEN kind IN ('insert','delete') THEN lsn END) AS rl
+         |  FROM ev GROUP BY k) r USING (k)),
+         |t AS (SELECT t0.*, rv.kind AS rk FROM t0
+         |  LEFT JOIN ev rv ON rv.k = t0.k AND rv.lsn = t0.rl),
+         |m AS (SELECT *, (rl IS NULL OR (rk='insert' AND lsn>=rl) OR (rk='delete' AND lsn>rl)) AS in_img FROM t),
+         |agg AS (SELECT k, max(CASE WHEN in_img THEN lsn END) AS last_img_lsn,
+         |               min(CASE WHEN in_img THEN lsn END) AS first_img_lsn FROM m GROUP BY k)
+         |SELECT a.k,
+         |  CASE WHEN a.last_img_lsn IS NOT NULL THEN lv.val END AS val,
+         |  CASE WHEN a.last_img_lsn IS NOT NULL THEN fv.kind ELSE 'delete' END AS "__kind"
+         |FROM agg a
+         |LEFT JOIN m lv ON lv.k = a.k AND lv.lsn = a.last_img_lsn
+         |LEFT JOIN m fv ON fv.k = a.k AND fv.lsn = a.first_img_lsn
+         |ORDER BY a.k""".stripMargin),
+
+    "split_updated_pkeys" ->
+      ("""SELECT k, val, kind AS "__kind", ctr AS "__counter" FROM (
+         |  SELECT o_orderkey AS k, o_totalprice AS val, 'update' AS kind, 0 AS ctr
+         |    FROM orders WHERE o_orderkey % 10 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, CAST(NULL AS DOUBLE), 'delete', 0
+         |    FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 1000000, o_totalprice, 'insert', 1
+         |    FROM orders WHERE o_orderkey % 10 = 0
+         |) ORDER BY k, ctr""".stripMargin),
+
+    "strictify" ->
+      ("SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice, o_orderstatus " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "split_by_table" ->
+      ("""SELECT * FROM (
+         |  SELECT 'nation' AS "__table", count(*) AS n FROM nation
+         |  UNION ALL SELECT 'region', count(*) FROM region
+         |) ORDER BY "__table"""".stripMargin),
+
+    "sharded_scan" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber"),
+
+    "incremental_scan" ->
+      ("SELECT event_id, event_type, value FROM events " +
+        "WHERE event_id > 1000 ORDER BY event_id"),
+
+    "row_counts" ->
+      ("SELECT * FROM (" +
+        Tables.all.sorted.map(n =>
+          s"SELECT '$n' AS tbl, count(*) AS n FROM $n").mkString(" UNION ALL ") +
+        ") ORDER BY tbl"),
+
+    "read_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "read_jsonline" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "read_nginx" -> {
+      val p = nginxPat.replace("'", "''")
+      val cols = Seq("remote_addr", "remote_user", "time_local", "method",
+        "path", "status", "bytes_sent")
+      val sel = cols.zipWithIndex.map { case (c, i) =>
+        s"regexp_extract(value, '$p', ${i + 1}) AS $c"
+      }.mkString(", ")
+      s"""WITH lines AS (SELECT printf('10.0.0.%d - u%d [01/Jan/2024:00:00:00 +0000] "GET /r/%s HTTP/1.1" 200 %d',
+         |  r_regionkey, r_regionkey, replace(r_name, ' ', '_'), length(r_name)) AS value FROM region)
+         |SELECT $sel FROM lines ORDER BY remote_addr""".stripMargin
+    },
+
+    "q1_agg" ->
+      (s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($revTerm) AS DOUBLE) AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    "q3_join" ->
+      (s"""SELECT l_orderkey, CAST(sum($revTerm) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    "window_topn" ->
+      ("""SELECT o_custkey, o_orderkey, rn FROM (
+         |  SELECT o_custkey, o_orderkey,
+         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+
+    "sort_limit" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    "set_ops" ->
+      ("""SELECT * FROM (
+         |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         |   INTERSECT
+         |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         |  EXCEPT
+         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         |) ORDER BY o_custkey""".stripMargin),
+
+    "distinct_dedup" ->
+      ("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem " +
+        "ORDER BY l_returnflag, l_linestatus"),
+
+    "join_semi" ->
+      ("SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_totalprice > 400000) ORDER BY c_custkey"),
+
+    "join_anti" ->
+      ("SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+
+    "agg_stats" ->
+      ("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+         |  min(value) AS mn, max(value) AS mx,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "dedup_exact" ->
+      ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+        "min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY fp"),
+
+    "text_stats" ->
+      (s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents)
+         |SELECT doc_id,
+         |  len(tk) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens,
+         |  length(text) AS n_chars,
+         |  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS avg_token_len,
+         |  len(list_filter(tk, x -> list_contains($stopwordsSql, x))) AS n_stopwords,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin),
+
+    "text_quality" ->
+      (s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, text, tk,
+         |  len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> list_contains($stopwordsSql, x))) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS DOUBLE) / length(text) AS pr
+         |FROM t)
+         |SELECT doc_id,
+         |  (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END +
+         |   CASE WHEN n_stop > 0 THEN 0.3 ELSE 0.0 END +
+         |   CASE WHEN pr < 0.2 THEN 0.3 ELSE 0.0 END) AS quality,
+         |  pr AS punct_ratio,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio
+         |FROM s ORDER BY doc_id""".stripMargin),
+
+    "lang_id" -> {
+      val score = (l: String) =>
+        s"len(list_filter(tk, x -> list_contains(${langMarkersSql(l)}, x)))"
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, lang, ${score("en")} AS s_en, ${score("de")} AS s_de,
+         |  ${score("es")} AS s_es, ${score("fr")} AS s_fr FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |    WHEN s_en >= s_de THEN 'en'
+         |    ELSE 'de' END AS pred_lang,
+         |  lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_fingerprint" ->
+      (s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents)
+         |SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |  list_reduce(list_transform(tk, x -> ${hex8("x")} % 1000000007),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+         |FROM t ORDER BY doc_id""".stripMargin),
+
+    "dedup_minhash_bands" -> (minhashBandsSql + " ORDER BY doc_id, band"),
+
+    "dedup_minhash_pairs" ->
+      (s"""WITH bands AS ($minhashBandsSql)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    "dedup_simhash" -> {
+      val bits = (0 until 16).map { j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, list_transform($toks, x -> ${hex8("x")}) AS hs FROM documents)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      (s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 150),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+         |  THEN list_transform(range(0, len(tk)-2), i -> array_to_string(tk[i+1:i+3], ' '))
+         |  ELSE [array_to_string(tk, ' ')] END) AS s FROM d),
+         |ex AS (SELECT doc_id AS id, unnest(s) AS s FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.02
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    "ann_cosine_topk" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin),
+
+    "ann_lsh_bucket" -> (lshBucketSql("embeddings") + " ORDER BY vec_id"),
+
+    "embed_near_dups" ->
+      (s"""WITH b AS (${lshBucketSql("embeddings")}),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id),
+         |s AS (SELECT id_a, id_b,
+         |  list_dot_product(ea.v, eb.v) /
+         |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos_raw
+         |FROM p JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM s
+         |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin),
+
+    "multimodal_meta" ->
+      ("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+         |  sha256(text) AS content_sha,
+         |  CAST(length(text) % 1920 AS INTEGER) AS width,
+         |  CAST(length(text) AS BIGINT) * 33 AS duration_ms
+         |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+
+  /** Shared MinHash band CTE-free SQL (16 hashes, 3-shingles, 4 bands). */
+  private lazy val minhashBandsSql: String =
+    s"""SELECT doc_id, CAST(j AS INTEGER) AS band,
+       |  md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS band_hash
+       |FROM (
+       |  SELECT doc_id, list_transform(range(0,16), j ->
+       |    list_min(list_transform(sh, s ->
+       |      CAST(('0x'||substr(md5(CAST(j AS VARCHAR)||':'||s),1,8)) AS BIGINT)))) AS sig
+       |  FROM (
+       |    SELECT doc_id, CASE WHEN len(tk) >= 3
+       |      THEN list_transform(range(0, len(tk)-2), i -> array_to_string(tk[i+1:i+3], ' '))
+       |      ELSE [array_to_string(tk, ' ')] END AS sh
+       |    FROM (SELECT doc_id, $toks AS tk FROM documents)
+       |  )
+       |), (SELECT unnest(range(0,4)) AS j)""".stripMargin
+
+  /** Sign-LSH bucket from 8 md5-seeded hyperplanes over 64 dims. */
+  private def lshBucketSql(table: String): String = {
+    val planes = (0 until 8).map { j =>
+      val comp = s"list_transform(range(0,64), d -> " +
+        s"(CAST(('0x'||substr(md5('hp'||CAST($j AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,8)) AS BIGINT) % 2000) / 1000.0 - 1.0)"
+      s"(CASE WHEN list_dot_product(v, $comp) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT vec_id, CAST($planes AS BIGINT) AS bucket
+       |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM $table)""".stripMargin
+  }
+}

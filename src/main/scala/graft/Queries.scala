@@ -1,0 +1,463 @@
+package graft
+
+import graft.functions.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import graft.model.{CdcEnvelope => E}
+import graft.operators.{Collapse, Transformers => T}
+import graft.parsers.{Debezium, GenericParser}
+import graft.sources.{IncrementalScan, Readers, ShardedScan}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The operator-to-correctness wiring: one query per implemented operator
+  * from SURVEY.md §2, each with a DuckDB oracle in [[Oracles]]. Every
+  * query is deterministic (sorted output, decimal-exact aggregation,
+  * md5-based hashing) so the driver's hash compare is stable across
+  * engines.
+  */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Decimal-exact sum of a double expression, surfaced as double:
+    * per-row double arithmetic is deterministic, the decimal sum is
+    * associative (order-independent), the final cast is exact. */
+  private def dsum(c: Column, p: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(p, scale))).cast(DoubleType)
+
+  /** Decimal-exact revenue term extendedprice*(1-discount): inputs are
+    * exact 2dp decimals, the multiply is exact, the sum associative. */
+  private def revTerm: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+
+  /** Synthetic CDC changelog derived from orders — same formula as the
+    * oracle's SQL so both engines see identical events. */
+  private def changelog(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") % 20 < 3)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v0"))
+    o.select(col("k"), col("v0"),
+        explode(sequence(lit(0), lit(3))).as("seq"))
+      .select(
+        col("k"),
+        (col("v0") + col("seq")).as("val"),
+        when((col("k") + col("seq")) % 6 === 0, E.Delete)
+          .when((col("k") + col("seq")) % 3 === 0, E.Insert)
+          .otherwise(E.Update).as(E.Kind),
+        col("seq").cast(LongType).as(E.Lsn),
+        lit(0).as(E.Counter),
+        lit(null).cast(ArrayType(StringType)).as(E.UpdatedCols))
+  }
+
+  /** Orders enveloped with a deterministic kind per key (shared with the
+    * oracle formula). */
+  private def ordersKind: Column =
+    when(col("o_orderkey") % 7 === 0, E.Delete)
+      .when(col("o_orderkey") % 3 === 0, E.Update)
+      .otherwise(E.Insert)
+
+  val all: Map[String, Q] = Map(
+    // ---- §2.3 transformers -------------------------------------------
+    "filter_columns" -> ((s, dir) =>
+      T.FilterColumns(include = Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .apply(t(s, dir, "orders")).orderBy("o_orderkey")),
+
+    "filter_rows" -> ((s, dir) =>
+      T.FilterRows(Seq(
+        "o_totalprice > 400000 AND o_orderstatus = 'F'",
+        "o_orderpriority = '1-URGENT' AND o_totalprice <= 5000",
+        "o_orderstatus IN ('P')",
+        "o_orderpriority ~ '^5'"))
+        .apply(t(s, dir, "orders"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    "filter_rows_by_ids" -> ((s, dir) =>
+      T.FilterRowsByIds("c_custkey", (0L to 40L by 3).toSeq)
+        .apply(t(s, dir, "customer"))
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "skip_events" -> ((s, dir) =>
+      T.SkipEvents(Seq(E.Delete)).apply(
+        t(s, dir, "orders").withColumn(E.Kind, ordersKind))
+        .select(col("o_orderkey"), col(E.Kind)).orderBy("o_orderkey")),
+
+    "rename_tables" -> ((s, dir) =>
+      T.RenameTables(Map("region" -> "public.region_v2")).apply(
+        t(s, dir, "region").withColumn(E.Table, lit("region")))
+        .select(col("r_regionkey"), col("r_name"), col(E.Table))
+        .orderBy("r_regionkey")),
+
+    "mask_field" -> ((s, dir) =>
+      T.MaskField(Seq("c_name"), salt = "s3cret", hmac = false)
+        .apply(t(s, dir, "customer"))
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "sql_transform" -> ((s, dir) =>
+      T.SqlTransform(
+        "SELECT o_orderstatus, count(*) AS n, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+          "FROM table GROUP BY o_orderstatus ORDER BY o_orderstatus")
+        .apply(t(s, dir, "orders"))),
+
+    "convert_to_string" -> ((s, dir) =>
+      T.ConvertToString(Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"))
+        .apply(t(s, dir, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+        .orderBy(col("l_orderkey").cast(LongType), col("l_linenumber").cast(IntegerType))),
+
+    "convert_to_datetime" -> ((s, dir) =>
+      T.ConvertToDatetime(Seq("user_id")).apply(t(s, dir, "events"))
+        .select(col("event_id"), col("user_id").as("user_ts"))
+        .orderBy("event_id")),
+
+    "number_to_float" -> ((s, dir) =>
+      T.NumberToFloat(Seq("k")).apply(
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k")))
+        .select("event_id", "k").orderBy("event_id")),
+
+    "regex_replace" -> ((s, dir) =>
+      T.RegexReplace(Seq("p_name"), "a+", "X").apply(t(s, dir, "part"))
+        .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    "replace_primary_key" -> ((s, dir) => {
+      val out = T.ReplacePrimaryKey(Seq("o_custkey")).apply(t(s, dir, "orders"))
+      val pks = graft.model.TypeMapping.primaryKeys(out.schema)
+      out.select(col("o_orderkey"), col("o_custkey"),
+        lit(pks.mkString(",")).as("pk_cols")).orderBy("o_orderkey")
+    }),
+
+    "mongo_pk_extender" -> ((s, dir) =>
+      T.MongoPkExtender("tenant1").apply(
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "_id"))
+        .select(col("_id"), col("c_name"))
+        .orderBy("c_name")),
+
+    "raw_doc_grouper" -> ((s, dir) =>
+      T.RawDocGrouper(Seq("o_orderkey"), etlTimestamp = None)
+        .apply(t(s, dir, "orders").drop("o_orderdate"))
+        .orderBy("o_orderkey")),
+
+    "raw_cdc_doc_grouper" -> ((s, dir) =>
+      T.RawCdcDocGrouper(Seq("o_orderkey"))
+        .apply(t(s, dir, "orders").drop("o_orderdate")
+          .withColumn(E.Kind, ordersKind))
+        .orderBy("o_orderkey")),
+
+    "sharder" -> ((s, dir) =>
+      T.Sharder(Seq("o_orderkey", "o_custkey"), parts = 8, stable = true)
+        .apply(t(s, dir, "orders"))
+        .select(col("o_orderkey"), col(E.PartId)).orderBy("o_orderkey")),
+
+    "table_splitter" -> ((s, dir) =>
+      T.TableSplitter("orders", Seq("o_orderstatus")).apply(t(s, dir, "orders"))
+        .select(col("o_orderkey"), col(E.Table)).orderBy("o_orderkey")),
+
+    "batch_splitter" -> ((s, dir) =>
+      T.BatchSplitter(4).apply(t(s, dir, "region")).orderBy("r_regionkey")),
+
+    "yt_dict" -> ((s, dir) =>
+      T.YtDict(Seq("toks")).apply(
+        t(s, dir, "documents")
+          .withColumn("toks", TextAnalysis.tokens(col("text"))))
+        .select("doc_id", "toks").orderBy("doc_id")),
+
+    "remove_columns" -> ((s, dir) =>
+      T.RemoveColumns(Seq("l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"))
+        .apply(t(s, dir, "lineitem")).orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- parsers ------------------------------------------------------
+    "parse_json_good" -> ((s, dir) =>
+      T.JsonParser("props2", StructType(Seq(StructField("k", IntegerType))))
+        .apply(t(s, dir, "events").withColumn("props2",
+          when(col("event_id") % 50 === 0, "{bad").otherwise(col("props"))))
+        .select("event_id", "k").orderBy("event_id")),
+
+    "parse_json_quarantine" -> ((s, dir) =>
+      GenericParser.unparsed(
+        t(s, dir, "events").withColumn("props2",
+          when(col("event_id") % 50 === 0, "{bad").otherwise(col("props"))),
+        "props2", StructType(Seq(StructField("k", IntegerType))),
+        keep = Seq("event_id"))
+        .orderBy("event_id")),
+
+    "parse_tskv" -> ((s, dir) =>
+      GenericParser.tskv(
+        t(s, dir, "region").select(concat(
+          lit("rkey="), col("r_regionkey").cast(StringType),
+          lit("\trname="), col("r_name")).as("raw")),
+        "raw", Seq(("rkey", IntegerType), ("rname", StringType)))
+        .orderBy("rkey")),
+
+    "debezium_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn(E.Kind, ordersKind)
+        .withColumn(E.Lsn, col("o_orderkey"))
+        .withColumn(E.Counter, lit(0))
+        .withColumn(E.TxId, col("o_custkey").cast(StringType))
+        .withColumn(E.CommitTime, col("o_orderkey") * 1000000L)
+      val wire = Debezium.emit(src, Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      Debezium.receive(wire, "value", StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType))))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col(E.Kind), col(E.Lsn))
+        .orderBy("o_orderkey")
+    }),
+
+    "serialize_json" -> ((s, dir) =>
+      graft.sinks.Sinks.serializeJson(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("value")),
+
+    // ---- §2.4 core batch ops -----------------------------------------
+    "cdc_collapse" -> ((s, dir) =>
+      Collapse.collapse(changelog(s, dir), pks = Seq("k"))
+        .select(col("k"), col("val"), col(E.Kind)).orderBy("k")),
+
+    "split_updated_pkeys" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val upd = o.select(
+        when(col("o_orderkey") % 10 === 0, col("o_orderkey") + 1000000L)
+          .otherwise(col("o_orderkey")).as("k"),
+        col("o_totalprice").as("val"),
+        lit(E.Update).as(E.Kind), lit(1L).as(E.Lsn), lit(0).as(E.Counter),
+        struct(col("o_orderkey").as("k")).as(E.OldKeys))
+      Collapse.splitUpdatedPKeys(upd, Seq("k"))
+        .select(col("k"), col("val"), col(E.Kind), col(E.Counter))
+        .orderBy("k", E.Counter)
+    }),
+
+    "strictify" -> ((s, dir) => {
+      val target = StructType(Seq(
+        graft.model.TypeMapping.field("o_orderkey", "int32", primaryKey = true),
+        StructField("o_totalprice", DecimalType(12, 2)),
+        StructField("o_orderstatus", StringType)))
+      // decimal round-trips back to double so the compared parquet carries
+      // one value representation in both engines
+      graft.model.TypeMapping.strictify(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        target)
+        .withColumn("o_totalprice", col("o_totalprice").cast(DoubleType))
+        .orderBy("o_orderkey")
+    }),
+
+    "split_by_table" -> ((s, dir) => {
+      val r = t(s, dir, "region").select(lit("region").as(E.Table))
+      val n = t(s, dir, "nation").select(lit("nation").as(E.Table))
+      r.unionByName(n).groupBy(E.Table).agg(count(lit(1)).as("n"))
+        .orderBy(E.Table)
+    }),
+
+    // ---- §2.1 scans ---------------------------------------------------
+    "sharded_scan" -> ((s, dir) =>
+      ShardedScan.unionAll(ShardedScan.byRange(
+        t(s, dir, "lineitem"), "l_orderkey", 0L, 10000000L, 4))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "incremental_scan" -> ((s, dir) => {
+      val stateDir = "/tmp/graft_state"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stateDir, "events.event_id.cursor"), "1000")
+      IncrementalScan(stateDir).scan(t(s, dir, "events"), "events", "event_id")
+        .select("event_id", "event_type", "value").orderBy("event_id")
+    }),
+
+    "row_counts" -> ((s, dir) =>
+      Tables.all.map(n => t(s, dir, n)
+          .agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
+        .reduce(_ unionByName _).orderBy("tbl")),
+
+    // ---- §2.2 file-format readers ------------------------------------
+    "read_csv" -> ((s, dir) => {
+      val path = "/tmp/graft_io/csv_region"
+      graft.sinks.Sinks.csv(
+        t(s, dir, "region"), path, delimiter = ";",
+        policy = graft.sinks.Sinks.Drop)
+      Readers.csv(s, path, delimiter = ";",
+        schema = Some(StructType(Seq(
+          StructField("r_regionkey", IntegerType),
+          StructField("r_name", StringType)))))
+        .orderBy("r_regionkey")
+    }),
+
+    "read_jsonline" -> ((s, dir) => {
+      val path = "/tmp/graft_io/json_nation"
+      graft.sinks.Sinks.jsonLines(t(s, dir, "nation"), path,
+        policy = graft.sinks.Sinks.Drop)
+      Readers.jsonLines(s, path, schema = Some(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))))
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    }),
+
+    "read_nginx" -> ((s, dir) => {
+      val path = "/tmp/graft_io/nginx_log"
+      val lines = t(s, dir, "region").select(format_string(
+        "10.0.0.%d - u%d [01/Jan/2024:00:00:00 +0000] \"GET /r/%s HTTP/1.1\" 200 %d",
+        col("r_regionkey"), col("r_regionkey"),
+        regexp_replace(col("r_name"), " ", "_"), length(col("r_name")))
+        .as("value"))
+      lines.coalesce(1).write.mode("overwrite").text(path)
+      Readers.regexLog(s, path, Readers.NginxCombinedPattern,
+        Readers.NginxCombinedColumns)
+        .orderBy("remote_addr")
+    }),
+
+    // ---- §2.6 SQL surface (Catalyst-free ops, proven) ----------------
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revTerm).cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(revTerm).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+
+    "window_topn" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "sort_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)),
+
+    "set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def keys(st: String) = o.filter(col("o_orderstatus") === st)
+        .select("o_custkey")
+      keys("O").intersect(keys("F")).except(keys("P")).orderBy("o_custkey")
+    }),
+
+    "distinct_dedup" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")),
+
+    "join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    "agg_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"),
+          dsum(col("value"), 18, 2).as("sm"))
+        .orderBy("event_type")),
+
+    // ---- LLM-pipeline operators --------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("fp")),
+
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy("doc_id")),
+
+    "dedup_minhash_bands" -> ((s, dir) =>
+      Dedup.lshBands(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id", "band")),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id_a", "id_b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 150),
+        "text", "doc_id", shingleN = 3, minJaccard = 0.02)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_bucket" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+        .orderBy("vec_id")),
+
+    "embed_near_dups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
+        planes = 8, minCos = 0.9)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")),
+
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.byteFeatures(
+        Multimodal.asMedia(t(s, dir, "documents"), "text", "text/plain"))
+        .select(col("doc_id"), col("byte_len"), col("content_sha"),
+          col("media_meta.width").as("width"),
+          col("media_meta.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")),
+  )
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loader for the driver-generated parquet fixtures (TESTDATA.md).
   * All engine queries take a scale-factor directory and read these tables.
@@ -10,8 +11,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects unless
+    // read as raw Long; normalize to TimestampType (µs, truncating) so the
+    // engine sees one canonical timestamp type (TypeMapping "timestamp").
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
 
   /** Register every fixture table as a temp view (the engine's SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for 100 TB-scale corpora. Design rules:
+  *   - never all-pairs: candidate generation is always bucketed (LSH
+  *     bands, hash groups), so the join key-space bounds the shuffle;
+  *   - no driver state: everything is groupBy/join over hash keys;
+  *   - deterministic: hashes derive from md5 (see [[Hashing]]), so runs
+  *     and engines agree bit-for-bit.
+  */
+object Dedup {
+
+  // ---------------- exact dedup ----------------
+
+  /** Exact dedup on a canonical-form hash: one survivor (min id) per
+    * distinct normalized text. A hash-bucket groupBy — the shuffle is on
+    * the 128-bit fingerprint, perfectly balanced at any scale. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactGroups(df, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** Word shingles (n-grams) of the token stream. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = TextAnalysis.tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** MinHash signature: k independent permutations simulated by seeded
+    * hashes; sig[j] = min over shingles of h(j, shingle). Computed as a
+    * per-row expression — zero shuffle until the band join. */
+  def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
+    val sh = shingles(text, shingleN)
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(sh, s =>
+        Hashing.hex8ToLong(concat(j.cast(StringType), lit(":"), s)))))
+  }
+
+  /** LSH banding: split the k-long signature into `bands` bands of
+    * k/bands rows each; docs sharing any band hash are candidates.
+    * Returns (idCol, band, band_hash) — the join key space. */
+  def lshBands(df: DataFrame, textCol: String, idCol: String,
+               k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sig = minhashSignature(col(textCol), k, shingleN)
+    df.select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          md5(concat_ws(",", transform(
+            slice(col("sig"), b * r + 1, lit(r)),
+            x => x.cast(StringType)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Candidate near-duplicate pairs: ids co-bucketed in at least one band.
+    * The self-join is on (band, band_hash) — bucket-local, never
+    * all-pairs; skew is bounded by bucket size, and a salt/limit step can
+    * cap pathological buckets at extreme scale. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 16, shingleN: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    val b = lshBands(df, textCol, idCol, k, shingleN, bands)
+    val l = b.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** SimHash over token hashes: for each of `bits` positions, sum +1/-1
+    * votes across tokens and set the bit when the vote is positive.
+    * Expression-only; one integer per document. */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val hs = transform(TextAnalysis.tokens(text), t => Hashing.hex8ToLong(t))
+    val bitCols = (0 until bits).map { j =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  // ---------------- n-gram Jaccard ----------------
+
+  /** Exact Jaccard similarity over distinct shingles for candidate pairs.
+    * Built explode-join-aggregate so the shuffle is on shingle hashes:
+    * |A∩B| from the join, |A|,|B| from per-doc counts — integer
+    * arithmetic until one final division. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, minJaccard: Double = 0.0,
+                        candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("id").as("id_a"), col("s"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+    val filtered = candidates.fold(pairs)(c =>
+      pairs.join(c, Seq("id_a", "id_b"), "left_semi"))
+    filtered.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------- embedding near-dup ----------------
+
+  /** Near-duplicate pairs by embedding cosine within LSH buckets (see
+    * [[Similarity.hyperplaneBucket]]): candidates share a sign-LSH
+    * bucket, exact cosine confirms. Never all-pairs. */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+                        planes: Int = 8, minCos: Double = 0.95): DataFrame = {
+    val b = df.select(col(idCol).as("id"),
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"),
+      col(vecCol).as("v"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Engine-stable hashing built from md5 — deterministic, identical across
+  * engines and languages (md5 is fully specified), which makes hash-keyed
+  * operators (sharding, MinHash, LSH) externally verifiable. For pure
+  * in-engine speed paths prefer Spark's codegen'd `hash()`/`xxhash64`.
+  */
+object Hashing {
+  /** First 8 hex chars of md5 as an unsigned 32-bit value in a Long. */
+  def hex8ToLong(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Stable non-negative bucket of a string key. */
+  def stableBucket(c: Column, buckets: Int): Column =
+    pmod(hex8ToLong(c), lit(buckets))
+
+  /** Seeded variant: seed participates in the hashed payload. */
+  def seeded(c: Column, seed: Int): Column =
+    hex8ToLong(concat(lit(s"$seed:"), c))
+}

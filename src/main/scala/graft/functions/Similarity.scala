@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     Queries broadcast against the corpus, so the corpus is never
+  *     shuffled; scales to any corpus size for small query sets.
+  *   - [[lshTopK]]: sign-random-projection LSH — the scale path. Corpus
+  *     and queries bucket by hyperplane signs; only co-bucketed pairs are
+  *     scored. Bucket count grows 2^planes, bounding each join group.
+  *
+  * All arithmetic is double, accumulated left-to-right (deterministic).
+  * Hyperplanes derive from md5 (seeded), not an RNG — reproducible
+  * across runs, engines and languages.
+  */
+object Similarity {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * md5-derived, seeded by (plane, dim). */
+  def planeComponent(plane: Column, dim: Column): Column =
+    (conv(substring(md5(concat(lit("hp"), plane.cast(StringType), lit("_"),
+      dim.cast(StringType))), 1, 8), 16, 10).cast(LongType) % 2000L)
+      .cast(DoubleType) / 1000.0 - 1.0
+
+  /** Sign bucket from `planes` hyperplanes: bit j = sign(v · plane_j). */
+  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    val d = toDouble(v)
+    val bits = (0 until planes).map { j =>
+      val comp = transform(sequence(lit(0), size(v) - 1),
+        i => planeComponent(lit(j), i))
+      val dp = aggregate(zip_with(d, comp, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dp >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k neighbors of each query row (excluding self). Scores are
+    * rounded to `roundTo` decimals before ranking so ordering is stable
+    * to last-ulp float noise; ties break on neighbor id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     vecCol: String, idCol: String, k: Int,
+                     roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: score only pairs sharing a sign
+    * bucket. Recall trades off with `planes`; multi-probe (flipping one
+    * bit) can raise recall without widening the join. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              planes: Int = 8, roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (a small broadcast table of (centroid_id, vec)); search
+    * probes only the closest cells. Centroid fitting is out of scope here
+    * (any k-means produces the table); the operator is the partition-and-
+    * probe plan shape. */
+  def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String,
+                idCol: String): DataFrame = {
+    val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
+    val scored = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(c))
+      .withColumn("score", cosine(col(vecCol), col("centv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("centroid_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col(idCol), col("centroid_id"), col("score"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language id and
+  * document fingerprinting. All pure Column expressions (whole-stage
+  * codegen, no UDFs), so they run at scan speed and scale linearly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-boundary count: word chunks plus standalone
+    * punctuation, the usual pre-tokenizer regex shape. */
+  val BpePattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0)))
+
+  /** Total characters across tokens (excludes whitespace). */
+  def tokenChars(c: Column): Column =
+    aggregate(transform(tokens(c), t => length(t)), lit(0), (a, x) => a + x)
+
+  /** Mean token length; single double division keeps it deterministic. */
+  def avgTokenLen(c: Column): Column =
+    tokenChars(c).cast(DoubleType) / tokenCount(c)
+
+  /** Stopword list used for quality/language scoring (English core). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  def stopwordCount(c: Column, words: Seq[String] = Stopwords): Column =
+    size(filter(tokens(c), t => t.isin(words.map(lit): _*)))
+
+  def stopwordRatio(c: Column): Column =
+    stopwordCount(c).cast(DoubleType) / tokenCount(c)
+
+  def punctRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9_\\s]"), lit(0)))
+      .cast(DoubleType) / length(c)
+
+  /** Composite quality score in [0,1]: length sweet-spot, some stopwords,
+    * not mostly punctuation. A heuristic in the spirit of C4/Gopher
+    * filtering rules (public corpus-cleaning literature). */
+  def qualityScore(c: Column): Column = {
+    val lenOk = when(tokenCount(c).between(5, 1000), lit(0.4)).otherwise(lit(0.0))
+    val stopOk = when(stopwordCount(c) > 0, lit(0.3)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(c) < 0.2, lit(0.3)).otherwise(lit(0.0))
+    lenOk + stopOk + punctOk
+  }
+
+  /** Tiny per-language marker vocabularies for n-gram-free language id.
+    * Real pipelines plug fastText-style models in the same operator shape;
+    * the scoring scaffold (per-language token hit counts, argmax with a
+    * deterministic tiebreak) is the part that matters at scale. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  def langScore(c: Column, lang: String): Column =
+    size(filter(tokens(c), t => t.isin(LangMarkers(lang).map(lit): _*)))
+
+  /** Predicted language: argmax of marker hits, ties broken by language
+    * code order, "und" (undetermined) when nothing matches. */
+  def langId(c: Column): Column = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(c, l).as("s"), lit(l).as("l")))
+    // array_max on (score, lang) structs: lexicographic max = top score,
+    // and the *highest* lang code on ties — flip lang for determinism the
+    // other way is not needed, ties pick max code; document as such.
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of case-folded, whitespace-collapsed text —
+    * the canonical-form hash used for exact dedup. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Rolling (polynomial) fingerprint over tokens: order-sensitive, cheap
+    * to compare, stays in [0, p). acc = (acc*31 + h(tok)) mod p. */
+  def rollingFingerprint(c: Column, p: Long = 1000000007L): Column =
+    aggregate(
+      transform(tokens(c), t => Hashing.hex8ToLong(t)),
+      lit(0L),
+      (acc, h) => pmod(acc * 31 + h, lit(p)))
+
+  /** Per-document stats frame used by the `text_stats` query. */
+  def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(col(idCol),
+      tokenCount(c).as("n_tokens"),
+      bpeTokenCount(c).as("n_bpe_tokens"),
+      length(c).as("n_chars"),
+      avgTokenLen(c).as("avg_token_len"),
+      stopwordCount(c).as("n_stopwords"),
+      fingerprint(c).as("fp"))
+  }
+}

@@ -41,7 +41,9 @@ object CdcEnvelope {
   val Insert = "insert"
   val Update = "update"
   val Delete = "delete"
-  val rowKinds: Seq[String] = Seq(Insert, Update, Delete)
+  /** Mongo document updates are row events too (change_item.go RowEventKinds). */
+  val MongoUpdateDocument = "mongo:update_document"
+  val rowKinds: Seq[String] = Seq(Insert, Update, Delete, MongoUpdateDocument)
   // Control kinds (kind.go:9-45)
   val InitTableLoad = "init_load_table"
   val DoneTableLoad = "done_load_table"

@@ -15,6 +15,16 @@ object TypeMapping {
   val PrimaryKeyMeta = "graft.primaryKey"
   val OriginalTypeMeta = "graft.originalType"
 
+  /** YT *serialized* schema spellings differ from the internal lattice:
+    * in serialized YT schemas "string" denotes bytes and "utf8" denotes
+    * text (ytschema). `ytToSpark` below is the engine's INTERNAL lattice
+    * (where "string" is text, matching pkg/abstract/typesystem/schema.go);
+    * use this map when decoding a YT-serialized schema. */
+  val ytSerializedToSpark: Map[String, DataType] = Map(
+    "string" -> BinaryType,
+    "utf8" -> StringType,
+  )
+
   /** YT canonical type name -> Spark DataType.
     * uint64 maps to Decimal(20,0): Spark has no unsigned 64-bit integral
     * and silently overflowing to Long would corrupt hash checks. */
@@ -42,6 +52,14 @@ object TypeMapping {
     "any" -> StringType               // canonical JSON text (sorted keys)
   )
 
+  /** Inverse mapping consulting field metadata first, so uint8/16/32,
+    * datetime-vs-timestamp and decimal-vs-uint64 survive a round trip. */
+  def sparkToYt(f: StructField): String =
+    if (f.metadata.contains(OriginalTypeMeta)) {
+      val orig = f.metadata.getString(OriginalTypeMeta)
+      if (ytToSpark.contains(orig)) orig else sparkToYt(f.dataType)
+    } else sparkToYt(f.dataType)
+
   /** Spark DataType -> canonical YT name (inverse, lossy on unsigned). */
   def sparkToYt(dt: DataType): String = dt match {
     case ByteType => "int8"
@@ -64,7 +82,11 @@ object TypeMapping {
             originalType: String = ""): StructField = {
     val mb = new MetadataBuilder()
       .putBoolean(PrimaryKeyMeta, primaryKey)
+    // Types whose Spark mapping is lossy must self-record their YT name so
+    // sparkToYt(field) can restore them (datetime vs timestamp, uints).
+    val lossy = Set("datetime", "uint8", "uint16", "uint32", "float")
     if (originalType.nonEmpty) mb.putString(OriginalTypeMeta, originalType)
+    else if (lossy(ytType)) mb.putString(OriginalTypeMeta, ytType)
     StructField(name, ytToSpark.getOrElse(ytType, StringType),
       nullable = !primaryKey, metadata = mb.build())
   }
@@ -82,9 +104,12 @@ object TypeMapping {
     val byName = target.fields.map(f => f.name -> f).toMap
     df.select(df.columns.toSeq.map { c =>
       byName.get(c) match {
+        // Metadata (PK flags, original types) is applied to EVERY column in
+        // the target schema, not only those whose type changes.
         case Some(f) if f.dataType != df.schema(c).dataType =>
           col(c).cast(f.dataType).as(c, f.metadata)
-        case _ => col(c)
+        case Some(f) => col(c).as(c, f.metadata)
+        case None => col(c)
       }
     }: _*)
   }

@@ -1,0 +1,106 @@
+package graft.parsers
+
+import graft.model.{CdcEnvelope => E}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Queue-message parsers: byte/string payloads -> typed rows, with an
+  * unparsed-rows quarantine side output (reference: pkg/parsers —
+  * `Parser.Do(Message, Partition) []ChangeItem`, abstract.go:35; the
+  * workhorse GenericParser pkg/parsers/generic/generic_parser.go:406-556
+  * with NewUnparsed quarantine at :575).
+  */
+object GenericParser {
+  val CorruptCol = "_unparsed_reason"
+
+  /** Parse a JSON string column against declared fields. Returns the
+    * parsed frame; rows that fail to parse are dropped here and surface
+    * in [[unparsed]] (PERMISSIVE + columnNameOfCorruptRecord — the Spark
+    * rendering of the reference's per-row quarantine). */
+  def json(df: DataFrame, rawCol: String, schema: StructType,
+           keep: Seq[String] = Nil): DataFrame = {
+    val p = parsedCol(df, rawCol, schema)
+    p.filter(col(s"__p.$CorruptCol").isNull)
+      .select((keep.map(col) ++
+        schema.fieldNames.map(f => col(s"__p.$f").as(f))).toIndexedSeq: _*)
+  }
+
+  /** Quarantined rows: original payload + failure marker (reference:
+    * generic_parser.go:575 NewUnparsed). */
+  def unparsed(df: DataFrame, rawCol: String, schema: StructType,
+               keep: Seq[String] = Nil): DataFrame = {
+    val p = parsedCol(df, rawCol, schema)
+    p.filter(col(s"__p.$CorruptCol").isNotNull)
+      .select((keep.map(col) :+ col(rawCol).as("unparsed_raw")).toIndexedSeq: _*)
+  }
+
+  private def parsedCol(df: DataFrame, rawCol: String,
+                        schema: StructType): DataFrame =
+    df.withColumn("__p", from_json(col(rawCol),
+      StructType(schema.fields :+ StructField(CorruptCol, StringType)),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+
+  /** TSKV (tab-separated key=value) parse (reference:
+    * pkg/parsers/registry/tskv; generic parser handles both formats). */
+  def tskv(df: DataFrame, rawCol: String, fields: Seq[(String, DataType)],
+           keep: Seq[String] = Nil): DataFrame = {
+    val m = str_to_map(col(rawCol), lit("\t"), lit("="))
+    df.select((keep.map(col) ++ fields.map { case (f, t) =>
+      element_at(m, f).cast(t).as(f)
+    }).toIndexedSeq: _*)
+  }
+}
+
+/** Debezium CDC envelope receive/emit (reference: pkg/debezium/receiver.go
+  * and emitter_common.go; the envelope is public Debezium format:
+  * {before, after, op, ts_ms, source:{lsn, txId}}).
+  */
+object Debezium {
+  /** op codes: c=create, r=snapshot read, u=update, d=delete. */
+  private def opToKind(op: Column): Column =
+    when(op.isin("c", "r"), E.Insert)
+      .when(op === "u", E.Update)
+      .when(op === "d", E.Delete)
+
+  /** Parse a Debezium JSON payload column into the engine's CDC envelope.
+    * `rowSchema` is the table's data schema (used for both before/after). */
+  def receive(df: DataFrame, jsonCol: String, rowSchema: StructType): DataFrame = {
+    val envSchema = StructType(Seq(
+      StructField("before", rowSchema),
+      StructField("after", rowSchema),
+      StructField("op", StringType),
+      StructField("ts_ms", LongType),
+      StructField("source", StructType(Seq(
+        StructField("lsn", LongType),
+        StructField("txId", StringType))))))
+    val p = df.withColumn("__e", from_json(col(jsonCol), envSchema))
+    // delete events carry the row image in `before`; others in `after`
+    val img = when(col("__e.op") === "d", col("__e.before"))
+      .otherwise(col("__e.after"))
+    p.select((rowSchema.fieldNames.map(f => img.getField(f).as(f)) ++ Seq(
+      opToKind(col("__e.op")).as(E.Kind),
+      col("__e.source.lsn").as(E.Lsn),
+      lit(0).as(E.Counter),
+      col("__e.source.txId").as(E.TxId),
+      (col("__e.ts_ms") * 1000).as(E.CommitTime))).toIndexedSeq: _*)
+  }
+
+  /** Emit the engine's CDC envelope as Debezium JSON (the inverse;
+    * reference: pkg/debezium emitter + pkg/serializer/queue debezium
+    * serializer). Insert/update carry `after`; delete carries `before`. */
+  def emit(df: DataFrame, dataCols: Seq[String]): DataFrame = {
+    val image = struct(dataCols.map(col): _*)
+    val op = when(col(E.Kind) === E.Insert, "c")
+      .when(col(E.Kind) === E.Update, "u")
+      .when(col(E.Kind) === E.Delete, "d")
+    df.select(to_json(struct(
+      when(col(E.Kind) === E.Delete, image).as("before"),
+      when(col(E.Kind) =!= E.Delete, image).as("after"),
+      op.as("op"),
+      (col(E.CommitTime) / 1000).cast(LongType).as("ts_ms"),
+      struct(col(E.Lsn).as("lsn"),
+        col(E.TxId).cast(StringType).as("txId")).as("source")
+    )).as("value"))
+  }
+}
