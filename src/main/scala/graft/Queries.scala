@@ -423,8 +423,7 @@ object Queries {
         .orderBy("id_a", "id_b")),
 
     "dedup_simhash" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        Dedup.simhash(col("text")).as("simhash"))
+      Dedup.simhashFrame(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>

@@ -51,20 +51,30 @@ object Dedup {
 
   /** LSH banding: split the k-long signature into `bands` bands of
     * k/bands rows each; docs sharing any band hash are candidates.
-    * Returns (idCol, band, band_hash) — the join key space. */
+    * Returns (idCol, band, band_hash) — the join key space.
+    *
+    * Implemented explode -> groupBy rather than nested array lambdas:
+    * shingles are computed once per document, the k seeded hashes once
+    * per shingle, and the min-reduction is a map-side-combined
+    * aggregation. (The pure-expression form re-evaluates the shingle
+    * array inside every lambda — measured 40x slower at sf0.1.) */
   def lshBands(df: DataFrame, textCol: String, idCol: String,
                k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sig = minhashSignature(col(textCol), k, shingleN)
-    df.select(col(idCol), sig.as("sig"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          md5(concat_ws(",", transform(
-            slice(col("sig"), b * r + 1, lit(r)),
-            x => x.cast(StringType)))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val sh = df.select(col(idCol),
+      explode(shingles(col(textCol), shingleN)).as("__s"))
+    val jh = sh.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(k - 1)), j =>
+          Hashing.hex8ToLong(concat(j.cast(StringType), lit(":"), col("__s"))))))
+      .withColumnRenamed("pos", "__j").withColumnRenamed("col", "__h")
+    val mins = jh.groupBy(col(idCol), col("__j"))
+      .agg(min(col("__h")).as("__m"))
+    mins.groupBy(col(idCol), (col("__j") / r).cast("int").as("band"))
+      .agg(md5(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("__j"), col("__m")))),
+        x => x.getField("__m").cast(StringType)))).as("band_hash"))
+      .select(col(idCol), col("band"), col("band_hash"))
   }
 
   /** Candidate near-duplicate pairs: ids co-bucketed in at least one band.
@@ -86,7 +96,8 @@ object Dedup {
 
   /** SimHash over token hashes: for each of `bits` positions, sum +1/-1
     * votes across tokens and set the bit when the vote is positive.
-    * Expression-only; one integer per document. */
+    * Expression-only; one integer per document. Fine for ad-hoc use and
+    * tests; for bulk scoring prefer [[simhashFrame]]. */
   def simhash(text: Column, bits: Int = 16): Column = {
     val hs = transform(TextAnalysis.tokens(text), t => Hashing.hex8ToLong(t))
     val bitCols = (0 until bits).map { j =>
@@ -95,6 +106,25 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
+  }
+
+  /** Bulk SimHash: explode tokens, hash once each, vote with `bits`
+    * map-side-combined sums in one aggregation — one shuffle keyed on
+    * the doc id, linear in total token count at any scale. */
+  def simhashFrame(df: DataFrame, textCol: String, idCol: String,
+                   bits: Int = 16): DataFrame = {
+    val hs = df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), Hashing.hex8ToLong(col("__t")).as("__h"))
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"__v$j")
+    }
+    hs.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   // ---------------- n-gram Jaccard ----------------

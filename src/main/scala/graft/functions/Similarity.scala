@@ -31,18 +31,25 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * md5-derived, seeded by (plane, dim). */
-  def planeComponent(plane: Column, dim: Column): Column =
-    (conv(substring(md5(concat(lit("hp"), plane.cast(StringType), lit("_"),
-      dim.cast(StringType))), 1, 8), 16, 10).cast(LongType) % 2000L)
-      .cast(DoubleType) / 1000.0 - 1.0
+    * md5-derived, seeded by (plane, dim). Computed on the DRIVER and
+    * embedded as literals — the values are a pure function of the seed,
+    * so per-row recomputation would be pure waste (and measured as the
+    * dominant cost of LSH bucketing). Identical to the SQL spelling
+    * `('0x'||substr(md5('hp<j>_<d>'),1,8))::BIGINT % 2000 / 1000.0 - 1`. */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp${plane}_$dim".getBytes("UTF-8"))
+    val hex8 = d.take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex8, 16) % 2000L).toDouble / 1000.0 - 1.0
+  }
 
-  /** Sign bucket from `planes` hyperplanes: bit j = sign(v · plane_j). */
-  def hyperplaneBucket(v: Column, planes: Int): Column = {
+  /** Sign bucket from `planes` hyperplanes over `dims` dimensions:
+    * bit j = sign(v · plane_j). Planes are literal arrays; the work per
+    * row is exactly planes*dims multiply-adds inside codegen. */
+  def hyperplaneBucket(v: Column, planes: Int, dims: Int = 64): Column = {
     val d = toDouble(v)
     val bits = (0 until planes).map { j =>
-      val comp = transform(sequence(lit(0), size(v) - 1),
-        i => planeComponent(lit(j), i))
+      val comp = array((0 until dims).map(i => lit(planeComponent(j, i))): _*)
       val dp = aggregate(zip_with(d, comp, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
       when(dp >= 0, lit(1L << j)).otherwise(lit(0L))

@@ -34,15 +34,18 @@ object Collapse {
   /** A column is "set" by an event if the event carries a full row image
     * (insert, or update with __updated_cols null) or lists the column in
     * __updated_cols (TOAST-aware partial update,
-    * change_item.go:297-311). */
-  private def setsCol(c: String): Column = {
-    val full = col(E.Kind) === E.Insert ||
-      (col(E.Kind).isin(E.Update, E.MongoUpdateDocument) &&
-        col(E.UpdatedCols).isNull)
-    val partial = col(E.Kind).isin(E.Update, E.MongoUpdateDocument) &&
-      array_contains(col(E.UpdatedCols), c)
-    full || partial
-  }
+    * change_item.go:297-311). Frames without an __updated_cols column
+    * carry only full-row events. */
+  private def setsCol(c: String, hasUpdatedCols: Boolean): Column =
+    if (!hasUpdatedCols) col(E.Kind).isin(E.Insert, E.Update, E.MongoUpdateDocument)
+    else {
+      val full = col(E.Kind) === E.Insert ||
+        (col(E.Kind).isin(E.Update, E.MongoUpdateDocument) &&
+          col(E.UpdatedCols).isNull)
+      val partial = col(E.Kind).isin(E.Update, E.MongoUpdateDocument) &&
+        array_contains(col(E.UpdatedCols), c)
+      full || partial
+    }
 
   /** Collapse an enveloped changelog down to one event per key. */
   def collapse(df: DataFrame, pks: Seq[String]): DataFrame = {
@@ -79,9 +82,10 @@ object Collapse {
     // Values are wrapped in a struct so explicitly-NULL updates still win
     // over older non-null values (last+ignoreNulls skips only non-setting
     // events, not null values).
+    val hasUpdatedCols = df.columns.contains(E.UpdatedCols)
     val valueCols = dataCols.map { c =>
-      last(when(inImage && setsCol(c), struct(col(c))), ignoreNulls = true)
-        .over(w2).getField(c).as(s"__v_$c")
+      last(when(inImage && setsCol(c, hasUpdatedCols), struct(col(c))),
+        ignoreNulls = true).over(w2).getField(c).as(s"__v_$c")
     }
     // Kind of the event that established the image = first in-image event.
     val imageKind = first(when(inImage, col(E.Kind)), ignoreNulls = true)
@@ -134,6 +138,12 @@ object Collapse {
     val pkChanged = col(E.Kind) === E.Update &&
       col(E.OldKeys).isNotNull && !(oldKeys <=> curKeys)
 
+    val hasUpdated = df.columns.contains(E.UpdatedCols)
+    // synthetic delete/insert rows are full-row events: updated-cols null
+    def updatedOf(c: Column): Seq[Column] =
+      if (hasUpdated) Seq(c.cast(df.schema(E.UpdatedCols).dataType).as(E.UpdatedCols))
+      else Nil
+
     val unchanged = df.filter(!pkChanged)
       .withColumn(E.Counter, col(E.Counter) * 2)
     val dataCols = E.dataCols(df).filterNot(pks.contains)
@@ -141,14 +151,17 @@ object Collapse {
       pks.map(k => col(s"${E.OldKeys}.$k").as(k)) ++
       dataCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)) ++
       Seq(lit(E.Delete).as(E.Kind), col(E.Lsn),
-        (col(E.Counter) * 2).as(E.Counter), col(E.OldKeys))
+        (col(E.Counter) * 2).as(E.Counter), col(E.OldKeys)) ++
+      updatedOf(lit(null))
     ): _*)
     val inserts = df.filter(pkChanged).select((
       pks.map(col) ++ dataCols.map(col) ++
       Seq(lit(E.Insert).as(E.Kind), col(E.Lsn),
-        (col(E.Counter) * 2 + 1).as(E.Counter), col(E.OldKeys))
+        (col(E.Counter) * 2 + 1).as(E.Counter), col(E.OldKeys)) ++
+      updatedOf(lit(null))
     ): _*)
-    val cols = (pks ++ dataCols ++ Seq(E.Kind, E.Lsn, E.Counter, E.OldKeys))
+    val cols = (pks ++ dataCols ++
+      Seq(E.Kind, E.Lsn, E.Counter, E.OldKeys, E.UpdatedCols))
       .filter(df.columns.contains)
     def proj(d: DataFrame) = d.select(cols.map(col).toIndexedSeq: _*)
     proj(unchanged).unionByName(proj(deletes)).unionByName(proj(inserts))

@@ -31,11 +31,11 @@ object Transformers {
       (include.isEmpty || include.exists(p => s"^(?:$p)$$".r.findFirstIn(c).isDefined)) &&
         !exclude.exists(p => s"^(?:$p)$$".r.findFirstIn(c).isDefined)
     def apply(df: DataFrame): DataFrame = {
+      // key and envelope columns always survive the projection
+      // (reference: filter_columns keeps primary-key columns)
       val pks = TypeMapping.primaryKeys(df.schema)
       val kept = df.columns.filter(c =>
         E.metaCols.contains(c) || keepName(c) || pks.contains(c))
-      val dropped = pks.filterNot(kept.contains)
-      require(dropped.isEmpty, s"filter_columns would drop primary keys: $dropped")
       df.select(kept.map(col).toIndexedSeq: _*)
     }
   }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+    (2L, "completely different words about spark shuffles and partitions here"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one survivor per normalized text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(out == Seq(0L, 1L, 2L))
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).select("keep_id", "n_copies")
+      .as[(Long, Long)].collect().toSeq
+    assert(groups == Seq((0L, 2L)))
+  }
+
+  test("minhash signatures: identical docs identical, near-dups co-bucket") {
+    val bands = Dedup.lshBands(docs, "text", "doc_id")
+    // exact duplicates share every band hash
+    val byDoc = bands.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getString(2))).toSet).toMap
+    assert(byDoc(0L) == byDoc(3L))
+    assert(byDoc(0L) != byDoc(2L))
+    // candidate pairs contain the exact pair and the near pair, not (0,2)
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("simhash: exact dups equal, unrelated docs differ") {
+    val out = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == out(3L))
+    assert(out(0L) != out(2L))
+    assert(out.values.forall(h => h >= 0 && h < (1L << 16)))
+  }
+
+  test("ngram jaccard: exact pair 1.0, near pair high, unrelated pair absent") {
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    assert(out((0L, 3L)) == 1.0)
+    assert(out((0L, 1L)) > 0.5 && out((0L, 1L)) < 1.0)
+    assert(!out.contains((0L, 2L)))
+  }
+
+  test("cosine similarity: orthogonal 0, parallel 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cos = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(math.abs(cos((0L, 1L))) < 1e-12)
+    assert(math.abs(cos((0L, 2L)) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self, respects k") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val out = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 3), e, "embedding", "vec_id", k = 4)
+    val rows = out.as[(Long, Long, Double, Int)].collect()
+    assert(rows.length == 12)
+    assert(rows.forall { case (q, n, _, _) => q != n })
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == Seq(1, 2, 3, 4))
+      // scores non-increasing with rank
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).toSeq.sorted.reverse)
+    }
+  }
+
+  test("lsh buckets: same vector same bucket; lshTopK subset of brute-force candidates") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val b1 = e.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = e.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+    val lsh = Similarity.lshTopK(e.filter(col("vec_id") < 3), e,
+      "embedding", "vec_id", k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every lsh result pair shares a bucket by construction
+    assert(lsh.forall { case (q, n) => b1(q) == b1(n) })
+  }
+
+  test("embedding near-dup pairs only within buckets and above threshold") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val out = Dedup.embeddingNearDups(e, "embedding", "vec_id", minCos = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall(_._3 >= 0.8))
+    assert(out.forall(p => p._1 < p._2))
+  }
+}

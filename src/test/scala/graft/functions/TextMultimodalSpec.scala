@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (0L, "the quick brown fox, it jumps!"),
+    (1L, "a"),
+    (2L, "der hund und die katze das ist gut"),
+  ).toDF("doc_id", "text")
+
+  test("token counts: whitespace and bpe-ish") {
+    val out = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.bpeTokenCount(col("text")).as("b"))
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(0L) == ((6, 8)))  // 6 ws tokens; comma and bang as extra bpe tokens
+    assert(out(1L) == ((1, 1)))
+  }
+
+  test("quality score favors sentence-like docs") {
+    val q = df.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(0L) == 1.0)  // right length, has stopword, low punct
+    assert(q(1L) < 0.7)   // too short
+  }
+
+  test("lang id picks the marker-matching language, und when nothing matches") {
+    val out = df.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("l")).as[(Long, String)]
+      .collect().toMap
+    assert(out(0L) == "en")
+    assert(out(2L) == "de")
+    assert(out(1L) == "und")
+  }
+
+  test("fingerprints: normalization-insensitive md5; rolling hash order-sensitive") {
+    val pair = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "world hello"))
+      .toDF("id", "text")
+    val fp = pair.select(col("id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    val rp = pair.select(col("id"),
+      TextAnalysis.rollingFingerprint(col("text")).as("r"))
+      .as[(Long, Long)].collect().toMap
+    assert(rp(1L) != rp(2L)) // order matters
+    assert(rp.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+
+  test("multimodal: media wrap, byte features, stubbed decode, frame sampling") {
+    val media = Multimodal.asMedia(df, "text", "text/plain")
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.byteFeatures(media)
+      .select("doc_id", "byte_len", "content_sha")
+      .as[(Long, Int, String)].collect()
+    assert(feats.forall(_._3.matches("[0-9a-f]{64}")))
+    assert(feats.find(_._1 == 0L).get._2 == 30)
+
+    val decoded = Multimodal.decodeFeatures(media)
+    val row = decoded.filter(col("doc_id") === 0L)
+      .select("features").collect().head.getSeq[Float](0)
+    assert(row.length == Multimodal.FeatureDim)
+    assert(row.forall(f => f >= 0.0f && f <= 1.0f))
+    // deterministic: same input, same features
+    val row2 = Multimodal.decodeFeatures(media).filter(col("doc_id") === 0L)
+      .select("features").collect().head.getSeq[Float](0)
+    assert(row == row2)
+
+    val frames = Multimodal.sampleFrames(media, stride = 10)
+      .filter(col("doc_id") === 0L).select("frame_idx").as[Int].collect()
+    assert(frames.toSeq == (0 until 3))  // 30-char text -> 3 frames of 10
+  }
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.{CdcEnvelope => E}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.util.Random
+
+/** Collapse semantics tests: golden sequences mirroring the reference's
+  * canon dumps (reference: tests/canon/sequences/dump/
+  * 00_insert_update_delete.sql, 01_updatepk.sql) plus a randomized
+  * property test against a naive in-memory reducer implementing
+  * change_item_collapse.go:48-134 directly.
+  */
+class CollapseSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (key, value-or-null, kind, lsn, updatedCols-or-null) */
+  private type Ev = (Long, java.lang.Long, String, Long, Seq[String])
+
+  private def frame(evs: Seq[Ev]): DataFrame =
+    evs.toDF("k", "v", E.Kind, E.Lsn, E.UpdatedCols)
+      .withColumn(E.Counter, lit(0))
+      .withColumn(E.UpdatedCols, col(E.UpdatedCols).cast(ArrayType(StringType)))
+
+  private def collapsed(evs: Seq[Ev]): Seq[(Long, Option[Long], String)] =
+    Collapse.collapse(frame(evs), Seq("k"))
+      .select("k", "v", E.Kind).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+      .toSeq.sortBy(_._1)
+
+  test("golden 00: insert+update+delete collapses to a single delete") {
+    // INSERT (2,'b'); UPDATE t='c'; DELETE  (00_insert_update_delete.sql)
+    val out = collapsed(Seq(
+      (2L, 2L, "insert", 0L, null),
+      (2L, 3L, "update", 1L, null),
+      (2L, null, "delete", 2L, null)))
+    assert(out == Seq((2L, None, "delete")))
+  }
+
+  test("golden 01: PK-changing update => delete(old) + insert(new) carrying later updates") {
+    // INSERT (1,'a'); UPDATE 'b'; UPDATE pk 1->2; UPDATE 'c'  (01_updatepk.sql)
+    val evs: Seq[Ev] = Seq(
+      (1L, java.lang.Long.valueOf(10L), "insert", 0L, null),
+      (1L, java.lang.Long.valueOf(11L), "update", 1L, null),
+      // pk-change arrives as update of new key
+      (2L, java.lang.Long.valueOf(11L), "update", 2L, null),
+      (2L, java.lang.Long.valueOf(12L), "update", 3L, null))
+    val pkChange = frame(evs)
+      .withColumn(E.OldKeys,
+        when(col(E.Lsn) === 2L, struct(lit(1L).as("k")))
+          .otherwise(struct(col("k").as("k"))))
+    val split = Collapse.splitUpdatedPKeys(pkChange, Seq("k"))
+    val out = Collapse.collapse(split, Seq("k"))
+      .select("k", "v", E.Kind).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq((1L, None, "delete"), (2L, Some(12L), "insert")))
+  }
+
+  test("golden 02: insert+delete+insert keeps the last insert") {
+    val out = collapsed(Seq(
+      (5L, 1L, "insert", 0L, null),
+      (5L, null, "delete", 1L, null),
+      (5L, 7L, "insert", 2L, null)))
+    assert(out == Seq((5L, Some(7L), "insert")))
+  }
+
+  test("update after delete cancels the delete (reference: update clears toDelete)") {
+    val out = collapsed(Seq(
+      (9L, 1L, "insert", 0L, null),
+      (9L, null, "delete", 1L, null),
+      (9L, 4L, "update", 2L, null)))
+    assert(out == Seq((9L, Some(4L), "update")))
+  }
+
+  test("updates only (no prior image) keep update kind") {
+    val out = collapsed(Seq(
+      (3L, 8L, "update", 0L, null),
+      (3L, 9L, "update", 1L, null)))
+    assert(out == Seq((3L, Some(9L), "update")))
+  }
+
+  test("partial (TOAST) update merges column sets; explicit null wins") {
+    val df = Seq(
+      (1L, java.lang.Long.valueOf(10L), "x1", "insert", 0L, null.asInstanceOf[Seq[String]]),
+      // partial update touching only b
+      (1L, null.asInstanceOf[java.lang.Long], "x2", "update", 1L, Seq("b")),
+      // partial update setting a explicitly (a keeps null untouched b)
+      (1L, java.lang.Long.valueOf(30L), null.asInstanceOf[String], "update", 2L, Seq("a")),
+    ).toDF("k", "a", "b", E.Kind, E.Lsn, E.UpdatedCols)
+      .withColumn(E.Counter, lit(0))
+    val out = Collapse.collapse(df, Seq("k"))
+      .select("k", "a", "b", E.Kind).collect().head
+    assert(out.getLong(0) == 1L)
+    assert(out.getLong(1) == 30L)      // from lsn2 partial
+    assert(out.getString(2) == "x2")   // from lsn1 partial, not overwritten
+    assert(out.getString(3) == "insert")
+  }
+
+  /** Naive driver-side reducer: direct transliteration of the reference
+    * fold (rows map + pending deletes), used as the property-test oracle. */
+  private def naive(evs: Seq[Ev]): Seq[(Long, Option[Long], String)] = {
+    case class St(v: Option[Long], kind: String)
+    val rows = scala.collection.mutable.LinkedHashMap[Long, St]()
+    val dels = scala.collection.mutable.LinkedHashMap[Long, Unit]()
+    evs.sortBy(_._4).foreach { case (k, v, kind, _, _) =>
+      kind match {
+        case "insert" =>
+          dels.remove(k); rows(k) = St(Option(v).map(_.longValue), "insert")
+        case "update" =>
+          dels.remove(k)
+          rows(k) = rows.get(k) match {
+            case Some(st) => St(Option(v).map(_.longValue), st.kind)
+            case None => St(Option(v).map(_.longValue), "update")
+          }
+        case "delete" =>
+          rows.remove(k); dels(k) = ()
+      }
+    }
+    (rows.map { case (k, st) => (k, st.v, st.kind) } ++
+      dels.keys.map(k => (k, None, "delete"))).toSeq.sortBy(_._1)
+  }
+
+  test("property: collapse matches the naive reference fold on random changelogs") {
+    val rnd = new Random(42)
+    for (round <- 1 to 20) {
+      val evs: Seq[Ev] = (0 until 60).map { i =>
+        val k = rnd.nextInt(8).toLong
+        rnd.nextInt(3) match {
+          case 0 => (k, java.lang.Long.valueOf(rnd.nextInt(100)), "insert", i.toLong, null)
+          case 1 => (k, java.lang.Long.valueOf(rnd.nextInt(100)), "update", i.toLong, null)
+          case 2 => (k, null.asInstanceOf[java.lang.Long], "delete", i.toLong, null)
+        }
+      }
+      assert(collapsed(evs) == naive(evs), s"mismatch in round $round")
+    }
+  }
+
+  test("lastWriteWins keeps exactly the newest event per key") {
+    val df = frame(Seq(
+      (1L, 1L, "insert", 0L, null),
+      (1L, 2L, "update", 5L, null),
+      (2L, 9L, "insert", 1L, null)))
+    val out = Collapse.lastWriteWins(df, Seq("k"))
+      .select("k", "v").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 2L), (2L, 9L)))
+  }
+
+  test("splitUpdatedPKeys leaves non-pk-change rows untouched (counter doubled)") {
+    val df = frame(Seq((1L, 5L, "update", 0L, null)))
+      .withColumn(E.OldKeys, struct(col("k").as("k")))
+    val out = Collapse.splitUpdatedPKeys(df, Seq("k"))
+    assert(out.count() == 1)
+    assert(out.select(E.Kind).as[String].head() == "update")
+  }
+}

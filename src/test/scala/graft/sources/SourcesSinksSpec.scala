@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sinks.Sinks
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_test").toString
+
+  test("csv round trip with custom delimiter preserves content") {
+    val region = graft.Tables.load(spark, sf(), "region")
+    val path = tmp() + "/r"
+    Sinks.csv(region, path, delimiter = "|", policy = Sinks.Drop)
+    val back = Readers.csv(spark, path, delimiter = "|",
+      schema = Some(StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))))
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("jsonlines round trip preserves content") {
+    val nation = graft.Tables.load(spark, sf(), "nation")
+    val path = tmp() + "/n"
+    Sinks.jsonLines(nation, path, policy = Sinks.Drop)
+    val back = Readers.jsonLines(spark, path, schema = Some(nation.schema))
+      .select(nation.columns.map(col).toIndexedSeq: _*)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("regex log reader extracts nginx combined fields") {
+    val path = tmp() + "/log"
+    Seq("""1.2.3.4 - alice [01/Jan/2024:10:00:00 +0000] "GET /x?q=1 HTTP/1.1" 200 512""")
+      .toDF("value").coalesce(1).write.text(path)
+    val out = Readers.regexLog(spark, path, Readers.NginxCombinedPattern,
+      Readers.NginxCombinedColumns).collect().head
+    assert(out.getString(0) == "1.2.3.4")
+    assert(out.getString(1) == "alice")
+    assert(out.getString(3) == "GET")
+    assert(out.getString(4) == "/x?q=1")
+    assert(out.getString(5) == "200")
+  }
+
+  test("sharded scan partitions are disjoint and complete") {
+    val li = graft.Tables.load(spark, sf(), "lineitem")
+    val parts = ShardedScan.byRange(li, "l_orderkey", 0, 10000000L, 5)
+    assert(parts.map(_.count()).sum == li.count())
+    assert(ShardedScan.unionAll(parts).count() == li.count())
+  }
+
+  test("incremental scan advances its cursor across runs") {
+    val state = tmp()
+    val inc = IncrementalScan(state)
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val first = inc.scan(ev, "events", "event_id")
+    assert(first.count() == ev.count())          // no state: full scan
+    inc.commit(first, "events", "event_id")
+    val second = inc.scan(ev, "events", "event_id")
+    assert(second.count() == 0)                  // cursor at max: nothing new
+    assert(inc.readState("events", "event_id").isDefined)
+  }
+
+  test("sample source is deterministic and device-bounded") {
+    val a = SampleSource.iot(spark, 100).collect()
+    val b = SampleSource.iot(spark, 100).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+  }
+
+  test("cleanup policies: Drop overwrites, Disabled appends") {
+    val region = graft.Tables.load(spark, sf(), "region")
+    val path = tmp() + "/p"
+    Sinks.parquet(region, path, policy = Sinks.Drop)
+    Sinks.parquet(region, path, policy = Sinks.Drop)
+    assert(spark.read.parquet(path).count() == region.count())
+    Sinks.parquet(region, path, policy = Sinks.Disabled)
+    assert(spark.read.parquet(path).count() == 2 * region.count())
+  }
+
+  test("serializers: json objects and csv lines over data columns") {
+    val df = Seq((1L, "a")).toDF("k", "s")
+    assert(Sinks.serializeJson(df).as[String].head() == """{"k":1,"s":"a"}""")
+    assert(Sinks.serializeCsv(df).as[String].head() == "1,a")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.{CdcEnvelope => E}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_stream").toString
+
+  private def batch(rows: (Long, String, String, Long)*) =
+    rows.toSeq.toDF("id", "v", E.Kind, E.Lsn)
+      .withColumn(E.Counter, lit(0))
+
+  test("mergeBatch applies upsert semantics into the state dir") {
+    val state = tmp() + "/t1"
+    CdcStream.mergeBatch(
+      batch((1L, "a", "insert", 0L), (2L, "b", "insert", 1L)), state, Seq("id"))
+    CdcStream.mergeBatch(
+      batch((1L, "a2", "update", 2L), (3L, "c", "insert", 3L),
+        (2L, "b", "delete", 4L)), state, Seq("id"))
+    val out = spark.read.parquet(state).select("id", "v")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, "a2"), (3L, "c")))
+  }
+
+  test("mergeBatch is idempotent under replay (exactly-once on restart)") {
+    val state = tmp() + "/t2"
+    val b = batch((1L, "x", "insert", 0L), (1L, "y", "update", 1L))
+    CdcStream.mergeBatch(b, state, Seq("id"))
+    val once = spark.read.parquet(state).collect().toSeq
+    CdcStream.mergeBatch(b, state, Seq("id"))   // replay the same batch
+    val twice = spark.read.parquet(state).collect().toSeq
+    assert(once == twice)
+    assert(once.size == 1)
+  }
+
+  test("replicate runs a memory-source stream through checkpointed merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val stream = mem.toDF().toDF("id", "v", E.Kind, E.Lsn)
+      .withColumn(E.Counter, lit(0))
+    val state = tmp() + "/t3"
+    val ckpt = tmp() + "/ckpt"
+    val q = CdcStream.replicate(stream, state, ckpt, Seq("id"),
+      CdcStream.Bufferer(availableNow = false, interval = None)).start()
+    try {
+      mem.addData((1L, "a", "insert", 0L), (2L, "b", "insert", 1L))
+      q.processAllAvailable()
+      mem.addData((1L, "a9", "update", 2L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(state).select("id", "v")
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      assert(out == Seq((1L, "a9"), (2L, "b")))
+    } finally q.stop()
+  }
+
+  test("bufferer maps to streaming triggers") {
+    assert(CdcStream.Bufferer(availableNow = true).trigger ==
+      Trigger.AvailableNow())
+    assert(CdcStream.Bufferer(interval = Some("5 seconds")).trigger ==
+      Trigger.ProcessingTime("5 seconds"))
+  }
+
+  test("watermark dedup drops replayed keys inside the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = CdcStream.watermarkDedup(
+      mem.toDF().toDF("id", "ts"), "ts", "10 minutes", Seq("id"))
+    val q = deduped.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData((1L, t0), (1L, t0), (2L, t0))  // 1 replayed
+      q.processAllAvailable()
+      val n = spark.table("wm_out").count()
+      assert(n == 2)
+    } finally q.stop()
+  }
+
+  test("sample stream has the generator schema") {
+    val df = CdcStream.sampleStream(spark, 10)
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("event_id", "device_id", "ts", "value"))
+  }
+}
