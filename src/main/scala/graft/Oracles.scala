@@ -377,6 +377,16 @@ object Oracles {
          |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM s
          |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin),
 
+    "dblog_reconcile" ->
+      ("""SELECT o_orderkey,
+         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+         |       ELSE o_totalprice END AS o_totalprice
+         |FROM orders WHERE o_orderkey % 17 <> 0 ORDER BY o_orderkey""".stripMargin),
+
+    "rotator_tag" ->
+      ("""SELECT event_id, strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS "__rotation" """ +
+        "FROM events ORDER BY event_id"),
+
     "multimodal_meta" ->
       ("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
          |  sha256(text) AS content_sha,

@@ -451,6 +451,26 @@ object Queries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
 
+    "dblog_reconcile" -> ((s, dir) => {
+      val snap = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val changes = t(s, dir, "orders").filter(
+        col("o_orderkey") % 5 === 0 || col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          when(col("o_orderkey") % 17 === 0, E.Delete).otherwise(E.Update)
+            .as(E.Kind),
+          when(col("o_orderkey") % 17 === 0, lit(11L)).otherwise(lit(10L))
+            .as(E.Lsn),
+          lit(0).as(E.Counter))
+      graft.sources.DbLog.reconcile(snap, changes, Seq("o_orderkey"),
+        snapshotLsn = 5L).orderBy("o_orderkey")
+    }),
+
+    "rotator_tag" -> ((s, dir) =>
+      graft.sinks.Rotator.tag(t(s, dir, "events"), "ts", graft.sinks.Rotator.Daily)
+        .select(col("event_id"), col(graft.sinks.Rotator.RotationCol))
+        .orderBy("event_id")),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteFeatures(
         Multimodal.asMedia(t(s, dir, "documents"), "text", "text/plain"))

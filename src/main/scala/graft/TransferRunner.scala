@@ -1,0 +1,105 @@
+package graft
+
+import graft.config._
+import graft.operators.TransformerChain
+import graft.sinks.Sinks
+import graft.sources.{Readers, SampleSource}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine driver: activate/upload/replicate for a [[Transfer]]
+  * (reference: cmd/trcli activate/upload/replicate entry points, §3 of
+  * SURVEY.md). The reference's hand-built machinery — sharded part
+  * queues, goroutine pools, coordinator state, middleware chain assembly
+  * (worker/tasks/load_snapshot.go, pkg/sink_factory/sink_factory.go) —
+  * collapses to: build the source plan, fold the transformer chain,
+  * write. Spark's scheduler IS the coordinator; partitions ARE the
+  * table parts; task retry IS the retrier middleware.
+  */
+object TransferRunner {
+
+  def source(spark: SparkSession, cfg: SourceConfig): DataFrame = cfg match {
+    case SourceConfig.Parquet(path) => spark.read.parquet(path)
+    case SourceConfig.Csv(path, d, h) => Readers.csv(spark, path, d, h)
+    case SourceConfig.JsonLines(path) => Readers.jsonLines(spark, path)
+    case SourceConfig.Text(path) => Readers.lines(spark, path)
+    case SourceConfig.Jdbc(url, table, part, lo, hi, n, props) =>
+      val r = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+      val sharded = part match {
+        case Some(c) => r.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", n)
+        case None => r
+      }
+      props.foldLeft(sharded) { case (x, (k, v)) => x.option(k, v) }.load()
+    case SourceConfig.Kafka(bootstrap, topic, offsets) =>
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", offsets).load()
+    case SourceConfig.Sample(rows) => SampleSource.iot(spark, rows)
+  }
+
+  def write(df: DataFrame, cfg: SinkConfig, cleanup: Sinks.CleanupPolicy): Unit =
+    cfg match {
+      case SinkConfig.Parquet(path, parts) =>
+        Sinks.parquet(df, path, cleanup, parts)
+      case SinkConfig.Csv(path, d) => Sinks.csv(df, path, d, policy = cleanup)
+      case SinkConfig.JsonLines(path) => Sinks.jsonLines(df, path, cleanup)
+      case SinkConfig.Console => Sinks.console(df)
+      case SinkConfig.Merge(path, pks) =>
+        streaming.CdcStream.mergeBatch(df, path, pks)
+    }
+
+  /** Snapshot upload: `trcli activate/upload` for SNAPSHOT_ONLY
+    * (reference: worker/tasks/load_snapshot.go:88 LoadSnapshot). Applies
+    * the transformer chain, routes quarantine rows, writes the sink. */
+  def runSnapshot(spark: SparkSession, t: Transfer, table: String = ""): Unit = {
+    val src = source(spark, t.source)
+    val chain = TransformerChain(t.transformers)
+    val out = chain(src, table)
+    t.errorsOutput match {
+      case ErrorsOutput.ToPath(p) =>
+        chain.errors(src, table).foreach(Sinks.parquet(_, p, Sinks.Disabled))
+      case ErrorsOutput.DevNull => ()
+    }
+    write(out, t.sink, t.cleanup)
+  }
+
+  /** Replication: `trcli replicate` for INCREMENT_ONLY (reference:
+    * runtime/local/replication.go:83). The source must be streaming;
+    * the sink must be a Merge target. Returns the started query. */
+  def runReplication(spark: SparkSession, t: Transfer,
+                     pks: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = source(spark, t.source)
+    require(src.isStreaming, "replication requires a streaming source")
+    val chain = TransformerChain(t.transformers)
+    val stateDir = t.sink match {
+      case SinkConfig.Merge(path, _) => path
+      case other => throw new IllegalArgumentException(
+        s"replication requires a Merge sink, got $other")
+    }
+    val ckpt = t.checkpointDir.getOrElse(stateDir + "_checkpoint")
+    streaming.CdcStream.replicate(
+      chain(src), stateDir, ckpt, pks,
+      streaming.CdcStream.Bufferer()).start()
+  }
+
+  /** SNAPSHOT_AND_INCREMENT: snapshot first, then hand off to the
+    * stream (reference: worker/tasks/start_job.go transition). The
+    * snapshot lands through the same Merge sink so replication resumes
+    * idempotently on top of it. */
+  def runBoth(spark: SparkSession, t: Transfer, pks: Seq[String],
+              stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    val snapCfg = t.copy(transferType = TransferType.SnapshotOnly)
+    runSnapshot(spark, snapCfg)
+    val ckpt = t.checkpointDir.getOrElse("/tmp/graft_ckpt")
+    val stateDir = t.sink match {
+      case SinkConfig.Merge(path, _) => path
+      case other => throw new IllegalArgumentException(s"need Merge sink, got $other")
+    }
+    streaming.CdcStream.replicate(
+      TransformerChain(t.transformers)(stream), stateDir, ckpt, pks,
+      streaming.CdcStream.Bufferer()).start()
+  }
+}

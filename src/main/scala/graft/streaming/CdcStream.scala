@@ -36,7 +36,11 @@ object CdcStream {
     * checkpoint-replay exactly-once. At warehouse scale the same batch
     * function lands on a Delta/Iceberg MERGE INTO — the collapse step
     * and key discipline are identical. */
-  def mergeBatch(batch: DataFrame, stateDir: String, pks: Seq[String]): Unit = {
+  def mergeBatch(batch0: DataFrame, stateDir: String, pks: Seq[String]): Unit = {
+    // plain (non-enveloped) frames merge as snapshot inserts
+    val batch =
+      if (batch0.columns.contains(E.Kind)) batch0
+      else E.fromSnapshot(batch0, lit(0L))
     val spark = batch.sparkSession
     val collapsed = Collapse.lastWriteWins(
       batch.filter(E.isRowEvent(col(E.Kind))), pks)
