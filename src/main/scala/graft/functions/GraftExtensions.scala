@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.bridge
+
+/** Engine SQL-function registration (the UDx surface, SURVEY §2.8).
+  *
+  * Two entry points:
+  *   - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *     build (the SparkSessionExtensions path);
+  *   - `GraftFunctions.register(spark)` on a live session (tests, REPL).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("graft_stable_hash64",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.StableHash64Expr].getName,
+        "graft_stable_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_stable_hash64 takes one argument")
+        org.apache.spark.sql.graft.StableHash64Expr(args.head)
+      }))
+
+  /** Register on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, info, builder) =>
+      bridge.functionRegistry(spark)
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

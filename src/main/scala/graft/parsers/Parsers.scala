@@ -52,6 +52,81 @@ object GenericParser {
   }
 }
 
+/** CloudEvents 1.0 structured-JSON parser (reference:
+  * pkg/parsers/registry/cloudevents; the envelope is the public CNCF
+  * CloudEvents spec: specversion/id/source/type/time/data). */
+object CloudEvents {
+  val EnvelopeSchema: StructType = StructType(Seq(
+    StructField("specversion", StringType),
+    StructField("id", StringType),
+    StructField("source", StringType),
+    StructField("type", StringType),
+    StructField("subject", StringType),
+    StructField("time", TimestampType),
+    StructField("datacontenttype", StringType)))
+
+  /** Parse the envelope; `dataSchema` types the `data` attribute. */
+  def parse(df: DataFrame, jsonCol: String, dataSchema: StructType): DataFrame = {
+    val full = StructType(EnvelopeSchema.fields :+ StructField("data", dataSchema))
+    val p = df.withColumn("__ce", from_json(col(jsonCol), full))
+    p.select((EnvelopeSchema.fieldNames.map(f => col(s"__ce.$f").as(s"ce_$f")) ++
+      dataSchema.fieldNames.map(f => col(s"__ce.data.$f").as(f))).toIndexedSeq: _*)
+  }
+}
+
+/** raw_to_table parser: keep the raw payload as a column plus queue
+  * metadata (reference: pkg/parsers/registry/raw_to_table — rows are
+  * (topic, partition, offset, ts, raw bytes)). */
+object RawToTable {
+  def parse(df: DataFrame, rawCol: String,
+            metaCols: Seq[String] = Nil): DataFrame =
+    df.select((metaCols.map(col) :+
+      col(rawCol).cast(BinaryType).as("raw")).toIndexedSeq: _*)
+}
+
+/** Protobuf reader plumbing (reference: s3/reader/registry/proto and
+  * pkg/parsers/registry/protobuf). The container carries no
+  * spark-protobuf connector and no descriptor compiler, so the decode
+  * kernel is pluggable: callers hand a message decoder (bytes =>
+  * values) generated from their descriptor; the Spark-side batch
+  * contract (binary column in, typed struct out, partition-parallel)
+  * is the real surface, as with [[graft.functions.Multimodal]]. */
+object ProtoReader {
+  def parse(df: DataFrame, rawCol: String, outSchema: StructType,
+            decode: Array[Byte] => Seq[Any]): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(rawCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          decode(r.get(idx).asInstanceOf[Array[Byte]]))
+      }
+    }(enc)
+  }
+
+  /** Tiny wire-format scalar decoder for tests and schema-less
+    * inspection: returns (fieldNumber -> varint value) for messages of
+    * varint fields only (wire type 0). Public protobuf encoding. */
+  def varintFields(bytes: Array[Byte]): Map[Int, Long] = {
+    var i = 0
+    val out = scala.collection.mutable.Map[Int, Long]()
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while ({ val b = bytes(i); i += 1; v |= (b & 0x7fL) << shift
+               shift += 7; (b & 0x80) != 0 }) ()
+      v
+    }
+    while (i < bytes.length) {
+      val tag = varint()
+      val wireType = (tag & 7).toInt
+      require(wireType == 0, s"varintFields handles wire type 0 only, got $wireType")
+      out((tag >> 3).toInt) = varint()
+    }
+    out.toMap
+  }
+}
+
 /** Debezium CDC envelope receive/emit (reference: pkg/debezium/receiver.go
   * and emitter_common.go; the envelope is public Debezium format:
   * {before, after, op, ts_ms, source:{lsn, txId}}).

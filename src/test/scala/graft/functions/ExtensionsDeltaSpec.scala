@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.parsers.{CloudEvents, ProtoReader, RawToTable}
+import graft.sources.DeltaLite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+class ExtensionsDeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_stable_hash64: native expression equals column-function spelling and SQL") {
+    GraftFunctions.register(spark)
+    // non-foldable source so the expression actually executes codegen'd
+    val df = spark.range(100).select(col("id").cast("string").as("s"))
+    val both = df.select(
+      StableHash64(col("s")).as("native"),
+      Hashing.hex8ToLong(col("s")).as("composed"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+    // md5("hello") first 8 hex = 5d41402a = 1564557354
+    assert(spark.sql("SELECT graft_stable_hash64('hello')").head().getLong(0)
+      == 1564557354L)
+    // codegen path: the project containing the expression must carry the
+    // whole-stage-codegen marker (`*(n)`), not fall back to interpreted
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+  }
+
+  test("DeltaLite reads a hand-built Delta log (add/remove replay)") {
+    val table = Files.createTempDirectory("graft_delta").toString
+    // two data files, second commit removes the first
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(table + "/f1")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.parquet(table + "/f2")
+    def onlyParquet(d: String): String =
+      new java.io.File(table + "/" + d).listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+    val (p1, p2) = (s"f1/${onlyParquet("f1")}", s"f2/${onlyParquet("f2")}")
+    Files.createDirectories(Paths.get(table, "_delta_log"))
+    Files.writeString(Paths.get(table, "_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":1}}
+         |{"metaData":{"id":"t"}}
+         |{"add":{"path":"$p1","size":1,"dataChange":true}}
+         |{"add":{"path":"$p2","size":1,"dataChange":true}}""".stripMargin)
+    Files.writeString(Paths.get(table, "_delta_log/00000000000000000001.json"),
+      s"""{"remove":{"path":"$p1","dataChange":true}}""")
+    assert(DeltaLite.activeFiles(spark, table) == Seq(p2))
+    val out = DeltaLite.read(spark, table).as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "b")))
+  }
+
+  test("cloudevents envelope parse") {
+    val df = Seq(
+      """{"specversion":"1.0","id":"e1","source":"/svc","type":"created","time":"2024-01-01T00:00:00Z","data":{"k":7}}""")
+      .toDF("value")
+    val out = CloudEvents.parse(df, "value",
+      StructType(Seq(StructField("k", IntegerType))))
+    val r = out.select("ce_id", "ce_type", "k").collect().head
+    assert(r.toSeq == Seq("e1", "created", 7))
+  }
+
+  test("raw_to_table keeps payload bytes plus metadata") {
+    val df = Seq(("t0", 3L, "payload")).toDF("topic", "offset", "value")
+    val out = RawToTable.parse(df, "value", metaCols = Seq("topic", "offset"))
+    assert(out.columns.toSeq == Seq("topic", "offset", "raw"))
+    assert(new String(out.collect().head.getAs[Array[Byte]]("raw")) == "payload")
+  }
+
+  test("proto reader: pluggable decode over varint wire format") {
+    // field 1 = 150 (varint): tag 0x08, value 0x96 0x01
+    val msg = Array[Byte](0x08, 0x96.toByte, 0x01)
+    assert(ProtoReader.varintFields(msg) == Map(1 -> 150L))
+    val df = Seq(Tuple1(msg)).toDF("raw")
+    val out = ProtoReader.parse(df, "raw",
+      StructType(Seq(StructField("f1", LongType))),
+      bytes => Seq(ProtoReader.varintFields(bytes)(1)))
+    assert(out.as[Long].head() == 150L)
+  }
+}
