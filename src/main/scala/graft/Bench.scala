@@ -39,7 +39,18 @@ object Bench {
     val ok = results.collect { case (_, Right(v)) => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"sf":"$sfDir"}""")
+    // The reference's primary KPI is transfer rows/sec (docs/benchmarks.md:
+    // 26-36): measure an end-to-end snapshot transfer of lineitem through
+    // the engine (read -> envelope -> sink write).
+    val rowsPerSec = try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val n = li.count()
+      val t0 = System.nanoTime()
+      graft.sinks.Sinks.parquet(li, "/tmp/graft_bench_transfer",
+        graft.sinks.Sinks.Drop)
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
