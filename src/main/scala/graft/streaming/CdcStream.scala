@@ -51,16 +51,23 @@ object CdcStream {
     val merged = existing match {
       case None => collapsed
       case Some(cur) =>
-        // current state re-enters as older-than-everything inserts
-        val asEvents = cur.select(
-          (dataCols.map(col) :+ lit(E.Insert).as(E.Kind) :+
-            lit(Long.MinValue).as(E.Lsn) :+ lit(0).as(E.Counter)): _*)
+        // current state re-enters as older-than-everything inserts.
+        // unionByName with allowMissingColumns absorbs mid-stream schema
+        // drift (DDL adding/dropping columns): new columns backfill null
+        // in old state, dropped columns null out in new events —
+        // Delta-style mergeSchema semantics (SURVEY §1.4 DDL mapping).
+        val asEvents = cur.withColumn(E.Kind, lit(E.Insert))
+          .withColumn(E.Lsn, lit(Long.MinValue))
+          .withColumn(E.Counter, lit(0))
         val projected = collapsed.select(
           (dataCols.map(col) :+ col(E.Kind) :+ col(E.Lsn) :+ col(E.Counter)): _*)
-        Collapse.lastWriteWins(asEvents.unionByName(projected), pks)
+        Collapse.lastWriteWins(
+          asEvents.unionByName(projected, allowMissingColumns = true), pks)
     }
+    // union of old-state and new-batch data columns (schema drift)
+    val outCols = E.dataCols(merged)
     val out = merged.filter(col(E.Kind) =!= E.Delete)
-      .select(dataCols.map(col): _*)
+      .select(outCols.map(col): _*)
     // write-then-swap: parquet overwrite into a temp dir + atomic rename
     // keeps readers consistent (single-node analogue of a table commit)
     val tmp = stateDir + ".tmp"
