@@ -10,8 +10,14 @@ import org.apache.spark.sql.types.LongType
   * in-engine speed paths prefer Spark's codegen'd `hash()`/`xxhash64`.
   */
 object Hashing {
-  /** First 8 hex chars of md5 as an unsigned 32-bit value in a Long. */
-  def hex8ToLong(c: Column): Column =
+  /** First 8 hex chars of md5 as an unsigned 32-bit value in a Long.
+    * Backed by the native [[StableHash64]] expression (one digest, no
+    * intermediate hex strings); value-identical to the SQL spelling
+    * `CAST(('0x'||substr(md5(x),1,8)) AS BIGINT)`. */
+  def hex8ToLong(c: Column): Column = StableHash64(c)
+
+  /** The composed spelling, kept for cross-checking the native one. */
+  def hex8ToLongComposed(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
   /** Stable non-negative bucket of a string key. */

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for scale — the pieces a 100 TB deployment reaches
+  * for when the default shuffle join hurts:
+  *
+  *   - [[Bucketing]]: co-located joins. Write both sides bucketed by the
+  *     join key; subsequent joins read bucket-aligned and skip the
+  *     Exchange entirely. This is the Spark equivalent of the
+  *     reference's "shard both ends the same way" pattern (its sharded
+  *     upload keyed on PK, sharding_storage.go) — except the co-location
+  *     persists and every later join benefits.
+  *   - [[SaltedJoin]]: skew mitigation. A handful of hot keys put an
+  *     entire shuffle partition on one executor; salting fans each hot
+  *     key into `salt` sub-keys, replicating the small side to match.
+  *     AQE's skew-join handles moderate skew automatically; explicit
+  *     salting is for the pathological keys AQE cannot split (single
+  *     key > executor memory).
+  */
+object Bucketing {
+
+  /** Persist a frame bucketed+sorted by `keys` as a managed table. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two identically-bucketed tables on their bucket keys — with
+    * matching bucket counts the planner emits a SortMergeJoin with NO
+    * Exchange on either side. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   keys: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), keys)
+}
+
+object SaltedJoin {
+
+  /** Inner-join `big` with `small` on `key`, fanning the big side's hot
+    * keys across `salt` sub-partitions. The small side is replicated
+    * `salt` times (explode) — acceptable because it is small; the big
+    * side only gains a random salt column, no replication. */
+  def join(big: DataFrame, small: DataFrame, key: String,
+           salt: Int): DataFrame = {
+    // deterministic spread: salt from a stable hash of the whole row id
+    // space (monotonically_increasing_id is partition-deterministic)
+    val bigSalted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salt)).cast("int"))
+    val smallExploded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")
+  }
+}

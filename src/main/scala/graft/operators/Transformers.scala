@@ -151,6 +151,20 @@ object Transformers {
     }
   }
 
+  /** #8 dbt — the reference runs a dbt project against the destination
+    * after transfer (registry/dbt/transformer.go:51). The Spark-native
+    * post-hook is a SQL script over the session catalog: statements run
+    * in order after the frame lands as `viewName`; the last statement's
+    * result is the output. Full dbt (templating, DAG) stays external. */
+  final case class SqlScript(statements: Seq[String],
+                             viewName: String = "this") extends Transformer {
+    val name = "sql_script"
+    def apply(df: DataFrame): DataFrame = {
+      df.createOrReplaceTempView(viewName)
+      statements.map(df.sparkSession.sql).last
+    }
+  }
+
   /** #9 convert_to_string — cast listed (or all data) columns to canonical
     * string form (reference: registry/to_string/to_string.go:129). */
   final case class ConvertToString(cols: Seq[String] = Nil)

@@ -16,7 +16,7 @@ class ExtensionsDeltaSpec extends SparkSpec {
     val df = spark.range(100).select(col("id").cast("string").as("s"))
     val both = df.select(
       StableHash64(col("s")).as("native"),
-      Hashing.hex8ToLong(col("s")).as("composed"))
+      Hashing.hex8ToLongComposed(col("s")).as("composed"))
     assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
     // md5("hello") first 8 hex = 5d41402a = 1564557354
     assert(spark.sql("SELECT graft_stable_hash64('hello')").head().getLong(0)

@@ -136,4 +136,12 @@ class TransformersSpec extends SparkSpec {
     assert(!f.matches("public.orders_tmp"))
     assert(TableFilter().matches("anything"))
   }
+
+  test("sql_script post-hook runs statements in order over the landed view") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val out = T.SqlScript(Seq(
+      "SELECT id, upper(v) AS v FROM this",
+      "SELECT count(*) AS n FROM this")).apply(df)
+    assert(out.as[Long].head() == 2L)
+  }
 }
