@@ -62,19 +62,24 @@ object Dedup {
                k: Int = 16, shingleN: Int = 3, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
+    // one row per shingle, k hash columns per row, k map-side-combined
+    // min aggregates: a single shuffle keyed on the doc id, row count
+    // = shingle count (not k * shingles)
     val sh = df.select(col(idCol),
       explode(shingles(col(textCol), shingleN)).as("__s"))
-    val jh = sh.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(k - 1)), j =>
-          Hashing.hex8ToLong(concat(j.cast(StringType), lit(":"), col("__s"))))))
-      .withColumnRenamed("pos", "__j").withColumnRenamed("col", "__h")
-    val mins = jh.groupBy(col(idCol), col("__j"))
-      .agg(min(col("__h")).as("__m"))
-    mins.groupBy(col(idCol), (col("__j") / r).cast("int").as("band"))
-      .agg(md5(concat_ws(",", transform(
-        array_sort(collect_list(struct(col("__j"), col("__m")))),
-        x => x.getField("__m").cast(StringType)))).as("band_hash"))
-      .select(col(idCol), col("band"), col("band_hash"))
+    val hashed = sh.select(
+      (col(idCol) +: (0 until k).map(j =>
+        Hashing.hex8ToLong(concat(lit(s"$j:"), col("__s"))).as(s"__h$j"))): _*)
+    val aggs = (0 until k).map(j => min(col(s"__h$j")).as(s"__m$j"))
+    val sig = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until r).map(i =>
+          col(s"__m${b * r + i}").cast(StringType)): _*)).as("band_hash"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"),
+        col("__b.band_hash").as("band_hash"))
   }
 
   /** Candidate near-duplicate pairs: ids co-bucketed in at least one band.
