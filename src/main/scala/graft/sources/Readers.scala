@@ -56,6 +56,25 @@ object Readers {
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** File-backed queue reader: a directory of line files exposed with
+    * queue metadata (topic, partition, offset, value) — the
+    * QueueMessageMeta shape of the reference's queue sources
+    * (pkg/abstract/changeitem/queue_meta.go, partition.go:8-11).
+    * Partition = source file, offset = line number within it; both are
+    * recoverable positions, so a consumer can ack/resume exactly like a
+    * Kafka partition. Streaming ingestion of the same layout is
+    * `spark.readStream.text(dir)` + the same projection. */
+  def fileQueue(spark: SparkSession, dir: String, topic: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    spark.read.textFile(dir).toDF("value")
+      .withColumn("topic", lit(topic))
+      .withColumn("partition",
+        abs(hash(input_file_name())).cast("int"))
+      .withColumn("offset", row_number().over(w).cast("long") - 1)
+  }
 }
 
 /** Sharded (range-partitioned) snapshot scan: the Spark-native equivalent

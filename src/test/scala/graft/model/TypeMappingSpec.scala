@@ -51,4 +51,36 @@ class TypeMappingSpec extends SparkSpec {
     assert(out.schema("b").dataType == DoubleType)
     assert(out.schema("extra").dataType == BooleanType)
   }
+
+  test("canonical type matrix round-trips through strictify + parquet") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val target = StructType(Seq(
+      field("c_int8", "int8"), field("c_int64", "int64"),
+      field("c_uint64", "uint64"), field("c_double", "double"),
+      field("c_string", "utf8"), field("c_bool", "boolean"),
+      field("c_ts", "timestamp"), field("c_dt", "datetime"),
+      field("c_bytes", "bytes")))
+    val df = Seq((1, 2L, "18446744073709551615", 2.5, "s", true,
+      Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+      Timestamp.valueOf("2024-01-02 03:04:05"), "raw"))
+      .toDF("c_int8", "c_int64", "c_uint64", "c_double", "c_string",
+        "c_bool", "c_ts", "c_dt", "c_bytes")
+    val strict = strictify(df, target)
+    val dir = java.nio.file.Files.createTempDirectory("graft_types").toString + "/t"
+    strict.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    // every canonical type survives the storage round trip
+    assert(back.schema("c_int8").dataType == ByteType)
+    assert(back.schema("c_uint64").dataType == DecimalType(20, 0))
+    assert(back.schema("c_bytes").dataType == BinaryType)
+    val row = back.collect().head
+    // max uint64 survives exactly (the Decimal(20,0) rationale)
+    assert(row.getDecimal(back.schema.fieldIndex("c_uint64")).toString
+      == "18446744073709551615")
+    assert(row.getTimestamp(back.schema.fieldIndex("c_ts")).toString
+      == "2024-01-02 03:04:05.123456")
+    // datetime keeps its lossy-type marker through the engine schema
+    assert(sparkToYt(strict.schema("c_dt")) == "datetime")
+  }
 }

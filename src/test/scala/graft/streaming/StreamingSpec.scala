@@ -89,4 +89,43 @@ class StreamingSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.columns.toSeq == Seq("event_id", "device_id", "ts", "value"))
   }
+
+  test("event-time tumbling window aggregation with watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(sum("v").as("total"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((t("2024-01-01 00:01:00"), 1L), (t("2024-01-01 00:02:00"), 2L),
+        (t("2024-01-01 00:11:00"), 10L))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .select(col("window.start").cast("string"), col("total"))
+        .as[(String, Long)].collect().toMap
+      assert(out("2024-01-01 00:00:00") == 3L)
+      assert(out("2024-01-01 00:10:00") == 10L)
+    } finally q.stop()
+  }
+
+  test("file queue reader exposes queue metadata with stable offsets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fq").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "p0.txt"), "a\nb\nc")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "p1.txt"), "x\ny")
+    val q = graft.sources.Readers.fileQueue(spark, dir, "t0")
+    val rows = q.select("topic", "partition", "offset", "value")
+      .as[(String, Int, Long, String)].collect().toSeq
+    assert(rows.forall(_._1 == "t0"))
+    assert(rows.map(_._2).distinct.size == 2)        // one partition per file
+    val byPart = rows.groupBy(_._2).values
+    byPart.foreach { p =>                            // contiguous offsets from 0
+      assert(p.map(_._3).sorted == (0L until p.size))
+    }
+    assert(rows.map(_._4).sorted == Seq("a", "b", "c", "x", "y"))
+  }
 }
