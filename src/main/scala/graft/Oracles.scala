@@ -377,6 +377,19 @@ object Oracles {
          |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM s
          |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin),
 
+    "wal2json_parse" ->
+      ("""SELECT o_orderkey AS id, o_totalprice AS price,
+         |  'insert' AS "__kind", CAST(o_custkey AS VARCHAR) AS "__tx_id",
+         |  'public.orders' AS "__table"
+         |FROM orders ORDER BY id""".stripMargin),
+
+    "apply_truncates" ->
+      ("""SELECT o_orderkey AS k, o_totalprice AS val FROM orders
+         |WHERE o_orderkey % 50 <> 0
+         |  AND o_orderkey > (SELECT coalesce(max(o_orderkey), -1)
+         |                    FROM orders WHERE o_orderkey % 50 = 0)
+         |ORDER BY k""".stripMargin),
+
     "dblog_reconcile" ->
       ("""SELECT o_orderkey,
          |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0

@@ -451,6 +451,28 @@ object Queries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
 
+    "wal2json_parse" -> ((s, dir) => {
+      val wire = t(s, dir, "orders").select(format_string(
+        """{"xid":%d,"change":[{"kind":"insert","schema":"public","table":"orders","columnnames":["id","price"],"columnvalues":["%d","%s"]}]}""",
+        col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(StringType)).as("value"))
+      graft.parsers.Wal2Json.receive(wire, "value",
+        StructType(Seq(StructField("id", LongType),
+          StructField("price", DoubleType))), pkCols = Seq("id"))
+        .select(col("id"), col("price"), col(E.Kind), col(E.TxId), col(E.Table))
+        .orderBy("id")
+    }),
+
+    "apply_truncates" -> ((s, dir) => {
+      val env = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("val"),
+        when(col("o_orderkey") % 50 === 0, graft.model.CdcEnvelope.Truncate)
+          .otherwise(E.Insert).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      Collapse.applyTruncates(env)
+        .select("k", "val").orderBy("k")
+    }),
+
     "dblog_reconcile" -> ((s, dir) => {
       val snap = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
       val changes = t(s, dir, "orders").filter(

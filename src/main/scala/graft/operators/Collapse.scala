@@ -167,6 +167,31 @@ object Collapse {
     proj(unchanged).unionByName(proj(deletes)).unionByName(proj(inserts))
   }
 
+  /** Apply truncate/drop control events positionally: row events that
+    * precede the last truncate of their table are discarded (reference:
+    * NonRowSeparator middleware, middlewares/nonrow_separator.go:9 —
+    * rows buffered before a control item must be flushed/invalidated
+    * before the control applies; in batch form the ordering collapses
+    * to an LSN cutoff per table). Control events are consumed. */
+  def applyTruncates(df: DataFrame): DataFrame = {
+    val isTrunc = col(E.Kind).isin(E.Truncate, E.DropTable)
+    val cut = max(when(isTrunc, struct(col(E.Lsn), col(E.Counter))))
+      .as("__cut")
+    val tagged =
+      if (df.columns.contains(E.Table)) {
+        // per-table cutoff via window (partitioned by table id)
+        val w = Window.partitionBy(col(E.Table))
+        df.withColumn("__cut",
+          max(when(isTrunc, struct(col(E.Lsn), col(E.Counter)))).over(w))
+      } else {
+        // single-table stream: a 1-row broadcast cutoff, not a global
+        // window (which would funnel every row through one partition)
+        df.crossJoin(broadcast(df.agg(cut)))
+      }
+    tagged.filter(!isTrunc && (col("__cut").isNull || ord > col("__cut")))
+      .drop("__cut")
+  }
+
   /** Group a multi-table envelope per table id (reference:
     * changeitem/utils.go:130 SplitByTableID): returns the per-table
     * routing column values; downstream writers partition on it. */

@@ -52,6 +52,84 @@ object GenericParser {
   }
 }
 
+/** wal2json (PostgreSQL logical-decoding JSON) parser (reference:
+  * pkg/providers/postgres/wal2json_parser.go + change_processor.go; the
+  * format is the public wal2json plugin output: one JSON document per
+  * transaction with a `change` array of
+  * {kind, schema, table, columnnames, columnvalues, oldkeys}).
+  *
+  * Values arrive as a JSON array aligned with columnnames; this parser
+  * keeps that positional representation and projects the declared
+  * columns by name, casting from the JSON text form — the Spark
+  * rendering of the reference's column-name/value pairing. */
+object Wal2Json {
+  def receive(df: DataFrame, jsonCol: String, rowSchema: StructType,
+              pkCols: Seq[String]): DataFrame = {
+    val changeSchema = StructType(Seq(
+      StructField("kind", StringType),
+      StructField("schema", StringType),
+      StructField("table", StringType),
+      StructField("columnnames", ArrayType(StringType)),
+      StructField("columnvalues", ArrayType(StringType)),
+      StructField("oldkeys", StructType(Seq(
+        StructField("keynames", ArrayType(StringType)),
+        StructField("keyvalues", ArrayType(StringType)))))))
+    val txSchema = StructType(Seq(
+      StructField("xid", LongType),
+      StructField("nextlsn", StringType),
+      StructField("change", ArrayType(changeSchema))))
+    val exploded = df.withColumn("__tx", from_json(col(jsonCol), txSchema))
+      .select(col("__tx.xid").as("__xid"), posexplode(col("__tx.change")))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__c")
+    def valueOf(f: StructField): Column = {
+      val idx = array_position(col("__c.columnnames"), f.name)
+      when(idx > 0, element_at(col("__c.columnvalues"), idx.cast("int")))
+        .otherwise(lit(null)).cast(f.dataType).as(f.name)
+    }
+    def oldKeyOf(k: String): Column = {
+      val idx = array_position(col("__c.oldkeys.keynames"), k)
+      when(idx > 0, element_at(col("__c.oldkeys.keyvalues"), idx.cast("int")))
+        .otherwise(lit(null))
+        .cast(rowSchema(k).dataType).as(k)
+    }
+    exploded.select((rowSchema.fields.map(valueOf).toSeq ++ Seq(
+      col("__c.kind").as(E.Kind),
+      col("__xid").cast(StringType).as(E.TxId),
+      col("__pos").as(E.Counter),
+      concat(col("__c.schema"), lit("."), col("__c.table")).as(E.Table),
+      when(col("__c.oldkeys").isNotNull,
+        struct(pkCols.map(oldKeyOf): _*)).as(E.OldKeys))): _*)
+  }
+}
+
+/** MongoDB change-stream event parser (reference:
+  * pkg/providers/mongo/change_stream.go + change_stream_watcher.go; the
+  * event shape is the public change-stream document:
+  * {operationType, documentKey:{_id}, fullDocument, clusterTime}).
+  * `update` maps to the reference's dedicated mongo:update_document
+  * kind (RowEventKinds includes it, change_item.go). */
+object MongoChangeStream {
+  private def opToKind(op: Column): Column =
+    when(op === "insert", E.Insert)
+      .when(op === "replace", E.Update)
+      .when(op === "update", E.MongoUpdateDocument)
+      .when(op === "delete", E.Delete)
+
+  def receive(df: DataFrame, jsonCol: String, docSchema: StructType): DataFrame = {
+    val evSchema = StructType(Seq(
+      StructField("operationType", StringType),
+      StructField("documentKey", StructType(Seq(StructField("_id", StringType)))),
+      StructField("fullDocument", docSchema),
+      StructField("clusterTime", LongType)))
+    val p = df.withColumn("__e", from_json(col(jsonCol), evSchema))
+    p.select((Seq(col("__e.documentKey._id").as("_id")) ++
+      docSchema.fieldNames.map(f => col(s"__e.fullDocument.$f").as(f)) ++ Seq(
+        opToKind(col("__e.operationType")).as(E.Kind),
+        col("__e.clusterTime").as(E.Lsn),
+        lit(0).as(E.Counter))): _*)
+  }
+}
+
 /** CloudEvents 1.0 structured-JSON parser (reference:
   * pkg/parsers/registry/cloudevents; the envelope is the public CNCF
   * CloudEvents spec: specversion/id/source/type/time/data). */

@@ -157,4 +157,16 @@ class CollapseSpec extends SparkSpec {
     assert(out.count() == 1)
     assert(out.select(E.Kind).as[String].head() == "update")
   }
+
+  test("applyTruncates discards rows before the last truncate per table") {
+    val df = Seq(
+      ("t1", 1L, "insert", 0L), ("t1", 2L, "insert", 1L),
+      ("t1", 0L, "truncate", 2L), ("t1", 3L, "insert", 3L),
+      ("t2", 9L, "insert", 0L))
+      .toDF(E.Table, "k", E.Kind, E.Lsn).withColumn(E.Counter, lit(0))
+    val out = Collapse.applyTruncates(df)
+      .select(E.Table, "k").as[(String, Long)].collect().toSeq.sorted
+    // t1 rows before the truncate vanish; t2 untouched; control consumed
+    assert(out == Seq(("t1", 3L), ("t2", 9L)))
+  }
 }

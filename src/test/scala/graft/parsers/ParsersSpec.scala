@@ -55,4 +55,42 @@ class ParsersSpec extends SparkSpec {
       StructType(Seq(StructField("id", LongType))))
     assert(out.select(E.Kind).as[String].head() == "insert")
   }
+
+  test("wal2json transaction parse: kinds, positional values, old keys") {
+    val tx = """{"xid":777,"nextlsn":"0/16B6698","change":[
+      {"kind":"insert","schema":"public","table":"t","columnnames":["id","v"],"columnvalues":["1","a"]},
+      {"kind":"update","schema":"public","table":"t","columnnames":["id","v"],"columnvalues":["2","b"],"oldkeys":{"keynames":["id"],"keyvalues":["1"]}},
+      {"kind":"delete","schema":"public","table":"t","columnnames":[],"columnvalues":[],"oldkeys":{"keynames":["id"],"keyvalues":["2"]}}
+    ]}""".replaceAll("\\s*\\n\\s*", "")
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val out = Wal2Json.receive(Seq(tx).toDF("value"), "value", rowSchema,
+      pkCols = Seq("id"))
+    val rows = out.select("id", "v", E.Kind, E.TxId, E.Counter)
+      .collect().toSeq.sortBy(_.getInt(4))
+    assert(rows.map(_.getString(2)) == Seq("insert", "update", "delete"))
+    assert(rows.head.getLong(0) == 1L && rows.head.getString(1) == "a")
+    assert(rows.forall(_.getString(3) == "777"))
+    // update carries old key pre-image; delete's key restored from oldkeys
+    val oldKeys = out.filter(col(E.Kind) === "update")
+      .select(s"${E.OldKeys}.id").as[Long].head()
+    assert(oldKeys == 1L)
+  }
+
+  test("mongo change stream parse: update maps to mongo:update_document") {
+    val events = Seq(
+      """{"operationType":"insert","documentKey":{"_id":"a"},"fullDocument":{"x":1},"clusterTime":10}""",
+      """{"operationType":"update","documentKey":{"_id":"a"},"fullDocument":{"x":2},"clusterTime":11}""",
+      """{"operationType":"delete","documentKey":{"_id":"a"},"clusterTime":12}""")
+      .toDF("value")
+    val out = MongoChangeStream.receive(events, "value",
+      StructType(Seq(StructField("x", IntegerType))))
+    val rows = out.select("_id", "x", E.Kind, E.Lsn)
+      .collect().toSeq.sortBy(_.getLong(3))
+    assert(rows.map(_.getString(2)) ==
+      Seq("insert", "mongo:update_document", "delete"))
+    // mongo doc updates count as row events for collapse
+    assert(out.filter(graft.model.CdcEnvelope.isRowEvent(col(E.Kind)))
+      .count() == 3)
+  }
 }
