@@ -95,11 +95,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Distributed k-means (Lloyd's) centroid fitting for IVF coarse
+    * quantization. Deterministic: initial centroids are the vectors
+    * whose stable id-hash is smallest (no RNG), updates are element-wise
+    * means via explode -> groupBy — two shuffles per iteration, no
+    * driver-side vectors beyond the k centroids themselves. */
+  def fitCentroids(df: DataFrame, vecCol: String, idCol: String,
+                   k: Int, iterations: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    // deterministic seed pick: k smallest stable hashes of the id
+    var centroids = df
+      .withColumn("__h", Hashing.hex8ToLong(col(idCol).cast("string")))
+      .orderBy("__h").limit(k)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col(vecCol).as(vecCol))
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col(vecCol).getItem(0))) - 1)
+      .cache()
+    for (_ <- 1 to iterations) {
+      val assigned = ivfAssign(df, centroids, vecCol, idCol)
+        .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      // element-wise mean per centroid: explode dims, avg, re-assemble
+      val dims = assigned.select(col("centroid_id"),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      val means = dims.groupBy("centroid_id", "__d")
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("__d"), col("__m"))))
+          .as("__sorted"))
+        .select(col("centroid_id"),
+          transform(col("__sorted"), s =>
+            s.getField("__m").cast("float")).as(vecCol))
+      centroids = means.cache()
+    }
+    centroids
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small broadcast table of (centroid_id, vec)); search
-    * probes only the closest cells. Centroid fitting is out of scope here
-    * (any k-means produces the table); the operator is the partition-and-
-    * probe plan shape. */
+    * probes only the closest cells (fit with [[fitCentroids]]). */
   def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String,
                 idCol: String): DataFrame = {
     val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))

@@ -106,4 +106,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(_._3 >= 0.8))
     assert(out.forall(p => p._1 < p._2))
   }
+
+  test("ivf: k-means separates synthetic blobs; assignment probes cells") {
+    // two well-separated 4-dim blobs
+    val blobA = (0 until 20).map(i => (i.toLong, Array(1.0f + i*0.001f, 1.0f, 0.0f, 0.0f)))
+    val blobB = (0 until 20).map(i => (100L + i, Array(-1.0f, -1.0f + i*0.001f, 0.0f, 0.0f)))
+    val vecs = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val cents = Similarity.fitCentroids(vecs, "embedding", "vec_id", k = 2,
+      iterations = 3)
+    assert(cents.count() == 2)
+    val assign = Similarity.ivfAssign(vecs, cents, "embedding", "vec_id")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    // each blob lands wholly in one cell, and the cells differ
+    val aCells = blobA.map(v => assign(v._1)).toSet
+    val bCells = blobB.map(v => assign(v._1)).toSet
+    assert(aCells.size == 1 && bCells.size == 1 && aCells != bCells)
+    // deterministic: same fit twice
+    val cents2 = Similarity.fitCentroids(vecs, "embedding", "vec_id", k = 2,
+      iterations = 3)
+    assert(cents.collect().toSet == cents2.collect().toSet)
+  }
 }
