@@ -408,14 +408,17 @@ object Oracles {
          |FROM documents ORDER BY doc_id""".stripMargin),
   )
 
-  /** Shared MinHash band CTE-free SQL (16 hashes, 3-shingles, 4 bands). */
+  /** Shared MinHash band SQL (16 affine permutations of one md5-derived
+    * base hash per shingle, 3-shingles, 4 bands) — mirrors
+    * [[graft.functions.Dedup.permute]]: ((2j+1)*h + (j*B)%P) % P. */
   private lazy val minhashBandsSql: String =
     s"""SELECT doc_id, CAST(j AS INTEGER) AS band,
        |  md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS band_hash
        |FROM (
        |  SELECT doc_id, list_transform(range(0,16), j ->
        |    list_min(list_transform(sh, s ->
-       |      CAST(('0x'||substr(md5(CAST(j AS VARCHAR)||':'||s),1,8)) AS BIGINT)))) AS sig
+       |      ((2*j+1) * CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)
+       |        + (j*2654435761) % 4294967311) % 4294967311))) AS sig
        |  FROM (
        |    SELECT doc_id, CASE WHEN len(tk) >= 3
        |      THEN list_transform(range(0, len(tk)-2), i -> array_to_string(tk[i+1:i+3], ' '))

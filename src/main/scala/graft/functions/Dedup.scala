@@ -39,14 +39,25 @@ object Dedup {
       .otherwise(array(concat_ws(" ", t)))
   }
 
-  /** MinHash signature: k independent permutations simulated by seeded
-    * hashes; sig[j] = min over shingles of h(j, shingle). Computed as a
-    * per-row expression — zero shuffle until the band join. */
+  /** MinHash permutation family: one md5-derived base hash per shingle,
+    * k affine permutations h_j(x) = ((2j+1)*x + j*B) mod P over it — the
+    * textbook construction (one digest per shingle instead of k).
+    * P is the first prime above 2^32; (2j+1) keeps multipliers odd.
+    * Fully deterministic and reproducible in any engine. */
+  val MinhashP: Long = 4294967311L
+  val MinhashB: Long = 2654435761L
+  def permute(h: Column, j: Int): Column =
+    pmod(h * (2L * j + 1) + lit(j.toLong * MinhashB % MinhashP), lit(MinhashP))
+
+  /** MinHash signature: sig[j] = min over shingles of h_j(hash(shingle)).
+    * Computed as a per-row expression — zero shuffle until the band
+    * join; bulk scoring uses the explode form in [[lshBands]]. */
   def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
-    val sh = shingles(text, shingleN)
+    val hs = transform(shingles(text, shingleN), s => Hashing.hex8ToLong(s))
     transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(sh, s =>
-        Hashing.hex8ToLong(concat(j.cast(StringType), lit(":"), s)))))
+      array_min(transform(hs, h =>
+        pmod(h * (j * 2 + 1) + pmod(j * lit(MinhashB), lit(MinhashP)),
+          lit(MinhashP)))))
   }
 
   /** LSH banding: split the k-long signature into `bands` bands of
@@ -68,8 +79,10 @@ object Dedup {
     val sh = df.select(col(idCol),
       explode(shingles(col(textCol), shingleN)).as("__s"))
     val hashed = sh.select(
-      (col(idCol) +: (0 until k).map(j =>
-        Hashing.hex8ToLong(concat(lit(s"$j:"), col("__s"))).as(s"__h$j"))): _*)
+      (col(idCol) +: {
+        val h = Hashing.hex8ToLong(col("__s"))
+        (0 until k).map(j => permute(h, j).as(s"__h$j"))
+      }): _*)
     val aggs = (0 until k).map(j => min(col(s"__h$j")).as(s"__m$j"))
     val sig = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
