@@ -229,6 +229,19 @@ object Oracles {
          |GROUP BY l_orderkey
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
 
+    "q5_sql" ->
+      ("""SELECT n_name,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
     "window_topn" ->
       ("""SELECT o_custkey, o_orderkey, rn FROM (
          |  SELECT o_custkey, o_orderkey,

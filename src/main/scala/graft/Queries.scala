@@ -337,6 +337,24 @@ object Queries {
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     }),
 
+    "q5_sql" -> ((s, dir) => {
+      // the engine's full SQL surface: six-table join through the
+      // registered fixture views (Tables.registerAll ≙ the catalog)
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM region
+          |JOIN nation ON n_regionkey = r_regionkey
+          |JOIN customer ON c_nationkey = n_nationkey
+          |JOIN orders ON o_custkey = c_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
+
     "window_topn" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey")

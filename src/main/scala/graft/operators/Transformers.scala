@@ -293,7 +293,7 @@ object Transformers {
     def apply(df: DataFrame): DataFrame = {
       val key = concat_ws("\u0001", cols.map(c => col(c).cast(StringType)): _*)
       val h =
-        if (stable) conv(substring(md5(key), 1, 8), 16, 10).cast(LongType)
+        if (stable) graft.functions.StableHash64(key)
         else abs(hash(cols.map(col): _*).cast(LongType))
       df.withColumn(E.PartId, pmod(h, lit(parts)).cast(IntegerType))
     }

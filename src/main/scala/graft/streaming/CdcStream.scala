@@ -23,11 +23,26 @@ object CdcStream {
     * map to source rate limits (`maxOffsetsPerTrigger` etc.) which are
     * source options; the interval maps to the processing trigger. */
   final case class Bufferer(interval: Option[String] = Some("10 seconds"),
-                            availableNow: Boolean = false) {
+                            availableNow: Boolean = false,
+                            maxRecordsPerBatch: Option[Long] = None,
+                            maxBytesPerBatch: Option[Long] = None) {
     def trigger: Trigger =
       if (availableNow) Trigger.AvailableNow()
       else interval.map(Trigger.ProcessingTime(_)).getOrElse(
         Trigger.ProcessingTime(0L))
+
+    /** Count/size flush limits become source rate options (the trigger
+      * point is source-specific: Kafka uses maxOffsetsPerTrigger, file
+      * sources maxFilesPerTrigger/maxBytesPerTrigger). */
+    def sourceOptions(sourceKind: String): Map[String, String] =
+      sourceKind match {
+        case "kafka" =>
+          maxRecordsPerBatch.map("maxOffsetsPerTrigger" -> _.toString).toMap
+        case "file" =>
+          maxBytesPerBatch.map("maxBytesPerTrigger" -> _.toString).toMap ++
+            maxRecordsPerBatch.map("maxFilesPerTrigger" -> _.toString).toMap
+        case _ => Map.empty
+      }
   }
 
   /** Upsert-MERGE a collapsed micro-batch into a parquet state dir.

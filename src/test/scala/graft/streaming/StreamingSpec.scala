@@ -128,4 +128,34 @@ class StreamingSpec extends SparkSpec {
     }
     assert(rows.map(_._4).sorted == Seq("a", "b", "c", "x", "y"))
   }
+
+  test("session windows group events separated by gaps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = mem.toDF().toDF("user", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(("u1", t("2024-01-01 00:00:00")), ("u1", t("2024-01-01 00:02:00")),
+        ("u1", t("2024-01-01 00:30:00")))  // >5 min gap: second session
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").filter(col("user") === "u1")
+        .select("n").as[Long].collect().toSeq.sorted
+      assert(sessions == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("bufferer count/size limits map to per-source rate options") {
+    val b = CdcStream.Bufferer(maxRecordsPerBatch = Some(1000),
+      maxBytesPerBatch = Some(1 << 20))
+    assert(b.sourceOptions("kafka") == Map("maxOffsetsPerTrigger" -> "1000"))
+    assert(b.sourceOptions("file") ==
+      Map("maxBytesPerTrigger" -> "1048576", "maxFilesPerTrigger" -> "1000"))
+    assert(b.sourceOptions("rate").isEmpty)
+  }
 }
