@@ -169,4 +169,37 @@ class CollapseSpec extends SparkSpec {
     // t1 rows before the truncate vanish; t2 untouched; control consumed
     assert(out == Seq(("t1", 3L), ("t2", 9L)))
   }
+
+  test("golden 02 full sequence: composite pk, pk reuse after change, delete+reinsert") {
+    // tests/canon/sequences/dump/02_insert_update_insert.sql verbatim:
+    // INSERT (1,1,'1a'); UPDATE '1b'; UPDATE pk->(2,2);
+    // INSERT (1,1,'2a'); UPDATE '2b';
+    // INSERT (3,3,'3a'); UPDATE '3b'; DELETE; INSERT (3,3,'4a'); UPDATE '4b'
+    val evs = Seq(
+      (1L, 1L, "1a", "insert", 0L, (1L, 1L)),
+      (1L, 1L, "1b", "update", 1L, (1L, 1L)),
+      (2L, 2L, "1b", "update", 2L, (1L, 1L)),   // pk-changing update
+      (1L, 1L, "2a", "insert", 3L, (1L, 1L)),
+      (1L, 1L, "2b", "update", 4L, (1L, 1L)),
+      (3L, 3L, "3a", "insert", 5L, (3L, 3L)),
+      (3L, 3L, "3b", "update", 6L, (3L, 3L)),
+      (3L, 3L, null.asInstanceOf[String], "delete", 7L, (3L, 3L)),
+      (3L, 3L, "4a", "insert", 8L, (3L, 3L)),
+      (3L, 3L, "4b", "update", 9L, (3L, 3L)))
+    val df = evs.toDF("i1", "i2", "t", E.Kind, E.Lsn, "__ok")
+      .withColumn(E.Counter, lit(0))
+      .withColumn(E.OldKeys,
+        struct(col("__ok._1").as("i1"), col("__ok._2").as("i2")))
+      .drop("__ok")
+    val split = Collapse.splitUpdatedPKeys(df, Seq("i1", "i2"))
+    val out = Collapse.collapse(split, Seq("i1", "i2"))
+      .select("i1", "i2", "t", E.Kind).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getString(3)))
+      .toSeq.sortBy(x => (x._1, x._2))
+    // net table state matches replaying the SQL: (1,1)='2b', (2,2)='1b', (3,3)='4b'
+    assert(out == Seq(
+      (1L, 1L, "2b", "insert"), (2L, 2L, "1b", "insert"),
+      (3L, 3L, "4b", "insert")))
+  }
 }
