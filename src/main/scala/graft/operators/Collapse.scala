@@ -200,7 +200,12 @@ object Collapse {
 
   /** Group by transaction boundaries (reference: changeitem/utils.go:138
     * SplitByID): tags each row with its transaction ordinal so a sink can
-    * apply whole transactions. */
-  def tagTransactions(df: DataFrame): DataFrame =
-    df.withColumn("__tx_ord", dense_rank().over(Window.orderBy(col(E.TxId))))
+    * apply whole transactions. The ordinal is ranked over DISTINCT tx ids
+    * (small — transactions, not rows) and broadcast-joined back: a global
+    * row-level window would funnel every row through one partition. */
+  def tagTransactions(df: DataFrame): DataFrame = {
+    val ranks = df.select(col(E.TxId)).distinct()
+      .withColumn("__tx_ord", dense_rank().over(Window.orderBy(col(E.TxId))))
+    df.join(broadcast(ranks), Seq(E.TxId))
+  }
 }
