@@ -107,8 +107,8 @@ object Similarity {
     var centroids = df
       .withColumn("__h", Hashing.hex8ToLong(col(idCol).cast("string")))
       .orderBy("__h").limit(k)
-      .select(monotonically_increasing_id().as("centroid_id"),
-        col(vecCol).as(vecCol))
+      .select(col(vecCol))
+      // k rows only: the global ranking window is a k-element sort
       .withColumn("centroid_id",
         row_number().over(Window.orderBy(col(vecCol).getItem(0))) - 1)
       .cache()
