@@ -79,7 +79,8 @@ object Wal2Json {
       StructField("nextlsn", StringType),
       StructField("change", ArrayType(changeSchema))))
     val exploded = df.withColumn("__tx", from_json(col(jsonCol), txSchema))
-      .select(col("__tx.xid").as("__xid"), posexplode(col("__tx.change")))
+      .select(col("__tx.xid").as("__xid"),
+        col("__tx.nextlsn").as("__nextlsn"), posexplode(col("__tx.change")))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__c")
     def valueOf(f: StructField): Column = {
       val idx = array_position(col("__c.columnnames"), f.name)
@@ -92,13 +93,29 @@ object Wal2Json {
         .otherwise(lit(null))
         .cast(rowSchema(k).dataType).as(k)
     }
-    exploded.select((rowSchema.fields.map(valueOf).toSeq ++ Seq(
+    // key columns fall back to the oldkeys pre-image — deletes carry the
+    // key ONLY there (the reference's OldOrCurrentKeys semantics,
+    // change_item.go OldOrCurrentKeysString)
+    def keyOrValue(f: StructField): Column =
+      if (pkCols.contains(f.name))
+        coalesce(valueOf(f), oldKeyOf(f.name)).as(f.name)
+      else valueOf(f)
+    exploded.select((rowSchema.fields.map(keyOrValue).toSeq ++ Seq(
       col("__c.kind").as(E.Kind),
       col("__xid").cast(StringType).as(E.TxId),
+      pgLsnToLong(col("__nextlsn")).as(E.Lsn),
       col("__pos").as(E.Counter),
       concat(col("__c.schema"), lit("."), col("__c.table")).as(E.Table),
       when(col("__c.oldkeys").isNotNull,
         struct(pkCols.map(oldKeyOf): _*)).as(E.OldKeys))): _*)
+  }
+
+  /** PostgreSQL LSN text ("0/16B6698") to a monotone long:
+    * high32 * 2^32 + low32 (the wire representation of pg_lsn). */
+  def pgLsnToLong(lsn: Column): Column = {
+    val parts = split(lsn, "/")
+    conv(element_at(parts, 1), 16, 10).cast(LongType) * 4294967296L +
+      conv(element_at(parts, 2), 16, 10).cast(LongType)
   }
 }
 

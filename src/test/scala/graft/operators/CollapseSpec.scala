@@ -202,4 +202,59 @@ class CollapseSpec extends SparkSpec {
       (1L, 1L, "2b", "insert"), (2L, 2L, "1b", "insert"),
       (3L, 3L, "4b", "insert")))
   }
+
+  test("property: partial-update collapse matches a column-merging naive fold") {
+    // events over two data columns a, b; updates may set only a subset
+    case class PEv(k: Long, a: Option[Long], b: Option[Long], kind: String,
+                   lsn: Long, cols: Option[Seq[String]])
+    val rnd = new Random(7)
+    def gen(n: Int): Seq[PEv] = (0 until n).map { i =>
+      val k = rnd.nextInt(5).toLong
+      rnd.nextInt(4) match {
+        case 0 => PEv(k, Some(rnd.nextInt(50)), Some(rnd.nextInt(50)), "insert", i, None)
+        case 1 => PEv(k, Some(rnd.nextInt(50)), Some(rnd.nextInt(50)), "update", i, None)
+        case 2 => // partial update touching one random column
+          if (rnd.nextBoolean()) PEv(k, Some(rnd.nextInt(50)), None, "update", i, Some(Seq("a")))
+          else PEv(k, None, Some(rnd.nextInt(50)), "update", i, Some(Seq("b")))
+        case 3 => PEv(k, None, None, "delete", i, None)
+      }
+    }
+    def naivePartial(evs: Seq[PEv]): Seq[(Long, Option[Long], Option[Long], String)] = {
+      case class St(a: Option[Long], b: Option[Long], kind: String)
+      val rows = scala.collection.mutable.LinkedHashMap[Long, St]()
+      val dels = scala.collection.mutable.LinkedHashMap[Long, Unit]()
+      evs.sortBy(_.lsn).foreach { e =>
+        e.kind match {
+          case "insert" => dels.remove(e.k); rows(e.k) = St(e.a, e.b, "insert")
+          case "update" =>
+            dels.remove(e.k)
+            val setsA = e.cols.forall(_.contains("a"))
+            val setsB = e.cols.forall(_.contains("b"))
+            rows(e.k) = rows.get(e.k) match {
+              case Some(st) => St(if (setsA) e.a else st.a,
+                if (setsB) e.b else st.b, st.kind)
+              case None => St(if (setsA) e.a else None,
+                if (setsB) e.b else None, "update")
+            }
+          case "delete" => rows.remove(e.k); dels(e.k) = ()
+        }
+      }
+      (rows.map { case (k, st) => (k, st.a, st.b, st.kind) } ++
+        dels.keys.map(k => (k, None, None, "delete"))).toSeq.sortBy(_._1)
+    }
+    for (round <- 1 to 10) {
+      val evs = gen(40)
+      val df = evs.map(e => (e.k, e.a.map(Long.box).orNull,
+          e.b.map(Long.box).orNull, e.kind, e.lsn, e.cols.orNull))
+        .toDF("k", "a", "b", E.Kind, E.Lsn, E.UpdatedCols)
+        .withColumn(E.Counter, lit(0))
+      val got = Collapse.collapse(df, Seq("k"))
+        .select("k", "a", "b", E.Kind).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getString(3))).toSeq.sortBy(_._1)
+      assert(got == naivePartial(evs), s"mismatch in round $round: $evs")
+    }
+  }
 }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.{CdcEnvelope => E}
+import graft.operators.Collapse
+import graft.parsers.Wal2Json
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Full replication path end-to-end: wal2json wire messages -> parse ->
+  * PK-change split -> collapse -> checkpointed foreachBatch MERGE.
+  * The Spark rendering of `trcli replicate` over a PG logical slot
+  * (reference: §3.2 — wal2json parser + change processor + sink merge).
+  */
+class ReplicationE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tx(xid: Int, lsn: String, changes: String*) =
+    s"""{"xid":$xid,"nextlsn":"$lsn","change":[${changes.mkString(",")}]}"""
+  private def ins(id: Long, v: String) =
+    s"""{"kind":"insert","schema":"public","table":"t","columnnames":["id","v"],"columnvalues":["$id","$v"]}"""
+  private def upd(id: Long, v: String, oldId: Long) =
+    s"""{"kind":"update","schema":"public","table":"t","columnnames":["id","v"],"columnvalues":["$id","$v"],"oldkeys":{"keynames":["id"],"keyvalues":["$oldId"]}}"""
+  private def del(id: Long) =
+    s"""{"kind":"delete","schema":"public","table":"t","columnnames":[],"columnvalues":[],"oldkeys":{"keynames":["id"],"keyvalues":["$id"]}}"""
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("wal2json stream replicates to consistent final state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = Wal2Json.receive(mem.toDF().toDF("value"), "value",
+      rowSchema, pkCols = Seq("id"))
+    val pipeline = parsed // transform chain entry point
+    val base = Files.createTempDirectory("graft_repl").toString
+    val state = base + "/state"
+    val q = pipeline.writeStream
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val split = Collapse.splitUpdatedPKeys(batch, Seq("id"))
+        CdcStream.mergeBatch(Collapse.collapse(split, Seq("id")),
+          state, Seq("id"))
+      }.start()
+    try {
+      // batch 1: two inserts + one update
+      mem.addData(
+        tx(1, "0/100", ins(1, "a"), ins(2, "b")),
+        tx(2, "0/200", upd(1, "a2", 1)))
+      q.processAllAvailable()
+      // batch 2: pk-change 2 -> 20, delete 1, insert 3
+      mem.addData(
+        tx(3, "0/300", upd(20, "b", 2)),
+        tx(4, "0/400", del(1), ins(3, "c")))
+      q.processAllAvailable()
+      val out = spark.read.parquet(state).select("id", "v")
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      assert(out == Seq((3L, "c"), (20L, "b")))
+    } finally q.stop()
+  }
+
+  test("pg lsn text parses to a monotone long") {
+    val out = Seq("0/16B6698", "1/0", "0/0").toDF("l")
+      .select(Wal2Json.pgLsnToLong(col("l"))).as[Long].collect().toSeq
+    assert(out == Seq(0x16B6698L, 4294967296L, 0L))
+    assert(out(1) > out(0)) // higher segment sorts later
+  }
+}
