@@ -94,6 +94,27 @@ object CdcStream {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  /** Multi-table batch routing: split an enveloped batch on its
+    * `__table` column and MERGE each group into its own state directory
+    * (reference: SplitByTableID + per-table sink pipelines,
+    * load_snapshot.go builds one sink per table part; table_splitter/
+    * rename_tables feed this column). Table names may contain '/'
+    * (table_splitter routes) — sanitized into the directory name.
+    * The distinct-table list is tiny (tables, not rows); each per-table
+    * merge is a full distributed job. */
+  def mergeMultiTable(batch: DataFrame, baseDir: String,
+                      pks: Seq[String]): Seq[String] = {
+    require(batch.columns.contains(E.Table), s"missing ${E.Table}")
+    val tables = batch.select(E.Table).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    tables.foreach { t =>
+      val safe = t.replaceAll("[^A-Za-z0-9_.-]", "_")
+      mergeBatch(batch.filter(col(E.Table) === t).drop(E.Table),
+        s"$baseDir/$safe", pks)
+    }
+    tables
+  }
+
   /** The replication loop: stream -> transform -> checkpointed
     * foreachBatch MERGE (reference: §3.2 RunReplication). Restart policy
     * is the streaming query restart; offsets live in the checkpoint. */

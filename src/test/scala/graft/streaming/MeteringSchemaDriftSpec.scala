@@ -41,4 +41,19 @@ class MeteringSchemaDriftSpec extends SparkSpec {
     assert(m("rows") == 5L)
     assert(m("bytes") > 0L)
   }
+
+  test("multi-table batch routes each table to its own merged state") {
+    val base = Files.createTempDirectory("graft_multi").toString
+    val batch = Seq(
+      (1L, "a", "orders/O"), (2L, "b", "orders/F"), (3L, "c", "orders/O"))
+      .toDF("id", "v", E.Table)
+      .withColumn(E.Kind, lit("insert")).withColumn(E.Lsn, lit(1L))
+      .withColumn(E.Counter, lit(0))
+    val tables = CdcStream.mergeMultiTable(batch, base, Seq("id"))
+    assert(tables == Seq("orders/F", "orders/O"))
+    assert(spark.read.parquet(base + "/orders_F").count() == 1)
+    val o = spark.read.parquet(base + "/orders_O").select("id")
+      .as[Long].collect().toSeq.sorted
+    assert(o == Seq(1L, 3L))
+  }
 }
