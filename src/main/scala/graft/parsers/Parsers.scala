@@ -222,6 +222,32 @@ object ProtoReader {
   }
 }
 
+/** Confluent Schema-Registry wire-format framing (reference:
+  * pkg/parsers/registry/confluentschemaregistry and pkg/schemaregistry;
+  * the framing is the public Confluent format: magic byte 0x00 + 4-byte
+  * big-endian schema id + serialized payload). Registry lookup and
+  * Avro decode are pluggable (no egress in this container); the framing
+  * split — per-message schema id + payload bytes — is the engine-side
+  * contract that routing and schema-evolution logic build on. */
+object ConfluentFraming {
+  def parse(df: DataFrame, rawCol: String): DataFrame = {
+    val raw = col(rawCol).cast(BinaryType)
+    val magicOk = octet_length(raw) >= 5 &&
+      substring(raw, 1, 1) === lit(Array[Byte](0))
+    // big-endian int from bytes 2..5
+    val id = (0 until 4).map { i =>
+      conv(hex(substring(raw, 2 + i, 1)), 16, 10).cast(LongType) *
+        (1L << (8 * (3 - i)))
+    }.reduce(_ + _)
+    df.withColumn("schema_id",
+        when(magicOk, id.cast(IntegerType)).otherwise(lit(null)))
+      .withColumn("payload",
+        when(magicOk, raw.substr(lit(6), octet_length(raw) - 5))
+          .otherwise(lit(null)))
+      .withColumn("framing_ok", magicOk)
+  }
+}
+
 /** Debezium CDC envelope receive/emit (reference: pkg/debezium/receiver.go
   * and emitter_common.go; the envelope is public Debezium format:
   * {before, after, op, ts_ms, source:{lsn, txId}}).

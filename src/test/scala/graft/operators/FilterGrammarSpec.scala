@@ -71,4 +71,40 @@ class FilterGrammarSpec extends SparkSpec {
       Term("a", ">=", SNum(3.0, isInt = true)),
       Term("b", "IN", SList(Seq(SStr("x"), SStr("y"))))))
   }
+
+  test("property: rendered random terms parse back to the same AST") {
+    val rnd = new scala.util.Random(99)
+    def renderValue(v: Value): String = v match {
+      case SStr(x) => s"'$x'"
+      case SNum(d, true) => d.toLong.toString
+      case SNum(d, false) => d.toString
+      case SBool(b) => if (b) "TRUE" else "FALSE"
+      case SNull => "NULL"
+      case SList(vs) => vs.map(renderValue).mkString("(", ", ", ")")
+    }
+    def genValue(forIn: Boolean): Value =
+      if (forIn) SList((1 to 1 + rnd.nextInt(3)).map(_ => genScalar()))
+      else genScalar()
+    def genScalar(): Value = rnd.nextInt(4) match {
+      case 0 => SStr(rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      case 1 => SNum(rnd.nextInt(1000), isInt = true)
+      case 2 => SNum(math.round(rnd.nextDouble() * 1000) / 4.0, isInt = false)
+      case 3 => SBool(rnd.nextBoolean())
+    }
+    val ops = Seq("=", "!=", "<", "<=", ">", ">=", "~", "!~", "IN", "NOT IN")
+    for (_ <- 1 to 50) {
+      val terms = (1 to 1 + rnd.nextInt(3)).map { _ =>
+        val op = ops(rnd.nextInt(ops.length))
+        val v = op match {
+          case "IN" | "NOT IN" => genValue(forIn = true)
+          case "~" | "!~" => SStr(rnd.alphanumeric.take(4).mkString)
+          case _ => genValue(forIn = false)
+        }
+        Term("c" + rnd.nextInt(5), op, v)
+      }
+      val rendered = terms.map(t =>
+        s"${t.attr} ${t.op} ${renderValue(t.value)}").mkString(" AND ")
+      assert(parse(rendered) == terms, s"round-trip failed for: $rendered")
+    }
+  }
 }

@@ -93,4 +93,17 @@ class ParsersSpec extends SparkSpec {
     assert(out.filter(graft.model.CdcEnvelope.isRowEvent(col(E.Kind)))
       .count() == 3)
   }
+
+  test("confluent wire framing: magic byte, big-endian schema id, payload split") {
+    val msg = Array[Byte](0, 0, 0, 1, 44) ++ "avrodata".getBytes("UTF-8")
+    val bad = "notframed".getBytes("UTF-8")
+    val df = Seq(Tuple1(msg), Tuple1(bad)).toDF("value")
+    val out = ConfluentFraming.parse(df, "value")
+      .select("schema_id", "framing_ok", "payload").collect()
+    val good = out.find(_.getBoolean(1)).get
+    assert(good.getInt(0) == 300)  // 0x0000012C big-endian
+    assert(new String(good.getAs[Array[Byte]](2)) == "avrodata")
+    val rejected = out.find(!_.getBoolean(1)).get
+    assert(rejected.isNullAt(0) && rejected.isNullAt(2))
+  }
 }
