@@ -32,6 +32,25 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Range-partitioned, internally-sorted parquet write: rows are
+    * globally range-split on `sortCols` and sorted within each file, so
+    * every file covers a disjoint key range. At lake scale this is what
+    * makes parquet min/max statistics selective — a point/range query
+    * prunes to one file instead of scanning all of them (the write-side
+    * analogue of the reference's PK-ordered `OrderedRead`,
+    * postgres/storage.go:250-291). */
+  def sortedParquet(df: DataFrame, path: String, sortCols: Seq[String],
+                    policy: CleanupPolicy = Disabled,
+                    partitions: Option[Int] = None): Unit = {
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    val ranged = partitions match {
+      case Some(n) => df.repartitionByRange(n, cols: _*)
+      case None => df.repartitionByRange(cols: _*)
+    }
+    ranged.sortWithinPartitions(cols: _*)
+      .write.mode(mode(policy)).parquet(path)
+  }
+
   def csv(df: DataFrame, path: String, delimiter: String = ",",
           header: Boolean = true, policy: CleanupPolicy = Disabled): Unit =
     df.write.mode(mode(policy))

@@ -88,4 +88,23 @@ class SourcesSinksSpec extends SparkSpec {
     assert(Sinks.serializeJson(df).as[String].head() == """{"k":1,"s":"a"}""")
     assert(Sinks.serializeCsv(df).as[String].head() == "1,a")
   }
+
+  test("sorted parquet write produces disjoint per-file key ranges") {
+    val li = graft.Tables.load(spark, sf(), "lineitem")
+    val path = tmp() + "/sorted"
+    Sinks.sortedParquet(li, path, Seq("l_orderkey"), partitions = Some(4))
+    // per-file min/max ranges must not overlap (what makes stats prune)
+    val ranges = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("l_orderkey"), max("l_orderkey")).collect().head
+        (d.getLong(0), d.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file ranges: $hi vs $lo2")
+    }
+    // content preserved
+    assert(spark.read.parquet(path).count() == li.count())
+  }
 }
