@@ -128,6 +128,43 @@ object CdcStream {
         mergeBatch(batch, stateDir, pks)
       }
 
+  /** Per-key LSN monotonicity guard: drops events at or below the
+    * highest LSN already seen for their key — the "idempotent MERGE
+    * keyed on PK + lsn monotonicity" discipline for exactly-once
+    * delivery to non-transactional sinks (SURVEY §7.4; reference:
+    * at-least-once source + PK-upsert sink, retrier.go + sink.go).
+    *
+    * Built on flatMapGroupsWithState: the state is ONE long per key
+    * (bounded, partitioned by the shuffle), late replays and duplicate
+    * redeliveries are filtered before they reach the sink. The key is a
+    * single string-rendered column (compose upstream for composite
+    * keys). */
+  def monotonicGuard(stream: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = stream.sparkSession
+    val schema = stream.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val lsnIdx = schema.fieldIndex(E.Lsn)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    implicit val strEnc = Encoders.STRING
+    implicit val longEnc = Encoders.scalaLong
+    stream.as[Row](rowEnc)
+      .groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))(strEnc)
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          var maxSeen = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.filter { r =>
+            val lsn = r.getLong(lsnIdx)
+            if (lsn > maxSeen) { maxSeen = lsn; true } else false
+          }.toVector
+          state.update(maxSeen)
+          out.iterator
+      }(longEnc, rowEnc)
+  }
+
   /** Watermarked duplicate suppression for replayed queue events
     * (reference: late/duplicate replays collapsed by PK at the sink —
     * SURVEY §2.7): event-time watermark + per-key dedup inside the

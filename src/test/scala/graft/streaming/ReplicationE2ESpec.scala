@@ -67,4 +67,26 @@ class ReplicationE2ESpec extends SparkSpec {
     assert(out == Seq(0x16B6698L, 4294967296L, 0L))
     assert(out(1) > out(0)) // higher segment sorts later
   }
+
+  test("monotonic guard drops replayed and stale events per key across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("id", "v", E.Lsn)
+    val guarded = CdcStream.monotonicGuard(stream, "id")
+    val q = guarded.writeStream.format("memory").queryName("guard_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a", 10L), (1L, "b", 12L), (2L, "x", 5L))
+      q.processAllAvailable()
+      // batch 2 replays lsn 12 and delivers a stale lsn 11, plus fresh 13
+      mem.addData((1L, "b", 12L), (1L, "stale", 11L), (1L, "c", 13L),
+        (2L, "x", 5L))
+      q.processAllAvailable()
+      val out = spark.table("guard_out").select("id", "v", E.Lsn)
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      assert(out == Seq((1L, "a", 10L), (1L, "b", 12L), (1L, "c", 13L),
+        (2L, "x", 5L)))
+    } finally q.stop()
+  }
 }
