@@ -413,6 +413,19 @@ object Oracles {
       ("""SELECT event_id, strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS "__rotation" """ +
         "FROM events ORDER BY event_id"),
 
+    "pipeline_docs" ->
+      (s"""WITH t AS (SELECT doc_id, text, lang, $toks AS tk FROM documents),
+         |scored AS (SELECT doc_id, text, lang, len(tk) AS n_tokens,
+         |  (CASE WHEN len(tk) BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END +
+         |   CASE WHEN len(list_filter(tk, x -> list_contains($stopwordsSql, x))) > 0 THEN 0.3 ELSE 0.0 END +
+         |   CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS DOUBLE) / length(text) < 0.2 THEN 0.3 ELSE 0.0 END) AS quality
+         |FROM t),
+         |gated AS (SELECT * FROM scored WHERE quality >= 0.7),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM gated
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |SELECT g.doc_id, g.n_tokens, g.quality, g.lang
+         |FROM gated g JOIN keep USING (doc_id) ORDER BY g.doc_id""".stripMargin),
+
     "multimodal_meta" ->
       ("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
          |  sha256(text) AS content_sha,

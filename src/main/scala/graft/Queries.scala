@@ -511,6 +511,20 @@ object Queries {
         .select(col("event_id"), col(graft.sinks.Rotator.RotationCol))
         .orderBy("event_id")),
 
+    "pipeline_docs" -> ((s, dir) => {
+      // composed training-data pipeline: quality gate -> exact dedup
+      // survivors -> per-doc features
+      val docs = t(s, dir, "documents")
+      val gated = docs.filter(
+        TextAnalysis.qualityScore(col("text")) >= 0.7)
+      val survivors = Dedup.exact(gated, "text", "doc_id")
+      survivors.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        col("lang"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteFeatures(
         Multimodal.asMedia(t(s, dir, "documents"), "text", "text/plain"))
