@@ -257,4 +257,58 @@ class CollapseSpec extends SparkSpec {
       assert(got == naivePartial(evs), s"mismatch in round $round: $evs")
     }
   }
+
+  test("property: collapsed batch applied to a table equals row-by-row replay (with pk changes)") {
+    // the reference's CompareStorages-style contract: for a PK sink,
+    // applying the collapsed batch must produce the same final table as
+    // replaying every event in order — including pk-changing updates.
+    val rnd = new Random(2024)
+    for (round <- 1 to 10) {
+      // simulate a table to generate valid event streams incl. pk changes
+      val table = scala.collection.mutable.Map[Long, Long]()
+      case class Ev2(k: Long, oldK: Long, v: Option[Long], kind: String, lsn: Long)
+      val evs = scala.collection.mutable.ArrayBuffer[Ev2]()
+      for (i <- 0 until 50) {
+        val lsn = i.toLong
+        rnd.nextInt(4) match {
+          case 0 => // insert (possibly upsert)
+            val k = rnd.nextInt(10).toLong
+            val v = rnd.nextInt(100).toLong
+            table(k) = v; evs += Ev2(k, k, Some(v), "insert", lsn)
+          case 1 if table.nonEmpty => // plain update of existing key
+            val k = table.keys.toSeq(rnd.nextInt(table.size))
+            val v = rnd.nextInt(100).toLong
+            table(k) = v; evs += Ev2(k, k, Some(v), "update", lsn)
+          case 2 if table.nonEmpty => // pk-changing update
+            val oldK = table.keys.toSeq(rnd.nextInt(table.size))
+            val newK = rnd.nextInt(10).toLong + 100L  // disjoint key space
+            val v = table(oldK)
+            table.remove(oldK); table(newK) = v
+            evs += Ev2(newK, oldK, Some(v), "update", lsn)
+          case 3 if table.nonEmpty => // delete
+            val k = table.keys.toSeq(rnd.nextInt(table.size))
+            table.remove(k); evs += Ev2(k, k, None, "delete", lsn)
+          case _ => ()
+        }
+      }
+      val df = evs.toSeq.map(e => (e.k, e.v.map(Long.box).orNull, e.kind, e.lsn))
+        .toDF("k", "v", E.Kind, E.Lsn)
+        .withColumn(E.Counter, lit(0))
+        .withColumn(E.OldKeys, struct(
+          element_at(typedLit(evs.map(e => e.lsn -> e.oldK).toMap),
+            col(E.Lsn)).as("k")))
+      val collapsed = Collapse.collapse(
+        Collapse.splitUpdatedPKeys(df, Seq("k")), Seq("k"))
+        .select("k", "v", E.Kind).collect()
+      // apply the collapsed batch to an empty table (all state came from
+      // this batch) and compare with the simulated replay
+      val applied = scala.collection.mutable.Map[Long, Long]()
+      collapsed.foreach { r =>
+        val k = r.getLong(0)
+        if (r.getString(2) == "delete") applied.remove(k)
+        else applied(k) = r.getLong(1)
+      }
+      assert(applied.toMap == table.toMap, s"round $round: events=$evs")
+    }
+  }
 }
