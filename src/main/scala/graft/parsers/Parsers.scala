@@ -222,6 +222,39 @@ object ProtoReader {
   }
 }
 
+/** Cloud-logging LogEntry parser (reference:
+  * pkg/parsers/registry/cloudlogging; the entry shape is the public
+  * cloud LogEntry: timestamp, severity, resource labels, and one of
+  * textPayload / jsonPayload). Typed fields surface as columns; the
+  * payload stays either text or a typed struct per `payloadSchema`. */
+object CloudLogging {
+  def parse(df: DataFrame, jsonCol: String,
+            payloadSchema: Option[StructType] = None): DataFrame = {
+    val base = Seq(
+      StructField("timestamp", TimestampType),
+      StructField("severity", StringType),
+      StructField("logName", StringType),
+      StructField("insertId", StringType),
+      StructField("resource", StructType(Seq(
+        StructField("type", StringType),
+        StructField("labels", MapType(StringType, StringType))))),
+      StructField("textPayload", StringType))
+    val schema = StructType(payloadSchema
+      .map(p => base :+ StructField("jsonPayload", p)).getOrElse(base))
+    val p = df.withColumn("__l", from_json(col(jsonCol), schema))
+    val core = Seq(
+      col("__l.timestamp").as("ts"),
+      col("__l.severity").as("severity"),
+      col("__l.logName").as("log_name"),
+      col("__l.insertId").as("insert_id"),
+      col("__l.resource.type").as("resource_type"),
+      col("__l.resource.labels").as("resource_labels"),
+      col("__l.textPayload").as("text_payload"))
+    p.select((core ++ payloadSchema.toSeq.flatMap(_.fieldNames.map(f =>
+      col(s"__l.jsonPayload.$f").as(f)))): _*)
+  }
+}
+
 /** Confluent Schema-Registry wire-format framing (reference:
   * pkg/parsers/registry/confluentschemaregistry and pkg/schemaregistry;
   * the framing is the public Confluent format: magic byte 0x00 + 4-byte

@@ -106,4 +106,20 @@ class ParsersSpec extends SparkSpec {
     val rejected = out.find(!_.getBoolean(1)).get
     assert(rejected.isNullAt(0) && rejected.isNullAt(2))
   }
+
+  test("cloud logging entries parse with typed json payload") {
+    val entries = Seq(
+      """{"timestamp":"2024-01-01T00:00:00Z","severity":"ERROR","logName":"app","insertId":"i1","resource":{"type":"vm","labels":{"zone":"a"}},"jsonPayload":{"code":500,"msg":"boom"}}""",
+      """{"timestamp":"2024-01-01T00:01:00Z","severity":"INFO","logName":"app","insertId":"i2","resource":{"type":"vm","labels":{}},"textPayload":"plain line"}""")
+      .toDF("value")
+    val out = CloudLogging.parse(entries, "value",
+      Some(StructType(Seq(StructField("code", IntegerType),
+        StructField("msg", StringType)))))
+    val err = out.filter(col("severity") === "ERROR").collect().head
+    assert(err.getAs[Int]("code") == 500)
+    assert(err.getAs[String]("msg") == "boom")
+    assert(err.getAs[Map[String, String]]("resource_labels") == Map("zone" -> "a"))
+    val info = out.filter(col("severity") === "INFO").collect().head
+    assert(info.getAs[String]("text_payload") == "plain line")
+  }
 }
