@@ -409,6 +409,17 @@ object Oracles {
          |       ELSE o_totalprice END AS o_totalprice
          |FROM orders WHERE o_orderkey % 17 <> 0 ORDER BY o_orderkey""".stripMargin),
 
+    "tag_transactions" ->
+      ("""SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS "__tx_id",
+         |  dense_rank() OVER (ORDER BY CAST(o_custkey AS VARCHAR)) AS "__tx_ord"
+         |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    "merge_bucketed" ->
+      ("""SELECT o_orderkey AS k,
+         |  CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+         |       THEN o_totalprice + 5000.0 ELSE o_totalprice END AS val
+         |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY k""".stripMargin),
+
     "rotator_tag" ->
       ("""SELECT event_id, strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS "__rotation" """ +
         "FROM events ORDER BY event_id"),

@@ -506,6 +506,36 @@ object Queries {
         snapshotLsn = 5L).orderBy("o_orderkey")
     }),
 
+    "tag_transactions" -> ((s, dir) =>
+      Collapse.tagTransactions(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").cast(StringType).as(E.TxId)))
+        .select(col("o_orderkey"), col(E.TxId), col("__tx_ord"))
+        .orderBy("o_orderkey")),
+
+    "merge_bucketed" -> ((s, dir) => {
+      // bucketed incremental MERGE end-to-end: snapshot batch, then a
+      // CDC batch of disjoint updates/deletes; the final state is read
+      // back from the bucketed layout (only touched buckets rewritten)
+      val state = "/tmp/graft_state_merge/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_state_merge"), true)
+      val snap = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("val"))
+      graft.streaming.CdcStream.mergeBatch(snap, state, Seq("k"),
+        numBuckets = 16)
+      val changes = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + 5000.0).as("val"),
+          when(col("o_orderkey") % 7 === 0, E.Delete).otherwise(E.Update)
+            .as(E.Kind),
+          lit(10L).as(E.Lsn), lit(0).as(E.Counter))
+      graft.streaming.CdcStream.mergeBatch(changes, state, Seq("k"))
+      graft.streaming.CdcStream.readState(s, state).orderBy("k")
+    }),
+
     "rotator_tag" -> ((s, dir) =>
       graft.sinks.Rotator.tag(t(s, dir, "events"), "ts", graft.sinks.Rotator.Daily)
         .select(col("event_id"), col(graft.sinks.Rotator.RotationCol))

@@ -200,12 +200,24 @@ object Collapse {
 
   /** Group by transaction boundaries (reference: changeitem/utils.go:138
     * SplitByID): tags each row with its transaction ordinal so a sink can
-    * apply whole transactions. The ordinal is ranked over DISTINCT tx ids
-    * (small — transactions, not rows) and broadcast-joined back: a global
-    * row-level window would funnel every row through one partition. */
+    * apply whole transactions.
+    *
+    * The ordinal is a DISTRIBUTED rank over distinct tx ids: the distinct
+    * set is range-sorted and indexed with `zipWithIndex` (per-partition
+    * counts + offsets — two light jobs over one fixed RangePartitioner),
+    * so there is no single-partition window at ANY transaction count —
+    * tx ids grow linearly with the log, and a partition-less rank would
+    * funnel them all through one task. The join back shuffles on tx id;
+    * AQE broadcasts it when the distinct set is small. */
   def tagTransactions(df: DataFrame): DataFrame = {
-    val ranks = df.select(col(E.TxId)).distinct()
-      .withColumn("__tx_ord", dense_rank().over(Window.orderBy(col(E.TxId))))
-    df.join(broadcast(ranks), Seq(E.TxId))
+    val spark = df.sparkSession
+    val dt = df.schema(E.TxId).dataType
+    val indexed = df.select(col(E.TxId)).distinct()
+      .sort(col(E.TxId)).rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i + 1L) }
+    val ranks = spark.createDataFrame(indexed,
+      StructType(Seq(StructField(E.TxId, dt),
+        StructField("__tx_ord", LongType))))
+    df.join(ranks, Seq(E.TxId))
   }
 }

@@ -45,24 +45,122 @@ object CdcStream {
       }
   }
 
-  /** Upsert-MERGE a collapsed micro-batch into a parquet state dir.
-    * Idempotent: replaying a batch converges to the same state (PK
-    * last-write-wins by (__lsn, __counter)), which is what makes
-    * checkpoint-replay exactly-once. At warehouse scale the same batch
-    * function lands on a Delta/Iceberg MERGE INTO — the collapse step
-    * and key discipline are identical. */
-  def mergeBatch(batch0: DataFrame, stateDir: String, pks: Seq[String]): Unit = {
+  /** PK-hash bucket column of the incremental state layout. */
+  val BucketCol = "__bucket"
+  /** Default bucket count for new state dirs. At warehouse scale this is
+    * the unit of rewrite I/O — size it so one bucket fits a rewrite job
+    * (e.g. 1024 buckets over 100 TB = ~100 GB per bucket). */
+  val DefaultBuckets = 32
+
+  /** Stable bucket of a row: md5-derived hash of the rendered PK tuple
+    * (engine-stable, skew-free — see [[graft.functions.Hashing]]). */
+  def bucketOf(pks: Seq[String], n: Int): org.apache.spark.sql.Column =
+    pmod(graft.functions.Hashing.hex8ToLong(
+      concat_ws("\u0001", pks.map(c => col(c).cast("string")): _*)),
+      lit(n.toLong)).cast("int")
+
+  /** State-dir metadata pinning the bucket count and column set so every
+    * batch agrees on the layout and bucket schemas stay homogeneous. */
+  private final case class StateMeta(numBuckets: Int, columns: Seq[String])
+
+  private def fsOf(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_meta.json")
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+                       dir: String): Option[StateMeta] = {
+    val p = metaPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val nb = """"numBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
+        .map(_.group(1).toInt)
+      val cols = """"columns"\s*:\s*\[(.*?)\]""".r.findFirstMatchIn(raw)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+      nb.map(StateMeta(_, cols.getOrElse(Nil)))
+    }
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                        meta: StateMeta): Unit = {
+    val out = fs.create(metaPath(dir), true)
+    val json = s"""{"numBuckets":${meta.numBuckets},"columns":[""" +
+      meta.columns.map("\"" + _ + "\"").mkString(",") + "]}"
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the merged state back without the layout's bucket column. */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    val df = spark.read.parquet(stateDir)
+    if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  }
+
+  /** Upsert-MERGE a collapsed micro-batch into a PK-hash-bucketed parquet
+    * state dir. Idempotent: replaying a batch converges to the same state
+    * (PK last-write-wins by (__lsn, __counter)), which is what makes
+    * checkpoint-replay exactly-once.
+    *
+    * Incremental by construction: the state is laid out as
+    * `stateDir/__bucket=i/` dirs keyed by a stable PK hash, and a batch
+    * rewrites ONLY the buckets containing its keys — rewrite I/O scales
+    * with the batch's key spread, not total state size (the flat-layout
+    * predecessor rewrote the whole state every batch). Per-batch plan:
+    * one read over the affected buckets + one partitioned write; the swap
+    * is per-bucket rename, and replaying after a mid-swap crash converges
+    * because the merge itself is idempotent. At warehouse scale the same
+    * batch function lands on a Delta/Iceberg MERGE INTO — the collapse
+    * step, key discipline and bucket-pruned rewrite are identical
+    * (reference semantics: pkg/sink_factory/sink_factory.go:100-133
+    * middleware ordering, Collapse before write change_item_collapse.go:48).
+    *
+    * Schema drift (DDL adding columns, change_item.go DDL kinds) forces a
+    * one-off full-bucket migration so bucket schemas stay homogeneous;
+    * steady-state batches never pay it. A legacy flat-layout dir is
+    * migrated into buckets on first contact the same way. */
+  def mergeBatch(batch0: DataFrame, stateDir: String, pks: Seq[String],
+                 numBuckets: Int = DefaultBuckets): Unit = {
     // plain (non-enveloped) frames merge as snapshot inserts
     val batch =
       if (batch0.columns.contains(E.Kind)) batch0
       else E.fromSnapshot(batch0, lit(0L))
     val spark = batch.sparkSession
+    val fs = fsOf(spark)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val meta = readMeta(fs, stateDir)
+    val n = meta.map(_.numBuckets).getOrElse(numBuckets)
+
     val collapsed = Collapse.lastWriteWins(
-      batch.filter(E.isRowEvent(col(E.Kind))), pks)
+      batch.filter(E.isRowEvent(col(E.Kind))), pks).persist()
     val dataCols = E.dataCols(collapsed)
-    val existing =
-      try Some(spark.read.parquet(stateDir))
-      catch { case _: Exception => None }
+
+    // DDL drift: the batch introduces columns the state has not seen
+    val drift = meta.exists(m => dataCols.exists(!m.columns.contains(_)))
+    // legacy flat layout: state exists but predates the bucketed meta
+    val legacy = meta.isEmpty && fs.exists(root) &&
+      fs.listStatus(root).exists(s => s.isFile &&
+        s.getPath.getName.startsWith("part-"))
+
+    val affected: Seq[Int] =
+      if (drift || legacy) 0 until n
+      else collapsed.select(bucketOf(pks, n).as(BucketCol))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+    val existing: Option[DataFrame] =
+      if (legacy) Some(spark.read.parquet(stateDir))
+      else {
+        val paths = affected
+          .map(i => new org.apache.hadoop.fs.Path(stateDir, s"$BucketCol=$i"))
+          .filter(fs.exists(_)).map(_.toString)
+        if (paths.isEmpty) None
+        else Some(spark.read.option("basePath", stateDir)
+          .parquet(paths: _*).drop(BucketCol))
+      }
+
     val merged = existing match {
       case None => collapsed
       case Some(cur) =>
@@ -83,15 +181,26 @@ object CdcStream {
     val outCols = E.dataCols(merged)
     val out = merged.filter(col(E.Kind) =!= E.Delete)
       .select(outCols.map(col): _*)
-    // write-then-swap: parquet overwrite into a temp dir + atomic rename
-    // keeps readers consistent (single-node analogue of a table commit)
-    val tmp = stateDir + ".tmp"
-    out.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(stateDir)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      .withColumn(BucketCol, bucketOf(pks, n))
+
+    // write-then-swap: rewritten buckets land in a temp dir, then each
+    // affected bucket dir is swapped by rename — untouched buckets are
+    // never read or written
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    out.write.partitionBy(BucketCol).parquet(tmp.toString)
+    if (legacy) { fs.delete(root, true); () }
+    if (!fs.exists(root)) fs.mkdirs(root)
+    affected.foreach { i =>
+      val src = new org.apache.hadoop.fs.Path(tmp, s"$BucketCol=$i")
+      val dst = new org.apache.hadoop.fs.Path(stateDir, s"$BucketCol=$i")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) { fs.rename(src, dst); () }
+    }
+    fs.delete(tmp, true)
+    writeMeta(fs, stateDir, StateMeta(n, outCols))
+    collapsed.unpersist()
+    ()
   }
 
   /** Multi-table batch routing: split an enveloped batch on its

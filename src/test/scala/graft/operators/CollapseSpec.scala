@@ -311,4 +311,17 @@ class CollapseSpec extends SparkSpec {
       assert(applied.toMap == table.toMap, s"round $round: events=$evs")
     }
   }
+
+  test("tagTransactions ranks tx ids without a single-partition window") {
+    val df = Seq((1L, "t2"), (2L, "t1"), (3L, "t2"), (4L, "t3"))
+      .toDF("id", E.TxId)
+    val out = Collapse.tagTransactions(df)
+    val m = out.select("id", "__tx_ord").as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // the scale guarantee: no global window, no single-partition funnel
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+  }
 }

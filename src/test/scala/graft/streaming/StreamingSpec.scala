@@ -39,6 +39,53 @@ class StreamingSpec extends SparkSpec {
     assert(once.size == 1)
   }
 
+  test("mergeBatch rewrites only buckets containing batch keys") {
+    val state = tmp() + "/tb"
+    // 1000-key snapshot spread over all buckets
+    val snap = spark.range(0, 1000)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    CdcStream.mergeBatch(snap, state, Seq("id"))
+    def listing(): Map[String, Set[(String, Long, Long)]] = {
+      val root = java.nio.file.Paths.get(state)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(CdcStream.BucketCol))
+        .map { b =>
+          b.getFileName.toString ->
+            java.nio.file.Files.list(b).iterator().asScala.map(f =>
+              (f.getFileName.toString, java.nio.file.Files.size(f),
+                java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+        }.toMap
+    }
+    val before = listing()
+    assert(before.size > 8, "snapshot should populate many buckets")
+    // a 1-key batch must rewrite exactly one bucket
+    CdcStream.mergeBatch(batch((5L, "v5b", "update", 1L)), state, Seq("id"))
+    val after = listing()
+    val changed = (before.keySet ++ after.keySet).filter(k =>
+      before.get(k) != after.get(k))
+    assert(changed.size == 1,
+      s"expected exactly one rewritten bucket, got $changed")
+    val out = CdcStream.readState(spark, state)
+    assert(out.count() == 1000)
+    assert(out.filter(col("id") === 5).select("v").as[String].head() == "v5b")
+  }
+
+  test("mergeBatch schema drift migrates buckets and keeps them homogeneous") {
+    val state = tmp() + "/td"
+    CdcStream.mergeBatch(
+      batch((1L, "a", "insert", 0L), (2L, "b", "insert", 1L)), state, Seq("id"))
+    // DDL adds a column: forces the one-off full migration
+    val b2 = Seq((3L, "c", 7L)).toDF("id", "v", "extra")
+      .withColumn(E.Kind, lit("insert")).withColumn(E.Lsn, lit(2L))
+      .withColumn(E.Counter, lit(0))
+    CdcStream.mergeBatch(b2, state, Seq("id"))
+    val out = CdcStream.readState(spark, state)
+      .select("id", "v", "extra").as[(Long, String, Option[Long])]
+      .collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(7L))))
+  }
+
   test("replicate runs a memory-source stream through checkpointed merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
