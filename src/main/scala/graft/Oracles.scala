@@ -271,7 +271,7 @@ object Oracles {
 
     "join_anti" ->
       ("SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
-        "WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+        "WHERE o_custkey = c_custkey AND o_totalprice > 450000) ORDER BY c_custkey"),
 
     "agg_stats" ->
       ("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
@@ -378,6 +378,45 @@ object Oracles {
 
     "ann_lsh_bucket" -> (lshBucketSql("embeddings") + " ORDER BY vec_id"),
 
+    "ann_lsh_topk" ->
+      (s"""WITH b AS (${lshBucketSql("embeddings")}),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |FROM e q JOIN b bq ON bq.vec_id = q.vec_id
+         |JOIN b bc ON bc.bucket = bq.bucket
+         |JOIN e c ON c.vec_id = bc.vec_id AND c.vec_id <> q.vec_id
+         |WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin),
+
+    "ann_ivf" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id, v FROM e
+         |  ORDER BY ${hex8("CAST(vec_id AS VARCHAR)")} LIMIT 4),
+         |cents AS (SELECT row_number() OVER (ORDER BY v[1]) - 1 AS centroid_id, v AS cv FROM seeds),
+         |s AS (SELECT e.vec_id, c.centroid_id,
+         |  round(list_dot_product(e.v, c.cv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS score
+         |FROM e CROSS JOIN cents c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rk FROM s)
+         |SELECT vec_id, centroid_id, score FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin),
+
+    "session_window" ->
+      ("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |m AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |       OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT user_id, ts,
+         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+         |  epoch_us(max(ts) + INTERVAL '1 hour') AS session_end_us,
+         |  count(*) AS n
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin),
+
     "embed_near_dups" ->
       (s"""WITH b AS (${lshBucketSql("embeddings")}),
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -388,7 +427,7 @@ object Oracles {
          |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos_raw
          |FROM p JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM s
-         |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin),
+         |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin),
 
     "wal2json_parse" ->
       ("""SELECT o_orderkey AS id, o_totalprice AS price,
@@ -408,6 +447,22 @@ object Oracles {
          |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
          |       ELSE o_totalprice END AS o_totalprice
          |FROM orders WHERE o_orderkey % 17 <> 0 ORDER BY o_orderkey""".stripMargin),
+
+    "mysql_binlog_parse" ->
+      ("""SELECT o_orderkey AS id, o_totalprice AS price,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+         |       WHEN o_orderkey % 3 = 0 THEN 'insert'
+         |       ELSE 'update' END AS "__kind",
+         |  o_orderkey AS "__lsn", 'shop.orders' AS "__table",
+         |  CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0 THEN
+         |    CASE WHEN o_orderkey % 4 = 1 THEN o_orderkey + 9000000
+         |         ELSE o_orderkey END
+         |  END AS old_id
+         |FROM orders ORDER BY id""".stripMargin),
+
+    "queue_roundtrip" ->
+      ("SELECT o_orderkey AS k, o_totalprice AS val FROM orders " +
+        "WHERE o_orderkey % 7 <> 0 ORDER BY k"),
 
     "tag_transactions" ->
       ("""SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS "__tx_id",

@@ -390,8 +390,11 @@ object Queries {
     }),
 
     "join_anti" -> ((s, dir) => {
+      // customers with no high-value order — the filter keeps the result
+      // non-empty at every scale factor (an unfiltered anti-join matches
+      // nothing in these fixtures, which would make the check vacuous)
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey").orderBy("c_custkey")
     }),
@@ -463,9 +466,40 @@ object Queries {
         Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
         .orderBy("vec_id")),
 
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
+        "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf" -> ((s, dir) => {
+      // IVF coarse quantization with deterministic seed centroids
+      // (iterations = 0 keeps the oracle exactly expressible in SQL; the
+      // iterative k-means refinement is covered by DedupSimilaritySpec)
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.fitCentroids(e, "embedding", "vec_id",
+        k = 4, iterations = 0)
+      Similarity.ivfAssign(e, cents, "embedding", "vec_id")
+        .orderBy("vec_id")
+    }),
+
+    "session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n"))
+        .orderBy("user_id", "session_start_us")),
+
     "embed_near_dups" -> ((s, dir) =>
+      // 0.35 is calibrated to the synthetic embeddings: high enough to be
+      // selective, low enough that every scale factor yields pairs (0.9
+      // returned zero rows everywhere — a vacuous hash match)
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
-        planes = 8, minCos = 0.9)
+        planes = 8, minCos = 0.35)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
 
@@ -504,6 +538,60 @@ object Queries {
           lit(0).as(E.Counter))
       graft.sources.DbLog.reconcile(snap, changes, Seq("o_orderkey"),
         snapshotLsn = 5L).orderBy("o_orderkey")
+    }),
+
+    "mysql_binlog_parse" -> ((s, dir) => {
+      // synthetic Canal-JSON binlog wire derived from orders; UPDATE
+      // events carry changed-column pre-images in `old`, and every 4th
+      // update changes the PK (old.id present) to exercise __old_keys
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      val typ = when(k % 7 === 0, "DELETE").when(k % 3 === 0, "INSERT")
+        .otherwise("UPDATE")
+      val oldPart = when(typ === lit("UPDATE") && k % 4 === 1,
+          format_string("""[{"price":"%s","id":"%s"}]""",
+            (col("o_totalprice") - 1).cast(StringType),
+            (k + 9000000L).cast(StringType)))
+        .when(typ === lit("UPDATE"),
+          format_string("""[{"price":"%s"}]""",
+            (col("o_totalprice") - 1).cast(StringType)))
+        .otherwise(lit("null"))
+      val wire = o.select(format_string(
+        """{"data":[{"id":"%s","price":"%s"}],"old":%s,"database":"shop","table":"orders","es":%d,"id":%d,"isDdl":false,"type":"%s","pkNames":["id"]}""",
+        k.cast(StringType), col("o_totalprice").cast(StringType),
+        oldPart, k * 1000L, k, typ).as("value"))
+      graft.parsers.MySqlBinlog.receive(wire, "value",
+        StructType(Seq(StructField("id", LongType),
+          StructField("price", DoubleType))), pkCols = Seq("id"))
+        .select(col("id"), col("price"), col(E.Kind), col(E.Lsn),
+          col(E.Table), col(s"${E.OldKeys}.id").as("old_id"))
+        .orderBy("id")
+    }),
+
+    "queue_roundtrip" -> ((s, dir) => {
+      // the queue serde loop end-to-end: CDC envelope -> JSON wire ->
+      // file-queue spool -> queue read -> parse -> bucketed MERGE state
+      val qbase = "/tmp/graft_queue"
+      val state = "/tmp/graft_queue_state/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(qbase), true)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_queue_state"), true)
+      val src = t(s, dir, "orders").withColumn(E.Kind, ordersKind)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("val"),
+          col(E.Kind), col("o_orderkey").as(E.Lsn))
+      graft.sinks.KafkaSink.writeFileQueue(src, qbase, "orders",
+        keyCols = Seq("k"))
+      val q = Readers.fileQueue(s, s"$qbase/orders", "orders")
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("val", DoubleType),
+        StructField(E.Kind, StringType), StructField(E.Lsn, LongType)))
+      val parsed = q.select(from_json(col("value"), schema).as("__p"))
+        .select(col("__p.k").as("k"), col("__p.val").as("val"),
+          col(s"__p.${E.Kind}").as(E.Kind), col(s"__p.${E.Lsn}").as(E.Lsn))
+        .withColumn(E.Counter, lit(0))
+      graft.streaming.CdcStream.mergeBatch(parsed, state, Seq("k"))
+      graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 
     "tag_transactions" -> ((s, dir) =>

@@ -18,7 +18,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer `div`, not `/`: double division loses ulps at ns-epoch
+      // magnitude (~1.7e18), shifting some timestamps by 1 µs
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -40,6 +40,13 @@ object TransferRunner {
     case SourceConfig.Sample(rows) => SampleSource.iot(spark, rows)
   }
 
+  private def wireFormat(name: String): sinks.KafkaSink.WireFormat =
+    name match {
+      case "debezium" => sinks.KafkaSink.DebeziumWire
+      case "csv" => sinks.KafkaSink.CsvWire()
+      case _ => sinks.KafkaSink.JsonWire
+    }
+
   def write(df: DataFrame, cfg: SinkConfig, cleanup: Sinks.CleanupPolicy): Unit =
     cfg match {
       case SinkConfig.Parquet(path, parts) =>
@@ -49,6 +56,14 @@ object TransferRunner {
       case SinkConfig.Console => Sinks.console(df)
       case SinkConfig.Merge(path, pks) =>
         streaming.CdcStream.mergeBatch(df, path, pks)
+      case SinkConfig.Kafka(bootstrap, topic, fmt, keyCols) =>
+        sinks.KafkaSink.writeBatch(df, bootstrap, topic, keyCols,
+          wireFormat(fmt))
+      case SinkConfig.FileQueue(dir, topic, fmt, keyCols) =>
+        sinks.KafkaSink.writeFileQueue(df, dir, topic, keyCols,
+          wireFormat(fmt))
+      case SinkConfig.Jdbc(url, table, props) =>
+        sinks.JdbcSink.write(df, url, table, cleanup, props)
     }
 
   /** Snapshot upload: `trcli activate/upload` for SNAPSHOT_ONLY

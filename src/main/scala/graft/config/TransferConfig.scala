@@ -54,6 +54,20 @@ object SinkConfig {
   case object Console extends SinkConfig
   /** Upsert-merge sink keyed on primary keys (CDC target). */
   final case class Merge(path: String, primaryKeys: Seq[String]) extends SinkConfig
+  /** Kafka topic sink; `format` is a queue serializer name
+    * (json | debezium | csv). Requires the spark-sql-kafka package. */
+  final case class Kafka(bootstrap: String, topic: String,
+                         format: String = "json",
+                         keyCols: Seq[String] = Nil) extends SinkConfig
+  /** File-backed queue sink: same wire frame as Kafka, spooled as line
+    * files in [[graft.sources.Readers.fileQueue]] layout. */
+  final case class FileQueue(dir: String, topic: String,
+                             format: String = "json",
+                             keyCols: Seq[String] = Nil) extends SinkConfig
+  /** JDBC table sink (pg/mysql/greenplum write direction). */
+  final case class Jdbc(url: String, table: String,
+                        properties: Map[String, String] = Map.empty)
+      extends SinkConfig
 }
 
 /** A transfer: source -> transformer chain -> sink (reference:

@@ -135,11 +135,11 @@ object Similarity {
     * `centroids` (a small broadcast table of (centroid_id, vec)); search
     * probes only the closest cells (fit with [[fitCentroids]]). */
   def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String,
-                idCol: String): DataFrame = {
+                idCol: String, roundTo: Int = 6): DataFrame = {
     val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
     val scored = df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(c))
-      .withColumn("score", cosine(col(vecCol), col("centv")))
+      .withColumn("score", round(cosine(col(vecCol), col("centv")), roundTo))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("centroid_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -281,6 +281,58 @@ object ConfluentFraming {
   }
 }
 
+/** MySQL binlog row events in the Canal JSON envelope (reference:
+  * pkg/providers/mysql/canal.go — the reference embeds a canal-compatible
+  * binlog decoder; the JSON shape is the public Alibaba Canal format:
+  * {data:[rowImage…], old:[changedCols…], database, table, es, id,
+  * isDdl, type:INSERT|UPDATE|DELETE, pkNames}).
+  *
+  * Semantics preserved from the reference:
+  *   - one change item per element of `data` (multi-row events fan out,
+  *     ordered by their position → __counter);
+  *   - UPDATE pairs `data[i]` (after) with `old[i]` (before, CHANGED
+  *     columns only) — the PK pre-image is `coalesce(old.pk, data.pk)`,
+  *     which feeds __old_keys so PK-changing updates can be split into
+  *     delete+insert (Collapse.splitUpdatedPKeys);
+  *   - Canal renders all values as strings; fields are cast to the
+  *     declared row schema (canal.go value decoding);
+  *   - DDL events (isDdl) are control items, dropped from the row stream.
+  */
+object MySqlBinlog {
+  def receive(df: DataFrame, jsonCol: String, rowSchema: StructType,
+              pkCols: Seq[String]): DataFrame = {
+    val envSchema = StructType(Seq(
+      StructField("data", ArrayType(MapType(StringType, StringType))),
+      StructField("old", ArrayType(MapType(StringType, StringType))),
+      StructField("database", StringType),
+      StructField("table", StringType),
+      StructField("es", LongType),
+      StructField("id", LongType),
+      StructField("isDdl", BooleanType),
+      StructField("type", StringType),
+      StructField("pkNames", ArrayType(StringType))))
+    val p = df.withColumn("__e", from_json(col(jsonCol), envSchema))
+      .filter(col("__e").isNotNull && !coalesce(col("__e.isDdl"), lit(false)))
+      .select(col("__e"), posexplode(col("__e.data")).as(Seq("__i", "__row")))
+    val kind = when(upper(col("__e.type")) === "INSERT", E.Insert)
+      .when(upper(col("__e.type")) === "UPDATE", E.Update)
+      .when(upper(col("__e.type")) === "DELETE", E.Delete)
+    val oldRow = element_at(col("__e.old"), col("__i") + 1)
+    val oldKeys = when(kind === E.Update,
+      struct(pkCols.map(k => coalesce(oldRow.getItem(k),
+        col("__row").getItem(k)).cast(rowSchema(k).dataType).as(k)): _*))
+    val fields = rowSchema.fields.toSeq.map(f =>
+      col("__row").getItem(f.name).cast(f.dataType).as(f.name))
+    p.select((fields ++ Seq(
+      kind.as(E.Kind),
+      col("__e.id").as(E.Lsn),
+      col("__i").as(E.Counter),
+      oldKeys.as(E.OldKeys),
+      concat_ws(".", col("__e.database"), col("__e.table")).as(E.Table),
+      (col("__e.es") * 1000).as(E.CommitTime))).toIndexedSeq: _*)
+  }
+}
+
 /** Debezium CDC envelope receive/emit (reference: pkg/debezium/receiver.go
   * and emitter_common.go; the envelope is public Debezium format:
   * {before, after, op, ts_ms, source:{lsn, txId}}).
@@ -315,21 +367,25 @@ object Debezium {
       (col("__e.ts_ms") * 1000).as(E.CommitTime))).toIndexedSeq: _*)
   }
 
-  /** Emit the engine's CDC envelope as Debezium JSON (the inverse;
-    * reference: pkg/debezium emitter + pkg/serializer/queue debezium
-    * serializer). Insert/update carry `after`; delete carries `before`. */
-  def emit(df: DataFrame, dataCols: Seq[String]): DataFrame = {
+  /** The Debezium JSON value as a column expression (composable into
+    * wider wire frames, e.g. the Kafka key/value/topic contract). */
+  def emitValue(dataCols: Seq[String]): Column = {
     val image = struct(dataCols.map(col): _*)
     val op = when(col(E.Kind) === E.Insert, "c")
       .when(col(E.Kind) === E.Update, "u")
       .when(col(E.Kind) === E.Delete, "d")
-    df.select(to_json(struct(
+    to_json(struct(
       when(col(E.Kind) === E.Delete, image).as("before"),
       when(col(E.Kind) =!= E.Delete, image).as("after"),
       op.as("op"),
       (col(E.CommitTime) / 1000).cast(LongType).as("ts_ms"),
       struct(col(E.Lsn).as("lsn"),
-        col(E.TxId).cast(StringType).as("txId")).as("source")
-    )).as("value"))
+        col(E.TxId).cast(StringType).as("txId")).as("source")))
   }
+
+  /** Emit the engine's CDC envelope as Debezium JSON (the inverse;
+    * reference: pkg/debezium emitter + pkg/serializer/queue debezium
+    * serializer). Insert/update carry `after`; delete carries `before`. */
+  def emit(df: DataFrame, dataCols: Seq[String]): DataFrame =
+    df.select(emitValue(dataCols).as("value"))
 }

@@ -122,4 +122,37 @@ class ParsersSpec extends SparkSpec {
     val info = out.filter(col("severity") === "INFO").collect().head
     assert(info.getAs[String]("text_payload") == "plain line")
   }
+
+  test("mysql binlog (canal json) parses multi-row events, update pairs, ddl") {
+    val wire = Seq(
+      // multi-row INSERT fans out with positional counters
+      """{"data":[{"id":"1","v":"a"},{"id":"2","v":"b"}],"old":null,"database":"d","table":"t","es":1000,"id":7,"isDdl":false,"type":"INSERT","pkNames":["id"]}""",
+      // UPDATE with changed-col pre-image including a PK change
+      """{"data":[{"id":"9","v":"c2"}],"old":[{"id":"3"}],"database":"d","table":"t","es":2000,"id":8,"isDdl":false,"type":"UPDATE","pkNames":["id"]}""",
+      // UPDATE without PK change: old key = current key
+      """{"data":[{"id":"4","v":"d2"}],"old":[{"v":"d1"}],"database":"d","table":"t","es":3000,"id":9,"isDdl":false,"type":"UPDATE","pkNames":["id"]}""",
+      // DELETE carries the dropped image
+      """{"data":[{"id":"5","v":"e"}],"old":null,"database":"d","table":"t","es":4000,"id":10,"isDdl":false,"type":"DELETE","pkNames":["id"]}""",
+      // DDL is a control item: dropped from the row stream
+      """{"data":null,"old":null,"database":"d","table":"t","es":5000,"id":11,"isDdl":true,"type":"ALTER","pkNames":null}"""
+    ).toDF("value")
+    val out = MySqlBinlog.receive(wire, "value",
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      pkCols = Seq("id"))
+    val rows = out.select(col("id"), col("v"), col(E.Kind), col(E.Lsn),
+      col(E.Counter), col(s"${E.OldKeys}.id").as("old_id"), col(E.Table))
+      .as[(Long, String, String, Long, Int, Option[Long], String)]
+      .collect().toSeq.sortBy(r => (r._4, r._5))
+    assert(rows == Seq(
+      (1L, "a", "insert", 7L, 0, None, "d.t"),
+      (2L, "b", "insert", 7L, 1, None, "d.t"),
+      (9L, "c2", "update", 8L, 0, Some(3L), "d.t"),
+      (4L, "d2", "update", 9L, 0, Some(4L), "d.t"),
+      (5L, "e", "delete", 10L, 0, None, "d.t")))
+    // pk-changing update splits into delete(old)+insert(new) downstream
+    val split = graft.operators.Collapse.splitUpdatedPKeys(
+      out.filter(col(E.Kind) === "update"), Seq("id"))
+    val kinds = split.select("id", E.Kind).as[(Long, String)].collect().toSet
+    assert(kinds == Set((3L, "delete"), (9L, "insert"), (4L, "update")))
+  }
 }
