@@ -448,6 +448,12 @@ object Oracles {
          |       ELSE o_totalprice END AS o_totalprice
          |FROM orders WHERE o_orderkey % 17 <> 0 ORDER BY o_orderkey""".stripMargin),
 
+    "confluent_decode" ->
+      ("""SELECT o_orderkey AS id, o_totalprice AS price,
+         |  CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE o_orderstatus END AS status,
+         |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_id
+         |FROM orders ORDER BY id""".stripMargin),
+
     "mysql_binlog_parse" ->
       ("""SELECT o_orderkey AS id, o_totalprice AS price,
          |  CASE WHEN o_orderkey % 7 = 0 THEN 'delete'

@@ -540,6 +540,34 @@ object Queries {
         snapshotLsn = 5L).orderBy("o_orderkey")
     }),
 
+    "confluent_decode" -> ((s, dir) => {
+      // two-schema topic: even keys encoded with v1, odd with v2 (adds
+      // status); all decoded against reader v2 via Avro schema resolution
+      val reg = "/tmp/graft_registry"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(reg))
+      val v1 = """{"type":"record","name":"order","fields":[{"name":"id","type":"long"},{"name":"price","type":"double"}]}"""
+      val v2 = """{"type":"record","name":"order","fields":[{"name":"id","type":"long"},{"name":"price","type":"double"},{"name":"status","type":"string","default":""}]}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(reg, "1.avsc"), v1)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(reg, "2.avsc"), v2)
+      val enc = udf { (k: Long, p: Double, st: String) =>
+        if (k % 2 == 0)
+          graft.parsers.ConfluentDecode.encode(v1, 1,
+            Map("id" -> k, "price" -> p))
+        else
+          graft.parsers.ConfluentDecode.encode(v2, 2,
+            Map("id" -> k, "price" -> p, "status" -> st))
+      }
+      val wire = t(s, dir, "orders").select(
+        enc(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .as("raw"))
+      graft.parsers.ConfluentDecode.receive(wire, "raw", reg, v2,
+        StructType(Seq(StructField("id", LongType),
+          StructField("price", DoubleType),
+          StructField("status", StringType))))
+        .select("id", "price", "status", "schema_id")
+        .orderBy("id")
+    }),
+
     "mysql_binlog_parse" -> ((s, dir) => {
       // synthetic Canal-JSON binlog wire derived from orders; UPDATE
       // events carry changed-column pre-images in `old`, and every 4th

@@ -25,6 +25,32 @@ object TypeMapping {
     "utf8" -> StringType,
   )
 
+  /** Decode one column of a YT-SERIALIZED schema (ytschema spellings take
+    * precedence over the internal lattice where they differ). The
+    * serialized spelling is always recorded in OriginalTypeMeta so
+    * [[sparkToYtSerialized]] restores it exactly. */
+  def fieldFromYtSerialized(name: String, serialized: String,
+                            primaryKey: Boolean = false): StructField = {
+    val dt = ytSerializedToSpark.getOrElse(serialized,
+      ytToSpark.getOrElse(serialized, StringType))
+    val mb = new MetadataBuilder()
+      .putBoolean(PrimaryKeyMeta, primaryKey)
+      .putString(OriginalTypeMeta, serialized)
+    StructField(name, dt, nullable = !primaryKey, metadata = mb.build())
+  }
+
+  /** Inverse in SERIALIZED spelling: text -> "utf8", bytes -> "string"
+    * (the internal lattice's "string"/"bytes" are not valid ytschema
+    * names on the wire). Metadata-recorded spellings win. */
+  def sparkToYtSerialized(f: StructField): String =
+    if (f.metadata.contains(OriginalTypeMeta))
+      f.metadata.getString(OriginalTypeMeta)
+    else f.dataType match {
+      case StringType => "utf8"
+      case BinaryType => "string"
+      case dt => sparkToYt(dt)
+    }
+
   /** YT canonical type name -> Spark DataType.
     * uint64 maps to Decimal(20,0): Spark has no unsigned 64-bit integral
     * and silently overflowing to Long would corrupt hash checks. */

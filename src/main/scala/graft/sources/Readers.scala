@@ -115,18 +115,34 @@ object ShardedScan {
   * pkg/abstract/storage.go:354-357 IncrementalStorage,
   * storage_incremental.go:3-7): each run reads only rows with cursor
   * column beyond the persisted state, then advances the state. State is a
-  * tiny driver-side JSON file per (table, column) — the Spark analogue of
-  * the coordinator-persisted transfer state.
+  * tiny cursor file per (table, column) — the Spark analogue of the
+  * coordinator-persisted transfer state.
+  *
+  * The state dir goes through the Hadoop FileSystem API, so it can live
+  * on any checkpoint-grade store (hdfs://, s3a://, file://) and the
+  * cursor survives driver relocation — a local-disk cursor would silently
+  * restart the scan from zero on a new driver.
   */
 final case class IncrementalScan(stateDir: String) {
+  import org.apache.hadoop.fs.Path
+
+  private def hconf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private def stateFile(table: String, cursorCol: String) =
-    java.nio.file.Paths.get(stateDir, s"$table.$cursorCol.cursor")
+    new Path(stateDir, s"$table.$cursorCol.cursor")
 
   def readState(table: String, cursorCol: String): Option[String] = {
-    val f = stateFile(table, cursorCol)
-    if (java.nio.file.Files.exists(f))
-      Some(java.nio.file.Files.readString(f).trim)
-    else None
+    val p = stateFile(table, cursorCol)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
   }
 
   /** Rows strictly beyond the stored cursor (all rows on first run). */
@@ -136,14 +152,20 @@ final case class IncrementalScan(stateDir: String) {
       case None => df
     }
 
-  /** Persist the new high-water mark after a successful load. */
+  /** Persist the new high-water mark after a successful load. The write
+    * is create-then-rename so a concurrent reader never sees a torn
+    * cursor. */
   def commit(df: DataFrame, table: String, cursorCol: String): Unit = {
     val mx = df.agg(max(col(cursorCol)).cast("string")).collect()(0)
     if (!mx.isNullAt(0)) {
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(stateDir))
-      java.nio.file.Files.writeString(
-        stateFile(table, cursorCol), mx.getString(0))
+      val p = stateFile(table, cursorCol)
+      val fs = p.getFileSystem(hconf)
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(mx.getString(0).getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      fs.rename(tmp, p)
+      ()
     }
   }
 }

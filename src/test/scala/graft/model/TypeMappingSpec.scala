@@ -83,4 +83,22 @@ class TypeMappingSpec extends SparkSpec {
     // datetime keeps its lossy-type marker through the engine schema
     assert(sparkToYt(strict.schema("c_dt")) == "datetime")
   }
+
+  test("yt-serialized schema decode/encode round-trips wire spellings") {
+    // on the wire: "string" is BYTES, "utf8" is text (ytschema)
+    val fText = fieldFromYtSerialized("name", "utf8")
+    val fBytes = fieldFromYtSerialized("blob", "string", primaryKey = true)
+    val fU64 = fieldFromYtSerialized("n", "uint64")
+    assert(fText.dataType == StringType)
+    assert(fBytes.dataType == BinaryType && !fBytes.nullable)
+    assert(fU64.dataType == DecimalType(20, 0))
+    // exact spellings restored on the way out
+    assert(sparkToYtSerialized(fText) == "utf8")
+    assert(sparkToYtSerialized(fBytes) == "string")
+    assert(sparkToYtSerialized(fU64) == "uint64")
+    // fields born in Spark (no metadata) use serialized spellings too
+    assert(sparkToYtSerialized(StructField("s", StringType)) == "utf8")
+    assert(sparkToYtSerialized(StructField("b", BinaryType)) == "string")
+    assert(sparkToYtSerialized(StructField("i", LongType)) == "int64")
+  }
 }

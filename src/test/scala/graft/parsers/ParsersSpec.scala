@@ -155,4 +155,26 @@ class ParsersSpec extends SparkSpec {
     val kinds = split.select("id", E.Kind).as[(Long, String)].collect().toSet
     assert(kinds == Set((3L, "delete"), (9L, "insert"), (4L, "update")))
   }
+
+  test("confluent registry decode resolves mixed writer schemas") {
+    val reg = java.nio.file.Files.createTempDirectory("graft_reg").toString
+    val v1 = """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}"""
+    val v2 = """{"type":"record","name":"r","fields":[{"name":"id","type":"long"},{"name":"tag","type":"string","default":"none"}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(reg, "1.avsc"), v1)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(reg, "2.avsc"), v2)
+    val rows = Seq(
+      ConfluentDecode.encode(v1, 1, Map("id" -> 10L)),          // old producer
+      ConfluentDecode.encode(v2, 2, Map("id" -> 11L, "tag" -> "t")),
+      "junk".getBytes("UTF-8"))                                  // bad framing
+    val df = rows.toDF("raw")
+    val out = ConfluentDecode.receive(df, "raw", reg, v2,
+      StructType(Seq(StructField("id", LongType),
+        StructField("tag", StringType))))
+    val ok = out.filter(col("framing_ok"))
+      .select("id", "tag", "schema_id")
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    // v1 message resolves against reader v2: `tag` takes its default
+    assert(ok == Seq((10L, "none", 1), (11L, "t", 2)))
+    assert(out.filter(!col("framing_ok")).count() == 1)
+  }
 }
