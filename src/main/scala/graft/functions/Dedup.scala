@@ -107,25 +107,29 @@ object Dedup {
     * shuffle at any scale. Pass Int.MaxValue to disable. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 16, shingleN: Int = 3, bands: Int = 4,
-                        maxBucketSize: Int = 1000,
-                        cache: Boolean = true): DataFrame = {
-    // the bands frame feeds three subtrees (bucket-size guard + both
-    // sides of the self-join); persisting it runs the shingle->minhash
-    // pipeline ONCE instead of three times (measured ~3x at sf0.1).
-    // Pass cache=false to trade recompute for zero cache footprint.
-    val b0 = lshBands(df, textCol, idCol, k, shingleN, bands)
-    val b = if (cache) b0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else b0
-    val keep = b.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucketSize)
-      .select("band", "band_hash")
-    val bounded = b.join(keep, Seq("band", "band_hash"))
-    val l = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val r = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+                        maxBucketSize: Int = 1000): DataFrame = {
+    // Single-pass pair generation: ONE shuffle of the bands frame keyed
+    // on (band, band_hash); each surviving bucket's sorted id array
+    // expands to its in-bucket combinations. This replaces the previous
+    // self-join (bucket-count guard + two probe scans — three
+    // evaluations of the whole minhash pipeline) with one evaluation
+    // and no join. The hot-bucket cap both bounds the quadratic pair
+    // term AND the per-group array (cap ids ~ a few KB); a bucket of n
+    // docs contributes n^2/2 pairs, so one degenerate bucket
+    // (boilerplate, empty docs — measured 131M pairs from a 4200-doc
+    // bucket at 100k docs) can dwarf the workload. Oversized buckets
+    // are better served by an exact-hash pre-pass or finer banding.
+    val b = lshBands(df, textCol, idCol, k, shingleN, bands)
+    val grouped = b.groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+    val ids = col("__ids")
+    val pairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    grouped.select(explode(pairs).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
   }
 
   // ---------------- SimHash ----------------
@@ -196,15 +200,10 @@ object Dedup {
     * bucket, exact cosine confirms. Never all-pairs. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         planes: Int = 8, minCos: Double = 0.95,
-                        maxBucketSize: Int = 10000,
-                        cache: Boolean = true): DataFrame = {
-    // bucketed vectors feed the size guard + both join sides: persist so
-    // the planes*dims bucket projection runs once (see minhashCandidates)
-    val bkt = df.select(col(idCol).as("id"),
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val b0 = df.select(col(idCol).as("id"),
       Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"),
       col(vecCol).as("v"))
-    val b0 = if (cache) bkt.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else bkt
     // same hot-bucket guard as minhashCandidates: quadratic pair growth
     // inside one bucket is the scale killer, not total corpus size
     val keep = b0.groupBy("bucket").agg(count(lit(1)).as("__n"))

@@ -301,23 +301,29 @@ object ConfluentFraming {
 object MySqlBinlog {
   def receive(df: DataFrame, jsonCol: String, rowSchema: StructType,
               pkCols: Seq[String]): DataFrame = {
-    val envSchema = StructType(Seq(
-      StructField("data", ArrayType(MapType(StringType, StringType))),
-      StructField("old", ArrayType(MapType(StringType, StringType))),
-      StructField("database", StringType),
-      StructField("table", StringType),
-      StructField("es", LongType),
-      StructField("id", LongType),
-      StructField("isDdl", BooleanType),
-      StructField("type", StringType),
-      StructField("pkNames", ArrayType(StringType))))
-    val p = df.withColumn("__e", from_json(col(jsonCol), envSchema))
-      .filter(col("__e").isNotNull && !coalesce(col("__e.isDdl"), lit(false)))
-      .select(col("__e"), posexplode(col("__e.data")).as(Seq("__i", "__row")))
-    val kind = when(upper(col("__e.type")) === "INSERT", E.Insert)
-      .when(upper(col("__e.type")) === "UPDATE", E.Update)
-      .when(upper(col("__e.type")) === "DELETE", E.Delete)
-    val oldRow = element_at(col("__e.old"), col("__i") + 1)
+    // one json_tuple generator pass over the envelope (a from_json of
+    // the full envelope gets re-evaluated per consuming expression by
+    // filter pushdown / per-field schema pruning — measured 6 parses of
+    // every message; a generator is evaluated exactly once), then two
+    // small from_json calls for the row arrays only
+    val rowsType = ArrayType(MapType(StringType, StringType))
+    val p0 = df.select(json_tuple(col(jsonCol),
+      "data", "old", "database", "table", "es", "id", "isDdl", "type")
+      .as(Seq("__data", "__old", "__db", "__tbl", "__es", "__id",
+        "__isddl", "__type")))
+    val p = p0
+      .filter(coalesce(col("__isddl"), lit("false")) =!= "true")
+      .select(from_json(col("__old"), rowsType).as("__oldp"),
+        col("__db"), col("__tbl"),
+        col("__es").cast(LongType).as("__es"),
+        col("__id").cast(LongType).as("__id"),
+        upper(col("__type")).as("__type"),
+        posexplode(from_json(col("__data"), rowsType))
+          .as(Seq("__i", "__row")))
+    val kind = when(col("__type") === "INSERT", E.Insert)
+      .when(col("__type") === "UPDATE", E.Update)
+      .when(col("__type") === "DELETE", E.Delete)
+    val oldRow = element_at(col("__oldp"), col("__i") + 1)
     val oldKeys = when(kind === E.Update,
       struct(pkCols.map(k => coalesce(oldRow.getItem(k),
         col("__row").getItem(k)).cast(rowSchema(k).dataType).as(k)): _*))
@@ -325,11 +331,11 @@ object MySqlBinlog {
       col("__row").getItem(f.name).cast(f.dataType).as(f.name))
     p.select((fields ++ Seq(
       kind.as(E.Kind),
-      col("__e.id").as(E.Lsn),
+      col("__id").as(E.Lsn),
       col("__i").as(E.Counter),
       oldKeys.as(E.OldKeys),
-      concat_ws(".", col("__e.database"), col("__e.table")).as(E.Table),
-      (col("__e.es") * 1000).as(E.CommitTime))).toIndexedSeq: _*)
+      concat_ws(".", col("__db"), col("__tbl")).as(E.Table),
+      (col("__es") * 1000).as(E.CommitTime))).toIndexedSeq: _*)
   }
 }
 

@@ -188,7 +188,12 @@ object CdcStream {
     // never read or written
     val tmp = new org.apache.hadoop.fs.Path(stateDir + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    out.write.partitionBy(BucketCol).parquet(tmp.toString)
+    // repartition on the bucket BEFORE partitionBy: otherwise every
+    // shuffle task writes a file into every bucket dir (tasks x buckets
+    // files per batch — a small-file explosion at cluster scale)
+    out.repartition(math.min(n, out.sparkSession.sessionState.conf.numShufflePartitions),
+        col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(tmp.toString)
     if (legacy) { fs.delete(root, true); () }
     if (!fs.exists(root)) fs.mkdirs(root)
     affected.foreach { i =>
