@@ -82,22 +82,36 @@ object TransferRunner {
   }
 
   /** Replication: `trcli replicate` for INCREMENT_ONLY (reference:
-    * runtime/local/replication.go:83). The source must be streaming;
-    * the sink must be a Merge target. Returns the started query. */
+    * runtime/local/replication.go:83). The source must be streaming; the
+    * sink is either a Merge target (warehouse direction) or a queue
+    * (Kafka / file-queue mirror direction — the reference's db→queue
+    * transfers). Returns the started query. */
   def runReplication(spark: SparkSession, t: Transfer,
                      pks: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
     val src = source(spark, t.source)
     require(src.isStreaming, "replication requires a streaming source")
-    val chain = TransformerChain(t.transformers)
-    val stateDir = t.sink match {
-      case SinkConfig.Merge(path, _) => path
+    val out = TransformerChain(t.transformers)(src)
+    t.sink match {
+      case SinkConfig.Merge(path, _) =>
+        val ckpt = t.checkpointDir.getOrElse(path + "_checkpoint")
+        streaming.CdcStream.replicate(out, path, ckpt, pks,
+          streaming.CdcStream.Bufferer()).start()
+      case SinkConfig.Kafka(bootstrap, topic, fmt, keyCols) =>
+        val ckpt = t.checkpointDir.getOrElse(s"/tmp/graft_ckpt_$topic")
+        sinks.KafkaSink.streamWriter(out, bootstrap, topic, ckpt,
+          if (keyCols.nonEmpty) keyCols else pks, wireFormat(fmt)).start()
+      case SinkConfig.FileQueue(dir, topic, fmt, keyCols) =>
+        val ckpt = t.checkpointDir.getOrElse(s"$dir/${topic}_checkpoint")
+        val keys = if (keyCols.nonEmpty) keyCols else pks
+        out.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            sinks.KafkaSink.appendFileQueue(batch, dir, topic, keys,
+              wireFormat(fmt))
+          }.start()
       case other => throw new IllegalArgumentException(
-        s"replication requires a Merge sink, got $other")
+        s"replication requires a Merge or queue sink, got $other")
     }
-    val ckpt = t.checkpointDir.getOrElse(stateDir + "_checkpoint")
-    streaming.CdcStream.replicate(
-      chain(src), stateDir, ckpt, pks,
-      streaming.CdcStream.Bufferer()).start()
   }
 
   /** SNAPSHOT_AND_INCREMENT: snapshot first, then hand off to the

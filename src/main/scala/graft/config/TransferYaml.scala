@@ -83,6 +83,15 @@ object TransferYaml {
       case "console" => SinkConfig.Console
       case "merge" => SinkConfig.Merge(m("path").toString,
         asList(m("primary_keys")).map(_.toString))
+      case "kafka" => SinkConfig.Kafka(m("bootstrap").toString,
+        m("topic").toString,
+        m.getOrElse("format", "json").toString,
+        m.get("key_columns").map(asList(_).map(_.toString)).getOrElse(Nil))
+      case "file_queue" => SinkConfig.FileQueue(m("dir").toString,
+        m("topic").toString,
+        m.getOrElse("format", "json").toString,
+        m.get("key_columns").map(asList(_).map(_.toString)).getOrElse(Nil))
+      case "jdbc" => SinkConfig.Jdbc(m("url").toString, m("table").toString)
       case other => throw new IllegalArgumentException(s"sink kind $other")
     }
 

@@ -87,4 +87,14 @@ object KafkaSink {
     wireFrame(df, topic, keyCols, fmt)
       .select(col("value").cast("string"))
       .write.mode("overwrite").text(s"$dir/$topic")
+
+  /** Append one micro-batch to the file queue (the replication-loop
+    * direction: each batch lands as new line files, so consumers see a
+    * growing partitioned log). */
+  def appendFileQueue(df: DataFrame, dir: String, topic: String,
+                      keyCols: Seq[String] = Nil,
+                      fmt: WireFormat = JsonWire): Unit =
+    wireFrame(df, topic, keyCols, fmt)
+      .select(col("value").cast("string"))
+      .write.mode("append").text(s"$dir/$topic")
 }

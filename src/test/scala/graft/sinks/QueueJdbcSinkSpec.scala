@@ -55,6 +55,50 @@ class QueueJdbcSinkSpec extends SparkSpec {
     assert(vals.forall(_.contains("\"__kind\"")))
   }
 
+  test("streamed replication mirrors micro-batches into a growing file queue") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mirror").toString
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val stream = mem.toDF().toDF("id", "v", E.Kind, E.Lsn)
+      .withColumn(E.Counter, lit(0))
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        KafkaSink.appendFileQueue(b, dir, "mirror", Seq("id"))
+      }.start()
+    try {
+      mem.addData((1L, "a", "insert", 1L))
+      q.processAllAvailable()
+      mem.addData((2L, "b", "insert", 2L), (1L, "a2", "update", 3L))
+      q.processAllAvailable()
+      val rows = graft.sources.Readers.fileQueue(spark, s"$dir/mirror", "mirror")
+        .select("value").as[String].collect().toSeq
+      assert(rows.size == 3)
+      assert(rows.count(_.contains(""""__kind":"update"""")) == 1)
+    } finally q.stop()
+  }
+
+  test("yaml front-end parses kafka, file_queue and jdbc sink blocks") {
+    import graft.config._
+    val k = TransferYaml.fromString(
+      """type: INCREMENT_ONLY
+        |src: { kind: kafka, bootstrap: "b:9092", topic: in }
+        |dst: { kind: kafka, bootstrap: "b:9092", topic: out, format: debezium, key_columns: [id] }
+        |""".stripMargin)
+    assert(k.sink == SinkConfig.Kafka("b:9092", "out", "debezium", Seq("id")))
+    val f = TransferYaml.fromString(
+      """src: { kind: parquet, path: /x }
+        |dst: { kind: file_queue, dir: /q, topic: t }
+        |""".stripMargin)
+    assert(f.sink == SinkConfig.FileQueue("/q", "t", "json", Nil))
+    val j = TransferYaml.fromString(
+      """src: { kind: parquet, path: /x }
+        |dst: { kind: jdbc, url: "jdbc:derby:memory:db", table: t1 }
+        |""".stripMargin)
+    assert(j.sink == SinkConfig.Jdbc("jdbc:derby:memory:db", "t1"))
+  }
+
   test("jdbc sink DDL maps the canonical lattice (uint64, int8)") {
     val schema = StructType(Seq(
       StructField("u64", DecimalType(20, 0)),
