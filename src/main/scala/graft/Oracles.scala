@@ -392,6 +392,28 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    "ann_multiprobe" ->
+      (s"""WITH b AS (${lshBucketSql("embeddings")}),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |masks AS (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m),
+         |qp AS (SELECT bq.vec_id AS query_id, xor(bq.bucket, m.m) AS bucket
+         |  FROM b bq, masks m WHERE bq.vec_id < 10),
+         |s AS (SELECT qp.query_id, c.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |FROM qp JOIN b bc ON bc.bucket = qp.bucket
+         |JOIN e c ON c.vec_id = bc.vec_id AND c.vec_id <> qp.query_id
+         |JOIN e q ON q.vec_id = qp.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin),
+
+    "stratified_sample" ->
+      (s"""SELECT doc_id, lang FROM documents
+         |WHERE ${hex8("CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+         |ORDER BY doc_id""".stripMargin),
+
     "ann_ivf" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |seeds AS (SELECT vec_id, v FROM e

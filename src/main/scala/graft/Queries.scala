@@ -473,6 +473,19 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(e.filter(col("vec_id") < 10), e,
+        "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "stratified_sample" -> ((s, dir) =>
+      graft.functions.Sampling.stratified(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "ann_ivf" -> ((s, dir) => {
       // IVF coarse quantization with deterministic seed centroids
       // (iterations = 0 keeps the oracle exactly expressible in SQL; the

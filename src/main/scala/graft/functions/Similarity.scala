@@ -95,6 +95,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Multi-probe LSH top-k: each query probes its own bucket PLUS every
+    * one-bit-flipped neighbor bucket (planes+1 probes), so recall rises
+    * without touching the corpus side — the standard multi-probe trade:
+    * probe count scales the (small) query side only, the corpus is still
+    * bucketed once and joined once. Probe buckets are distinct (XOR
+    * masks), so no pair dedup is needed before ranking. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+                        vecCol: String, idCol: String, k: Int,
+                        planes: Int = 8, roundTo: Int = 6): DataFrame = {
+    val masks = array((lit(0L) +: (0 until planes).map(j => lit(1L << j))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        hyperplaneBucket(col(vecCol), planes).as("__b0"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(masks, m => col("__b0").bitwiseXOR(m)))
+          .as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Distributed k-means (Lloyd's) centroid fitting for IVF coarse
     * quantization. Deterministic: initial centroids are the vectors
     * whose stable id-hash is smallest (no RNG), updates are element-wise

@@ -126,4 +126,38 @@ class DedupSimilaritySpec extends SparkSpec {
       iterations = 3)
     assert(cents.collect().toSet == cents2.collect().toSet)
   }
+
+  test("multi-probe lsh recall dominates single-probe at equal k") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = pairs(Similarity.lshTopK(q, e, "embedding", "vec_id", k = 50))
+    val multi = pairs(Similarity.lshTopKMultiProbe(q, e, "embedding", "vec_id", k = 50))
+    // with k larger than any bucket, single-probe candidates all survive,
+    // so multi-probe's candidate set strictly contains them
+    assert(single.subsetOf(multi), "multi-probe lost single-probe pairs")
+    assert(multi.size > single.size, "probing added no candidates")
+  }
+
+  test("deterministic sampling: reproducible, join-stable, near the rate") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample not reproducible")
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.3) < 0.1, s"rate off: ${s1.size / n}")
+    // nested rates: a 10% sample is a subset of the 30% sample
+    // (consistent sampling — the property RNG-based sampling lacks)
+    val s3 = Sampling.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+    // stratified rates apply per stratum
+    val strat = Sampling.stratified(docs, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    val langs = strat.select("lang").distinct().as[String].collect().toSeq
+    assert(langs == Seq("en"))
+  }
 }

@@ -71,6 +71,52 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("id") === 5).select("v").as[String].head() == "v5b")
   }
 
+  test("property: a random batch sequence merged into bucketed state " +
+    "equals the naive map replay") {
+    val rnd = new scala.util.Random(20260812)
+    for (round <- 1 to 3) {
+      val state = tmp() + s"/prop$round"
+      val table = scala.collection.mutable.Map[Long, String]()
+      var lsn = 0L
+      for (_ <- 1 to 4) {  // 4 micro-batches
+        val events = (1 to 30).map { _ =>
+          lsn += 1
+          val k = rnd.nextInt(12).toLong
+          rnd.nextInt(3) match {
+            case 0 => (k, s"v$lsn", "insert", lsn)
+            case 1 => (k, s"v$lsn", "update", lsn)
+            case _ => (k, null: String, "delete", lsn)
+          }
+        }
+        // reference: apply collapsed semantics event by event
+        events.foreach {
+          case (k, _, "delete", _) => table.remove(k)
+          case (k, v, _, _) => table(k) = v
+        }
+        CdcStream.mergeBatch(batch(events: _*), state, Seq("id"),
+          numBuckets = 8)
+      }
+      val got = CdcStream.readState(spark, state)
+        .select("id", "v").as[(Long, String)].collect().toMap
+      assert(got == table.toMap, s"round $round diverged")
+    }
+  }
+
+  test("mergeBatch pins numBuckets from the state meta across batches") {
+    val state = tmp() + "/tm"
+    CdcStream.mergeBatch(batch((1L, "a", "insert", 0L)), state, Seq("id"),
+      numBuckets = 4)
+    // later caller passes a different numBuckets: the meta wins
+    CdcStream.mergeBatch(batch((2L, "b", "insert", 1L)), state, Seq("id"),
+      numBuckets = 64)
+    val dirs = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith(CdcStream.BucketCol))
+      .map(_.getName).toSeq
+    val buckets = dirs.map(_.stripPrefix(CdcStream.BucketCol + "=").toInt)
+    assert(buckets.forall(_ < 4), s"bucket ids $buckets exceed pinned count 4")
+    assert(CdcStream.readState(spark, state).count() == 2)
+  }
+
   test("mergeBatch schema drift migrates buckets and keeps them homogeneous") {
     val state = tmp() + "/td"
     CdcStream.mergeBatch(
