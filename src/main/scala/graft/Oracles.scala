@@ -470,6 +470,13 @@ object Oracles {
          |       ELSE o_totalprice END AS o_totalprice
          |FROM orders WHERE o_orderkey % 17 <> 0 ORDER BY o_orderkey""".stripMargin),
 
+    "native_parse" ->
+      (s"""SELECT o_orderkey AS id, o_totalprice AS price,
+         |  $ordersKindSql AS "__kind", o_orderkey AS "__lsn",
+         |  CAST(o_custkey AS VARCHAR) AS "__tx_id",
+         |  'public.orders' AS "__table", o_orderkey AS "__commit_time"
+         |FROM orders ORDER BY id""".stripMargin),
+
     "confluent_decode" ->
       ("""SELECT o_orderkey AS id, o_totalprice AS price,
          |  CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE o_orderstatus END AS status,

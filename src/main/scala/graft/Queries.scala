@@ -553,6 +553,23 @@ object Queries {
         snapshotLsn = 5L).orderBy("o_orderkey")
     }),
 
+    "native_parse" -> ((s, dir) => {
+      // the reference's own serialized-ChangeItem wire: raw JSON number
+      // values in the positional columnvalues array (coerced to text by
+      // the parser, cast by declared schema)
+      val wire = t(s, dir, "orders").select(format_string(
+        """[{"id":%d,"nextlsn":%d,"commitTime":%d,"txPosition":0,"kind":"%s","schema":"public","table":"orders","part":"","columnnames":["id","price"],"columnvalues":[%d,%s],"oldkeys":{},"tx_id":"","query":""}]""",
+        col("o_custkey"), col("o_orderkey"), col("o_orderkey") * 1000L,
+        ordersKind, col("o_orderkey"),
+        col("o_totalprice").cast(StringType)).as("value"))
+      graft.parsers.NativeChangeItems.receive(wire, "value",
+        StructType(Seq(StructField("id", LongType),
+          StructField("price", DoubleType))), pkCols = Seq("id"))
+        .select(col("id"), col("price"), col(E.Kind), col(E.Lsn),
+          col(E.TxId), col(E.Table), col(E.CommitTime))
+        .orderBy("id")
+    }),
+
     "confluent_decode" -> ((s, dir) => {
       // two-schema topic: even keys encoded with v1, odd with v2 (adds
       // status); all decoded against reader v2 via Avro schema resolution

@@ -281,6 +281,135 @@ object ConfluentFraming {
   }
 }
 
+/** The reference's NATIVE serialized ChangeItem format (reference:
+  * pkg/parsers/registry/native/parser_native.go →
+  * abstract.UnmarshalChangeItems, restore.go:344; wire shape per the
+  * committed canondata: one JSON ARRAY of change items per message,
+  * lowercase keys {id, nextlsn, commitTime(ns), txPosition, kind,
+  * schema, table, part, columnnames, columnvalues, oldkeys:{keynames,
+  * keyvalues}, tx_id, query}). Consuming this means a graft pipeline
+  * can read a queue the reference itself produced. Values are
+  * positional like wal2json; declared columns are projected by name and
+  * cast from their JSON text form. */
+object NativeChangeItems {
+  def receive(df: DataFrame, jsonCol: String, rowSchema: StructType,
+              pkCols: Seq[String]): DataFrame = {
+    val itemSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("nextlsn", LongType),
+      StructField("commitTime", LongType),
+      StructField("txPosition", IntegerType),
+      StructField("kind", StringType),
+      StructField("schema", StringType),
+      StructField("table", StringType),
+      StructField("part", StringType),
+      StructField("columnnames", ArrayType(StringType)),
+      StructField("columnvalues", ArrayType(StringType)),
+      StructField("oldkeys", StructType(Seq(
+        StructField("keynames", ArrayType(StringType)),
+        StructField("keyvalues", ArrayType(StringType))))),
+      StructField("tx_id", StringType),
+      StructField("query", StringType)))
+    val exploded = df
+      .select(posexplode(from_json(col(jsonCol), ArrayType(itemSchema)))
+        .as(Seq("__pos", "__c")))
+    def valueOf(f: StructField): Column = {
+      val idx = array_position(col("__c.columnnames"), f.name)
+      when(idx > 0, element_at(col("__c.columnvalues"), idx.cast("int")))
+        .otherwise(lit(null)).cast(f.dataType).as(f.name)
+    }
+    def oldKeyOf(k: String): Column = {
+      val idx = array_position(col("__c.oldkeys.keynames"), k)
+      when(idx > 0, element_at(col("__c.oldkeys.keyvalues"), idx.cast("int")))
+        .otherwise(lit(null)).cast(rowSchema(k).dataType).as(k)
+    }
+    def keyOrValue(f: StructField): Column =
+      if (pkCols.contains(f.name))
+        coalesce(valueOf(f), oldKeyOf(f.name)).as(f.name)
+      else valueOf(f)
+    exploded.select((rowSchema.fields.map(keyOrValue).toSeq ++ Seq(
+      col("__c.kind").as(E.Kind),
+      col("__c.nextlsn").as(E.Lsn),
+      col("__c.txPosition").as(E.Counter),
+      when(col("__c.tx_id") =!= "", col("__c.tx_id"))
+        .otherwise(col("__c.id").cast(StringType)).as(E.TxId),
+      nullif(col("__c.part"), lit("")).as(E.PartId),
+      concat_ws(".", nullif(col("__c.schema"), lit("")), col("__c.table"))
+        .as(E.Table),
+      // commitTime is ns in the reference; the envelope carries µs
+      expr("__c.commitTime div 1000").as(E.CommitTime),
+      when(size(col("__c.oldkeys.keynames")) > 0,
+        struct(pkCols.map(oldKeyOf): _*)).as(E.OldKeys))): _*)
+  }
+}
+
+/** Blank parser (reference: pkg/parsers/registry/blank/parser_blank.go
+  * BlankSchema): expose queue messages verbatim under the fixed schema
+  * {partition (pk), offset (pk, uint64), seq_no, source_id, c_time,
+  * w_time, ip, lb_raw_message, lb_extra_fields} — the "do not parse,
+  * just ship the raw log" mode. Composes over [[graft.sources.Readers
+  * .fileQueue]] (or any frame with topic/partition/offset/value). */
+object BlankParser {
+  def fromQueue(queue: DataFrame): DataFrame =
+    queue.select(
+      col("partition").cast(StringType).as("partition"),
+      col("offset").cast(DecimalType(20, 0)).as("offset"),
+      col("offset").cast(DecimalType(20, 0)).as("seq_no"),
+      col("topic").as("source_id"),
+      lit(null).cast(TimestampType).as("c_time"),
+      lit(null).cast(TimestampType).as("w_time"),
+      lit(null).cast(StringType).as("ip"),
+      col("value").cast(StringType).as("lb_raw_message"),
+      lit(null).cast(MapType(StringType, StringType)).as("lb_extra_fields"))
+}
+
+/** Cloud Audit Trails v1 events (reference:
+  * pkg/parsers/registry/audittrailsv1/engine/parser.go): one JSON event
+  * per line; the typed envelope (event id/source/type/time,
+  * authentication, authorization, request metadata) lands as flattened
+  * dot→underscore columns exactly like the reference's traversal
+  * (parser.go:121-127); values redacted as "*** hidden ***" null out;
+  * the full event rides along raw for fields outside the envelope (the
+  * reference flattens them dynamically — a static-schema engine keeps
+  * them queryable via JSON functions instead). */
+object AuditTrails {
+  private val Hidden = "*** hidden ***"
+
+  def receive(df: DataFrame, jsonCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", StringType),
+      StructField("event_source", StringType),
+      StructField("event_type", StringType),
+      StructField("event_time", TimestampType),
+      StructField("authentication", StructType(Seq(
+        StructField("authenticated", BooleanType),
+        StructField("subject_type", StringType),
+        StructField("subject_id", StringType),
+        StructField("subject_name", StringType)))),
+      StructField("authorization", StructType(Seq(
+        StructField("authorized", BooleanType)))),
+      StructField("request_metadata", StructType(Seq(
+        StructField("remote_address", StringType),
+        StructField("user_agent", StringType)))),
+      StructField("event_status", StringType)))
+    def unhide(c: Column): Column = when(c =!= Hidden, c)
+    val p = df.withColumn("__e", from_json(col(jsonCol), schema))
+    p.select(
+      col("__e.event_id").as("event_id"),
+      col("__e.event_source").as("event_source"),
+      col("__e.event_type").as("event_type"),
+      col("__e.event_time").as("event_time"),
+      col("__e.authentication.authenticated").as("authentication_authenticated"),
+      unhide(col("__e.authentication.subject_type")).as("authentication_subject_type"),
+      unhide(col("__e.authentication.subject_id")).as("authentication_subject_id"),
+      unhide(col("__e.authentication.subject_name")).as("authentication_subject_name"),
+      col("__e.authorization.authorized").as("authorization_authorized"),
+      unhide(col("__e.request_metadata.remote_address")).as("request_metadata_remote_address"),
+      col("__e.event_status").as("event_status"),
+      col(jsonCol).as("raw"))
+  }
+}
+
 /** MySQL binlog row events in the Canal JSON envelope (reference:
   * pkg/providers/mysql/canal.go — the reference embeds a canal-compatible
   * binlog decoder; the JSON shape is the public Alibaba Canal format:

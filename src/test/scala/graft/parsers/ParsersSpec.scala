@@ -156,6 +156,50 @@ class ParsersSpec extends SparkSpec {
     assert(kinds == Set((3L, "delete"), (9L, "insert"), (4L, "update")))
   }
 
+  test("native change-item wire parses batches, oldkeys fallback, ns->us") {
+    val wire = Seq(
+      // one message = a transaction batch of two items; delete carries
+      // its key only in oldkeys (OldOrCurrentKeys)
+      """[{"id":601,"nextlsn":100,"commitTime":1643660670333075000,"txPosition":0,"kind":"insert","schema":"public","table":"t1","part":"","columnnames":["id","v"],"columnvalues":[1,"a"],"oldkeys":{},"tx_id":"","query":""},
+        |{"id":601,"nextlsn":100,"commitTime":1643660670333075000,"txPosition":1,"kind":"delete","schema":"public","table":"t1","part":"","columnnames":[],"columnvalues":[],"oldkeys":{"keynames":["id"],"keyvalues":[2]},"tx_id":"tx-9","query":""}]"""
+        .stripMargin.replace("\n", "")).toDF("value")
+    val out = NativeChangeItems.receive(wire, "value",
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))),
+      pkCols = Seq("id"))
+    val rows = out.select(col("id"), col("v"), col(E.Kind), col(E.Counter),
+      col(E.TxId), col(E.Table), col(E.CommitTime))
+      .as[(Long, Option[String], String, Int, String, String, Long)]
+      .collect().toSeq.sortBy(_._4)
+    assert(rows == Seq(
+      (1L, Some("a"), "insert", 0, "601", "public.t1", 1643660670333075L),
+      (2L, None, "delete", 1, "tx-9", "public.t1", 1643660670333075L)))
+  }
+
+  test("blank parser ships queue messages under the fixed schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blank").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "p0.txt"), "l1\nl2")
+    val out = BlankParser.fromQueue(
+      graft.sources.Readers.fileQueue(spark, dir, "logs"))
+    assert(out.columns.toSeq == Seq("partition", "offset", "seq_no",
+      "source_id", "c_time", "w_time", "ip", "lb_raw_message", "lb_extra_fields"))
+    assert(out.schema("offset").dataType == DecimalType(20, 0))
+    val msgs = out.select("lb_raw_message").as[String].collect().toSeq.sorted
+    assert(msgs == Seq("l1", "l2"))
+  }
+
+  test("audit trails v1: typed envelope, hidden values nulled, raw kept") {
+    val lines = Seq(
+      """{"event_id":"e1","event_source":"mia","event_type":"t1","event_time":"2022-11-14T10:03:17Z","authentication":{"authenticated":true,"subject_type":"FEDERATED_USER_ACCOUNT","subject_id":"123","subject_name":"*** hidden ***"},"authorization":{"authorized":true},"request_metadata":{"remote_address":"10.0.0.1"}}""")
+      .toDF("value")
+    val out = AuditTrails.receive(lines, "value").collect().head
+    assert(out.getAs[String]("event_id") == "e1")
+    assert(out.getAs[Boolean]("authentication_authenticated"))
+    assert(out.getAs[String]("authentication_subject_id") == "123")
+    assert(out.getAs[String]("authentication_subject_name") == null)
+    assert(out.getAs[String]("request_metadata_remote_address") == "10.0.0.1")
+    assert(out.getAs[String]("raw").contains("\"event_id\":\"e1\""))
+  }
+
   test("confluent registry decode resolves mixed writer schemas") {
     val reg = java.nio.file.Files.createTempDirectory("graft_reg").toString
     val v1 = """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}"""
