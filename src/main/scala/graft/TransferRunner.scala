@@ -38,6 +38,7 @@ object TransferRunner {
         .option("subscribe", topic)
         .option("startingOffsets", offsets).load()
     case SourceConfig.Sample(rows) => SampleSource.iot(spark, rows)
+    case SourceConfig.TextStream(dir) => spark.readStream.text(dir)
   }
 
   private def wireFormat(name: String): sinks.KafkaSink.WireFormat =
@@ -90,8 +91,24 @@ object TransferRunner {
                      pks: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
     val src = source(spark, t.source)
     require(src.isStreaming, "replication requires a streaming source")
-    val out = TransformerChain(t.transformers)(src)
+    val chain = TransformerChain(t.transformers)
+    val out = chain(src)
     t.sink match {
+      // dead-letter routing in the stream: transformers apply per
+      // micro-batch so quarantine rows land next to the state (the
+      // reference's ErrorsOutput=sink behavior during replication)
+      case SinkConfig.Merge(path, _)
+          if t.errorsOutput.isInstanceOf[ErrorsOutput.ToPath] =>
+        val ErrorsOutput.ToPath(errPath) = t.errorsOutput: @unchecked
+        val ckpt = t.checkpointDir.getOrElse(path + "_checkpoint")
+        src.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(streaming.CdcStream.Bufferer().trigger)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            chain.errors(batch).foreach(
+              sinks.Sinks.parquet(_, errPath, sinks.Sinks.Disabled))
+            streaming.CdcStream.mergeBatch(chain(batch), path, pks)
+          }.start()
       case SinkConfig.Merge(path, _) =>
         val ckpt = t.checkpointDir.getOrElse(path + "_checkpoint")
         streaming.CdcStream.replicate(out, path, ckpt, pks,

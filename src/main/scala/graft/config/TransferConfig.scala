@@ -43,6 +43,9 @@ object SourceConfig {
       extends SourceConfig
   /** Deterministic generator (≙ the reference's `sample` provider). */
   final case class Sample(rows: Long) extends SourceConfig
+  /** Streaming line source over a directory — file-queue ingestion
+    * (new files become micro-batches; pairs with the file-queue sink). */
+  final case class TextStream(dir: String) extends SourceConfig
 }
 
 sealed trait SinkConfig

@@ -70,6 +70,7 @@ object TransferYaml {
         m("topic").toString,
         m.getOrElse("starting_offsets", "earliest").toString)
       case "sample" => SourceConfig.Sample(m("rows").toString.toLong)
+      case "text_stream" => SourceConfig.TextStream(m("dir").toString)
       case other => throw new IllegalArgumentException(s"source kind $other")
     }
 

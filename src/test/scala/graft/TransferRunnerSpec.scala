@@ -115,6 +115,31 @@ class TransferRunnerSpec extends SparkSpec {
     assert(found.forall { case (lo, hi) => hi - lo == 1 })
   }
 
+  test("streamed replication routes quarantine rows to the dead-letter path") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val in = dir + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    Files.writeString(java.nio.file.Paths.get(in, "b1.jsonl"),
+      """{"id": 1, "v": "a"}""" + "\n{bad\n" + """{"id": 2, "v": "b"}""")
+    val t = Transfer(
+      TransferType.IncrementOnly,
+      SourceConfig.TextStream(in),
+      SinkConfig.Merge(dir + "/state", Seq("id")),
+      transformers = Seq(T.JsonParser("value", StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))))),
+      errorsOutput = ErrorsOutput.ToPath(dir + "/errs"),
+      checkpointDir = Some(dir + "/ckpt"))
+    val q = TransferRunner.runReplication(spark, t, Seq("id"))
+    try q.processAllAvailable() finally q.stop()
+    val state = graft.streaming.CdcStream.readState(spark, dir + "/state")
+      .select("id", "v").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(state == Seq((1L, "a"), (2L, "b")))
+    val errs = spark.read.parquet(dir + "/errs")
+      .select("value").as[String].collect().toSeq
+    assert(errs == Seq("{bad"))
+  }
+
   test("jdbc dialect maps unsigned and tiny types both directions") {
     import graft.sources.GraftJdbcDialect
     import java.sql.Types
