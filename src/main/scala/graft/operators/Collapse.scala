@@ -117,12 +117,18 @@ object Collapse {
 
   /** Last-write-wins collapse for full-row events (the common
     * snapshot-replay / upsert-merge case): keep the newest event per key.
-    * This is the fast path used by the streaming MERGE sink. */
+    * This is the fast path used by the streaming MERGE sink.
+    *
+    * Implemented as `max_by` AGGREGATION, not a row_number window: the
+    * aggregate gets map-side partial combine, so a hot key (one PK
+    * dominating a CDC burst) is reduced before the shuffle instead of
+    * funneling every duplicate through one window task — the skew story
+    * at scale. No per-partition sort either. */
   def lastWriteWins(df: DataFrame, pks: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(pks.map(col): _*)
-      .orderBy(col(E.Lsn).desc, col(E.Counter).desc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val row = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(pks.map(col): _*)
+      .agg(max_by(row, ord).as("__r"))
+      .select(col("__r.*"))
   }
 
   /** Split PK-changing updates into delete(old)+insert(new) pairs

@@ -193,6 +193,9 @@ object CdcStream {
     // files per batch — a small-file explosion at cluster scale)
     out.repartition(math.min(n, out.sparkSession.sessionState.conf.numShufflePartitions),
         col(BucketCol))
+      // PK-sorted files: parquet min/max stats become selective, so a
+      // point lookup inside a bucket prunes to one row group
+      .sortWithinPartitions((col(BucketCol) +: pks.map(col)): _*)
       .write.partitionBy(BucketCol).parquet(tmp.toString)
     if (legacy) { fs.delete(root, true); () }
     if (!fs.exists(root)) fs.mkdirs(root)

@@ -312,6 +312,18 @@ class CollapseSpec extends SparkSpec {
     }
   }
 
+  test("lastWriteWins is a map-side-combined aggregation, not a window") {
+    val df = Seq((1L, "a", "insert", 1L), (1L, "b", "update", 2L))
+      .toDF("id", "v", E.Kind, E.Lsn).withColumn(E.Counter, lit(0))
+    val out = Collapse.lastWriteWins(df, Seq("id"))
+    assert(out.select("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "b")))
+    val plan = out.queryExecution.executedPlan.toString
+    // hot keys partially reduce before the shuffle (skew robustness)
+    assert(plan.contains("partial_max_by"), s"no partial aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+  }
+
   test("tagTransactions ranks tx ids without a single-partition window") {
     val df = Seq((1L, "t2"), (2L, "t1"), (3L, "t2"), (4L, "t3"))
       .toDF("id", E.TxId)
