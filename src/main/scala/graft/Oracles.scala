@@ -64,6 +64,13 @@ object Oracles {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
 
+    "ch_sql_transform" ->
+      ("""SELECT o_orderstatus,
+         |  count(*) FILTER (o_totalprice > 200000) AS n_big,
+         |  count(DISTINCT o_custkey) AS n_cust,
+         |  CAST(min(o_orderkey) AS VARCHAR) AS first_key
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
     "convert_to_string" ->
       ("SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey, " +
         "CAST(l_linenumber AS VARCHAR) AS l_linenumber, l_returnflag, " +

@@ -102,6 +102,16 @@ object Queries {
           "FROM table GROUP BY o_orderstatus ORDER BY o_orderstatus")
         .apply(t(s, dir, "orders"))),
 
+    "ch_sql_transform" -> ((s, dir) =>
+      // the reference's clickhouse-local SQL transformer config, pasted
+      // verbatim and translated to Spark SQL by ChSql
+      T.SqlTransform(graft.operators.ChSql.translate(
+        "SELECT o_orderstatus, countIf(o_totalprice > 200000) AS n_big, " +
+          "uniqExact(o_custkey) AS n_cust, " +
+          "toString(min(o_orderkey)) AS first_key " +
+          "FROM table GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+        .apply(t(s, dir, "orders"))),
+
     "convert_to_string" -> ((s, dir) =>
       T.ConvertToString(Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"))
         .apply(t(s, dir, "lineitem"))

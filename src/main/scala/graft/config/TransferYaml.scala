@@ -115,6 +115,9 @@ object TransferYaml {
         cfg.getOrElse("hmac", "true").toString.toBoolean)
       case "sql" => T.SqlTransform(cfg("query").toString,
         cfg.getOrElse("view", "table").toString)
+      case "clickhouse_sql" => T.SqlTransform(
+        graft.operators.ChSql.translate(cfg("query").toString),
+        cfg.getOrElse("view", "table").toString)
       case "convert_to_string" => T.ConvertToString(strs("columns"))
       case "convert_to_datetime" => T.ConvertToDatetime(strs("columns"),
         cfg.getOrElse("unit", "seconds").toString)

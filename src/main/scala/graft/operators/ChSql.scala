@@ -1,0 +1,106 @@
+package graft.operators
+
+/** ClickHouse-SQL → Spark-SQL translation for the `sql` transformer
+  * (reference: pkg/transformer/registry/clickhouse/clickhouse_local.go
+  * runs batch SQL through an embedded clickhouse-local; graft runs Spark
+  * SQL). This translates the documented scalar/aggregate namespace
+  * (docs/sql-dialect.md) so reference transformer configs can be pasted
+  * as-is. Best-effort TEXT rewrite of the regular subset:
+  *   - name-for-name swaps (arity and argument order preserved);
+  *   - parametric rewrites (quantile(q)(x), toStartOfX, toString/toIntN
+  *     casts, JSONExtract*, splitByChar argument swap);
+  *   - hash functions route to the engine-stable md5 family, not CH's
+  *     city/sip hashes (values differ across engines by construction).
+  * Constructs without a regular rewrite (multiIf, match, array length)
+  * are left untouched for Spark to reject loudly rather than silently
+  * change semantics.
+  */
+object ChSql {
+
+  private val nameSwaps: Seq[(String, String)] = Seq(
+    "parseDateTimeBestEffortOrNull" -> "try_to_timestamp",
+    "parseDateTime32BestEffort" -> "to_timestamp",
+    "parseDateTimeBestEffort" -> "to_timestamp",
+    "formatDateTime" -> "date_format",
+    "toUnixTimestamp" -> "unix_timestamp",
+    "toDateTime" -> "timestamp_seconds",
+    "toDate" -> "to_date",
+    "dateDiff" -> "timestampdiff",
+    "arrayJoin" -> "explode",
+    "arrayMap" -> "transform",
+    "arrayFilter" -> "filter",
+    "arraySort" -> "array_sort",
+    "arrayDistinct" -> "array_distinct",
+    "has" -> "array_contains",
+    "groupArray" -> "collect_list",
+    "argMax" -> "max_by",
+    "argMin" -> "min_by",
+    "countIf" -> "count_if",
+    "uniqCombined" -> "approx_count_distinct",
+    "uniq" -> "approx_count_distinct",
+    "any" -> "any_value",
+    "ifNull" -> "nvl",
+    "replaceRegexpAll" -> "regexp_replace",
+    "replaceAll" -> "replace",
+    "position" -> "instr",
+    "cityHash64" -> "graft_stable_hash64",
+    "sipHash64" -> "graft_stable_hash64",
+    "halfMD5" -> "md5",
+    "MD5" -> "md5",
+    "now" -> "current_timestamp",
+    "today" -> "current_date")
+
+  private val castTypes: Seq[(String, String)] = Seq(
+    "toString" -> "STRING",
+    "toInt8" -> "TINYINT",
+    "toInt16" -> "SMALLINT",
+    "toInt32" -> "INT",
+    "toInt64" -> "BIGINT",
+    "toUInt8" -> "SMALLINT",
+    "toUInt16" -> "INT",
+    "toUInt32" -> "BIGINT",
+    "toUInt64" -> "DECIMAL(20,0)",
+    "toFloat32" -> "FLOAT",
+    "toFloat64" -> "DOUBLE")
+
+  def translate(sql: String): String = {
+    var s = sql
+    // uniqExact(x) -> count(DISTINCT x)
+    s = """uniqExact\(([^()]+)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"count(DISTINCT ${m.group(1)})"))
+    // quantile(q)(x) -> percentile_approx(x, q)
+    s = """quantile\(([^()]+)\)\(([^()]+)\)""".r
+      .replaceAllIn(s, m => s"percentile_approx(${m.group(2)}, ${m.group(1)})")
+    // toStartOfDay/Hour/Minute/Month/Year(t) -> date_trunc('day', t)
+    s = """toStartOf(Day|Hour|Minute|Month|Year)\(""".r
+      .replaceAllIn(s, m => s"date_trunc('${m.group(1).toLowerCase}', ")
+    // JSONExtract<T>(j, 'path') -> typed get_json_object
+    def jsonPath(p: String) = "'$." + p.stripPrefix("'").stripSuffix("'") + "'"
+    s = """JSONExtractString\(([^,]+),\s*('[^']*')\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"get_json_object(${m.group(1)}, ${jsonPath(m.group(2))})"))
+    for ((fn, t) <- Seq("JSONExtractInt" -> "BIGINT",
+        "JSONExtractFloat" -> "DOUBLE", "JSONExtractBool" -> "BOOLEAN"))
+      s = (fn + """\(([^,]+),\s*('[^']*')\)""").r
+        .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+          s"CAST(get_json_object(${m.group(1)}, ${jsonPath(m.group(2))}) AS $t)"))
+    s = """JSONHas\(([^,]+),\s*('[^']*')\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"(get_json_object(${m.group(1)}, ${jsonPath(m.group(2))}) IS NOT NULL)"))
+    // splitByChar('c', s) -> split(s, 'c') with the regex char escaped
+    s = """splitByChar\('(.)',\s*([^()]+)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"split(${m.group(2)}, '\\\\Q${m.group(1)}\\\\E')"))
+    // toString/toIntN/... single-argument casts (args may nest one
+    // paren level, e.g. toString(min(x)))
+    for ((fn, t) <- castTypes)
+      s = (fn + """\(((?:[^()]|\([^()]*\))*)\)""").r
+        .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+          s"CAST(${m.group(1)} AS $t)"))
+    // plain name-for-name function swaps (word boundary + open paren)
+    for ((ch, sp) <- nameSwaps)
+      s = ("""\b""" + ch + """\s*\(""").r.replaceAllIn(s, sp + "(")
+    s
+  }
+}
