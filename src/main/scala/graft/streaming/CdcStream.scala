@@ -131,6 +131,20 @@ object CdcStream {
     val spark = batch.sparkSession
     val fs = fsOf(spark)
     val root = new org.apache.hadoop.fs.Path(stateDir)
+    // crash recovery: a leftover .bak dir means a previous swap died
+    // mid-flight (the batch never committed to the checkpoint, so it
+    // WILL be replayed) — restore the pre-batch buckets first, making
+    // the swap-then-replay sequence exact, not just per-bucket-atomic
+    val bak = new org.apache.hadoop.fs.Path(stateDir + ".bak")
+    if (fs.exists(bak)) {
+      fs.listStatus(bak).filter(_.getPath.getName.startsWith(BucketCol))
+        .foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(stateDir, st.getPath.getName)
+          if (fs.exists(dst)) fs.delete(dst, true)
+          fs.rename(st.getPath, dst)
+        }
+      fs.delete(bak, true)
+    }
     val meta = readMeta(fs, stateDir)
     val n = meta.map(_.numBuckets).getOrElse(numBuckets)
 
@@ -199,12 +213,24 @@ object CdcStream {
       .write.partitionBy(BucketCol).parquet(tmp.toString)
     if (legacy) { fs.delete(root, true); () }
     if (!fs.exists(root)) fs.mkdirs(root)
+    // two-phase swap: move every affected live bucket aside into .bak,
+    // then move the rewritten buckets in, then drop .bak. A crash at any
+    // point leaves either a recoverable .bak (see recovery above) or the
+    // completed new state — never a half-lost bucket.
+    fs.mkdirs(bak)
+    affected.foreach { i =>
+      val dst = new org.apache.hadoop.fs.Path(stateDir, s"$BucketCol=$i")
+      if (fs.exists(dst)) {
+        fs.rename(dst, new org.apache.hadoop.fs.Path(bak, s"$BucketCol=$i"))
+        ()
+      }
+    }
     affected.foreach { i =>
       val src = new org.apache.hadoop.fs.Path(tmp, s"$BucketCol=$i")
       val dst = new org.apache.hadoop.fs.Path(stateDir, s"$BucketCol=$i")
-      if (fs.exists(dst)) fs.delete(dst, true)
       if (fs.exists(src)) { fs.rename(src, dst); () }
     }
+    fs.delete(bak, true)
     fs.delete(tmp, true)
     writeMeta(fs, stateDir, StateMeta(n, outCols))
     collapsed.unpersist()

@@ -102,6 +102,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("mergeBatch recovers a crashed swap from the .bak dir") {
+    val state = tmp() + "/tc"
+    val snap = spark.range(0, 200)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    CdcStream.mergeBatch(snap, state, Seq("id"), numBuckets = 8)
+    // simulate a swap that died between backup and move-in: one live
+    // bucket sits in .bak, missing from the state dir
+    val root = java.nio.file.Paths.get(state)
+    import scala.jdk.CollectionConverters._
+    val bucket = java.nio.file.Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(CdcStream.BucketCol))
+      .toSeq.head
+    val bak = java.nio.file.Paths.get(state + ".bak")
+    java.nio.file.Files.createDirectories(bak)
+    java.nio.file.Files.move(bucket, bak.resolve(bucket.getFileName))
+    // next merge must first restore the backed-up bucket, then apply
+    CdcStream.mergeBatch(batch((5L, "v5c", "update", 9L)), state, Seq("id"))
+    val out = CdcStream.readState(spark, state)
+    assert(out.count() == 200, "rows lost across crash recovery")
+    assert(out.filter(col("id") === 5).select("v").as[String].head() == "v5c")
+    assert(!java.nio.file.Files.exists(bak))
+  }
+
   test("mergeBatch pins numBuckets from the state meta across batches") {
     val state = tmp() + "/tm"
     CdcStream.mergeBatch(batch((1L, "a", "insert", 0L)), state, Seq("id"),
