@@ -24,6 +24,15 @@ object Hashing {
   def stableBucket(c: Column, buckets: Int): Column =
     pmod(hex8ToLong(c), lit(buckets))
 
+  /** Driver-side twin of [[hex8ToLong]] (same md5-first-8-hex value) for
+    * planning decisions — e.g. computing a key's state bucket without a
+    * Spark job. */
+  def hex8ToLongJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
   /** Seeded variant: seed participates in the hashed payload. */
   def seeded(c: Column, seed: Int): Column =
     hex8ToLong(concat(lit(s"$seed:"), c))

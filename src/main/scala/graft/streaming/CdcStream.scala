@@ -100,6 +100,23 @@ object CdcStream {
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
+  /** Point lookup: compute the key's bucket on the DRIVER (same md5
+    * hash as [[bucketOf]]) and scan ONLY that bucket dir — I/O is
+    * state/numBuckets, and the PK-sorted files prune further via
+    * parquet min/max stats. Key values must render like Spark's
+    * string cast (integral/string keys do). */
+  def lookup(spark: SparkSession, stateDir: String, pks: Seq[String],
+             key: Seq[Any]): DataFrame = {
+    require(pks.length == key.length, "one value per key column")
+    val fs = fsOf(spark)
+    val n = readMeta(fs, stateDir).map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(s"$stateDir is not a bucketed state"))
+    val rendered = key.map(String.valueOf).mkString("\u0001")
+    val b = math.floorMod(graft.functions.Hashing.hex8ToLongJvm(rendered), n.toLong)
+    val df = spark.read.parquet(s"$stateDir/$BucketCol=$b")
+    pks.zip(key).foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === v) }
+  }
+
   /** Upsert-MERGE a collapsed micro-batch into a PK-hash-bucketed parquet
     * state dir. Idempotent: replaying a batch converges to the same state
     * (PK last-write-wins by (__lsn, __counter)), which is what makes

@@ -102,6 +102,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("lookup reads only the key's bucket") {
+    val state = tmp() + "/tl"
+    val snap = spark.range(0, 500)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    CdcStream.mergeBatch(snap, state, Seq("id"), numBuckets = 16)
+    val hit = CdcStream.lookup(spark, state, Seq("id"), Seq(42L))
+    assert(hit.select("v").as[String].collect().toSeq == Seq("v42"))
+    // the plan touches exactly one bucket dir's files
+    val dirs = hit.inputFiles.map(f =>
+      f.split("/").find(_.startsWith(CdcStream.BucketCol)).get).toSet
+    assert(dirs.size == 1, s"lookup scanned $dirs")
+    // driver-side bucket matches the layout's bucket expression
+    val expected = spark.range(42, 43).select(
+      CdcStream.bucketOf(Seq("id"), 16)).first().getInt(0)
+    assert(dirs.head == s"${CdcStream.BucketCol}=$expected")
+  }
+
   test("mergeBatch recovers a crashed swap from the .bak dir") {
     val state = tmp() + "/tc"
     val snap = spark.range(0, 200)
