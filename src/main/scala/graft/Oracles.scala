@@ -511,6 +511,10 @@ object Oracles {
          |  dense_rank() OVER (ORDER BY CAST(o_custkey AS VARCHAR)) AS "__tx_ord"
          |FROM orders ORDER BY o_orderkey""".stripMargin),
 
+    "delta_roundtrip" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "ORDER BY o_orderkey"),
+
     "merge_bucketed" ->
       ("""SELECT o_orderkey AS k,
          |  CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0

@@ -669,6 +669,20 @@ object Queries {
         .select(col("o_orderkey"), col(E.TxId), col("__tx_ord"))
         .orderBy("o_orderkey")),
 
+    "delta_roundtrip" -> ((s, dir) => {
+      // two versioned Delta commits (public protocol), replayed by the
+      // log reader
+      val path = "/tmp/graft_delta/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_delta"), true)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.DeltaLite.write(o.filter(col("o_orderkey") % 2 === 0), path)
+      graft.sources.DeltaLite.write(o.filter(col("o_orderkey") % 2 =!= 0), path)
+      graft.sources.DeltaLite.read(s, path).orderBy("o_orderkey")
+    }),
+
     "merge_bucketed" -> ((s, dir) => {
       // bucketed incremental MERGE end-to-end: snapshot batch, then a
       // CDC batch of disjoint updates/deletes; the final state is read

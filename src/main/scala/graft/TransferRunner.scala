@@ -65,6 +65,10 @@ object TransferRunner {
           wireFormat(fmt))
       case SinkConfig.Jdbc(url, table, props) =>
         sinks.JdbcSink.write(df, url, table, cleanup, props)
+      case SinkConfig.Delta(path) =>
+        sources.DeltaLite.write(df, path,
+          overwrite = cleanup != Sinks.Disabled)
+        ()
     }
 
   /** Snapshot upload: `trcli activate/upload` for SNAPSHOT_ONLY

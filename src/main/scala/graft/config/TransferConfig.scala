@@ -71,6 +71,8 @@ object SinkConfig {
   final case class Jdbc(url: String, table: String,
                         properties: Map[String, String] = Map.empty)
       extends SinkConfig
+  /** Delta table sink (public protocol, versioned commits). */
+  final case class Delta(path: String) extends SinkConfig
 }
 
 /** A transfer: source -> transformer chain -> sink (reference:

@@ -93,6 +93,7 @@ object TransferYaml {
         m.getOrElse("format", "json").toString,
         m.get("key_columns").map(asList(_).map(_.toString)).getOrElse(Nil))
       case "jdbc" => SinkConfig.Jdbc(m("url").toString, m("table").toString)
+      case "delta" => SinkConfig.Delta(m("path").toString)
       case other => throw new IllegalArgumentException(s"sink kind $other")
     }
 

@@ -49,6 +49,73 @@ object DeltaLite {
     adds.keys.toSeq
   }
 
+  /** Minimal Delta-protocol WRITER (the emit direction of the same
+    * public protocol): stages parquet data files into the table dir
+    * under version-tagged names, then commits one
+    * `_delta_log/<version>.json` — protocol+metaData on the first
+    * commit, `remove` actions for the previous active set on overwrite,
+    * one `add` per data file. The commit file is created with
+    * create-exclusive semantics, so two racing writers cannot both claim
+    * a version (optimistic concurrency per the protocol). Readable by
+    * [[read]] and by any Delta reader of reader-version 1.
+    * Returns the committed version. */
+  def write(df: DataFrame, tablePath: String,
+            overwrite: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
+    val version: Long =
+      if (!fs.exists(logDir)) 0L
+      else fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong).sorted.lastOption
+        .map(_ + 1).getOrElse(0L)
+    val removed: Seq[String] =
+      if (overwrite && version > 0) activeFiles(spark, tablePath) else Nil
+
+    // stage data files, then move them in under version-tagged names
+    val staging = new org.apache.hadoop.fs.Path(s"$tablePath/.stage-$version")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val moved = fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("part-")).toSeq.map { st =>
+        val name = s"part-$version-${st.getPath.getName.stripPrefix("part-")}"
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tablePath, name))
+        (name, st.getLen)
+      }
+    fs.delete(staging, true)
+
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    if (version == 0L) {
+      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${js(df.schema.json)},""" +
+        s""""partitionColumns":[],"configuration":{},"createdTime":$now}}"""
+    }
+    removed.foreach { p =>
+      actions += s"""{"remove":{"path":${js(p)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    moved.foreach { case (name, len) =>
+      actions += s"""{"add":{"path":${js(name)},"partitionValues":{},""" +
+        s""""size":$len,"modificationTime":$now,"dataChange":true}}"""
+    }
+    if (!fs.exists(logDir)) fs.mkdirs(logDir)
+    val commit = new org.apache.hadoop.fs.Path(logDir, f"$version%020d.json")
+    // create-exclusive: racing writers lose with FileAlreadyExistsException
+    val out = fs.create(commit, false)
+    try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
   /** One log action: Right(path)=add, Left(path)=remove, None=other.
     * Field extraction via a targeted scan instead of a JSON library —
     * add/remove `path` is always a top-level string field. Protocol

@@ -49,6 +49,36 @@ class ExtensionsDeltaSpec extends SparkSpec {
     assert(out == Seq((2L, "b")))
   }
 
+  test("DeltaLite writes versioned commits; append and overwrite round-trip") {
+    val table = Files.createTempDirectory("graft_delta_w").toString + "/t"
+    val v0 = DeltaLite.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table)
+    assert(v0 == 0L)
+    val v1 = DeltaLite.write(Seq((3L, "c")).toDF("id", "v"), table)
+    assert(v1 == 1L)
+    val appended = DeltaLite.read(spark, table)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(appended == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // overwrite removes the previous active set in the commit
+    val v2 = DeltaLite.write(Seq((9L, "z")).toDF("id", "v"), table,
+      overwrite = true)
+    assert(v2 == 2L)
+    assert(DeltaLite.read(spark, table).as[(Long, String)].collect().toSeq
+      == Seq((9L, "z")))
+    // protocol shape: v0 commit carries protocol + metaData with schema
+    val commit0 = Files.readString(
+      Paths.get(table, "_delta_log/00000000000000000000.json"))
+    assert(commit0.contains("\"minReaderVersion\":1"))
+    assert(commit0.contains("schemaString"))
+    // a racing writer cannot claim an already-committed version: the
+    // local FS create(overwrite=false) on an existing path must fail
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    intercept[java.io.IOException] {
+      fs.create(new org.apache.hadoop.fs.Path(
+        table, "_delta_log/00000000000000000002.json"), false).close()
+    }
+  }
+
   test("cloudevents envelope parse") {
     val df = Seq(
       """{"specversion":"1.0","id":"e1","source":"/svc","type":"created","time":"2024-01-01T00:00:00Z","data":{"k":7}}""")
