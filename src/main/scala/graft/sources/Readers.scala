@@ -64,7 +64,18 @@ object Readers {
     * Partition = source file, offset = line number within it; both are
     * recoverable positions, so a consumer can ack/resume exactly like a
     * Kafka partition. Streaming ingestion of the same layout is
-    * `spark.readStream.text(dir)` + the same projection. */
+    * `spark.readStream.text(dir)` + the same projection.
+    *
+    * Offset derivation contract: the per-file window serializes each
+    * FILE through one task — intentional, because "sequential within a
+    * partition, parallel across partitions" IS the queue model (spool
+    * writers cap file size like segment files, so a file never exceeds
+    * one task's budget). Line order under the window rests on
+    * `monotonically_increasing_id` being ordered across splits of one
+    * file: the id's high bits carry the split index and splits scan
+    * forward, so (split, row) order equals byte order. That invariant is
+    * load-bearing here — if it ever changes, derive offsets per split
+    * via a custom scan instead. */
   def fileQueue(spark: SparkSession, dir: String, topic: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(input_file_name())
