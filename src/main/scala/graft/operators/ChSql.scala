@@ -11,9 +11,9 @@ package graft.operators
   *     casts, JSONExtract*, splitByChar argument swap);
   *   - hash functions route to the engine-stable md5 family, not CH's
   *     city/sip hashes (values differ across engines by construction).
-  * Constructs without a regular rewrite (multiIf, match, array length)
-  * are left untouched for Spark to reject loudly rather than silently
-  * change semantics.
+  * Constructs without a regular rewrite (match, array length) are left
+  * untouched for Spark to reject loudly rather than silently change
+  * semantics.
   */
 object ChSql {
 
@@ -63,8 +63,67 @@ object ChSql {
     "toFloat32" -> "FLOAT",
     "toFloat64" -> "DOUBLE")
 
+  /** Split an argument list on top-level commas (parens and single
+    * quotes respected). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; val sb = new StringBuilder
+    s.foreach {
+      case '\'' => inStr = !inStr; sb += '\''
+      case '(' if !inStr => depth += 1; sb += '('
+      case ')' if !inStr => depth -= 1; sb += ')'
+      case ',' if !inStr && depth == 0 => out += sb.toString.trim; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString.trim
+    out.result()
+  }
+
+  /** Rewrite every call of `fn` (balanced parens, quote-aware) via
+    * `build` over its top-level argument list. */
+  private def rewriteCall(sql: String, fn: String)
+                         (build: Seq[String] => String): String = {
+    val idx = sql.indexOf(fn + "(")
+    if (idx < 0) sql
+    else if (idx > 0 && (sql(idx - 1).isLetterOrDigit || sql(idx - 1) == '_'))
+      // not a word boundary: leave and continue past it
+      sql.take(idx + fn.length) +
+        rewriteCall(sql.drop(idx + fn.length), fn)(build)
+    else {
+      var depth = 0; var inStr = false
+      var end = -1; var i = idx + fn.length
+      while (end < 0 && i < sql.length) {
+        sql(i) match {
+          case '\'' => inStr = !inStr
+          case '(' if !inStr => depth += 1
+          case ')' if !inStr => depth -= 1; if (depth == 0) end = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (end < 0) sql // unbalanced: leave for Spark to reject
+      else {
+        val args = splitArgs(sql.substring(idx + fn.length + 1, end))
+        sql.take(idx) + build(args) +
+          rewriteCall(sql.substring(end + 1), fn)(build)
+      }
+    }
+  }
+
   def translate(sql: String): String = {
     var s = sql
+    // multiIf(c1,v1,c2,v2,…,else) -> CASE WHEN … END
+    s = rewriteCall(s, "multiIf") { args =>
+      val whens = args.dropRight(1).grouped(2).collect {
+        case Seq(c, v) => s"WHEN $c THEN $v"
+      }.mkString(" ")
+      s"CASE $whens ELSE ${args.last} END"
+    }
+    // sumIf/avgIf/minIf/maxIf(x, p) -> agg(CASE WHEN p THEN x END)
+    for (agg <- Seq("sum", "avg", "min", "max"))
+      s = rewriteCall(s, agg + "If") { args =>
+        s"$agg(CASE WHEN ${args(1)} THEN ${args(0)} END)"
+      }
     // uniqExact(x) -> count(DISTINCT x)
     s = """uniqExact\(([^()]+)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(

@@ -24,8 +24,15 @@ class ChSqlSpec extends SparkSpec {
     assert(ChSql.translate("splitByChar(',', s)")
       == """split(s, '\\Q,\\E')""")
     assert(ChSql.translate("cityHash64(k)") == "graft_stable_hash64(k)")
+    // conditional family: balanced-paren rewrites
+    assert(ChSql.translate("multiIf(a > 1, 'x', a > 0, 'y', 'z')")
+      == "CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' ELSE 'z' END")
+    assert(ChSql.translate("sumIf(f(x, y), p > 0)")
+      == "sum(CASE WHEN p > 0 THEN f(x, y) END)")
+    assert(ChSql.translate("avgIf(x, has(a, 'k,v'))")
+      == "avg(CASE WHEN array_contains(a, 'k,v') THEN x END)")
     // constructs without a regular rewrite pass through untouched
-    assert(ChSql.translate("multiIf(a, b, c)") == "multiIf(a, b, c)")
+    assert(ChSql.translate("match(s, p)") == "match(s, p)")
   }
 
   test("translated clickhouse sql executes on spark") {
