@@ -220,6 +220,85 @@ object ProtoReader {
     }
     out.toMap
   }
+
+  /** Scalar wire value of one field occurrence. */
+  sealed trait WireValue
+  final case class VarintV(v: Long) extends WireValue
+  final case class Fixed64V(v: Long) extends WireValue
+  final case class Fixed32V(v: Int) extends WireValue
+  final case class BytesV(v: Array[Byte]) extends WireValue
+
+  /** Full scalar wire-format decode (public protobuf encoding,
+    * https://protobuf.dev/programming-guides/encoding/): walks every
+    * field of a message and returns (fieldNumber -> last occurrence) —
+    * proto3 last-wins semantics for non-repeated scalars. Handles all
+    * four scalar wire types; groups (deprecated) are rejected. No
+    * protobuf runtime required. */
+  def wireFields(bytes: Array[Byte]): Map[Int, WireValue] = {
+    var i = 0
+    val out = scala.collection.mutable.Map[Int, WireValue]()
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while ({ val b = bytes(i); i += 1; v |= (b & 0x7fL) << shift
+               shift += 7; (b & 0x80) != 0 }) ()
+      v
+    }
+    while (i < bytes.length) {
+      val tag = varint()
+      val field = (tag >> 3).toInt
+      (tag & 7).toInt match {
+        case 0 => out(field) = VarintV(varint())
+        case 1 =>
+          var v = 0L
+          for (j <- 0 until 8) { v |= (bytes(i + j) & 0xffL) << (8 * j) }
+          i += 8; out(field) = Fixed64V(v)
+        case 2 =>
+          val len = varint().toInt
+          out(field) = BytesV(bytes.slice(i, i + len)); i += len
+        case 5 =>
+          var v = 0
+          for (j <- 0 until 4) { v |= (bytes(i + j) & 0xff) << (8 * j) }
+          i += 4; out(field) = Fixed32V(v)
+        case wt => throw new IllegalArgumentException(s"wire type $wt unsupported")
+      }
+    }
+    out.toMap
+  }
+
+  /** Typed scalar decode against a (fieldNumber -> name) mapping and an
+    * output schema: the schema-driven path of the reference's protobuf
+    * parser (pkg/parsers/registry/protobuf) for scalar messages. Value
+    * conversion follows proto3: varint -> integral/bool, fixed64 ->
+    * double bits, fixed32 -> float bits, length-delimited -> string or
+    * bytes per the declared Spark type. Missing fields null out. */
+  def decodeScalar(fields: Map[Int, String], schema: StructType)
+                  (bytes: Array[Byte]): Seq[Any] = {
+    val wire = wireFields(bytes)
+    val byName = fields.map(_.swap)
+    schema.fields.toSeq.map { f =>
+      byName.get(f.name).flatMap(wire.get) match {
+        case None => null
+        case Some(v) => (v, f.dataType) match {
+          case (VarintV(x), LongType) => x
+          case (VarintV(x), IntegerType) => x.toInt
+          case (VarintV(x), BooleanType) => x != 0L
+          case (Fixed64V(x), DoubleType) => java.lang.Double.longBitsToDouble(x)
+          case (Fixed64V(x), LongType) => x
+          case (Fixed32V(x), FloatType) => java.lang.Float.intBitsToFloat(x)
+          case (Fixed32V(x), IntegerType) => x
+          case (BytesV(x), StringType) => new String(x, "UTF-8")
+          case (BytesV(x), BinaryType) => x
+          case (other, dt) => throw new IllegalArgumentException(
+            s"field ${f.name}: cannot decode $other as $dt")
+        }
+      }
+    }
+  }
+
+  /** Parse a binary column of scalar protobuf messages into typed rows. */
+  def parseScalar(df: DataFrame, rawCol: String,
+                  fields: Map[Int, String], schema: StructType): DataFrame =
+    parse(df, rawCol, schema, decodeScalar(fields, schema))
 }
 
 /** Cloud-logging LogEntry parser (reference:

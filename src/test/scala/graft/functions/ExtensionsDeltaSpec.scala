@@ -79,6 +79,36 @@ class ExtensionsDeltaSpec extends SparkSpec {
     }
   }
 
+  test("proto scalar decoder handles all four wire types without a runtime") {
+    def pv(n: Long): Array[Byte] = {
+      var v = n; val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      while ((v & ~0x7fL) != 0) { b += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+      b += v.toByte; b.toArray
+    }
+    def tag(f: Int, wt: Int) = pv((f << 3) | wt)
+    def le64(x: Long) = (0 until 8).map(j => ((x >> (8 * j)) & 0xff).toByte).toArray
+    def le32(x: Int) = (0 until 4).map(j => ((x >> (8 * j)) & 0xff).toByte).toArray
+    val s = "héllo".getBytes("UTF-8")
+    val msg: Array[Byte] =
+      tag(1, 0) ++ pv(150) ++                                   // int64
+      tag(2, 2) ++ pv(s.length) ++ s ++                          // string
+      tag(3, 1) ++ le64(java.lang.Double.doubleToLongBits(3.5)) ++ // double
+      tag(4, 0) ++ pv(1) ++                                      // bool
+      tag(5, 5) ++ le32(java.lang.Float.floatToIntBits(2.5f))    // float
+    val schema = StructType(Seq(
+      StructField("n", LongType), StructField("s", StringType),
+      StructField("d", DoubleType), StructField("b", BooleanType),
+      StructField("f", FloatType), StructField("missing", StringType)))
+    val fields = Map(1 -> "n", 2 -> "s", 3 -> "d", 4 -> "b", 5 -> "f",
+      9 -> "missing")
+    val df = Seq(Tuple1(msg)).toDF("raw")
+    val out = ProtoReader.parseScalar(df, "raw", fields, schema).collect().head
+    assert(out.toSeq == Seq(150L, "héllo", 3.5, true, 2.5f, null))
+    // proto3 last-wins for repeated scalar occurrences
+    val dup = msg ++ tag(1, 0) ++ pv(99)
+    assert(ProtoReader.wireFields(dup)(1) == ProtoReader.VarintV(99L))
+  }
+
   test("cloudevents envelope parse") {
     val df = Seq(
       """{"specversion":"1.0","id":"e1","source":"/svc","type":"created","time":"2024-01-01T00:00:00Z","data":{"k":7}}""")
