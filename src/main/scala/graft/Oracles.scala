@@ -286,6 +286,24 @@ object Oracles {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    "corpus_stats" ->
+      (s"""WITH t AS (SELECT lang, len($toks) AS nt FROM documents)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  quantile_cont(nt, 0.5) AS median_tokens,
+         |  min(nt) AS min_tokens, max(nt) AS max_tokens
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "funnel" ->
+      ("""WITH u AS (SELECT user_id,
+         |  min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+         |  min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+         |  min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_buy
+         |FROM events GROUP BY user_id)
+         |SELECT count(*) AS n_users, count(t_view) AS n_view,
+         |  count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+         |  count(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 END) AS n_full_funnel
+         |FROM u""".stripMargin),
+
     "dedup_exact" ->
       ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
         "min(doc_id) AS keep_id, count(*) AS n_copies " +

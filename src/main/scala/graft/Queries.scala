@@ -419,6 +419,34 @@ object Queries {
         .orderBy("event_type")),
 
     // ---- LLM-pipeline operators --------------------------------------
+    "corpus_stats" -> ((s, dir) =>
+      // per-language corpus rollup with an exact interpolated median
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          expr("percentile(nt, 0.5)").as("median_tokens"),
+          min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"))
+        .orderBy("lang")),
+
+    "funnel" -> ((s, dir) => {
+      // ordered conversion funnel over the events stream: users whose
+      // first view precedes their first click precedes their first
+      // purchase — min-timestamp comparison, one shuffle on user
+      val e = t(s, dir, "events")
+      val byUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      byUser.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+        count(when(col("t_view") < col("t_click") &&
+          col("t_click") < col("t_buy"), 1)).as("n_full_funnel"))
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("fp")),
