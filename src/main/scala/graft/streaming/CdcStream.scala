@@ -113,7 +113,12 @@ object CdcStream {
       throw new IllegalArgumentException(s"$stateDir is not a bucketed state"))
     val rendered = key.map(String.valueOf).mkString("\u0001")
     val b = math.floorMod(graft.functions.Hashing.hex8ToLongJvm(rendered), n.toLong)
-    val df = spark.read.parquet(s"$stateDir/$BucketCol=$b")
+    val bucketDir = new org.apache.hadoop.fs.Path(stateDir, s"$BucketCol=$b")
+    // an absent bucket dir means no rows hash there: an empty result in
+    // the state schema, not an error
+    val df =
+      if (fs.exists(bucketDir)) spark.read.parquet(bucketDir.toString)
+      else readState(spark, stateDir).limit(0)
     pks.zip(key).foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === v) }
   }
 
