@@ -154,7 +154,7 @@ object ChSql {
     // toString/toIntN/... single-argument casts (args may nest one
     // paren level, e.g. toString(min(x)))
     for ((fn, t) <- castTypes)
-      s = (fn + """\(((?:[^()]|\([^()]*\))*)\)""").r
+      s = ("""\b""" + fn + """\(((?:[^()]|\([^()]*\))*)\)""").r
         .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
           s"CAST(${m.group(1)} AS $t)"))
     // plain name-for-name function swaps (word boundary + open paren)

@@ -55,10 +55,14 @@ class TransferYamlSpec extends SparkSpec {
         |  - sharder: { columns: [id], parts: 4, stable: true }
         |  - convert_to_string: { columns: [id] }
         |  - jsonparser: { column: raw, schema: "k INT" }
+        |  - clickhouse_sql: { query: "SELECT countIf(id > 1) AS n FROM table" }
         |""".stripMargin)
     assert(t.sink == SinkConfig.Merge("/tmp/x", Seq("id")))
-    assert(t.transformers.length == 4)
+    assert(t.transformers.length == 5)
     assert(t.transformers(1).asInstanceOf[T.Sharder].stable)
+    // the clickhouse block lands pre-translated to Spark SQL
+    assert(t.transformers(4).asInstanceOf[T.SqlTransform].query
+      == "SELECT count_if(id > 1) AS n FROM table")
   }
 
   test("unknown kinds and transformer ids fail loudly") {
