@@ -520,6 +520,13 @@ object Oracles {
          |  END AS old_id
          |FROM orders ORDER BY id""".stripMargin),
 
+    // pk-changing updates (old.id = k+9e6) split into delete(old)+
+    // insert(new); the synthetic old keys never existed, so their
+    // deletes vanish and every surviving key is the data-row id
+    "cdc_pipeline_mysql" ->
+      ("SELECT o_orderkey AS id, o_totalprice AS price FROM orders " +
+        "WHERE o_orderkey % 7 <> 0 ORDER BY id"),
+
     "queue_roundtrip" ->
       ("SELECT o_orderkey AS k, o_totalprice AS val FROM orders " +
         "WHERE o_orderkey % 7 <> 0 ORDER BY k"),

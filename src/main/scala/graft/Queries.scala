@@ -664,6 +664,33 @@ object Queries {
         .orderBy("id")
     }),
 
+    "cdc_pipeline_mysql" -> ((s, dir) => {
+      // the full ingestion pipeline off a mysql binlog wire: Canal parse
+      // -> split PK-changing updates into delete+insert -> collapse ->
+      // surviving row images
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      val typ = when(k % 7 === 0, "DELETE").when(k % 3 === 0, "INSERT")
+        .otherwise("UPDATE")
+      val oldPart = when(typ === lit("UPDATE") && k % 4 === 1,
+          format_string("""[{"id":"%s"}]""", (k + 9000000L).cast(StringType)))
+        .when(typ === lit("UPDATE"), lit("""[{"price":"0"}]"""))
+        .otherwise(lit("null"))
+      val wire = o.select(format_string(
+        """{"data":[{"id":"%s","price":"%s"}],"old":%s,"database":"shop","table":"orders","es":%d,"id":%d,"isDdl":false,"type":"%s","pkNames":["id"]}""",
+        k.cast(StringType), col("o_totalprice").cast(StringType),
+        oldPart, k * 1000L, k, typ).as("value"))
+      val parsed = graft.parsers.MySqlBinlog.receive(wire, "value",
+        StructType(Seq(StructField("id", LongType),
+          StructField("price", DoubleType))), pkCols = Seq("id"))
+      val split = Collapse.splitUpdatedPKeys(
+        parsed.select("id", "price", E.Kind, E.Lsn, E.Counter, E.OldKeys),
+        Seq("id"))
+      Collapse.collapse(split, Seq("id"))
+        .filter(col(E.Kind) =!= E.Delete)
+        .select("id", "price").orderBy("id")
+    }),
+
     "queue_roundtrip" -> ((s, dir) => {
       // the queue serde loop end-to-end: CDC envelope -> JSON wire ->
       // file-queue spool -> queue read -> parse -> bucketed MERGE state

@@ -119,6 +119,19 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.head == s"${CdcStream.BucketCol}=$expected")
   }
 
+  test("lookup agrees with the layout for composite keys") {
+    val state = tmp() + "/tk"
+    val snap = spark.range(0, 100).select(
+      col("id"), (col("id") % 7).as("k2"),
+      concat(lit("v"), col("id")).as("v"))
+    CdcStream.mergeBatch(snap, state, Seq("id", "k2"), numBuckets = 8)
+    val hit = CdcStream.lookup(spark, state, Seq("id", "k2"), Seq(13L, 6L))
+    assert(hit.select("v").as[String].collect().toSeq == Seq("v13"))
+    // key rendering ambiguity check: ("1","23") must not alias ("12","3")
+    val miss = CdcStream.lookup(spark, state, Seq("id", "k2"), Seq(136L, 0L))
+    assert(miss.count() == 0)
+  }
+
   test("mergeBatch recovers a crashed swap from the .bak dir") {
     val state = tmp() + "/tc"
     val snap = spark.range(0, 200)
