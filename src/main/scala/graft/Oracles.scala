@@ -255,6 +255,19 @@ object Oracles {
          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
          |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
 
+    "window_analytics" ->
+      ("""SELECT o_custkey, o_orderkey,
+         |  lag(o_orderkey, 1) OVER w AS prev_key,
+         |  lead(o_orderkey, 1) OVER w AS next_key,
+         |  rank() OVER w AS rnk,
+         |  round(cume_dist() OVER w, 6) AS cd,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         |    OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+         |FROM orders WHERE o_custkey < 50
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         |ORDER BY o_custkey, rnk""".stripMargin),
+
     "sort_limit" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),

@@ -376,6 +376,23 @@ object Queries {
         .orderBy("o_custkey", "rn")
     }),
 
+    "window_analytics" -> ((s, dir) => {
+      // the wider analytic-window family over a deterministic ordering
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          rank().over(w).as("rnk"),
+          round(cume_dist().over(w), 6).as("cd"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast(DoubleType).as("running_total"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
     "sort_limit" -> ((s, dir) =>
       t(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")
