@@ -299,6 +299,20 @@ object Oracles {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sm
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    "doc_chunks" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |c AS (SELECT doc_id, tk,
+         |  greatest(1, CAST(floor((len(tk) - 16 + 47) / 48.0) AS INT)) AS nc
+         |FROM t),
+         |e AS (SELECT doc_id,
+         |  unnest(range(0, nc)) AS chunk_id,
+         |  unnest(list_transform(range(0, nc),
+         |    i -> array_to_string(tk[CAST(i*48+1 AS INT) : CAST(i*48+64 AS INT)], ' '))) AS chunk
+         |FROM c)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk,
+         |  len(regexp_split_to_array(trim(chunk), '\\s+')) AS n_tokens
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
+
     "corpus_stats" ->
       (s"""WITH t AS (SELECT lang, len($toks) AS nt FROM documents)
          |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,

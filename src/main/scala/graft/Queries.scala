@@ -436,6 +436,15 @@ object Queries {
         .orderBy("event_type")),
 
     // ---- LLM-pipeline operators --------------------------------------
+    "doc_chunks" -> ((s, dir) =>
+      // training-data chunking: 64-token windows, 16-token overlap
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(TextAnalysis.chunks(col("text"), 64, 16))
+          .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"), col("chunk"),
+          TextAnalysis.tokenCount(col("chunk")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")),
+
     "corpus_stats" -> ((s, dir) =>
       // per-language corpus rollup with an exact interpolated median
       t(s, dir, "documents")

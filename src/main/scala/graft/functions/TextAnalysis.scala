@@ -103,4 +103,19 @@ object TextAnalysis {
       stopwordCount(c).as("n_stopwords"),
       fingerprint(c).as("fp"))
   }
+  /** Overlapping token-window chunks for training-data preparation:
+    * stride = chunkTokens - overlap; chunk i covers tokens
+    * [i*stride, i*stride + chunkTokens). Short documents yield one
+    * chunk. Pure per-row expressions — linear, shuffle-free, identical
+    * in any engine (integer arithmetic only). */
+  def chunks(c: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    val t = tokens(c)
+    val n = size(t)
+    val nChunks = greatest(lit(1),
+      floor((n - overlap + stride - 1) / lit(stride)).cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(t, i * stride + 1, lit(chunkTokens))))
+  }
 }

@@ -75,4 +75,20 @@ class TextMultimodalSpec extends SparkSpec {
       .filter(col("doc_id") === 0L).select("frame_idx").as[Int].collect()
     assert(frames.toSeq == (0 until 3))  // 30-char text -> 3 frames of 10
   }
+
+  test("token chunks: overlap continuity, short docs, full coverage") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(text, "short doc").toDF("text")
+    val out = df.select(col("text"),
+      TextAnalysis.chunks(col("text"), chunkTokens = 4, overlap = 1).as("ch"))
+    val chunks = out.filter(col("text") === text)
+      .select("ch").as[Seq[String]].head()
+    // stride 3: [w1..w4], [w4..w7], [w7..w10] — last token of a chunk
+    // is the first of the next (overlap = 1), nothing dropped
+    assert(chunks == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // short doc: single chunk, whole text
+    val short = out.filter(col("text") === "short doc")
+      .select("ch").as[Seq[String]].head()
+    assert(short == Seq("short doc"))
+  }
 }
