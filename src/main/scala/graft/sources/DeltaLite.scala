@@ -20,7 +20,9 @@ object DeltaLite {
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val files = activeFiles(spark, tablePath)
     require(files.nonEmpty, s"Delta table at $tablePath has no active files")
-    spark.read.parquet(files.map(f => s"$tablePath/$f"): _*)
+    // mergeSchema: commits may carry evolved schemas (added columns)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$tablePath/$f"): _*)
   }
 
   /** Active data files after replaying the log. */
@@ -93,13 +95,14 @@ object DeltaLite {
     } + "\""
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
-    if (version == 0L) {
+    if (version == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${js(df.schema.json)},""" +
-        s""""partitionColumns":[],"configuration":{},"createdTime":$now}}"""
-    }
+    // metaData rides on every commit (protocol-legal replacement), so the
+    // log stays self-describing across schema evolution
+    actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${js(df.schema.json)},""" +
+      s""""partitionColumns":[],"configuration":{},"createdTime":$now}}"""
     removed.foreach { p =>
       actions += s"""{"remove":{"path":${js(p)},"deletionTimestamp":$now,"dataChange":true}}"""
     }

@@ -77,6 +77,13 @@ class ExtensionsDeltaSpec extends SparkSpec {
       fs.create(new org.apache.hadoop.fs.Path(
         table, "_delta_log/00000000000000000002.json"), false).close()
     }
+    // schema evolution: append with an added column, read merges schemas
+    DeltaLite.write(Seq((10L, "q", 5.5)).toDF("id", "v", "score"), table)
+    val evolved = DeltaLite.read(spark, table)
+    assert(evolved.columns.toSet == Set("id", "v", "score"))
+    val rows = evolved.select("id", "score")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows == Map(9L -> None, 10L -> Some(5.5)))
   }
 
   test("proto scalar decoder handles all four wire types without a runtime") {
