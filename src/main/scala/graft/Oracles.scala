@@ -529,6 +529,16 @@ object Oracles {
          |  'public.orders' AS "__table", o_orderkey AS "__commit_time"
          |FROM orders ORDER BY id""".stripMargin),
 
+    "mongo_changestream_parse" ->
+      ("""SELECT CAST(o_orderkey AS VARCHAR) AS "_id",
+         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+         |       WHEN o_orderkey % 3 = 0 THEN 'insert'
+         |       WHEN o_orderkey % 2 = 0 THEN 'update'
+         |       ELSE 'mongo:update_document' END AS "__kind",
+         |  o_orderkey AS "__lsn"
+         |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     "confluent_decode" ->
       ("""SELECT o_orderkey AS id, o_totalprice AS price,
          |  CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE o_orderstatus END AS status,

@@ -634,6 +634,26 @@ object Queries {
         .orderBy("id")
     }),
 
+    "mongo_changestream_parse" -> ((s, dir) => {
+      // synthetic change-stream events from orders: deletes carry no
+      // fullDocument, document updates keep the mongo-specific row kind
+      val k = col("o_orderkey")
+      val op = when(k % 7 === 0, "delete").when(k % 3 === 0, "insert")
+        .when(k % 2 === 0, "replace").otherwise("update")
+      val docPart = when(op === lit("delete"), lit("null"))
+        .otherwise(format_string(
+          """{"o_orderkey":%d,"price":%s}""", k,
+          col("o_totalprice").cast(StringType)))
+      val wire = t(s, dir, "orders").select(format_string(
+        """{"operationType":"%s","documentKey":{"_id":"%s"},"fullDocument":%s,"clusterTime":%d}""",
+        op, k.cast(StringType), docPart, k).as("value"))
+      graft.parsers.MongoChangeStream.receive(wire, "value",
+        StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("price", DoubleType))))
+        .select(col("_id"), col("price"), col(E.Kind), col(E.Lsn))
+        .orderBy(col("_id").cast(LongType))
+    }),
+
     "confluent_decode" -> ((s, dir) => {
       // two-schema topic: even keys encoded with v1, odd with v2 (adds
       // status); all decoded against reader v2 via Avro schema resolution
