@@ -529,6 +529,28 @@ object Oracles {
          |  'public.orders' AS "__table", o_orderkey AS "__commit_time"
          |FROM orders ORDER BY id""".stripMargin),
 
+    "cloudevents_parse" ->
+      ("""SELECT 'e'||CAST(o_orderkey AS VARCHAR) AS ce_id,
+         |  'order.created' AS ce_type,
+         |  's'||CAST(o_orderkey AS VARCHAR) AS ce_subject,
+         |  (1704067200 + o_orderkey) * 1000000 AS ce_time_us,
+         |  o_orderkey AS k, o_totalprice AS price
+         |FROM orders ORDER BY k""".stripMargin),
+
+    "cloudlogging_parse" ->
+      ("""SELECT 'i'||CAST(event_id AS VARCHAR) AS insert_id,
+         |  CASE WHEN event_id % 10 = 0 THEN 'ERROR' ELSE 'INFO' END AS severity,
+         |  'gce_instance' AS resource_type,
+         |  (1704067200 + event_id) * 1000000 AS ts_us,
+         |  event_id, value
+         |FROM events ORDER BY event_id""".stripMargin),
+
+    "raw_to_table" ->
+      ("""SELECT o_orderkey,
+         |  sha256('payload:'||CAST(o_orderkey AS VARCHAR)) AS raw_sha,
+         |  CAST(octet_length(encode('payload:'||CAST(o_orderkey AS VARCHAR))) AS INT) AS raw_len
+         |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     "mongo_changestream_parse" ->
       ("""SELECT CAST(o_orderkey AS VARCHAR) AS "_id",
          |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price,

@@ -634,6 +634,51 @@ object Queries {
         .orderBy("id")
     }),
 
+    "cloudevents_parse" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val iso = date_format(timestamp_seconds(lit(1704067200L) + k),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      val wire = t(s, dir, "orders").select(format_string(
+        """{"specversion":"1.0","id":"e%s","source":"/orders","type":"order.created","subject":"s%s","time":"%s","datacontenttype":"application/json","data":{"k":%d,"price":%s}}""",
+        k.cast(StringType), k.cast(StringType), iso, k,
+        col("o_totalprice").cast(StringType)).as("value"))
+      graft.parsers.CloudEvents.parse(wire, "value",
+        StructType(Seq(StructField("k", LongType),
+          StructField("price", DoubleType))))
+        .select(col("ce_id"), col("ce_type"), col("ce_subject"),
+          unix_micros(col("ce_time")).as("ce_time_us"),
+          col("k"), col("price"))
+        .orderBy("k")
+    }),
+
+    "cloudlogging_parse" -> ((s, dir) => {
+      val k = col("event_id")
+      val iso = date_format(timestamp_seconds(lit(1704067200L) + k),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      val sev = when(k % 10 === 0, "ERROR").otherwise("INFO")
+      val wire = t(s, dir, "events").select(format_string(
+        """{"timestamp":"%s","severity":"%s","logName":"projects/p/logs/app","insertId":"i%s","resource":{"type":"gce_instance","labels":{"zone":"z1"}},"jsonPayload":{"event_id":%d,"value":%s}}""",
+        iso, sev, k.cast(StringType), k,
+        col("value").cast(StringType)).as("value"))
+      graft.parsers.CloudLogging.parse(wire, "value",
+        payloadSchema = Some(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("value", DoubleType)))))
+        .select(col("insert_id"), col("severity"), col("resource_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    "raw_to_table" -> ((s, dir) =>
+      graft.parsers.RawToTable.parse(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          concat(lit("payload:"), col("o_orderkey").cast(StringType))
+            .as("body")),
+        "body", metaCols = Seq("o_orderkey"))
+        .select(col("o_orderkey"), sha2(col("raw"), 256).as("raw_sha"),
+          octet_length(col("raw")).as("raw_len"))
+        .orderBy("o_orderkey")),
+
     "mongo_changestream_parse" -> ((s, dir) => {
       // synthetic change-stream events from orders: deletes carry no
       // fullDocument, document updates keep the mongo-specific row kind
