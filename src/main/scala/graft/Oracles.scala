@@ -529,6 +529,16 @@ object Oracles {
          |  'public.orders' AS "__table", o_orderkey AS "__commit_time"
          |FROM orders ORDER BY id""".stripMargin),
 
+    "audittrails_parse" ->
+      ("""SELECT 'e'||CAST(o_orderkey AS VARCHAR) AS event_id,
+         |  't'||CAST(o_orderkey % 5 AS VARCHAR) AS event_type,
+         |  (1704067200 + o_orderkey) * 1000000 AS event_time_us,
+         |  'u'||CAST(o_orderkey AS VARCHAR) AS authentication_subject_id,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+         |       ELSE 'n'||CAST(o_orderkey AS VARCHAR) END AS authentication_subject_name,
+         |  '10.0.0.'||CAST(o_orderkey % 256 AS VARCHAR) AS request_metadata_remote_address
+         |FROM orders ORDER BY event_id""".stripMargin),
+
     "cloudevents_parse" ->
       ("""SELECT 'e'||CAST(o_orderkey AS VARCHAR) AS ce_id,
          |  'order.created' AS ce_type,

@@ -634,6 +634,25 @@ object Queries {
         .orderBy("id")
     }),
 
+    "audittrails_parse" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val iso = date_format(timestamp_seconds(lit(1704067200L) + k),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      val subjName = when(k % 3 === 0, "*** hidden ***")
+        .otherwise(concat(lit("n"), k.cast(StringType)))
+      val wire = t(s, dir, "orders").select(format_string(
+        """{"event_id":"e%s","event_source":"mia","event_type":"t%d","event_time":"%s","authentication":{"authenticated":true,"subject_type":"USER","subject_id":"u%s","subject_name":"%s"},"authorization":{"authorized":true},"request_metadata":{"remote_address":"10.0.0.%d"},"event_status":"DONE"}""",
+        k.cast(StringType), k % 5, iso, k.cast(StringType), subjName,
+        k % 256).as("value"))
+      graft.parsers.AuditTrails.receive(wire, "value")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("event_time")).as("event_time_us"),
+          col("authentication_subject_id"),
+          col("authentication_subject_name"),
+          col("request_metadata_remote_address"))
+        .orderBy("event_id")
+    }),
+
     "cloudevents_parse" -> ((s, dir) => {
       val k = col("o_orderkey")
       val iso = date_format(timestamp_seconds(lit(1704067200L) + k),
