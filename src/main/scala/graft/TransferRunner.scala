@@ -71,6 +71,27 @@ object TransferRunner {
         ()
     }
 
+  /** `trcli check`: validate that the source is reachable and readable,
+    * returning its schema (reference: cmd/trcli check/describe — the
+    * activation preflight). Batch sources are probed with a 1-row scan;
+    * streaming sources are validated by plan construction (schema
+    * resolution) since a probe would require starting a query. */
+  def check(spark: SparkSession, cfg: SourceConfig): Either[String, org.apache.spark.sql.types.StructType] =
+    try {
+      val df = source(spark, cfg)
+      if (!df.isStreaming) { df.limit(1).collect(); () }
+      Right(df.schema)
+    } catch {
+      case e: Exception =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
+
+  /** `trcli describe`: per-source column listing in the engine's
+    * canonical (YT-lattice) spellings. */
+  def describe(spark: SparkSession, cfg: SourceConfig): Either[String, Seq[(String, String)]] =
+    check(spark, cfg).map(_.fields.toSeq.map(f =>
+      f.name -> graft.model.TypeMapping.sparkToYt(f)))
+
   /** Snapshot upload: `trcli activate/upload` for SNAPSHOT_ONLY
     * (reference: worker/tasks/load_snapshot.go:88 LoadSnapshot). Applies
     * the transformer chain, routes quarantine rows, writes the sink. */

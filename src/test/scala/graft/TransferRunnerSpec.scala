@@ -140,6 +140,22 @@ class TransferRunnerSpec extends SparkSpec {
     assert(errs == Seq("{bad"))
   }
 
+  test("check/describe validate sources and report canonical types") {
+    val ok = TransferRunner.check(spark,
+      SourceConfig.Parquet(sf() + "/region.parquet"))
+    assert(ok.isRight && ok.toOption.get.fieldNames.contains("r_regionkey"))
+    val desc = TransferRunner.describe(spark,
+      SourceConfig.Parquet(sf() + "/region.parquet"))
+    assert(desc.toOption.get.toMap.apply("r_name") == "string")
+    val bad = TransferRunner.check(spark,
+      SourceConfig.Parquet("/nope/missing.parquet"))
+    assert(bad.isLeft)
+    // streaming source: schema resolution without starting a query
+    val stream = TransferRunner.check(spark,
+      SourceConfig.TextStream(tmp()))
+    assert(stream.isRight && stream.toOption.get.fieldNames.sameElements(Array("value")))
+  }
+
   test("jdbc dialect maps unsigned and tiny types both directions") {
     import graft.sources.GraftJdbcDialect
     import java.sql.Types
