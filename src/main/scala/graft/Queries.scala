@@ -561,6 +561,18 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      // the IVF search path end-to-end: seed centroids (SQL-exact),
+      // corpus cell assignment, nprobe=2 probing, exact cosine inside
+      // probed cells
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.fitCentroids(e, "embedding", "vec_id",
+        k = 4, iterations = 0)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, cents,
+        "embedding", "vec_id", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "session_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))

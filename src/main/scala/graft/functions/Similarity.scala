@@ -158,6 +158,38 @@ object Similarity {
     centroids
   }
 
+  /** IVF search: corpus vectors live in their nearest centroid's cell
+    * ([[ivfAssign]]); each query probes its `nprobe` nearest cells and
+    * scores exactly only inside them. The classic recall/latency dial:
+    * candidate count ~ corpus * nprobe / k_cells, independent of corpus
+    * growth once cells scale with it. Queries (and the centroid table)
+    * broadcast; the corpus is never shuffled. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              vecCol: String, idCol: String, k: Int, nprobe: Int = 2,
+              roundTo: Int = 6): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
+    val corpusCells = ivfAssign(corpus, centroids, vecCol, idCol, roundTo)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(corpusCells, Seq("neighbor_id"))
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score_c", round(cosine(col("qv"), col("centv")), roundTo))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("score_c").desc, col("centroid_id"))
+    val probes = qScored.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val scored = c.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), roundTo))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small broadcast table of (centroid_id, vec)); search
     * probes only the closest cells (fit with [[fitCentroids]]). */
