@@ -172,12 +172,32 @@ object Dedup {
   /** Exact Jaccard similarity over distinct shingles for candidate pairs.
     * Built explode-join-aggregate so the shuffle is on shingle hashes:
     * |A∩B| from the join, |A|,|B| from per-doc counts — integer
-    * arithmetic until one final division. */
+    * arithmetic until one final division.
+    *
+    * Hot-shingle guard (the same scale rule as the hot-bucket caps in
+    * [[minhashCandidates]] / [[embeddingNearDups]]): a shingle present
+    * in d documents contributes d²/2 join rows, so one stop-shingle
+    * ("the quick brown") can go quadratic on the whole corpus. Shingles
+    * with document frequency > `maxDf` are dropped from the universe
+    * (both the intersection join AND the per-doc sizes, so Jaccard
+    * stays a true Jaccard over the filtered shingle set). Stop-shingles
+    * carry no near-dup signal — this trades exactly their noise for a
+    * bounded shuffle. Pass Int.MaxValue to disable (skips the df
+    * pre-pass entirely); the `candidates` pre-filter remains the
+    * documented bulk route. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.0,
-                        candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+                        candidates: Option[DataFrame] = None,
+                        maxDf: Int = 1000): DataFrame = {
+    val shAll = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+    val sh =
+      if (maxDf == Int.MaxValue) shAll
+      else {
+        val keep = shAll.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("s")
+        shAll.join(keep, Seq("s"), "left_semi")
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("id").as("id_a"), col("s"))
       .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))

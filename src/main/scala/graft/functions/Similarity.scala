@@ -122,11 +122,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Driver-side snapshot of the (small) centroid table: (id, components
+    * as doubles, precomputed L2 norm). k rows only — the same driver
+    * materialization [[hyperplaneBucket]] does for its planes. The norm
+    * fold is sequential left-to-right, matching [[norm]]'s aggregate
+    * bit-for-bit, so scores are identical to the joined spelling. */
+  private def collectCentroids(centroids: DataFrame, vecCol: String)
+      : Array[(Int, Array[Double], Double)] =
+    centroids.select(col("centroid_id").cast("int"), col(vecCol))
+      .collect()
+      .map { r =>
+        val comps = r.getSeq[Any](1).map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case n: java.lang.Number => n.doubleValue
+        }.toArray
+        val n = math.sqrt(comps.foldLeft(0.0)((acc, x) => acc + x * x))
+        (r.getInt(0), comps, n)
+      }
+      .sortBy(_._1)
+
+  /** Nearest cell for a vector as a PURE PROJECTION: the k centroids are
+    * driver literals, so assignment is k*dims multiply-adds inside
+    * codegen — zero joins, zero Exchange on the corpus path
+    * (plan-asserted in DedupSimilaritySpec). Returns the
+    * struct(score, negid) maximal by (score, -centroid_id): ties pick
+    * the smallest id, matching the previous window/max_by spelling. */
+  private def bestCell(v: Column, cents: Array[(Int, Array[Double], Double)],
+                       roundTo: Int): Column = {
+    val nv = norm(v)
+    array_max(array(cents.map { case (cid, comps, cnorm) =>
+      val compLit = array(comps.map(lit(_)): _*)
+      val dp = aggregate(zip_with(toDouble(v), compLit, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      struct(round(dp / (nv * lit(cnorm)), roundTo).as("score"),
+        lit(-cid).as("negid"))
+    }: _*))
+  }
+
   /** Distributed k-means (Lloyd's) centroid fitting for IVF coarse
     * quantization. Deterministic: initial centroids are the vectors
     * whose stable id-hash is smallest (no RNG), updates are element-wise
-    * means via explode -> groupBy — two shuffles per iteration, no
-    * driver-side vectors beyond the k centroids themselves. */
+    * means via explode -> groupBy. Per iteration the k centroids are
+    * collected to driver literals, so cell assignment is a projection
+    * and the only shuffles are the two mean aggregations. */
   def fitCentroids(df: DataFrame, vecCol: String, idCol: String,
                    k: Int, iterations: Int = 5): DataFrame = {
     val spark = df.sparkSession
@@ -140,8 +179,11 @@ object Similarity {
         row_number().over(Window.orderBy(col(vecCol).getItem(0))) - 1)
       .cache()
     for (_ <- 1 to iterations) {
-      val assigned = ivfAssign(df, centroids, vecCol, idCol)
-        .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      val cents = collectCentroids(centroids, vecCol)
+      val assigned = df.select(
+        (-bestCell(col(vecCol), cents, 6).getField("negid"))
+          .as("centroid_id"),
+        col(vecCol))
       // element-wise mean per centroid: explode dims, avg, re-assemble
       val dims = assigned.select(col("centroid_id"),
         posexplode(col(vecCol)).as(Seq("__d", "__x")))
@@ -162,23 +204,19 @@ object Similarity {
     * ([[ivfAssign]]); each query probes its `nprobe` nearest cells and
     * scores exactly only inside them. The classic recall/latency dial:
     * candidate count ~ corpus * nprobe / k_cells, independent of corpus
-    * growth once cells scale with it. Queries (and the centroid table)
-    * broadcast; the corpus is never shuffled. */
+    * growth once cells scale with it. The k centroids are collected to
+    * driver literals, so corpus cell assignment is a pure projection
+    * (zero Exchange on the corpus side — plan-asserted); queries and
+    * probes broadcast; the corpus is never shuffled before the final
+    * per-query ranking of the (nprobe-bounded) candidate set. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               vecCol: String, idCol: String, k: Int, nprobe: Int = 2,
               roundTo: Int = 6): DataFrame = {
+    val centsLocal = collectCentroids(centroids, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      (-bestCell(col(vecCol), centsLocal, roundTo).getField("negid"))
+        .as("centroid_id"))
     val cents = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
-    // inline cell assignment as a max_by aggregation: map-side combined
-    // over the k-cells fan-out, carries the vector through — no sort
-    // window over corpus*k rows and no corpus re-join (measured 10x on
-    // a 200k-vector corpus)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("score_c", round(cosine(col("cv"), col("centv")), roundTo))
-      .groupBy("neighbor_id")
-      .agg(max_by(col("centroid_id"),
-          struct(col("score_c"), -col("centroid_id"))).as("centroid_id"),
-        first(col("cv")).as("cv"))
     val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("score_c", round(cosine(col("qv"), col("centv")), roundTo))
@@ -198,18 +236,14 @@ object Similarity {
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
-    * `centroids` (a small broadcast table of (centroid_id, vec)); search
-    * probes only the closest cells (fit with [[fitCentroids]]). */
+    * `centroids` (a small table collected to driver literals); search
+    * probes only the closest cells (fit with [[fitCentroids]]). A pure
+    * projection — no join, no shuffle, no window. */
   def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String,
                 idCol: String, roundTo: Int = 6): DataFrame = {
-    val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
-    val scored = df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(c))
-      .withColumn("score", round(cosine(col(vecCol), col("centv")), roundTo))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("centroid_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select(col(idCol), col("centroid_id"), col("score"))
+    val cents = collectCentroids(centroids, vecCol)
+    df.withColumn("__best", bestCell(col(vecCol), cents, roundTo))
+      .select(col(idCol), (-col("__best.negid")).as("centroid_id"),
+        col("__best.score").as("score"))
   }
 }

@@ -127,6 +127,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cents.collect().toSet == cents2.collect().toSet)
   }
 
+  test("ngram jaccard hot-shingle cap bounds stop-shingle pair blowup") {
+    // 12 docs sharing ONE stop-shingle, otherwise disjoint: without the
+    // cap the shared shingle alone contributes 12*11/2 = 66 join rows
+    val stopDocs = (0 until 12).map { i =>
+      (i.toLong, s"common stop shingle unique${i}a unique${i}b unique${i}c")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(stopDocs, "text", "doc_id",
+      maxDf = Int.MaxValue)
+    assert(uncapped.count() == 66, "every doc pair shares the stop shingle")
+    // cap at df<=4: the df=12 stop shingle is dropped from the universe,
+    // the remaining shingles are doc-unique -> zero intersections
+    val capped = Dedup.ngramJaccardPairs(stopDocs, "text", "doc_id",
+      maxDf = 4)
+    assert(capped.count() == 0, "capped run must drop the hot shingle")
+    // default cap leaves a small corpus untouched (oracle stability)
+    val dflt = Dedup.ngramJaccardPairs(docs, "text", "doc_id", minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val nocap = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      minJaccard = 0.2, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dflt == nocap)
+  }
+
+  test("ivf cell assignment is a pure projection: no Exchange on the corpus path") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val cents = Similarity.fitCentroids(e, "embedding", "vec_id",
+      k = 4, iterations = 0)
+    val assignPlan = Similarity.ivfAssign(e, cents, "embedding", "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"), assignPlan)
+    // full search: the only Exchanges rank the candidate/query sets —
+    // nothing repartitions the corpus by its own id anymore
+    val topkPlan = Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
+      cents, "embedding", "vec_id", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!topkPlan.contains("Exchange hashpartitioning(neighbor_id"),
+      topkPlan)
+  }
+
   test("multi-probe lsh recall dominates single-probe at equal k") {
     val e = graft.Tables.load(spark, sf(), "embeddings")
     val q = e.filter(col("vec_id") < 10)
