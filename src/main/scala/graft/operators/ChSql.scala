@@ -63,6 +63,43 @@ object ChSql {
     "toFloat32" -> "FLOAT",
     "toFloat64" -> "DOUBLE")
 
+  // string-literal masking delimiters (cannot occur in SQL text)
+  private val M = "\u0001"
+  private val ME = "\u0002"
+
+  /** Replace every single-quoted literal's CONTENT with an indexed
+    * placeholder ('<M>i<ME>') so no rewrite can match function-like text
+    * inside string data (e.g. WHERE msg = 'has(x)'). The surrounding
+    * quotes stay, so quote-aware scanning and the literal-consuming
+    * rewrites (JSONExtract paths, splitByChar) still see a literal.
+    * A doubled quote ('') is CH's escape and stays inside one literal. */
+  private def maskLiterals(sql: String): (String, Vector[String]) = {
+    val lits = Vector.newBuilder[String]
+    val out = new StringBuilder
+    var i = 0; var n = 0
+    while (i < sql.length) {
+      if (sql(i) == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done && i < sql.length) {
+          if (sql(i) == '\'' && i + 1 < sql.length && sql(i + 1) == '\'') {
+            sb.append("''"); i += 2
+          } else if (sql(i) == '\'') { done = true; i += 1 }
+          else { sb.append(sql(i)); i += 1 }
+        }
+        lits += sb.toString
+        out.append('\'').append(M).append(n).append(ME).append('\'')
+        n += 1
+      } else { out.append(sql(i)); i += 1 }
+    }
+    (out.toString, lits.result())
+  }
+
+  private def unmaskLiterals(sql: String, lits: Vector[String]): String =
+    (M + """(\d+)""" + ME).r.replaceAllIn(sql,
+      m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+
   /** Split an argument list on top-level commas (parens and single
     * quotes respected). */
   private def splitArgs(s: String): Seq[String] = {
@@ -110,10 +147,23 @@ object ChSql {
     }
   }
 
+  /** [[rewriteCall]] to fixpoint: a call nested inside another call of
+    * the SAME function lands untranslated in the built output (the scan
+    * recurses past the call, not into it) — re-running until stable
+    * translates arbitrarily nested multiIf-in-multiIf. Terminates: every
+    * pass removes at least one `fn(` occurrence. */
+  private def rewriteFix(sql: String, fn: String)
+                        (build: Seq[String] => String): String = {
+    val out = rewriteCall(sql, fn)(build)
+    if (out == sql) out else rewriteFix(out, fn)(build)
+  }
+
   def translate(sql: String): String = {
-    var s = sql
+    // literals out first: no rewrite below can touch string data
+    val (masked, lits) = maskLiterals(sql)
+    var s = masked
     // multiIf(c1,v1,c2,v2,…,else) -> CASE WHEN … END
-    s = rewriteCall(s, "multiIf") { args =>
+    s = rewriteFix(s, "multiIf") { args =>
       val whens = args.dropRight(1).grouped(2).collect {
         case Seq(c, v) => s"WHEN $c THEN $v"
       }.mkString(" ")
@@ -121,7 +171,7 @@ object ChSql {
     }
     // sumIf/avgIf/minIf/maxIf(x, p) -> agg(CASE WHEN p THEN x END)
     for (agg <- Seq("sum", "avg", "min", "max"))
-      s = rewriteCall(s, agg + "If") { args =>
+      s = rewriteFix(s, agg + "If") { args =>
         s"$agg(CASE WHEN ${args(1)} THEN ${args(0)} END)"
       }
     // uniqExact(x) -> count(DISTINCT x)
@@ -148,7 +198,8 @@ object ChSql {
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(get_json_object(${m.group(1)}, ${jsonPath(m.group(2))}) IS NOT NULL)"))
     // splitByChar('c', s) -> split(s, 'c') with the regex char escaped
-    s = """splitByChar\('(.)',\s*([^()]+)\)""".r
+    // (the char literal is masked at this point — match the placeholder)
+    s = ("""splitByChar\('(""" + M + """\d+""" + ME + """)',\s*([^()]+)\)""").r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"split(${m.group(2)}, '\\\\Q${m.group(1)}\\\\E')"))
     // toString/toIntN/... single-argument casts (args may nest one
@@ -160,6 +211,6 @@ object ChSql {
     // plain name-for-name function swaps (word boundary + open paren)
     for ((ch, sp) <- nameSwaps)
       s = ("""\b""" + ch + """\s*\(""").r.replaceAllIn(s, sp + "(")
-    s
+    unmaskLiterals(s, lits)
   }
 }

@@ -265,22 +265,34 @@ object ProtoReader {
     out.toMap
   }
 
+  /** Zigzag decode for sint32/sint64 varints (public encoding:
+    * positive n -> 2n, negative n -> 2|n|-1). */
+  def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
   /** Typed scalar decode against a (fieldNumber -> name) mapping and an
     * output schema: the schema-driven path of the reference's protobuf
     * parser (pkg/parsers/registry/protobuf) for scalar messages. Value
     * conversion follows proto3: varint -> integral/bool, fixed64 ->
     * double bits, fixed32 -> float bits, length-delimited -> string or
-    * bytes per the declared Spark type. Missing fields null out. */
-  def decodeScalar(fields: Map[Int, String], schema: StructType)
+    * bytes per the declared Spark type. Missing fields null out.
+    *
+    * The wire does not distinguish int64 from sint64 — sint fields MUST
+    * be declared in `sintFields` to get their zigzag decode; an
+    * undeclared sint field would silently decode 2|n|-1 instead of -n
+    * (there is no way to detect this from bytes alone). */
+  def decodeScalar(fields: Map[Int, String], schema: StructType,
+                   sintFields: Set[String] = Set.empty)
                   (bytes: Array[Byte]): Seq[Any] = {
     val wire = wireFields(bytes)
     val byName = fields.map(_.swap)
     schema.fields.toSeq.map { f =>
       byName.get(f.name).flatMap(wire.get) match {
         case None => null
-        case Some(v) => (v, f.dataType) match {
-          case (VarintV(x), LongType) => x
-          case (VarintV(x), IntegerType) => x.toInt
+        case Some(v) =>
+          def vi(x: Long): Long = if (sintFields(f.name)) zigzag(x) else x
+          (v, f.dataType) match {
+          case (VarintV(x), LongType) => vi(x)
+          case (VarintV(x), IntegerType) => vi(x).toInt
           case (VarintV(x), BooleanType) => x != 0L
           case (Fixed64V(x), DoubleType) => java.lang.Double.longBitsToDouble(x)
           case (Fixed64V(x), LongType) => x
@@ -295,10 +307,12 @@ object ProtoReader {
     }
   }
 
-  /** Parse a binary column of scalar protobuf messages into typed rows. */
+  /** Parse a binary column of scalar protobuf messages into typed rows.
+    * Declare sint32/sint64 fields in `sintFields` (zigzag decode). */
   def parseScalar(df: DataFrame, rawCol: String,
-                  fields: Map[Int, String], schema: StructType): DataFrame =
-    parse(df, rawCol, schema, decodeScalar(fields, schema))
+                  fields: Map[Int, String], schema: StructType,
+                  sintFields: Set[String] = Set.empty): DataFrame =
+    parse(df, rawCol, schema, decodeScalar(fields, schema, sintFields))
 }
 
 /** Cloud-logging LogEntry parser (reference:

@@ -39,7 +39,19 @@ object KafkaSink {
         to_json(struct((dataCols ++ metaInPayload).map(col): _*))
       case DebeziumWire => graft.parsers.Debezium.emitValue(dataCols)
       case CsvWire(d) =>
-        concat_ws(d, dataCols.map(c => col(c).cast("string")): _*)
+        // NULL must emit an EMPTY field, not vanish: concat_ws skips
+        // nulls, which would shift every later column on the wire.
+        // Values containing the delimiter, a quote, or a newline are
+        // quoted with internal quotes doubled (standard CSV escaping).
+        val fields = dataCols.map { c =>
+          val s = coalesce(col(c).cast("string"), lit(""))
+          val needsQuote = s.contains(d) || s.contains("\"") ||
+            s.contains("\n") || s.contains("\r")
+          when(needsQuote,
+            concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+            .otherwise(s)
+        }
+        concat_ws(d, fields: _*)
       case RawWire(c) => col(c).cast("string")
     }
   }

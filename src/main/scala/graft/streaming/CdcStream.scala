@@ -52,11 +52,22 @@ object CdcStream {
     * (e.g. 1024 buckets over 100 TB = ~100 GB per bucket). */
   val DefaultBuckets = 32
 
+  /** Sentinel for a NULL PK component in the rendered key tuple:
+    * concat_ws silently DROPS nulls, which would land null-keyed rows in
+    * a different bucket than [[lookup]] probes and let composite keys
+    * with nulls collide with distinct keys. The NUL prefix cannot appear
+    * in a cast-to-string value. */
+  private[streaming] val NullKey = "\u0000null"
+
   /** Stable bucket of a row: md5-derived hash of the rendered PK tuple
-    * (engine-stable, skew-free — see [[graft.functions.Hashing]]). */
+    * (engine-stable, skew-free — see [[graft.functions.Hashing]]). NULL
+    * components render as [[NullKey]] — identically here and in the
+    * driver-side [[lookup]] rendering, so null-keyed rows bucket where
+    * lookup probes. */
   def bucketOf(pks: Seq[String], n: Int): org.apache.spark.sql.Column =
     pmod(graft.functions.Hashing.hex8ToLong(
-      concat_ws("\u0001", pks.map(c => col(c).cast("string")): _*)),
+      concat_ws("\u0001",
+        pks.map(c => coalesce(col(c).cast("string"), lit(NullKey))): _*)),
       lit(n.toLong)).cast("int")
 
   /** State-dir metadata pinning the bucket count and column set so every
@@ -111,7 +122,9 @@ object CdcStream {
     val fs = fsOf(spark)
     val n = readMeta(fs, stateDir).map(_.numBuckets).getOrElse(
       throw new IllegalArgumentException(s"$stateDir is not a bucketed state"))
-    val rendered = key.map(String.valueOf).mkString("\u0001")
+    val rendered = key
+      .map(v => if (v == null) NullKey else String.valueOf(v))
+      .mkString("\u0001")
     val b = math.floorMod(graft.functions.Hashing.hex8ToLongJvm(rendered), n.toLong)
     val bucketDir = new org.apache.hadoop.fs.Path(stateDir, s"$BucketCol=$b")
     // an absent bucket dir means no rows hash there: an empty result in
@@ -119,7 +132,9 @@ object CdcStream {
     val df =
       if (fs.exists(bucketDir)) spark.read.parquet(bucketDir.toString)
       else readState(spark, stateDir).limit(0)
-    pks.zip(key).foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === v) }
+    // null-safe equality: a null key value must MATCH null cells, not
+    // filter everything (=== with null is null)
+    pks.zip(key).foldLeft(df) { case (d, (k, v)) => d.filter(col(k) <=> lit(v)) }
   }
 
   /** Upsert-MERGE a collapsed micro-batch into a PK-hash-bucketed parquet
@@ -159,7 +174,18 @@ object CdcStream {
     // the swap-then-replay sequence exact, not just per-bucket-atomic
     val bak = new org.apache.hadoop.fs.Path(stateDir + ".bak")
     if (fs.exists(bak)) {
-      fs.listStatus(bak).filter(_.getPath.getName.startsWith(BucketCol))
+      val entries = fs.listStatus(bak)
+      // interrupted LEGACY migration: .bak holds the flat-layout part-*
+      // snapshot — it is the authoritative pre-batch state, so any
+      // half-swapped bucket dirs in the root are replay debris and must
+      // go before the flat files come back (otherwise the re-detected
+      // legacy read would see old rows twice)
+      if (entries.exists(_.getPath.getName.startsWith("part-")) &&
+          fs.exists(root))
+        fs.listStatus(root).filter(_.getPath.getName.startsWith(BucketCol))
+          .foreach(st => fs.delete(st.getPath, true))
+      entries.filter(st => st.getPath.getName.startsWith(BucketCol) ||
+          st.getPath.getName.startsWith("part-"))
         .foreach { st =>
           val dst = new org.apache.hadoop.fs.Path(stateDir, st.getPath.getName)
           if (fs.exists(dst)) fs.delete(dst, true)
@@ -233,13 +259,21 @@ object CdcStream {
       // point lookup inside a bucket prunes to one row group
       .sortWithinPartitions((col(BucketCol) +: pks.map(col)): _*)
       .write.partitionBy(BucketCol).parquet(tmp.toString)
-    if (legacy) { fs.delete(root, true); () }
     if (!fs.exists(root)) fs.mkdirs(root)
     // two-phase swap: move every affected live bucket aside into .bak,
     // then move the rewritten buckets in, then drop .bak. A crash at any
     // point leaves either a recoverable .bak (see recovery above) or the
     // completed new state — never a half-lost bucket.
     fs.mkdirs(bak)
+    if (legacy)
+      // legacy flat layout: STAGE the part-* snapshot into .bak rather
+      // than deleting the root — a crash anywhere in the swap window
+      // leaves the pre-batch snapshot recoverable (the recovery path
+      // above restores flat files and discards half-swapped buckets)
+      fs.listStatus(root).filter(_.isFile).foreach { st =>
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(bak, st.getPath.getName))
+      }
     affected.foreach { i =>
       val dst = new org.apache.hadoop.fs.Path(stateDir, s"$BucketCol=$i")
       if (fs.exists(dst)) {

@@ -114,6 +114,21 @@ class ExtensionsDeltaSpec extends SparkSpec {
     // proto3 last-wins for repeated scalar occurrences
     val dup = msg ++ tag(1, 0) ++ pv(99)
     assert(ProtoReader.wireFields(dup)(1) == ProtoReader.VarintV(99L))
+    // sint64: -1 zigzag-encodes as varint 1 — declared sint fields
+    // decode through zigzag, undeclared stay plain varint
+    assert(ProtoReader.zigzag(1L) == -1L)
+    assert(ProtoReader.zigzag(2L) == 1L)
+    assert(ProtoReader.zigzag(4294967294L) == 2147483647L)
+    val sintMsg: Array[Byte] = tag(1, 0) ++ pv(1) // sint64 value -1
+    val sintSchema = StructType(Seq(StructField("sn", LongType)))
+    val sintOut = ProtoReader.parseScalar(
+      Seq(Tuple1(sintMsg)).toDF("raw"), "raw", Map(1 -> "sn"), sintSchema,
+      sintFields = Set("sn")).collect().head
+    assert(sintOut.toSeq == Seq(-1L))
+    val plainOut = ProtoReader.parseScalar(
+      Seq(Tuple1(sintMsg)).toDF("raw"), "raw", Map(1 -> "sn"), sintSchema)
+      .collect().head
+    assert(plainOut.toSeq == Seq(1L))
   }
 
   test("cloudevents envelope parse") {

@@ -35,6 +35,30 @@ class ChSqlSpec extends SparkSpec {
     assert(ChSql.translate("match(s, p)") == "match(s, p)")
   }
 
+  test("translate never rewrites inside string literals") {
+    // function-like text in data stays data
+    assert(ChSql.translate("SELECT x FROM t WHERE msg = 'has(x)'")
+      == "SELECT x FROM t WHERE msg = 'has(x)'")
+    assert(ChSql.translate("SELECT 'toString(a)', toString(b)")
+      == "SELECT 'toString(a)', CAST(b AS STRING)")
+    assert(ChSql.translate("SELECT 'uniqExact(u)' AS label, uniqExact(u)")
+      == "SELECT 'uniqExact(u)' AS label, count(DISTINCT u)")
+    // doubled-quote escape stays one literal
+    assert(ChSql.translate("SELECT 'it''s multiIf(a,b,c)'")
+      == "SELECT 'it''s multiIf(a,b,c)'")
+    // literal arguments still translate around the literal
+    assert(ChSql.translate("countIf(s = 'countIf(x)')")
+      == "count_if(s = 'countIf(x)')")
+  }
+
+  test("translate recurses into nested same-function calls") {
+    assert(ChSql.translate("multiIf(a, multiIf(b, 1, 2), 3)")
+      == "CASE WHEN a THEN CASE WHEN b THEN 1 ELSE 2 END ELSE 3 END")
+    assert(ChSql.translate("multiIf(a, 1, multiIf(b, 2, multiIf(c, 3, 4)))")
+      == "CASE WHEN a THEN 1 ELSE CASE WHEN b THEN 2 ELSE " +
+         "CASE WHEN c THEN 3 ELSE 4 END END END")
+  }
+
   test("translated clickhouse sql executes on spark") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(

@@ -34,6 +34,23 @@ class QueueJdbcSinkSpec extends SparkSpec {
     assert(!v.contains(""""after":{"""))
   }
 
+  test("kafka csv wire: nulls emit empty fields, delimiters get quoted") {
+    val df = Seq(
+      (1L, Option("a"), Option("z")),
+      (2L, None: Option[String], Option("y")),            // null mid-column
+      (3L, Option("has,comma"), Option("""has"quote""")), // needs quoting
+      (4L, Option("plain"), None: Option[String]))        // null last
+      .toDF("id", "v1", "v2")
+    val vals = KafkaSink.wireFrame(df, "t", fmt = KafkaSink.CsvWire())
+      .select(col("value").cast("string")).as[String].collect().toSeq.sorted
+    // a null NEVER shifts later columns: every row has exactly 3 fields
+    assert(vals == Seq(
+      "1,a,z",
+      "2,,y",
+      "3,\"has,comma\",\"has\"\"quote\"",
+      "4,plain,"))
+  }
+
   test("kafka writer options and stream writer are configured") {
     val opts = KafkaSink.kafkaOptions("broker:9092", Map("kafka.acks" -> "all"))
     assert(opts == Map("kafka.bootstrap.servers" -> "broker:9092",

@@ -155,6 +155,64 @@ class StreamingSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(bak))
   }
 
+  test("legacy flat state migrates into buckets on first contact") {
+    val state = tmp() + "/tlg"
+    spark.range(0, 50)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .write.parquet(state)                       // pre-bucketed layout
+    CdcStream.mergeBatch(batch((5L, "v5x", "update", 1L)), state, Seq("id"))
+    val out = CdcStream.readState(spark, state)
+    assert(out.count() == 50)
+    assert(out.filter(col("id") === 5).select("v").as[String].head() == "v5x")
+    // flat files are gone, bucket dirs exist
+    val names = new java.io.File(state).listFiles().map(_.getName).toSeq
+    assert(!names.exists(_.startsWith("part-")), s"flat files remain: $names")
+    assert(names.exists(_.startsWith(CdcStream.BucketCol)))
+  }
+
+  test("crash mid-legacy-migration leaves the flat snapshot recoverable") {
+    val state = tmp() + "/tlc"
+    spark.range(0, 50)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .write.parquet(state)
+    // simulate a crash inside the swap window: the flat part-* files are
+    // staged in .bak, and one rewritten bucket already landed in root
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(state)
+    val bak = java.nio.file.Paths.get(state + ".bak")
+    java.nio.file.Files.createDirectories(bak)
+    java.nio.file.Files.list(root).iterator().asScala.toSeq
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .foreach(p => java.nio.file.Files.move(p, bak.resolve(p.getFileName)))
+    val debris = tmp() + "/debris"
+    Seq((999L, "zz")).toDF("id", "v").write.parquet(debris)
+    java.nio.file.Files.move(java.nio.file.Paths.get(debris),
+      root.resolve(s"${CdcStream.BucketCol}=0"))
+    // replay: recovery must restore the flat snapshot, discard the
+    // half-swapped bucket, then run the migration + merge
+    CdcStream.mergeBatch(batch((5L, "v5c", "update", 9L)), state, Seq("id"))
+    val out = CdcStream.readState(spark, state)
+    assert(out.count() == 50, "pre-batch snapshot lost across crash")
+    assert(out.filter(col("id") === 999).count() == 0, "debris row survived")
+    assert(out.filter(col("id") === 5).select("v").as[String].head() == "v5c")
+    assert(!java.nio.file.Files.exists(bak))
+  }
+
+  test("null PK components bucket where lookup probes") {
+    val state = tmp() + "/tnull"
+    val snap = Seq((Option(1L), "a"), (Option(2L), "b"),
+      (None: Option[Long], "nullkey"))
+      .toDF("id", "v")
+    CdcStream.mergeBatch(snap, state, Seq("id"), numBuckets = 16)
+    assert(CdcStream.readState(spark, state).count() == 3)
+    // the null-keyed row is findable: lookup probes the bucket the row
+    // actually landed in (concat_ws would have dropped the null)
+    val hit = CdcStream.lookup(spark, state, Seq("id"), Seq(null))
+    assert(hit.select("v").as[String].collect().toSeq == Seq("nullkey"))
+    val hit1 = CdcStream.lookup(spark, state, Seq("id"), Seq(1L))
+    assert(hit1.select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("mergeBatch pins numBuckets from the state meta across batches") {
     val state = tmp() + "/tm"
     CdcStream.mergeBatch(batch((1L, "a", "insert", 0L)), state, Seq("id"),
