@@ -626,6 +626,67 @@ object Oracles {
       ("SELECT o_orderkey AS k, o_totalprice AS val FROM orders " +
         "WHERE o_orderkey % 7 <> 0 ORDER BY k"),
 
+    // derby round-trip must surface exactly the rows written, with the
+    // beyond-int64 NUMERIC(20) ids and dates intact (string-compared)
+    "jdbc_roundtrip" ->
+      ("""SELECT l_orderkey, l_linenumber,
+         |  CAST(l_quantity AS DOUBLE) AS qty,
+         |  CAST(CAST('18000000000000000000' AS DECIMAL(20,0))
+         |       + l_orderkey AS DECIMAL(20,0))::VARCHAR AS big_id,
+         |  CAST(l_shipdate AS VARCHAR) AS l_shipdate, l_returnflag
+         |FROM lineitem WHERE l_orderkey % 20 = 3
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    "blank_parse" ->
+      ("""WITH b AS (SELECT doc_id, text,
+         |    row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1 AS rn
+         |  FROM documents)
+         |SELECT CAST(doc_id % 4 AS VARCHAR) AS "partition",
+         |  CAST(CAST(rn AS DECIMAL(20,0)) AS VARCHAR) AS "offset",
+         |  CAST(CAST(rn AS DECIMAL(20,0)) AS VARCHAR) AS seq_no,
+         |  'docs' AS source_id, text AS lb_raw_message,
+         |  true AS c_time_null, true AS w_time_null, true AS extra_null
+         |FROM b ORDER BY CAST(doc_id % 4 AS VARCHAR), rn""".stripMargin),
+
+    // same arithmetic as the Spark-side harness encode: the decoder must
+    // recover varint, string, zigzag sint64 and LE double fields exactly
+    "proto_scalar_parse" ->
+      ("""SELECT i * 700 + 1 AS n, 'm' || i AS s,
+         |  CASE WHEN i % 2 = 0 THEN i ELSE -i END AS sn,
+         |  i * 0.25 AS d
+         |FROM range(2000) t(i) ORDER BY n""".stripMargin),
+
+    // guard semantics: batch-1 inserts all pass; batch-2 redeliveries
+    // pass only when the LSN strictly advances (odd keys) — the stale
+    // even-key replays (and their poison values) must be absent
+    "monotonic_guard" ->
+      ("""SELECT k, val, lsn FROM (
+         |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS val,
+         |         o_orderkey * 10 AS lsn FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) + 100.0,
+         |         o_orderkey * 10 + 5 FROM orders WHERE o_orderkey % 2 = 1
+         |) ORDER BY k, lsn""".stripMargin),
+
+    "fallback_downgrade" ->
+      ("""SELECT event_id,
+         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+         |  CAST(CAST(event_id AS DECIMAL(20,0)) AS VARCHAR) AS big
+         |FROM events ORDER BY event_id""".stripMargin),
+
+    "sorted_lake" ->
+      ("SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS val " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    // the streaming loop converges to the batch collapse: insert all,
+    // update %3 (+5000), delete %7; the stale replays are guard-dropped
+    // and must leave no trace
+    "replicate_stream" ->
+      ("""SELECT o_orderkey AS k,
+         |  CASE WHEN o_orderkey % 3 = 0
+         |       THEN o_totalprice + 5000.0 ELSE o_totalprice END AS val
+         |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY k""".stripMargin),
+
     "tag_transactions" ->
       ("""SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS "__tx_id",
          |  dense_rank() OVER (ORDER BY CAST(o_custkey AS VARCHAR)) AS "__tx_ord"

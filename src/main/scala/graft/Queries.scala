@@ -839,6 +839,206 @@ object Queries {
       graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 
+    "jdbc_roundtrip" -> ((s, dir) => {
+      // the JDBC boundary end-to-end: dialect-mapped DDL write into
+      // embedded Derby (Drop policy -> re-create), read back through
+      // spark.read.jdbc — proves uint64/NUMERIC(20) fidelity beyond
+      // int64 range, plus date/decimal/string round-trips
+      val url = "jdbc:derby:memory:graftrt;create=true"
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 3)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(DoubleType).as("qty"),
+          (lit(new java.math.BigDecimal("18000000000000000000"))
+            .cast(DecimalType(20, 0)) +
+            col("l_orderkey").cast(DecimalType(20, 0)))
+            .cast(DecimalType(20, 0)).as("big_id"),
+          col("l_shipdate"), col("l_returnflag"))
+      graft.sinks.JdbcSink.write(li, url, "graft_lineitem",
+        graft.sinks.Sinks.Drop)
+      s.read.jdbc(url, "graft_lineitem", new java.util.Properties())
+        // decimals/dates stringify differently across pandas readers:
+        // compare as strings (still proves the typed round-trip)
+        .withColumn("big_id", col("big_id").cast(StringType))
+        .withColumn("l_shipdate", col("l_shipdate").cast(StringType))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "blank_parse" -> ((s, dir) => {
+      // blank parser: queue messages verbatim under the fixed reference
+      // schema (uint64 offsets as Decimal(20,0)); null envelope fields
+      // surface as is-null booleans so the oracle can pin them
+      import org.apache.spark.sql.expressions.Window
+      val part = (col("doc_id") % 4).cast(IntegerType)
+      val q = t(s, dir, "documents").select(
+        lit("docs").as("topic"), part.as("partition"),
+        (row_number().over(Window.partitionBy(part).orderBy("doc_id")) - 1)
+          .cast(LongType).as("offset"),
+        col("text").as("value"))
+      graft.parsers.BlankParser.fromQueue(q)
+        .select(col("partition"),
+          // uint64 offsets ARE Decimal(20,0) in the schema; stringified
+          // for the cross-engine compare (pandas decimal drift)
+          col("offset").cast(StringType).as("offset"),
+          col("seq_no").cast(StringType).as("seq_no"),
+          col("source_id"), col("lb_raw_message"),
+          col("c_time").isNull.as("c_time_null"),
+          col("w_time").isNull.as("w_time_null"),
+          col("lb_extra_fields").isNull.as("extra_null"))
+        .orderBy(col("partition"), col("offset").cast(LongType))
+    }),
+
+    "proto_scalar_parse" -> ((s, dir) => {
+      // the runtime-free proto scalar wire decoder over generated
+      // messages: varint (multi-byte), length-delimited string, zigzag
+      // sint64, little-endian double — the encode side is the test
+      // harness, the decode under test is ProtoReader.parseScalar
+      import s.implicits._
+      def varint(x: Long): Array[Byte] = {
+        var v = x; val b = scala.collection.mutable.ArrayBuffer[Byte]()
+        while ((v & ~0x7fL) != 0) { b += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+        b += v.toByte; b.toArray
+      }
+      val raw = s.range(0, 2000).as[Long].map { i =>
+        val sv = if (i % 2 == 0) i else -i
+        val str = s"m$i".getBytes("UTF-8")
+        varint((1L << 3) | 0) ++ varint(i * 700 + 1) ++
+          varint((2L << 3) | 2) ++ varint(str.length.toLong) ++ str ++
+          varint((3L << 3) | 0) ++ varint((sv << 1) ^ (sv >> 63)) ++
+          varint((4L << 3) | 1) ++ (0 until 8).map(j =>
+            ((java.lang.Double.doubleToLongBits(i * 0.25) >> (8 * j))
+              & 0xff).toByte)
+      }.toDF("raw")
+      graft.parsers.ProtoReader.parseScalar(raw, "raw",
+        Map(1 -> "n", 2 -> "s", 3 -> "sn", 4 -> "d"),
+        StructType(Seq(StructField("n", LongType),
+          StructField("s", StringType), StructField("sn", LongType),
+          StructField("d", DoubleType))),
+        sintFields = Set("sn"))
+        .orderBy("n")
+    }),
+
+    "monotonic_guard" -> ((s, dir) => {
+      // per-key LSN monotonicity guard through a 2-batch stream: every
+      // key's insert in batch 1, then per key ONE redelivery — stale for
+      // even keys (same LSN, poison value -> suppressed), fresh for odd
+      // keys (higher LSN -> passes). Survivors land in a memory sink.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+        .as[(Long, Double)].collect()
+      val b1 = rows.toSeq.map { case (k, p) => (k, p, k * 10L) }
+      val b2 = rows.toSeq.map { case (k, p) =>
+        if (k % 2 == 0) (k, p + 7777.0, k * 10L)       // stale replay
+        else (k, p + 100.0, k * 10L + 5)               // fresh update
+      }
+      val mem = MemoryStream[(Long, Double, Long)]
+      val stream = mem.toDF().toDF("k", "val", E.Lsn)
+        .withColumn("__key", col("k").cast(StringType))
+      val guarded = graft.streaming.CdcStream
+        .monotonicGuard(stream, "__key").drop("__key")
+      val q = guarded.writeStream.format("memory")
+        .queryName("graft_guard_out").outputMode("append").start()
+      try {
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_guard_out")
+        .select(col("k"), col("val"), col(E.Lsn).as("lsn"))
+        .orderBy("k", "lsn")
+    }),
+
+    "fallback_downgrade" -> ((s, dir) => {
+      // typesystem downgrade chain for an endpoint pinned at version 3:
+      // v5 timestamp->datetime (second truncation) and v4
+      // uint64->string both apply, newest first
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("event_id").cast(DecimalType(20, 0)).as("big"))
+      graft.model.Fallbacks.applyFor(ev, endpointVersion = 3, Seq(
+        graft.model.Fallbacks.timestampAsDatetime(Seq("ts"), since = 5),
+        graft.model.Fallbacks.uint64AsString(since = 4)))
+        .orderBy("event_id")
+    }),
+
+    "sorted_lake" -> ((s, dir) => {
+      // range-partitioned sorted parquet: every file covers a DISJOINT
+      // key range (what makes min/max stats selective at lake scale).
+      // Disjointness is asserted from the actual file footprint; the
+      // hash compare proves data fidelity of the round-trip.
+      val path = "/tmp/graft_sorted/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_sorted"), true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("val"))
+      graft.sinks.Sinks.sortedParquet(o, path, Seq("o_orderkey"),
+        graft.sinks.Sinks.Drop, partitions = Some(8))
+      val back = s.read.parquet(path)
+      val ranges = back.groupBy(input_file_name().as("f"))
+        .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+        .orderBy("lo").collect()
+      ranges.sliding(2).foreach {
+        case Array(a, b) =>
+          require(a.getLong(2) < b.getLong(1),
+            s"file key ranges overlap: ${a} vs ${b}")
+        case _ => ()
+      }
+      back.orderBy("o_orderkey")
+    }),
+
+    "replicate_stream" -> ((s, dir) => {
+      // the engine's core purpose, end-to-end: a CDC stream driven
+      // through the composed replication loop — MemoryStream source ->
+      // per-key LSN monotonic guard (flatMapGroupsWithState) ->
+      // checkpointed foreachBatch -> bucketed MERGE state -> state
+      // read-back. Three SEQUENCED micro-batches: snapshot inserts,
+      // then updates + stale replays (same LSN as the insert — the
+      // guard must drop them before they corrupt the merge), then
+      // deletes. The final state equals the batch collapse, which is
+      // what DuckDB oracles.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = "/tmp/graft_replicate"
+      val state = s"$base/state/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // MemoryStream is driver-fed by contract: the rows collected here
+      // are the test harness's event feed, not an operator collect
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+        .as[(Long, Double)].collect()
+      val inserts = rows.toSeq.map { case (k, p) => (k, p, "insert", k * 10L) }
+      val updates = rows.toSeq.filter(_._1 % 3 == 0)
+        .map { case (k, p) => (k, p + 5000.0, "update", k * 10L + 1) }
+      // stale replays: redelivered at the insert's LSN with a poison
+      // value — the monotonic guard must suppress every one of them
+      val replays = rows.toSeq.filter(_._1 % 5 == 0)
+        .map { case (k, p) => (k, p + 99999.0, "update", k * 10L) }
+      val deletes = rows.toSeq.filter(_._1 % 7 == 0)
+        .map { case (k, _) => (k, 0.0, "delete", k * 10L + 2) }
+      val mem = MemoryStream[(Long, Double, String, Long)]
+      val stream = mem.toDF().toDF("k", "val", E.Kind, E.Lsn)
+        .withColumn(E.Counter, lit(0))
+        .withColumn("__key", col("k").cast(StringType))
+      val guarded = graft.streaming.CdcStream
+        .monotonicGuard(stream, "__key").drop("__key")
+      val q = graft.streaming.CdcStream.replicate(guarded, state,
+        s"$base/ckpt", Seq("k"),
+        graft.streaming.CdcStream.Bufferer(interval = None)).start()
+      try {
+        mem.addData(inserts)
+        q.processAllAvailable()
+        mem.addData(updates ++ replays)
+        q.processAllAvailable()
+        mem.addData(deletes)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.CdcStream.readState(s, state).orderBy("k")
+    }),
+
     "tag_transactions" -> ((s, dir) =>
       Collapse.tagTransactions(
         t(s, dir, "orders").select(col("o_orderkey"),
