@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Minimal Delta Lake table reader (reference: the `delta` source
   * provider, pkg/providers/delta — reads Delta tables without the
@@ -25,16 +26,42 @@ object DeltaLite {
       .parquet(files.map(f => s"$tablePath/$f"): _*)
   }
 
-  /** Active data files after replaying the log. */
+  /** Active data files after replaying the log. Starts from the latest
+    * parquet checkpoint when `_last_checkpoint` points at one (the
+    * public protocol's log-compaction mechanism), then replays only the
+    * JSON commits AFTER it — without this, a 10k-commit table costs a
+    * driver-side O(n) JSON replay on every read. */
   def activeFiles(spark: SparkSession, tablePath: String): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
     require(fs.exists(logDir), s"not a Delta table: no _delta_log at $tablePath")
-    val entries = fs.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.endsWith(".json")).sorted
 
+    val ckptVersion: Option[Long] = {
+      val p = new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
+          .map(_.group(1).toLong)
+      }
+    }
     val adds = scala.collection.mutable.LinkedHashMap[String, Unit]()
+    ckptVersion.foreach { v =>
+      val ckpt = new org.apache.hadoop.fs.Path(logDir, f"$v%020d.checkpoint.parquet")
+      require(fs.exists(ckpt), s"_last_checkpoint points at missing $ckpt")
+      spark.read.parquet(ckpt.toString)
+        .where(org.apache.spark.sql.functions.col("add").isNotNull)
+        .select("add.path").collect()
+        .foreach(r => adds(r.getString(0)) = ())
+    }
+
+    val entries = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .filter(n => ckptVersion.forall(n.stripSuffix(".json").toLong > _))
+      .sorted
     entries.foreach { name =>
       val p = new org.apache.hadoop.fs.Path(logDir, name)
       val in = fs.open(p)
@@ -62,17 +89,24 @@ object DeltaLite {
     * [[read]] and by any Delta reader of reader-version 1.
     * Returns the committed version. */
   def write(df: DataFrame, tablePath: String,
-            overwrite: Boolean = false): Long = {
+            overwrite: Boolean = false,
+            checkpointInterval: Int = 10): Long = {
     val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
     val version: Long =
       if (!fs.exists(logDir)) 0L
-      else fs.listStatus(logDir).map(_.getPath.getName)
-        .filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json").toLong).sorted.lastOption
-        .map(_ + 1).getOrElse(0L)
+      else {
+        // next version = max(committed json, checkpointed) + 1 — json
+        // commits at or below a checkpoint may have been cleaned up
+        val jsons = fs.listStatus(logDir).map(_.getPath.getName)
+          .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong)
+        val ckpts = fs.listStatus(logDir).map(_.getPath.getName)
+          .filter(_.endsWith(".checkpoint.parquet"))
+          .map(_.stripSuffix(".checkpoint.parquet").toLong)
+        (jsons ++ ckpts).maxOption.map(_ + 1).getOrElse(0L)
+      }
     val removed: Seq[String] =
       if (overwrite && version > 0) activeFiles(spark, tablePath) else Nil
 
@@ -116,7 +150,69 @@ object DeltaLite {
     val out = fs.create(commit, false)
     try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (checkpointInterval > 0 && version > 0 &&
+        version % checkpointInterval == 0)
+      checkpoint(spark, tablePath, version, df.schema)
     version
+  }
+
+  private val ckptSchema = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType))))))
+
+  /** Write a protocol checkpoint at `version`: one parquet file
+    * `_delta_log/<version>.checkpoint.parquet` holding the full replayed
+    * state (protocol + metaData + one `add` row per active file), then
+    * point `_last_checkpoint` at it. Readers start from the newest
+    * checkpoint and replay only later JSON commits; JSON commits at or
+    * below the checkpoint become prunable (log cleanup). Single-file
+    * checkpoint naming per the public protocol. */
+  def checkpoint(spark: SparkSession, tablePath: String, version: Long,
+                 schema: StructType): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
+    val active = activeFiles(spark, tablePath)
+    val now = System.currentTimeMillis()
+    val rows: Seq[Row] =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(java.util.UUID.randomUUID().toString, Row("parquet"),
+        schema.json, Seq.empty[String], now), null) +:
+      active.map { p =>
+        val len = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(tablePath, p)).getLen
+        Row(null, null, Row(p, Map.empty[String, String], len, now, true))
+      }
+    import scala.jdk.CollectionConverters._
+    val staging = new org.apache.hadoop.fs.Path(s"$tablePath/.ckpt-$version")
+    spark.createDataFrame(rows.asJava, ckptSchema).coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging)
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException("checkpoint write lost"))
+    val dst = new org.apache.hadoop.fs.Path(logDir, f"$version%020d.checkpoint.parquet")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(part, dst)
+    fs.delete(staging, true)
+    // _last_checkpoint LAST: a crash before this line leaves the old
+    // pointer valid; the orphan checkpoint file is harmless
+    val lc = fs.create(new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint"), true)
+    try lc.write(s"""{"version":$version,"size":${rows.length}}""".getBytes("UTF-8"))
+    finally lc.close()
   }
 
   /** One log action: Right(path)=add, Left(path)=remove, None=other.

@@ -49,6 +49,36 @@ class ExtensionsDeltaSpec extends SparkSpec {
     assert(out == Seq((2L, "b")))
   }
 
+  test("DeltaLite checkpoints every N commits and reads from the newest one") {
+    val table = Files.createTempDirectory("graft_delta_c").toString + "/t"
+    for (i <- 0 until 25)
+      DeltaLite.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), table,
+        checkpointInterval = 10)
+    val log = Paths.get(table, "_delta_log")
+    // checkpoints at v10 and v20, _last_checkpoint pointing at 20
+    assert(Files.exists(log.resolve("00000000000000000010.checkpoint.parquet")))
+    assert(Files.exists(log.resolve("00000000000000000020.checkpoint.parquet")))
+    assert(Files.readString(log.resolve("_last_checkpoint"))
+      .contains("\"version\":20"))
+    val all = DeltaLite.read(spark, table)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(all == (0 until 25).map(i => (i.toLong, s"v$i")))
+    // the reader genuinely starts from the checkpoint: clean up every
+    // JSON commit at or below v20 (protocol log cleanup) and re-read
+    import scala.jdk.CollectionConverters._
+    Files.list(log).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.endsWith(".json") &&
+        p.getFileName.toString.stripSuffix(".json").toLong <= 20L)
+      .foreach(Files.delete)
+    val afterCleanup = DeltaLite.read(spark, table)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(afterCleanup == all, "checkpoint replay lost rows")
+    // appends still version past the cleaned-up log
+    assert(DeltaLite.write(Seq((99L, "x")).toDF("id", "v"), table,
+      checkpointInterval = 10) == 25L)
+    assert(DeltaLite.read(spark, table).count() == 26)
+  }
+
   test("DeltaLite writes versioned commits; append and overwrite round-trip") {
     val table = Files.createTempDirectory("graft_delta_w").toString + "/t"
     val v0 = DeltaLite.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table)
