@@ -189,19 +189,28 @@ object Dedup {
                         shingleN: Int = 3, minJaccard: Double = 0.0,
                         candidates: Option[DataFrame] = None,
                         maxDf: Int = 1000): DataFrame = {
-    val shAll = df.select(col(idCol).as("id"),
+    val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
-    val sh =
-      if (maxDf == Int.MaxValue) shAll
-      else {
-        val keep = shAll.groupBy("s").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf).select("s")
-        shAll.join(keep, Seq("s"), "left_semi")
-      }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val pairs = sh.select(col("id").as("id_a"), col("s"))
-      .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+    // ONE shuffle keyed on the shingle (the minhashCandidates shape):
+    // each group carries its sorted doc-id list, in-group combinations
+    // are the co-occurrence pairs — no self-join. The hot-shingle cap
+    // drops df > maxDf groups in the same aggregation, so it is free;
+    // it also bounds the per-group array AND the quadratic pair term.
+    // Docs lose the dropped shingles from BOTH the intersection and
+    // their sizes, so jaccard stays a true Jaccard over the filtered
+    // shingle universe.
+    val grouped = sh.groupBy("s")
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+      .filter(size(col("__ids")) <= maxDf)
+    val sizes = grouped.select(explode(col("__ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val ids = col("__ids")
+    val pairStructs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val pairs = grouped.filter(size(ids) >= 2)
+      .select(explode(pairStructs).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
     val filtered = candidates.fold(pairs)(c =>
       pairs.join(c, Seq("id_a", "id_b"), "left_semi"))
     filtered.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))

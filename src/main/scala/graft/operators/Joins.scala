@@ -43,13 +43,28 @@ object SaltedJoin {
   /** Inner-join `big` with `small` on `key`, fanning the big side's hot
     * keys across `salt` sub-partitions. The small side is replicated
     * `salt` times (explode) — acceptable because it is small; the big
-    * side only gains a random salt column, no replication. */
+    * side only gains a salt column, no replication.
+    *
+    * Salt derivation, two modes:
+    *   - default (`saltCol = None`): `monotonically_increasing_id` —
+    *     perfectly even spread, but PARTITION-LAYOUT-DEPENDENT: replaying
+    *     the same data with different partitioning re-salts rows. Join
+    *     RESULTS are identical either way (the salt cancels out); only
+    *     row->sub-partition placement changes. Fine for load-spreading.
+    *   - `saltCol = Some(c)`: salt from the engine-stable md5 hash of a
+    *     designated column (a PK or any high-cardinality column) —
+    *     placement is reproducible across runs, partitionings and
+    *     engines. Prefer this when placement feeds anything observable
+    *     (file layout, per-bucket metrics). Spread quality follows the
+    *     column's cardinality within each hot key. */
   def join(big: DataFrame, small: DataFrame, key: String,
-           salt: Int): DataFrame = {
-    // deterministic spread: salt from a stable hash of the whole row id
-    // space (monotonically_increasing_id is partition-deterministic)
-    val bigSalted = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt)).cast("int"))
+           salt: Int, saltCol: Option[String] = None): DataFrame = {
+    val saltExpr = saltCol match {
+      case Some(c) => pmod(graft.functions.Hashing.hex8ToLong(
+        col(c).cast("string")), lit(salt.toLong)).cast("int")
+      case None => pmod(monotonically_increasing_id(), lit(salt)).cast("int")
+    }
+    val bigSalted = big.withColumn("__salt", saltExpr)
     val smallExploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")

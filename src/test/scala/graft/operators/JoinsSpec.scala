@@ -35,5 +35,14 @@ class JoinsSpec extends SparkSpec {
     val got = SaltedJoin.join(big, small, "k", salt = 8)
       .select("k", "v", "name").collect().toSet
     assert(got == expected)
+    // stable-hash salt: same results, and the salt of any row is a pure
+    // function of the salt column — reproducible across partitionings
+    val stable = SaltedJoin.join(big, small, "k", salt = 8,
+      saltCol = Some("v"))
+    assert(stable.select("k", "v", "name").collect().toSet == expected)
+    val s1 = SaltedJoin.join(big.repartition(3), small, "k", salt = 8,
+      saltCol = Some("v")).withColumn("__s",
+        pmod(graft.functions.Hashing.hex8ToLong(col("v").cast("string")), lit(8L)))
+    assert(s1.select("__s").distinct().count() <= 8)
   }
 }
