@@ -626,6 +626,59 @@ object Oracles {
       ("SELECT o_orderkey AS k, o_totalprice AS val FROM orders " +
         "WHERE o_orderkey % 7 <> 0 ORDER BY k"),
 
+    // partial updates set only their masked columns: a keeps the last
+    // a-setting event, b the last b-setting one — independently per key
+    "toast_coalesce" ->
+      ("""SELECT o_orderkey AS k,
+         |  CASE WHEN o_orderkey % 3 = 0
+         |       THEN CAST(o_totalprice AS DOUBLE) + 1000.0
+         |       ELSE CAST(o_totalprice AS DOUBLE) END AS a,
+         |  CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 7
+         |       ELSE o_custkey END AS b
+         |FROM orders ORDER BY k""".stripMargin),
+
+    // the detector must pin exactly the two poison keys (first and last
+    // key of the 1024-wide probe window with k % 7 = 3) to single-item
+    // (lo, hi] ranges
+    "problem_item_detector" ->
+      ("""WITH w AS (SELECT min(o_orderkey) AS mn FROM orders),
+         |p AS (SELECT min(o_orderkey) AS a, max(o_orderkey) AS b
+         |      FROM orders, w
+         |      WHERE o_orderkey BETWEEN mn AND mn + 1023
+         |        AND o_orderkey % 7 = 3)
+         |SELECT a - 1 AS lo, a AS hi FROM p
+         |UNION ALL
+         |SELECT b - 1, b FROM p WHERE b <> a
+         |ORDER BY lo""".stripMargin),
+
+    "table_filter" ->
+      ("""SELECT o_orderkey, 'orders/' || o_orderstatus AS "__table"
+         |FROM orders WHERE o_orderstatus <> 'F'
+         |ORDER BY o_orderkey""".stripMargin),
+
+    "sample_source" ->
+      ("""SELECT i AS event_id,
+         |  (i * 2654435761) % 100 AS device_id,
+         |  TIMESTAMP '1970-01-01' + (1700000000 + i) * INTERVAL '1 second' AS ts,
+         |  CAST((i * 1103515245 + 12345) % 100000 AS DOUBLE) / 100.0 AS value
+         |FROM range(10000) t(i) ORDER BY event_id""".stripMargin),
+
+    "metering_tap" ->
+      ("""SELECT 'graft_meter_in' AS name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(length(CAST(o_orderkey AS VARCHAR))
+         |       + length(o_orderstatus)) AS BIGINT) AS n_bytes
+         |FROM orders""".stripMargin),
+
+    "cleanup_policy" ->
+      ("""SELECT k, val FROM (
+         |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS val
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) FROM orders
+         |  WHERE o_orderkey % 10 = 0
+         |) ORDER BY k""".stripMargin),
+
     // derby round-trip must surface exactly the rows written, with the
     // beyond-int64 NUMERIC(20) ids and dates intact (string-compared)
     "jdbc_roundtrip" ->

@@ -839,6 +839,109 @@ object Queries {
       graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 
+    "toast_coalesce" -> ((s, dir) => {
+      // TOAST-aware partial updates: an __updated_cols mask marks which
+      // columns an update actually sets; Collapse must coalesce each
+      // column from the last event that SET it, not the last event
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(DoubleType).as("a"),
+        col("o_custkey").as("b"))
+      val noneSet = lit(null).cast(ArrayType(StringType))
+      val ins = o.select(col("k"), col("a"), col("b"),
+        lit(E.Insert).as(E.Kind), lit(1L).as(E.Lsn), lit(0).as(E.Counter),
+        noneSet.as(E.UpdatedCols))
+      val upA = o.filter(col("k") % 3 === 0).select(col("k"),
+        (col("a") + 1000.0).as("a"), lit(null).cast(LongType).as("b"),
+        lit(E.Update).as(E.Kind), lit(2L).as(E.Lsn), lit(0).as(E.Counter),
+        array(lit("a")).as(E.UpdatedCols))
+      val upB = o.filter(col("k") % 5 === 0).select(col("k"),
+        lit(null).cast(DoubleType).as("a"), (col("b") + 7).as("b"),
+        lit(E.Update).as(E.Kind), lit(3L).as(E.Lsn), lit(0).as(E.Counter),
+        array(lit("b")).as(E.UpdatedCols))
+      Collapse.collapse(ins.unionByName(upA).unionByName(upB), Seq("k"))
+        .filter(col(E.Kind) =!= E.Delete)
+        .select("k", "a", "b").orderBy("k")
+    }),
+
+    "problem_item_detector" -> ((s, dir) => {
+      // binary-search isolation of poison rows: the detector bisects the
+      // id range with real write attempts until each failing row is
+      // pinned to a single-item (lo, hi] range. Probe window = 1024 keys
+      // from the table minimum; poison = the first and last key of that
+      // window with k % 7 == 3.
+      import s.implicits._
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val mn = o.agg(min("k")).as[Long].head()
+      val window = o.filter(col("k").between(mn, mn + 1023))
+      val ps = window.filter(col("k") % 7 === 3).agg(min("k"), max("k"))
+        .as[(Long, Long)].head()
+      val poison = Set(ps._1, ps._2)
+      val ranges = graft.operators.ProblemItemDetector.detect(
+        window, "k", part => {
+          if (part.filter(col("k").isInCollection(poison)).count() > 0)
+            throw new RuntimeException("sink rejected poison row")
+        })
+      s.createDataFrame(ranges).toDF("lo", "hi").orderBy("lo")
+    }),
+
+    "table_filter" -> ((s, dir) => {
+      // include/exclude table filter over table_splitter routes: anchored
+      // regexes on the table name, driver-side over the (tiny) distinct
+      // set, then a row filter on the kept tables
+      val split = T.TableSplitter("orders", Seq("o_orderstatus"))
+        .apply(t(s, dir, "orders"))
+      val tf = graft.operators.TableFilter(
+        include = Seq("orders/.*"), exclude = Seq("orders/F"))
+      val kept = split.select(E.Table).distinct()
+        .collect().map(_.getString(0)).filter(tf.matches).toSeq
+      split.filter(col(E.Table).isin(kept: _*))
+        .select(col("o_orderkey"), col(E.Table))
+        .orderBy("o_orderkey")
+    }),
+
+    "sample_source" -> ((s, dir) =>
+      // deterministic sample/rate generator (the `sample` provider's IoT
+      // shape): pure arithmetic over range, reproducible in any engine
+      graft.sources.SampleSource.iot(s, 10000).orderBy("event_id")),
+
+    "metering_tap" -> ((s, dir) => {
+      // metering middleware: observe-based row/byte counters piggyback
+      // on the real action (no extra pass), collected via the public
+      // QueryExecutionListener API (asynchronous -> bounded poll)
+      val l = graft.streaming.Metering.listen(s)
+      try {
+        val tapped = graft.streaming.Metering.tap(
+          t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+          "graft_meter_in")
+        tapped.write.format("noop").mode("overwrite").save()
+        val deadline = System.currentTimeMillis() + 15000
+        var m: Map[String, Long] = null
+        while (m == null && System.currentTimeMillis() < deadline) {
+          m = l.metrics.get("graft_meter_in")
+          if (m == null) Thread.sleep(50)
+        }
+        require(m != null, "metering listener never fired")
+        import s.implicits._
+        Seq(("graft_meter_in", m("rows"), m("bytes")))
+          .toDF("name", "n_rows", "n_bytes")
+      } finally s.listenerManager.unregister(l)
+    }),
+
+    "cleanup_policy" -> ((s, dir) => {
+      // cleanup-policy semantics on a file sink: Drop re-creates, then a
+      // Disabled (append-only) activation adds rows instead of clearing
+      val path = "/tmp/graft_cleanup/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_cleanup"), true)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(DoubleType).as("val"))
+      graft.sinks.Sinks.parquet(o, path, graft.sinks.Sinks.Drop)
+      graft.sinks.Sinks.parquet(o.filter(col("k") % 10 === 0), path,
+        graft.sinks.Sinks.Disabled)
+      s.read.parquet(path).orderBy("k")
+    }),
+
     "jdbc_roundtrip" -> ((s, dir) => {
       // the JDBC boundary end-to-end: dialect-mapped DDL write into
       // embedded Derby (Drop policy -> re-create), read back through
