@@ -626,6 +626,17 @@ object Oracles {
       ("SELECT o_orderkey AS k, o_totalprice AS val FROM orders " +
         "WHERE o_orderkey % 7 <> 0 ORDER BY k"),
 
+    "config_transfer" ->
+      ("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         |  o_orderstatus
+         |FROM orders WHERE o_totalprice > 100000
+         |ORDER BY o_orderkey""".stripMargin),
+
+    "merge_multitable" ->
+      ("""SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS val,
+         |  'orders/' || o_orderstatus AS "__table"
+         |FROM orders ORDER BY k""".stripMargin),
+
     // partial updates set only their masked columns: a keeps the last
     // a-setting event, b the last b-setting one — independently per key
     "toast_coalesce" ->

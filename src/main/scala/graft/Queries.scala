@@ -839,6 +839,51 @@ object Queries {
       graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 
+    "config_transfer" -> ((s, dir) => {
+      // the trcli surface end-to-end: YAML config -> parsed Transfer ->
+      // runSnapshot (source read, transformer chain fold, cleanup-aware
+      // sink write) -> sink read-back
+      val out = "/tmp/graft_cfg_transfer/out"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_cfg_transfer"), true)
+      val yaml =
+        s"""type: SNAPSHOT_ONLY
+           |src: { kind: parquet, path: $dir/orders.parquet }
+           |dst: { kind: parquet, path: $out }
+           |cleanup: drop
+           |transformations:
+           |  - filter_rows: { filters: ["o_totalprice > 100000"] }
+           |  - filter_columns: { include: [o_orderkey, o_totalprice, o_orderstatus] }
+           |""".stripMargin
+      TransferRunner.runSnapshot(s, graft.config.TransferYaml.fromString(yaml))
+      s.read.parquet(out)
+        .withColumn("o_totalprice", col("o_totalprice").cast(DoubleType))
+        .orderBy("o_orderkey")
+    }),
+
+    "merge_multitable" -> ((s, dir) => {
+      // multi-table batch routing: one enveloped batch splits on __table
+      // and MERGEs into per-table bucketed state dirs; all states read
+      // back must reassemble the input exactly
+      val base = "/tmp/graft_multitable"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val env = T.TableSplitter("orders", Seq("o_orderstatus"))
+        .apply(t(s, dir, "orders"))
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(DoubleType).as("val"), col(E.Table))
+        .withColumn(E.Kind, lit(E.Insert))
+        .withColumn(E.Lsn, col("k")).withColumn(E.Counter, lit(0))
+      val tables = graft.streaming.CdcStream.mergeMultiTable(env, base, Seq("k"))
+      tables.map { tn =>
+        val safe = tn.replaceAll("[^A-Za-z0-9_.-]", "_")
+        graft.streaming.CdcStream.readState(s, s"$base/$safe")
+          .withColumn(E.Table, lit(tn))
+      }.reduce(_.unionByName(_)).orderBy("k")
+    }),
+
     "toast_coalesce" -> ((s, dir) => {
       // TOAST-aware partial updates: an __updated_cols mask marks which
       // columns an update actually sets; Collapse must coalesce each
