@@ -626,6 +626,24 @@ object Oracles {
       ("SELECT o_orderkey AS k, o_totalprice AS val FROM orders " +
         "WHERE o_orderkey % 7 <> 0 ORDER BY k"),
 
+    "lambda_transform" ->
+      ("SELECT o_orderkey, o_totalprice > 150000 AS big_spender " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    // only the newest `keep` daily periods survive expiry; rows carry
+    // their rotation tag back from the partition layout
+    "rotator_write" ->
+      ("""WITH d AS (SELECT DISTINCT
+         |    strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS rot
+         |  FROM events),
+         |keep AS (SELECT rot FROM d ORDER BY rot DESC LIMIT 3)
+         |SELECT event_id,
+         |  strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS "__rotation"
+         |FROM events
+         |WHERE strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+         |      IN (SELECT rot FROM keep)
+         |ORDER BY event_id""".stripMargin),
+
     "config_transfer" ->
       ("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
          |  o_orderstatus

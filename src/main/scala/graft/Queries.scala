@@ -839,6 +839,34 @@ object Queries {
       graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 
+    "lambda_transform" -> ((s, dir) =>
+      // the lambda transformer: a user DataFrame=>DataFrame folded into
+      // the chain (reference runs an external function; the Spark-native
+      // surface is the function itself)
+      T.Lambda("big_spender_tag", df =>
+        df.withColumn("big_spender", col("o_totalprice") > 150000))
+        .apply(t(s, dir, "orders"))
+        .select(col("o_orderkey"), col("big_spender"))
+        .orderBy("o_orderkey")),
+
+    "rotator_write" -> ((s, dir) => {
+      // rotated sink layout end-to-end: daily partition dirs, O(1)
+      // retention expiry (directory deletes, no rewrite), read-back of
+      // the surviving periods
+      val path = "/tmp/graft_rotator/events"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_rotator"), true)
+      graft.sinks.Rotator.write(t(s, dir, "events").select("event_id", "ts"),
+        "ts", graft.sinks.Rotator.Daily, path, graft.sinks.Sinks.Drop)
+      graft.sinks.Rotator.expire(s, path, keep = 3)
+      s.read.parquet(path)
+        .select(col("event_id"),
+          col(graft.sinks.Rotator.RotationCol).cast(StringType)
+            .as(graft.sinks.Rotator.RotationCol))
+        .orderBy("event_id")
+    }),
+
     "config_transfer" -> ((s, dir) => {
       // the trcli surface end-to-end: YAML config -> parsed Transfer ->
       // runSnapshot (source read, transformer chain fold, cleanup-aware

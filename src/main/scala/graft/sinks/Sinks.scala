@@ -27,7 +27,13 @@ object Sinks {
   def parquet(df: DataFrame, path: String,
               policy: CleanupPolicy = Disabled,
               partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(mode(policy))
+    // repartition on the partition columns BEFORE partitionBy: otherwise
+    // every shuffle task writes a file into every value dir
+    // (tasks x dirs small files — the cluster-scale write killer)
+    val src =
+      if (partitionCols.isEmpty) df
+      else df.repartition(partitionCols.map(col): _*)
+    val w = src.write.mode(mode(policy))
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
   }
