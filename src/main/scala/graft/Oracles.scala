@@ -626,6 +626,16 @@ object Oracles {
       ("SELECT o_orderkey AS k, o_totalprice AS val FROM orders " +
         "WHERE o_orderkey % 7 <> 0 ORDER BY k"),
 
+    "watermark_dedup" ->
+      ("SELECT event_id, CAST(ts AS TIMESTAMP) AS ts " +
+        "FROM events ORDER BY event_id"),
+
+    // the engine-stable hash: first 8 hex chars of md5, as a BIGINT
+    "udx_hash" ->
+      ("""SELECT o_orderkey,
+         |  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     "lambda_transform" ->
       ("SELECT o_orderkey, o_totalprice > 150000 AS big_spender " +
         "FROM orders ORDER BY o_orderkey"),

@@ -839,6 +839,37 @@ object Queries {
       graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 
+    "watermark_dedup" -> ((s, dir) => {
+      // watermarked duplicate suppression through a real stream: replayed
+      // rows (identical key+ts) inside the watermark collapse to one
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)].collect()
+      // every third event is delivered twice
+      val feed = rows.toSeq ++ rows.toSeq.filter(_._1 % 3 == 0)
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val deduped = graft.streaming.CdcStream.watermarkDedup(
+        mem.toDF().toDF("event_id", "ts"), "ts", "1 hour", Seq("event_id"))
+      val q = deduped.writeStream.format("memory")
+        .queryName("graft_wm_out").outputMode("append").start()
+      try { mem.addData(feed); q.processAllAvailable() } finally q.stop()
+      s.table("graft_wm_out").orderBy("event_id")
+    }),
+
+    "udx_hash" -> ((s, dir) => {
+      // the UDx registration surface: graft_stable_hash64 resolved BY
+      // NAME through Spark SQL (FunctionRegistry path — the same hook
+      // GraftExtensions installs), not via the Scala Column API
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "orders").createOrReplaceTempView("graft_udx_orders")
+      s.sql("""SELECT o_orderkey,
+               graft_stable_hash64(CAST(o_orderkey AS STRING)) AS h
+               FROM graft_udx_orders ORDER BY o_orderkey""")
+    }),
+
     "lambda_transform" -> ((s, dir) =>
       // the lambda transformer: a user DataFrame=>DataFrame folded into
       // the chain (reference runs an external function; the Spark-native
