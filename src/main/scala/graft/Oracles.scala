@@ -603,6 +603,12 @@ object Oracles {
          |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_id
          |FROM orders ORDER BY id""".stripMargin),
 
+    "confluent_http" ->
+      ("""SELECT o_orderkey AS id, o_totalprice AS price,
+         |  CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE o_orderstatus END AS status,
+         |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_id
+         |FROM orders ORDER BY id""".stripMargin),
+
     "mysql_binlog_parse" ->
       ("""SELECT o_orderkey AS id, o_totalprice AS price,
          |  CASE WHEN o_orderkey % 7 = 0 THEN 'delete'

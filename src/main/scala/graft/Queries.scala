@@ -758,6 +758,40 @@ object Queries {
         .orderBy("id")
     }),
 
+    "confluent_http" -> ((s, dir) => {
+      // same mixed-schema topic as confluent_decode, but writer schemas
+      // resolve over the WIRE: an in-process Confluent-REST server
+      // (GET /schemas/ids/{id}, JDK HttpServer) with the executor-side
+      // per-id cache amortizing fetches — the reference's HTTP registry
+      // client path (pkg/schemaregistry). Materialized while the server
+      // is live; the returned local frame never re-touches it.
+      val v1 = """{"type":"record","name":"order","fields":[{"name":"id","type":"long"},{"name":"price","type":"double"}]}"""
+      val v2 = """{"type":"record","name":"order","fields":[{"name":"id","type":"long"},{"name":"price","type":"double"},{"name":"status","type":"string","default":""}]}"""
+      val reg = graft.parsers.ConfluentDecode.serveRegistry(Map(1 -> v1, 2 -> v2))
+      try {
+        val enc = udf { (k: Long, p: Double, st: String) =>
+          if (k % 2 == 0)
+            graft.parsers.ConfluentDecode.encode(v1, 1,
+              Map("id" -> k, "price" -> p))
+          else
+            graft.parsers.ConfluentDecode.encode(v2, 2,
+              Map("id" -> k, "price" -> p, "status" -> st))
+        }
+        val wire = t(s, dir, "orders").select(
+          enc(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+            .as("raw"))
+        val out = graft.parsers.ConfluentDecode.receive(wire, "raw",
+          reg.baseUrl, v2,
+          StructType(Seq(StructField("id", LongType),
+            StructField("price", DoubleType),
+            StructField("status", StringType))))
+          .select("id", "price", "status", "schema_id")
+          .orderBy("id")
+        val rows = java.util.Arrays.asList(out.collect(): _*)
+        s.createDataFrame(rows, out.schema)
+      } finally reg.stop()
+    }),
+
     "mysql_binlog_parse" -> ((s, dir) => {
       // synthetic Canal-JSON binlog wire derived from orders; UPDATE
       // events carry changed-column pre-images in `old`, and every 4th

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types.StructType
   * schema resolution + Avro payload decode; pkg/schemaregistry client).
   *
   * Composes with [[ConfluentFraming]] (magic byte + big-endian schema id
-  * split). Schema resolution is pluggable behind [[FileRegistry]] — a
-  * directory of `<id>.avsc` files, the sandbox-safe stand-in for the
-  * HTTP registry (same contract: id → writer schema; the reference's
-  * client caches by id exactly like [[schemaCache]] here). Decoding uses
+  * split). Schema resolution accepts two locator forms: an `http(s)://`
+  * base URL → [[HttpRegistry]], the live REST client
+  * (`GET /schemas/ids/{id}`), or a directory of `<id>.avsc` files →
+  * [[FileRegistry]] (shared-FS deployments and fixtures). Both cache by
+  * id per JVM exactly like the reference's client. Decoding uses
   * Avro schema RESOLUTION: each message is read with its own writer
   * schema against the pipeline's declared reader schema, so mixed-schema
   * topics (producer upgrades mid-stream) decode to one frame — added
@@ -38,16 +39,94 @@ object ConfluentDecode {
     }
   }
 
+  /** id → writer schema over the Confluent REST contract
+    * (`GET {base}/schemas/ids/{id}` → `{"schema":"…"}`) — the HTTP
+    * registry client itself (reference: pkg/schemaregistry). Executors
+    * fetch lazily and cache per JVM in [[schemaCache]], so each executor
+    * hits the registry once per schema id regardless of row count —
+    * the same amortization the reference's client does. 404 → None
+    * (unknown id), other non-200s raise. */
+  final case class HttpRegistry(baseUrl: String) {
+    def schemaJson(id: Int): Option[String] = {
+      val uri = java.net.URI.create(
+        s"${baseUrl.stripSuffix("/")}/schemas/ids/$id")
+      val req = java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofSeconds(10)).GET().build()
+      val resp = HttpRegistry.client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() == 404) None
+      else if (resp.statusCode() != 200)
+        throw new java.io.IOException(
+          s"schema registry $uri -> HTTP ${resp.statusCode()}")
+      else Option(HttpRegistry.mapper.readTree(resp.body()).get("schema"))
+        .map(_.asText())
+    }
+  }
+
+  object HttpRegistry {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    private[parsers] val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+  }
+
+  /** Handle on an in-process registry server (test/fixture transport for
+    * the HTTP client when no real registry service is reachable). */
+  final class RegistryServer(
+      server: com.sun.net.httpserver.HttpServer,
+      val hits: java.util.concurrent.atomic.AtomicInteger) {
+    def baseUrl: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  /** Serve `schemas` over the Confluent REST contract on an ephemeral
+    * 127.0.0.1 port (JDK HttpServer — no extra dependency). Counts
+    * requests so callers can assert the per-id cache amortizes
+    * fetches. */
+  def serveRegistry(schemas: Map[Int, String]): RegistryServer = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/",
+      (exchange: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        val id = exchange.getRequestURI.getPath.split("/").last.toInt
+        schemas.get(id) match {
+          case Some(schema) =>
+            val body = ("{\"schema\":" +
+              HttpRegistry.mapper.writeValueAsString(schema) + "}")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            exchange.getResponseHeaders.add("Content-Type",
+              "application/vnd.schemaregistry.v1+json")
+            exchange.sendResponseHeaders(200, body.length.toLong)
+            exchange.getResponseBody.write(body)
+          case None => exchange.sendResponseHeaders(404, -1L)
+        }
+        exchange.close()
+      })
+    server.start()
+    new RegistryServer(server, hits)
+  }
+
   // per-JVM schema caches (executor-side; keyed by dir/id and by text)
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), org.apache.avro.Schema]()
   private val readerCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.avro.Schema]()
 
-  private def writerSchema(dir: String, id: Int): org.apache.avro.Schema =
-    schemaCache.computeIfAbsent((dir, id), { _ =>
-      val json = FileRegistry(dir).schemaJson(id).getOrElse(
-        throw new IllegalArgumentException(s"schema id $id not in registry $dir"))
+  /** Registry locator dispatch: `http(s)://…` → live REST client,
+    * anything else → `<id>.avsc` directory. One string flows through
+    * configs and cache keys either way. */
+  private def lookupSchema(locator: String, id: Int): Option[String] =
+    if (locator.startsWith("http://") || locator.startsWith("https://"))
+      HttpRegistry(locator).schemaJson(id)
+    else FileRegistry(locator).schemaJson(id)
+
+  private def writerSchema(locator: String, id: Int): org.apache.avro.Schema =
+    schemaCache.computeIfAbsent((locator, id), { _ =>
+      val json = lookupSchema(locator, id).getOrElse(
+        throw new IllegalArgumentException(
+          s"schema id $id not in registry $locator"))
       new org.apache.avro.Schema.Parser().parse(json)
     })
 
@@ -56,11 +135,11 @@ object ConfluentDecode {
       j => new org.apache.avro.Schema.Parser().parse(j))
 
   /** Decode one framed payload to the record's JSON rendering. */
-  def decodeToJson(registryDir: String, readerJson: String, id: Int,
+  def decodeToJson(registry: String, readerJson: String, id: Int,
                    payload: Array[Byte]): String = {
     val r = new org.apache.avro.generic.GenericDatumReader[
       org.apache.avro.generic.GenericRecord](
-      writerSchema(registryDir, id), readerSchema(readerJson))
+      writerSchema(registry, id), readerSchema(readerJson))
     val dec = org.apache.avro.io.DecoderFactory.get()
       .binaryDecoder(payload, null)
     r.read(null, dec).toString
@@ -86,12 +165,12 @@ object ConfluentDecode {
   /** Full receive path: framing split → per-id Avro decode against the
     * reader schema → typed columns. Unframed rows (bad magic) surface
     * with null fields and `framing_ok = false` for quarantine routing. */
-  def receive(df: DataFrame, rawCol: String, registryDir: String,
+  def receive(df: DataFrame, rawCol: String, registry: String,
               readerJson: String, target: StructType): DataFrame = {
     val framed = ConfluentFraming.parse(df, rawCol)
     val dec = udf { (payload: Array[Byte], id: Integer) =>
       if (payload == null || id == null) null
-      else decodeToJson(registryDir, readerJson, id, payload)
+      else decodeToJson(registry, readerJson, id, payload)
     }
     framed
       .withColumn("__json", dec(col("payload"), col("schema_id")))

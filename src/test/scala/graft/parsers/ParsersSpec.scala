@@ -221,4 +221,35 @@ class ParsersSpec extends SparkSpec {
     assert(ok == Seq((10L, "none", 1), (11L, "t", 2)))
     assert(out.filter(!col("framing_ok")).count() == 1)
   }
+
+  test("confluent HTTP registry client fetches over the REST contract and caches per id") {
+    val v1 = """{"type":"record","name":"h","fields":[{"name":"id","type":"long"}]}"""
+    val v2 = """{"type":"record","name":"h","fields":[{"name":"id","type":"long"},{"name":"tag","type":"string","default":"none"}]}"""
+    val reg = ConfluentDecode.serveRegistry(Map(1 -> v1, 2 -> v2))
+    try {
+      // many rows per schema id: the per-JVM cache must amortize fetches
+      val rows = (1L to 50L).map { i =>
+        if (i % 2 == 0) ConfluentDecode.encode(v1, 1, Map("id" -> i))
+        else ConfluentDecode.encode(v2, 2, Map("id" -> i, "tag" -> s"t$i"))
+      }
+      val out = ConfluentDecode.receive(rows.toDF("raw"), "raw",
+        reg.baseUrl, v2,
+        StructType(Seq(StructField("id", LongType),
+          StructField("tag", StringType))))
+        .select("id", "tag", "schema_id")
+        .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+      assert(out.size == 50)
+      assert(out.head == ((1L, "t1", 2)))
+      assert(out(1) == ((2L, "none", 1)))
+      assert(out.forall { case (i, tag, sid) =>
+        if (i % 2 == 0) tag == "none" && sid == 1
+        else tag == s"t$i" && sid == 2
+      })
+      // 50 rows, 2 schema ids -> at most 2 fetches (computeIfAbsent
+      // serializes concurrent misses on the same key)
+      assert(reg.hits.get() <= 2, s"registry hit ${reg.hits.get()} times")
+      // unknown id surfaces as a client-side miss, not a decode of junk
+      assert(ConfluentDecode.HttpRegistry(reg.baseUrl).schemaJson(99).isEmpty)
+    } finally reg.stop()
+  }
 }
