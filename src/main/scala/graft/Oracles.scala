@@ -660,6 +660,10 @@ object Oracles {
          |      IN (SELECT rot FROM keep)
          |ORDER BY event_id""".stripMargin),
 
+    "compact_lake" ->
+      ("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     "config_transfer" ->
       ("""SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
          |  o_orderstatus

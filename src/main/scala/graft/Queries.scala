@@ -932,6 +932,23 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "compact_lake" -> ((s, dir) => {
+      // lake maintenance end-to-end: a micro-batched sink leaves 48
+      // small files; compaction bin-packs them (crash-safe two-phase
+      // swap) and the read-back must be byte-identical content
+      val path = "/tmp/graft_compact/lake"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_compact"), true)
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .repartition(48).write.parquet(path)
+      val stats = graft.sinks.Sinks.compact(s, path, targetBytes = 64L << 20)
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction did not reduce files: $stats")
+      s.read.parquet(path).orderBy("o_orderkey")
+    }),
+
     "config_transfer" -> ((s, dir) => {
       // the trcli surface end-to-end: YAML config -> parsed Transfer ->
       // runSnapshot (source read, transformer chain fold, cleanup-aware

@@ -38,20 +38,7 @@ object KafkaSink {
         val metaInPayload = Seq(E.Kind, E.Lsn).filter(df.columns.contains)
         to_json(struct((dataCols ++ metaInPayload).map(col): _*))
       case DebeziumWire => graft.parsers.Debezium.emitValue(dataCols)
-      case CsvWire(d) =>
-        // NULL must emit an EMPTY field, not vanish: concat_ws skips
-        // nulls, which would shift every later column on the wire.
-        // Values containing the delimiter, a quote, or a newline are
-        // quoted with internal quotes doubled (standard CSV escaping).
-        val fields = dataCols.map { c =>
-          val s = coalesce(col(c).cast("string"), lit(""))
-          val needsQuote = s.contains(d) || s.contains("\"") ||
-            s.contains("\n") || s.contains("\r")
-          when(needsQuote,
-            concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
-            .otherwise(s)
-        }
-        concat_ws(d, fields: _*)
+      case CsvWire(d) => Sinks.csvLine(dataCols.map(col), d)
       case RawWire(c) => col(c).cast("string")
     }
   }

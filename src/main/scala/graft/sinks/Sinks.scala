@@ -68,6 +68,72 @@ object Sinks {
 
   def console(df: DataFrame, rows: Int = 20): Unit = df.show(rows, false)
 
+  /** Compaction outcome: file/byte counts either side of the rewrite. */
+  final case class CompactionStats(filesBefore: Int, bytesBefore: Long,
+                                   filesAfter: Int)
+
+  /** Small-file compaction of a parquet lake directory — the maintenance
+    * pass every streaming/CDC sink needs: micro-batches leave one file
+    * per (task, batch), and at lake scale scan cost becomes dominated by
+    * per-file open/footer overhead rather than bytes. Bin-packs the
+    * directory into ~`targetBytes` files:
+    *
+    *  - non-partitioned: Spark's file packing already groups small
+    *    inputs into ~`maxPartitionBytes` splits, so a `coalesce` to
+    *    ceil(bytes/target) merges WITHOUT a shuffle;
+    *  - partitioned (`key=value` dirs): rows are re-bucketed on the
+    *    partition columns before `partitionBy`, landing one file per
+    *    value directory (the same tasks×dirs guard [[parquet]] applies).
+    *
+    * The rewrite is crash-safe two-phase: stage fully into
+    * `<path>.__compact_tmp`, swap via rename with the previous tree kept
+    * at `<path>.__compact_bak` until the swap completes (the bucketed
+    * MERGE state discipline, CdcStream.scala) — a crash at any point
+    * leaves either the old tree or the new one, never a mix. Stale
+    * tmp/bak trees from a previous crash are cleared on entry.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              partitionCols: Seq[String] = Nil): CompactionStats = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".__compact_bak")
+    // recover from a previous crash: a completed tmp was never swapped,
+    // a leftover bak means the swap finished — both are safe to drop
+    Seq(tmp, bak).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    val files = {
+      val it = fs.listFiles(hPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getLen
+      }
+      buf.toSeq
+    }
+    val totalBytes = files.sum
+    val df = spark.read.parquet(path)
+    if (partitionCols.isEmpty) {
+      val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      df.coalesce(nOut.toInt).write.parquet(tmp.toString)
+    } else {
+      df.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
+    }
+    fs.rename(hPath, bak)
+    fs.rename(tmp, hPath)
+    fs.delete(bak, true)
+    val after = {
+      val it = fs.listFiles(hPath, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    CompactionStats(files.size, totalBytes, after)
+  }
+
   // ---------------- queue serializers ----------------
 
   /** JSON serializer: one JSON object per row over the data columns
@@ -77,10 +143,28 @@ object Sinks {
     df.select(to_json(struct(use.map(col): _*)).as("value"))
   }
 
+  /** One CSV line over `cols`: NULL emits an EMPTY field (concat_ws
+    * alone would skip it and shift every later column on the wire), and
+    * values containing the delimiter, a quote, or a newline are quoted
+    * with internal quotes doubled. Shared by this serializer and the
+    * queue wire format ([[KafkaSink.CsvWire]]). */
+  def csvLine(cols: Seq[Column], delimiter: String = ","): Column = {
+    val fields = cols.map { c =>
+      val s = coalesce(c.cast("string"), lit(""))
+      val needsQuote = s.contains(delimiter) || s.contains("\"") ||
+        s.contains("\n") || s.contains("\r")
+      when(needsQuote,
+        concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+        .otherwise(s)
+    }
+    concat_ws(delimiter, fields: _*)
+  }
+
   /** CSV-line serializer (pkg/serializer/csv.go). */
-  def serializeCsv(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+  def serializeCsv(df: DataFrame, cols: Seq[String] = Nil,
+                   delimiter: String = ","): DataFrame = {
     val use = if (cols.nonEmpty) cols else E.dataCols(df)
-    df.select(concat_ws(",", use.map(c => col(c).cast("string")): _*).as("value"))
+    df.select(csvLine(use.map(col), delimiter).as("value"))
   }
 
   /** Debezium envelope serializer — see [[graft.parsers.Debezium.emit]]. */

@@ -107,4 +107,63 @@ class SourcesSinksSpec extends SparkSpec {
     // content preserved
     assert(spark.read.parquet(path).count() == li.count())
   }
+
+  test("serializeCsv emits empty fields for NULL and quotes delimiter-bearing values") {
+    val df = Seq((1L, null: String, "x"), (2L, "a,b", "he said \"hi\""))
+      .toDF("k", "s", "t")
+    val lines = Sinks.serializeCsv(df).as[String].collect().sorted
+    // null -> empty field (column positions hold); embedded delimiter
+    // and quotes -> quoted with doubled internal quotes
+    assert(lines(0) == "1,,x")
+    assert(lines(1) == "2,\"a,b\",\"he said \"\"hi\"\"\"")
+  }
+
+  test("compaction bin-packs small files without changing content") {
+    val li = graft.Tables.load(spark, sf(), "lineitem")
+    val path = tmp() + "/lake"
+    // simulate a micro-batched sink: 64 task-sized files
+    li.repartition(64).write.parquet(path)
+    // (orderkey, linenumber) is not unique in the synthetic data: order
+    // on every column so the comparison is deterministic
+    val allCols = li.columns.map(col).toIndexedSeq
+    val before = li.sort(allCols: _*).collect().toSeq
+    val stats = Sinks.compact(spark, path, targetBytes = 8L << 20)
+    assert(stats.filesBefore == 64)
+    assert(stats.filesAfter < stats.filesBefore / 4,
+      s"expected heavy packing, got ${stats.filesAfter} files")
+    val back = spark.read.parquet(path).sort(allCols: _*).collect().toSeq
+    assert(back == before)
+    // staging/backup trees are gone after the swap
+    assert(!new java.io.File(path + ".__compact_tmp").exists())
+    assert(!new java.io.File(path + ".__compact_bak").exists())
+  }
+
+  test("partitioned compaction preserves the layout at one file per value dir") {
+    val o = graft.Tables.load(spark, sf(), "orders")
+      .withColumn("status", col("o_orderstatus"))
+    val path = tmp() + "/plake"
+    // worst-case writer: every task writes into every value dir
+    o.repartition(16).write.partitionBy("status").parquet(path)
+    val stats = Sinks.compact(spark, path, partitionCols = Seq("status"))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("status="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName}: expected 1 file, got $n")
+    }
+    assert(stats.filesAfter == dirs.length)
+    assert(spark.read.parquet(path).count() == o.count())
+  }
+
+  test("compaction clears stale staging trees from a crashed run") {
+    val path = tmp() + "/crashed"
+    spark.range(100).write.parquet(path)
+    // a crash after staging but before swap leaves a full tmp tree
+    spark.range(5).write.parquet(path + ".__compact_tmp")
+    val stats = Sinks.compact(spark, path, targetBytes = 1L << 30)
+    assert(stats.filesAfter >= 1)
+    assert(spark.read.parquet(path).count() == 100)
+    assert(!new java.io.File(path + ".__compact_tmp").exists())
+  }
 }
