@@ -428,6 +428,20 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    "ann_quantized" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |qz AS (SELECT vec_id, v, list_aggregate(v, 'min') AS lo,
+         |  (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS scale FROM e),
+         |dq AS (SELECT vec_id, CASE WHEN scale = 0 THEN list_transform(v, x -> lo)
+         |  ELSE list_transform(v, x -> lo + round((x - lo) / scale) * scale) END AS v FROM qz),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |FROM e q, dq c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin),
+
     "ann_lsh_bucket" -> (lshBucketSql("embeddings") + " ORDER BY vec_id"),
 
     "ann_lsh_topk" ->

@@ -525,6 +525,20 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_quantized" -> ((s, dir) => {
+      // SQ8 storage path: corpus quantized to int8 codes (4x smaller on
+      // disk), reconstructed, ranked by cosine against full-precision
+      // queries — the lossy layout must preserve neighbor ordering
+      val e = t(s, dir, "embeddings")
+      val qz = Similarity.quantizeInt8(e, "embedding", "vec_id")
+      val corpus = qz.select(col("vec_id"),
+        Similarity.dequantInt8(col("codes"), col("q_lo"), col("q_scale"))
+          .as("embedding"))
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), corpus, "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh_bucket" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"),
         Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))

@@ -199,4 +199,44 @@ class DedupSimilaritySpec extends SparkSpec {
     val langs = strat.select("lang").distinct().as[String].collect().toSeq
     assert(langs == Seq("en"))
   }
+
+  test("sq8 quantization: codes bounded, reconstruction tight, top-k recall high") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val qz = Similarity.quantizeInt8(e, "embedding", "vec_id")
+    // every code in [0,255]
+    val bad = qz.filter(exists(col("codes"),
+      c => c < 0 || c > 255)).count()
+    assert(bad == 0, s"$bad vectors with out-of-range codes")
+    // reconstruction error bounded by scale/2 per component
+    val recon = qz.join(e, "vec_id").select(
+      max(aggregate(
+        zip_with(
+          Similarity.dequantInt8(col("codes"), col("q_lo"), col("q_scale")),
+          transform(col("embedding"), x => x.cast("double")),
+          (a, b) => abs(a - b) / greatest(col("q_scale"), lit(1e-12))),
+        lit(0.0), (acc, x) => greatest(acc, x))).as("worst"))
+      .head().getDouble(0)
+    assert(recon <= 0.5 + 1e-9, s"component error $recon exceeds scale/2")
+    // constant vector: scale 0, codes 0, exact reconstruction
+    import spark.implicits._
+    val const = Seq((1L, Array(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
+    val cq = Similarity.quantizeInt8(const, "embedding", "vec_id")
+      .select(col("codes"), Similarity.dequantInt8(col("codes"),
+        col("q_lo"), col("q_scale")).as("back"))
+      .head()
+    assert(cq.getSeq[Int](0) == Seq(0, 0, 0))
+    assert(cq.getSeq[Double](1) == Seq(2.5, 2.5, 2.5))
+    // ranking through the lossy layout stays close to exact: >= 80%
+    // of exact top-5 pairs survive SQ8
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, e, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val corpus = qz.select(col("vec_id"),
+      Similarity.dequantInt8(col("codes"), col("q_lo"), col("q_scale"))
+        .as("embedding"))
+    val lossy = Similarity.bruteForceTopK(queries, corpus, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & lossy).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall $recall below 0.8")
+  }
 }
