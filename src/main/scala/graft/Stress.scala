@@ -57,7 +57,40 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
 
-    // 3. Delta checkpoint: 200-commit table — read cost through the
+    // 3. SQ8 disk-ANN composition: quantize the 500k corpus (pure
+    // projection), reconstruct, probe. The quantize+dequant plan must
+    // stay Exchange-free like ivfAssign.
+    val qz = functions.Similarity.quantizeInt8(vecs, "embedding", "vec_id")
+    require(!qz.queryExecution.executedPlan.toString.contains("Exchange"),
+      "quantizeInt8 must stay a pure projection")
+    timed("quantizeInt8 500k x 64d (pure projection)") {
+      qz.write.format("noop").mode("overwrite").save()
+    }
+    timed("ivfTopK over SQ8-reconstructed 500k corpus, 100 queries") {
+      val corpus = qz.select(col("vec_id"),
+        functions.Similarity.dequantInt8(col("codes"), col("q_lo"),
+          col("q_scale")).as("embedding"))
+      functions.Similarity.ivfTopK(vecs.filter(col("vec_id") < 100), corpus,
+        cents, "embedding", "vec_id", k = 10, nprobe = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // 4. Compaction: a 2000-file lake directory (the shape a month of
+    // micro-batches leaves behind) packed to target size.
+    val lake = java.nio.file.Files.createTempDirectory("graft_stress_lake")
+      .toString + "/lake"
+    timed("write 2000-file lake (5M rows)") {
+      spark.range(5000000L).select(col("id"),
+        (col("id") % 1000).as("k"), md5(col("id").cast("string")).as("payload"))
+        .repartition(2000).write.parquet(lake)
+    }
+    val stats = timed("compact 2000 files -> 64MB targets") {
+      sinks.Sinks.compact(spark, lake, targetBytes = 64L << 20)
+    }
+    println(s"[stress]   $stats")
+    require(stats.filesAfter < 64, s"compaction left ${stats.filesAfter} files")
+
+    // 5. Delta checkpoint: 200-commit table — read cost through the
     // checkpoint vs full JSON replay.
     val table = java.nio.file.Files.createTempDirectory("graft_stress_delta")
       .toString + "/t"
