@@ -19,17 +19,37 @@ object Bench {
     // charged several seconds of one-time initialization
     spark.range(100000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — for isolated re-measurement
+    // of individual queries (regression triage without session crowding)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_REPEAT=n runs each query n times and reports the LAST
+    // time — steady-state triage (cold-vs-warm split without a profiler)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
+      selected.map { case (name, fn) =>
         val r =
           try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0) / 1e9)
+            var last = 0.0
+            for (_ <- 1 to repeat) {
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              last = (System.nanoTime() - t0) / 1e9
+            }
+            Right(last)
           } catch {
             case e: Throwable =>
               Left(e.getClass.getSimpleName)
           }
+        // isolate measurements: a streaming query (merge_*/monotonic_guard/
+        // replicate_stream) leaves state-store maintenance threads, and a
+        // few queries cache frames — both tax every query measured after
+        // them (r4: mysql_binlog_parse/native_parse ran 1.8-1.9x slower in
+        // the full session than isolated). Quiesce between queries.
+        try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => }
+        spark.catalog.clearCache()
         name -> r
       }
     val qs = results.map {
@@ -41,16 +61,36 @@ object Bench {
     val nErr = results.count(_._2.isLeft)
     // The reference's primary KPI is transfer rows/sec (docs/benchmarks.md:
     // 26-36): measure an end-to-end snapshot transfer of lineitem through
-    // the engine (read -> envelope -> sink write).
+    // the engine (read -> envelope -> sink write). Run 3x and take the
+    // median — a single run is within-session noise (r3 588k vs r4 529k).
     val rowsPerSec = try {
       val li = Tables.load(spark, sfDir, "lineitem")
       val n = li.count()
-      val t0 = System.nanoTime()
-      graft.sinks.Sinks.parquet(li, "/tmp/graft_bench_transfer",
-        graft.sinks.Sinks.Drop)
-      n / ((System.nanoTime() - t0) / 1e9)
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.sinks.Sinks.parquet(li, "/tmp/graft_bench_transfer",
+          graft.sinks.Sinks.Drop)
+        n / ((System.nanoTime() - t0) / 1e9)
+      }.sorted
+      runs(runs.length / 2)
     } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},"sf":"$sfDir"}"""
+    // Emission must be un-losable: streaming queries leave state-store
+    // maintenance threads that race RpcEnv shutdown and can dump multi-KB
+    // stack traces AFTER our output (this cost round 4 its perf signal —
+    // BENCH_r04 `parsed: null`). Quiesce streams, silence the logger, stop
+    // Spark, THEN persist the JSON to a file and print it as the very last
+    // line before a hard exit so no straggler thread can write after it.
+    try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => }
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => }
+    println(json)
+    Console.out.flush()
+    sys.exit(0)
   }
 }

@@ -21,6 +21,17 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Base frame for a synthetic queue-wire fixture. A single small
+    * parquet file yields ONE input split, which would serialize the
+    * whole downstream parse chain on one core — but a real queue source
+    * delivers N partitions (reference: kafka topic partitions,
+    * pkg/providers/kafka). Repartitioning to the cluster's parallelism
+    * models the transport the wire stands in for, and lets the bench
+    * measure the engine's parallel parse path (the 100-TB shape)
+    * instead of a one-core artifact of the fixture. */
+  private def qw(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** Decimal-exact sum of a double expression, surfaced as double:
     * per-row double arithmetic is deterministic, the decimal sum is
     * associative (order-independent), the final cast is exact. */
@@ -205,7 +216,7 @@ object Queries {
         .orderBy("rkey")),
 
     "debezium_roundtrip" -> ((s, dir) => {
-      val src = t(s, dir, "orders")
+      val src = qw(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .withColumn(E.Kind, ordersKind)
         .withColumn(E.Lsn, col("o_orderkey"))
@@ -607,7 +618,7 @@ object Queries {
         .orderBy("id_a", "id_b")),
 
     "wal2json_parse" -> ((s, dir) => {
-      val wire = t(s, dir, "orders").select(format_string(
+      val wire = qw(s, dir, "orders").select(format_string(
         """{"xid":%d,"change":[{"kind":"insert","schema":"public","table":"orders","columnnames":["id","price"],"columnvalues":["%d","%s"]}]}""",
         col("o_custkey"), col("o_orderkey"),
         col("o_totalprice").cast(StringType)).as("value"))
@@ -647,7 +658,7 @@ object Queries {
       // the reference's own serialized-ChangeItem wire: raw JSON number
       // values in the positional columnvalues array (coerced to text by
       // the parser, cast by declared schema)
-      val wire = t(s, dir, "orders").select(format_string(
+      val wire = qw(s, dir, "orders").select(format_string(
         """[{"id":%d,"nextlsn":%d,"commitTime":%d,"txPosition":0,"kind":"%s","schema":"public","table":"orders","part":"","columnnames":["id","price"],"columnvalues":[%d,%s],"oldkeys":{},"tx_id":"","query":""}]""",
         col("o_custkey"), col("o_orderkey"), col("o_orderkey") * 1000L,
         ordersKind, col("o_orderkey"),
@@ -666,7 +677,7 @@ object Queries {
         "yyyy-MM-dd'T'HH:mm:ss'Z'")
       val subjName = when(k % 3 === 0, "*** hidden ***")
         .otherwise(concat(lit("n"), k.cast(StringType)))
-      val wire = t(s, dir, "orders").select(format_string(
+      val wire = qw(s, dir, "orders").select(format_string(
         """{"event_id":"e%s","event_source":"mia","event_type":"t%d","event_time":"%s","authentication":{"authenticated":true,"subject_type":"USER","subject_id":"u%s","subject_name":"%s"},"authorization":{"authorized":true},"request_metadata":{"remote_address":"10.0.0.%d"},"event_status":"DONE"}""",
         k.cast(StringType), k % 5, iso, k.cast(StringType), subjName,
         k % 256).as("value"))
@@ -683,7 +694,7 @@ object Queries {
       val k = col("o_orderkey")
       val iso = date_format(timestamp_seconds(lit(1704067200L) + k),
         "yyyy-MM-dd'T'HH:mm:ss'Z'")
-      val wire = t(s, dir, "orders").select(format_string(
+      val wire = qw(s, dir, "orders").select(format_string(
         """{"specversion":"1.0","id":"e%s","source":"/orders","type":"order.created","subject":"s%s","time":"%s","datacontenttype":"application/json","data":{"k":%d,"price":%s}}""",
         k.cast(StringType), k.cast(StringType), iso, k,
         col("o_totalprice").cast(StringType)).as("value"))
@@ -701,7 +712,7 @@ object Queries {
       val iso = date_format(timestamp_seconds(lit(1704067200L) + k),
         "yyyy-MM-dd'T'HH:mm:ss'Z'")
       val sev = when(k % 10 === 0, "ERROR").otherwise("INFO")
-      val wire = t(s, dir, "events").select(format_string(
+      val wire = qw(s, dir, "events").select(format_string(
         """{"timestamp":"%s","severity":"%s","logName":"projects/p/logs/app","insertId":"i%s","resource":{"type":"gce_instance","labels":{"zone":"z1"}},"jsonPayload":{"event_id":%d,"value":%s}}""",
         iso, sev, k.cast(StringType), k,
         col("value").cast(StringType)).as("value"))
@@ -734,7 +745,7 @@ object Queries {
         .otherwise(format_string(
           """{"o_orderkey":%d,"price":%s}""", k,
           col("o_totalprice").cast(StringType)))
-      val wire = t(s, dir, "orders").select(format_string(
+      val wire = qw(s, dir, "orders").select(format_string(
         """{"operationType":"%s","documentKey":{"_id":"%s"},"fullDocument":%s,"clusterTime":%d}""",
         op, k.cast(StringType), docPart, k).as("value"))
       graft.parsers.MongoChangeStream.receive(wire, "value",
@@ -761,7 +772,7 @@ object Queries {
           graft.parsers.ConfluentDecode.encode(v2, 2,
             Map("id" -> k, "price" -> p, "status" -> st))
       }
-      val wire = t(s, dir, "orders").select(
+      val wire = qw(s, dir, "orders").select(
         enc(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
           .as("raw"))
       graft.parsers.ConfluentDecode.receive(wire, "raw", reg, v2,
@@ -791,7 +802,7 @@ object Queries {
             graft.parsers.ConfluentDecode.encode(v2, 2,
               Map("id" -> k, "price" -> p, "status" -> st))
         }
-        val wire = t(s, dir, "orders").select(
+        val wire = qw(s, dir, "orders").select(
           enc(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
             .as("raw"))
         val out = graft.parsers.ConfluentDecode.receive(wire, "raw",
@@ -810,7 +821,7 @@ object Queries {
       // synthetic Canal-JSON binlog wire derived from orders; UPDATE
       // events carry changed-column pre-images in `old`, and every 4th
       // update changes the PK (old.id present) to exercise __old_keys
-      val o = t(s, dir, "orders")
+      val o = qw(s, dir, "orders")
       val k = col("o_orderkey")
       val typ = when(k % 7 === 0, "DELETE").when(k % 3 === 0, "INSERT")
         .otherwise("UPDATE")
@@ -838,7 +849,7 @@ object Queries {
       // the full ingestion pipeline off a mysql binlog wire: Canal parse
       // -> split PK-changing updates into delete+insert -> collapse ->
       // surviving row images
-      val o = t(s, dir, "orders")
+      val o = qw(s, dir, "orders")
       val k = col("o_orderkey")
       val typ = when(k % 7 === 0, "DELETE").when(k % 3 === 0, "INSERT")
         .otherwise("UPDATE")
