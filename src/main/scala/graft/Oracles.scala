@@ -772,6 +772,22 @@ object Oracles {
          |  i * 0.25 AS d
          |FROM range(2000) t(i) ORDER BY n""".stripMargin),
 
+    // descriptor-driven nested decode: both engines recompute the same
+    // fields the proto wire carried; p/2 + p/4 is IEEE-deterministic in
+    // both (two exact halvings, one add), so the compare is exact
+    "proto_nested_parse" ->
+      ("""SELECT o_orderkey AS id,
+         |  'n' || CAST(o_orderkey AS VARCHAR) AS item_name,
+         |  CAST(o_totalprice AS DOUBLE) AS item_price,
+         |  CAST(o_orderkey % 5 AS VARCHAR) || ',' ||
+         |    CAST(o_orderkey % 7 AS VARCHAR) AS tags_csv,
+         |  -o_orderkey AS neg,
+         |  CAST(2 AS BIGINT) AS n_lines,
+         |  CAST(o_orderkey % 3 + o_orderkey % 4 AS INTEGER) AS qty_sum,
+         |  CAST(o_totalprice AS DOUBLE) / 2 + CAST(o_totalprice AS DOUBLE) / 4
+         |    AS lines_total
+         |FROM orders ORDER BY id""".stripMargin),
+
     // guard semantics: batch-1 inserts all pass; batch-2 redeliveries
     // pass only when the LSN strictly advances (odd keys) — the stale
     // even-key replays (and their poison values) must be absent

@@ -1200,6 +1200,51 @@ object Queries {
         .orderBy("n")
     }),
 
+    "proto_nested_parse" -> ((s, dir) => {
+      // descriptor-driven decode: the FileDescriptorSet is hand-
+      // assembled at the wire level (it is itself protobuf — no protoc
+      // in the container), then bootstrapped by the same runtime-free
+      // decoder; the message exercises a nested Item, packed repeated
+      // int64 tags, two repeated Line messages and a zigzag sint64
+      import graft.parsers.{ProtoDescriptors => PD, ProtoWire => W}
+      val descSet = PD.buildSet("shop", Seq(
+        "Order" -> Seq(
+          PD.FieldDesc("id", 1, 1, PD.TInt64, ""),
+          PD.FieldDesc("item", 2, 1, PD.TMessage, ".shop.Item"),
+          PD.FieldDesc("tags", 3, PD.LabelRepeated, PD.TInt64, ""),
+          PD.FieldDesc("lines", 4, PD.LabelRepeated, PD.TMessage, ".shop.Line"),
+          PD.FieldDesc("neg", 5, 1, PD.TSint64, "")),
+        "Item" -> Seq(
+          PD.FieldDesc("name", 1, 1, PD.TString, ""),
+          PD.FieldDesc("price", 2, 1, PD.TDouble, "")),
+        "Line" -> Seq(
+          PD.FieldDesc("qty", 1, 1, PD.TInt32, ""),
+          PD.FieldDesc("amount", 2, 1, PD.TDouble, ""))))
+      val enc = udf { (k: Long, p: Double) =>
+        W.concat(
+          W.vint(1, k),
+          W.lenDelim(2, W.concat(W.str(1, "n" + k), W.dbl(2, p))),
+          W.packedVarints(3, Seq(k % 5, k % 7)),
+          W.lenDelim(4, W.concat(W.vint(1, k % 3), W.dbl(2, p / 2))),
+          W.lenDelim(4, W.concat(W.vint(1, k % 4), W.dbl(2, p / 4))),
+          W.sint(5, -k))
+      }
+      val wire = qw(s, dir, "orders").select(
+        enc(col("o_orderkey"), col("o_totalprice")).as("raw"))
+      PD.parse(wire, "raw", descSet, "shop.Order")
+        .select(
+          col("id"),
+          col("item.name").as("item_name"),
+          col("item.price").as("item_price"),
+          array_join(transform(col("tags"), _.cast(StringType)), ",")
+            .as("tags_csv"),
+          col("neg"),
+          size(col("lines")).cast(LongType).as("n_lines"),
+          expr("aggregate(lines, 0, (a, x) -> a + x.qty)").as("qty_sum"),
+          expr("aggregate(lines, 0D, (a, x) -> a + x.amount)").as("lines_total"))
+        .orderBy("id")
+    }),
+
     "monotonic_guard" -> ((s, dir) => {
       // per-key LSN monotonicity guard through a 2-batch stream: every
       // key's insert in batch 1, then per key ONE redelivery — stale for
