@@ -293,6 +293,44 @@ object Oracles {
       ("SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
         "WHERE o_custkey = c_custkey AND o_totalprice > 450000) ORDER BY c_custkey"),
 
+    // plain shuffle join in the oracle — bucketing changes the plan, not
+    // the result, which is exactly what this row proves
+    "bucketed_join" ->
+      ("""SELECT c_mktsegment, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    "serialize_csv" ->
+      ("""WITH f AS (
+         |  SELECT CAST(c_custkey AS VARCHAR) AS k,
+         |    CASE CAST(c_custkey % 5 AS INT)
+         |      WHEN 0 THEN NULL
+         |      WHEN 1 THEN 'a,' || c_name
+         |      WHEN 2 THEN 'q"' || c_name
+         |      WHEN 3 THEN 'n' || chr(10) || c_name
+         |      ELSE c_name END AS v,
+         |    c_mktsegment AS m
+         |  FROM customer
+         |), q AS (
+         |  SELECT
+         |    CASE WHEN k IS NULL THEN ''
+         |         WHEN contains(k, ',') OR contains(k, '"')
+         |           OR contains(k, chr(10)) OR contains(k, chr(13))
+         |         THEN '"' || replace(k, '"', '""') || '"' ELSE k END AS qk,
+         |    CASE WHEN v IS NULL THEN ''
+         |         WHEN contains(v, ',') OR contains(v, '"')
+         |           OR contains(v, chr(10)) OR contains(v, chr(13))
+         |         THEN '"' || replace(v, '"', '""') || '"' ELSE v END AS qv,
+         |    CASE WHEN m IS NULL THEN ''
+         |         WHEN contains(m, ',') OR contains(m, '"')
+         |           OR contains(m, chr(10)) OR contains(m, chr(13))
+         |         THEN '"' || replace(m, '"', '""') || '"' ELSE m END AS qm
+         |  FROM f
+         |)
+         |SELECT qk || ',' || qv || ',' || qm AS value FROM q
+         |ORDER BY value""".stripMargin),
+
     "agg_stats" ->
       ("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
          |  min(value) AS mn, max(value) AS mx,

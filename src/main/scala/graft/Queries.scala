@@ -437,6 +437,50 @@ object Queries {
         .select("c_custkey").orderBy("c_custkey")
     }),
 
+    "bucketed_join" -> ((s, dir) => {
+      // co-located join (operators.Bucketing): both sides persisted
+      // bucketed by the join key, so the join itself plans with NO
+      // Exchange on either side — asserted here, since shuffle-freeness
+      // is the entire point of paying the bucketed write once. The
+      // groupBy afterwards shuffles tiny aggregated rows only.
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
+            col("o_totalprice")),
+          "gq_b_orders", 8, Seq("c_custkey"))
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          "gq_b_customer", 8, Seq("c_custkey"))
+        val joined = graft.operators.Bucketing.bucketedJoin(
+          s, "gq_b_orders", "gq_b_customer", Seq("c_custkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          "bucketed join must be Exchange-free:\n" + plan)
+        joined.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_mktsegment")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
+    "serialize_csv" -> ((s, dir) => {
+      // CSV wire serializer (Sinks.csvLine): NULL -> empty field,
+      // embedded delimiter / quote / newline -> quoted with internal
+      // quotes doubled. The fixture plants each hazard deterministically
+      // so the oracle re-derives the exact quoted lines in SQL.
+      val base = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast(StringType))
+          .when(col("c_custkey") % 5 === 1, concat(lit("a,"), col("c_name")))
+          .when(col("c_custkey") % 5 === 2, concat(lit("q\""), col("c_name")))
+          .when(col("c_custkey") % 5 === 3, concat(lit("n\n"), col("c_name")))
+          .otherwise(col("c_name")).as("v"),
+        col("c_mktsegment"))
+      graft.sinks.Sinks.serializeCsv(base,
+        Seq("c_custkey", "v", "c_mktsegment")).orderBy("value")
+    }),
+
     "agg_stats" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy("event_type")

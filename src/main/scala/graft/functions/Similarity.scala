@@ -203,6 +203,9 @@ object Similarity {
       .cache()
     for (_ <- 1 to iterations) {
       val cents = collectCentroids(centroids, vecCol)
+      // the superseded frame's k cached rows are dead once collected —
+      // unpersist eagerly or every iteration leaks one cached frame
+      centroids.unpersist()
       val assigned = df.select(
         (-bestCell(col(vecCol), cents, 6).getField("negid"))
           .as("centroid_id"),

@@ -162,8 +162,12 @@ object ChSql {
     // literals out first: no rewrite below can touch string data
     val (masked, lits) = maskLiterals(sql)
     var s = masked
-    // multiIf(c1,v1,c2,v2,…,else) -> CASE WHEN … END
+    // multiIf(c1,v1,c2,v2,…,else) -> CASE WHEN … END. Arity must be odd
+    // (pairs + else) — CH rejects even arity, and a silent grouped(2)
+    // pass would DROP the unpaired argument: fail fast instead.
     s = rewriteFix(s, "multiIf") { args =>
+      require(args.length >= 3 && args.length % 2 == 1,
+        s"multiIf requires an odd argument count (cond/value pairs + else), got ${args.length}")
       val whens = args.dropRight(1).grouped(2).collect {
         case Seq(c, v) => s"WHEN $c THEN $v"
       }.mkString(" ")

@@ -23,12 +23,22 @@ object Bucketing {
 
   /** Persist a frame bucketed+sorted by `keys` as a managed table. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    keys: Seq[String]): Unit =
+                    keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a prior session's managed-table dir can survive in the warehouse
+    // with no catalog entry — saveAsTable refuses the stale location
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two identically-bucketed tables on their bucket keys — with
     * matching bucket counts the planner emits a SortMergeJoin with NO

@@ -337,8 +337,22 @@ object CdcStream {
     * (bounded, partitioned by the shuffle), late replays and duplicate
     * redeliveries are filtered before they reach the sink. The key is a
     * single string-rendered column (compose upstream for composite
-    * keys). */
-  def monotonicGuard(stream: DataFrame, keyCol: String): DataFrame = {
+    * keys).
+    *
+    * At billions of PKs even one long per key is tens of GB of state,
+    * which the default HDFS-backed store keeps in executor heap —
+    * cluster deployments should switch the store to RocksDB (off-heap,
+    * spill-to-disk): [[graft.GraftSession.scaleStreamingState]].
+    * `idleTimeout` bounds state
+    * LIFETIME too: a key idle longer than the duration (set it past the
+    * source's replay horizon, e.g. the queue retention) has its state
+    * dropped, so the guard's footprint tracks the active key set
+    * instead of every key ever seen. A replay older than the horizon
+    * arriving after the drop is no longer filtered — by contract such
+    * replays cannot occur (the source has already compacted them
+    * away). See docs/state-layout.md. */
+  def monotonicGuard(stream: DataFrame, keyCol: String,
+                     idleTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.{Encoders, Row}
     val spark = stream.sparkSession
@@ -349,18 +363,27 @@ object CdcStream {
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     implicit val strEnc = Encoders.STRING
     implicit val longEnc = Encoders.scalaLong
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     stream.as[Row](rowEnc)
       .groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))(strEnc)
       .flatMapGroupsWithState[Long, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
-          var maxSeen = state.getOption.getOrElse(Long.MinValue)
-          val out = rows.filter { r =>
-            val lsn = r.getLong(lsnIdx)
-            if (lsn > maxSeen) { maxSeen = lsn; true } else false
-          }.toVector
-          state.update(maxSeen)
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var maxSeen = state.getOption.getOrElse(Long.MinValue)
+            val out = rows.filter { r =>
+              val lsn = r.getLong(lsnIdx)
+              if (lsn > maxSeen) { maxSeen = lsn; true } else false
+            }.toVector
+            state.update(maxSeen)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
       }(longEnc, rowEnc)
   }
 

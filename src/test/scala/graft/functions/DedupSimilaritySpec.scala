@@ -112,9 +112,13 @@ class DedupSimilaritySpec extends SparkSpec {
     val blobA = (0 until 20).map(i => (i.toLong, Array(1.0f + i*0.001f, 1.0f, 0.0f, 0.0f)))
     val blobB = (0 until 20).map(i => (100L + i, Array(-1.0f, -1.0f + i*0.001f, 0.0f, 0.0f)))
     val vecs = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val cents = Similarity.fitCentroids(vecs, "embedding", "vec_id", k = 2,
       iterations = 3)
     assert(cents.count() == 2)
+    // cache hygiene: each iteration unpersists the superseded centroid
+    // frame — only the returned frame may remain cached
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore + 1)
     val assign = Similarity.ivfAssign(vecs, cents, "embedding", "vec_id")
       .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
     // each blob lands wholly in one cell, and the cells differ

@@ -59,6 +59,42 @@ class ChSqlSpec extends SparkSpec {
          "CASE WHEN c THEN 3 ELSE 4 END END END")
   }
 
+  test("literal masking survives parametric and nested rewrites together") {
+    // quantile rewrite fires while a literal holding quantile-like text
+    // stays data
+    assert(ChSql.translate(
+      "SELECT quantile(0.5)(x) AS med, 'quantile(0.9)(y)' AS label FROM t")
+      == "SELECT percentile_approx(x, 0.5) AS med, 'quantile(0.9)(y)' AS label FROM t")
+    // nested multiIf whose branch VALUES are function-like literals:
+    // the branches translate, the literals do not
+    assert(ChSql.translate(
+      "multiIf(a, 'multiIf(x,y,z)', b, multiIf(c, 'has(q)', 'uniq(u)'), 'end')")
+      == "CASE WHEN a THEN 'multiIf(x,y,z)' WHEN b THEN " +
+         "CASE WHEN c THEN 'has(q)' ELSE 'uniq(u)' END ELSE 'end' END")
+    // malformed even arity fails fast instead of silently dropping an arg
+    intercept[IllegalArgumentException] {
+      ChSql.translate("multiIf(a, 1, b, 2)")
+    }
+    // aggregate-If calls nested inside multiIf branches, with literal
+    // operands that name the very functions being rewritten
+    assert(ChSql.translate(
+      "multiIf(s = 'sumIf(v, p)', sumIf(v, p > 0), p < 0, avgIf(v, s != 'avgIf'), 0)")
+      == "CASE WHEN s = 'sumIf(v, p)' THEN sum(CASE WHEN p > 0 THEN v END) " +
+         "WHEN p < 0 THEN avg(CASE WHEN s != 'avgIf' THEN v END) ELSE 0 END")
+    // JSONExtract whose sibling literal looks like a JSON call; the path
+    // literal itself is consumed by the rewrite, the label is not
+    assert(ChSql.translate(
+      "SELECT JSONExtractString(j, 'name'), 'JSONExtractString(j, ''x'')' AS raw")
+      == "SELECT get_json_object(j, '$.name'), 'JSONExtractString(j, ''x'')' AS raw")
+    // splitByChar's masked char argument + a comma-bearing data literal
+    assert(ChSql.translate(
+      "SELECT splitByChar(',', s), 'a,b,c' AS keep FROM t")
+      == """SELECT split(s, '\\Q,\\E'), 'a,b,c' AS keep FROM t""")
+    // cast rewrite around a literal that names the cast
+    assert(ChSql.translate("SELECT toInt64(v) AS n, 'toInt64(v)' AS how")
+      == "SELECT CAST(v AS BIGINT) AS n, 'toInt64(v)' AS how")
+  }
+
   test("translated clickhouse sql executes on spark") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(

@@ -89,4 +89,61 @@ class ReplicationE2ESpec extends SparkSpec {
         (2L, "x", 5L)))
     } finally q.stop()
   }
+
+  test("monotonic guard runs on RocksDB state store and idle timeout drops a key's state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    // Isolated session with the cluster-scale state config
+    // (GraftSession.scaleStreamingState). One shuffle partition: each
+    // partition is a RocksDB instance paying a per-batch checkpoint
+    // round-trip — more partitions multiply pure fixed cost here.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "1")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("id", "v", E.Lsn)
+    val guarded = CdcStream.monotonicGuard(stream, "id",
+      idleTimeout = Some("1 second"))
+    // ProcessingTimeTimeout makes the engine schedule a batch every
+    // trigger interval forever (deadline checks) — processAllAvailable
+    // never reaches a "no further batch" state and would block, so the
+    // assertions POLL the sink, and an explicit 1s trigger keeps the
+    // deadline-check batches from busy-looping.
+    val q = guarded.writeStream.format("memory").queryName("guard_rocks")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    def sink(): Seq[(Long, String, Long)] =
+      s2.table("guard_rocks").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def await(want: (Long, String, Long)): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!sink().contains(want)) {
+        assert(System.nanoTime() < deadline,
+          s"timed out waiting for $want; sink=${sink()}")
+        Thread.sleep(250)
+      }
+    }
+    try {
+      mem.addData((1L, "a", 10L), (1L, "dup", 10L))
+      await((1L, "a", 10L))
+      // key 1 goes idle past its 1s deadline...
+      Thread.sleep(2500)
+      // ...and this batch's deadline sweep fires its timeout callback
+      // (its timestamp is past the deadline), removing key 1's state
+      mem.addData((2L, "x", 5L))
+      await((2L, "x", 5L))
+      // key 1's max-LSN state is gone: a replay BELOW the old max passes
+      // through again (the contract: timeout sits past the replay
+      // horizon, so such replays cannot occur in production)
+      mem.addData((1L, "replay", 3L))
+      await((1L, "replay", 3L))
+      val out = sink()
+      assert(!out.contains((1L, "dup", 10L)), s"in-batch dedup broken: $out")
+    } finally q.stop()
+  }
 }
