@@ -374,6 +374,69 @@ object Oracles {
         "min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY fp"),
 
+    "pii_scrub" ->
+      ("""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 7 AS INT)
+         |      WHEN 0 THEN text || ' contact bob.smith+x@corp.example.com now'
+         |      WHEN 1 THEN text || ' from 192.168.11.7 port 443'
+         |      WHEN 2 THEN text || ' call +14155550123 today'
+         |      WHEN 3 THEN text || ' or 415-555-0199 ext 7'
+         |      WHEN 4 THEN text || ' account 9934120455 closed'
+         |      ELSE text END AS text
+         |  FROM documents
+         |), scrubbed AS (
+         |  SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(text,
+         |              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         |          '\+\d{7,15}', '<PHONE>', 'g'),
+         |        '\b\d{3}[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g'),
+         |      '\b\d{9,}\b', '<ID>', 'g') AS scrubbed
+         |  FROM planted
+         |)
+         |SELECT doc_id, scrubbed FROM scrubbed
+         |WHERE contains(scrubbed, '<') ORDER BY doc_id""".stripMargin),
+
+    "doc_repetition" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |b AS (
+         |  SELECT doc_id, tk, len(tk) AS n,
+         |    CASE WHEN len(tk) >= 2
+         |      THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+         |      ELSE [] END AS bg
+         |  FROM t
+         |), tc AS (
+         |  SELECT doc_id, max(c) AS top FROM (
+         |    SELECT doc_id, tok, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |)
+         |SELECT b.doc_id, n AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS DOUBLE) / n AS uniq_token_ratio,
+         |  CASE WHEN n > 1
+         |    THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (n - 1)
+         |    ELSE 0.0 END AS dup_bigram_ratio,
+         |  CAST(top AS DOUBLE) / n AS top_token_ratio
+         |FROM b JOIN tc ON b.doc_id = tc.doc_id ORDER BY b.doc_id""".stripMargin),
+
+    "corpus_vocab" ->
+      (s"""SELECT tok AS token, count(*) AS freq
+         |FROM (SELECT unnest($toks) AS tok FROM documents)
+         |GROUP BY tok ORDER BY freq DESC, token""".stripMargin),
+
+    // same oracle shape as bucketed_join: salting changes row placement,
+    // never the join result
+    "salted_join" ->
+      ("""SELECT c_mktsegment, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
     "text_stats" ->
       (s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents)
          |SELECT doc_id,

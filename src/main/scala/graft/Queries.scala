@@ -464,6 +464,23 @@ object Queries {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
 
+    "salted_join" -> ((s, dir) => {
+      // skew-mitigated join (operators.SaltedJoin): the big side gains a
+      // salt column fanning each key over 8 sub-partitions, the small
+      // side is exploded 8x to match. The salt cancels out of the
+      // RESULT — which is exactly what this row proves against a plain
+      // join in the oracle. Stable-hash salt mode so placement is
+      // reproducible too.
+      val big = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
+        col("o_totalprice"), col("o_orderkey"))
+      val small = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.operators.SaltedJoin.join(big, small, "c_custkey", salt = 8,
+          saltCol = Some("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     "serialize_csv" -> ((s, dir) => {
       // CSV wire serializer (Sinks.csvLine): NULL -> empty field,
       // embedded delimiter / quote / newline -> quoted with internal
@@ -535,6 +552,36 @@ object Queries {
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+
+    "pii_scrub" -> ((s, dir) => {
+      // PII redaction over documents: the fixture corpus is clean, so
+      // plant deterministic hazards (email/IP/phone/ID) on a slice of
+      // docs — the oracle builds the identical input and re-derives the
+      // scrub with the same RE2 patterns
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+            lit(" contact bob.smith+x@corp.example.com now")))
+          .when(col("doc_id") % 7 === 1, concat(col("text"),
+            lit(" from 192.168.11.7 port 443")))
+          .when(col("doc_id") % 7 === 2, concat(col("text"),
+            lit(" call +14155550123 today")))
+          .when(col("doc_id") % 7 === 3, concat(col("text"),
+            lit(" or 415-555-0199 ext 7")))
+          .when(col("doc_id") % 7 === 4, concat(col("text"),
+            lit(" account 9934120455 closed")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.piiScrub(col("text")).as("scrubbed"))
+        .filter(col("scrubbed").contains("<"))
+        .orderBy("doc_id")
+    }),
+
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "corpus_vocab" -> ((s, dir) =>
+      TextAnalysis.vocab(t(s, dir, "documents"), "text")),
 
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),

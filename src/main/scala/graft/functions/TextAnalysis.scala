@@ -103,6 +103,74 @@ object TextAnalysis {
       stopwordCount(c).as("n_stopwords"),
       fingerprint(c).as("fp"))
   }
+  /** PII redaction patterns, applied in order. RE2-compatible (no
+    * lookarounds, no backrefs) so the identical pattern runs in Spark,
+    * DuckDB, or any RE2-family engine. Order matters: an email's local
+    * part can contain digit runs (match email first), an IPv4 is four
+    * short digit groups (redact before the bare-digit-run rule), and
+    * the long-digit-run rule comes last as the catch-all for account
+    * numbers / IDs. The public corpus-cleaning recipe shape (C4-style
+    * scrubbing), kept deliberately conservative: false negatives over
+    * mangled prose. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d{7,15}" -> "<PHONE>",
+    "\\b\\d{3}[ -]\\d{3}[ -]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{9,}\\b" -> "<ID>")
+
+  /** Redact emails / IPv4s / phone numbers / long digit runs. A chain
+    * of codegen'd regexp_replace calls — scan-speed, shuffle-free. */
+  def piiScrub(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Gopher-style repetition signals per document (public corpus-quality
+    * literature: repetitious documents are low-value training data):
+    * unique-token ratio, duplicate-bigram ratio, and the share of the
+    * single most frequent token. The array ratios are pure per-row
+    * expressions; the top-token share needs per-(doc,token) counts — an
+    * explode + two map-side-combined aggregations keyed by doc id, so
+    * the shuffle scales with corpus size and never concentrates (the
+    * per-doc scalars ride along as grouping keys, avoiding a self-join
+    * that would recompute the scan). */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val c = col(textCol)
+    val t = tokens(c)
+    val n = size(t)
+    val bigrams = when(n >= 2,
+        transform(sequence(lit(1), n - 1),
+          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array())
+    df.select(col(idCol),
+        n.as("n_tokens"),
+        (size(array_distinct(t)).cast(DoubleType) / n).as("uniq_token_ratio"),
+        when(n > 1,
+            lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / (n - 1))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"),
+        explode(t).as("__tok"))
+      .groupBy(col(idCol), col("n_tokens"), col("uniq_token_ratio"),
+        col("dup_bigram_ratio"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("n_tokens"), col("uniq_token_ratio"),
+        col("dup_bigram_ratio"))
+      .agg(max(col("__c")).as("__top"))
+      .withColumn("top_token_ratio",
+        col("__top").cast(DoubleType) / col("n_tokens"))
+      .drop("__top")
+  }
+
+  /** Corpus vocabulary with frequencies — the classic distributed word
+    * count: explode + one aggregation on the token key (partial
+    * aggregation combines per partition before the shuffle, so skewed
+    * common tokens reduce map-side). Deterministic order (freq desc,
+    * token asc). */
+  def vocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+
   /** Overlapping token-window chunks for training-data preparation:
     * stride = chunkTokens - overlap; chunk i covers tokens
     * [i*stride, i*stride + chunkTokens). Short documents yield one

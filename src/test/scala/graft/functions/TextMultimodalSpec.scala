@@ -91,4 +91,44 @@ class TextMultimodalSpec extends SparkSpec {
       .select("ch").as[Seq[String]].head()
     assert(short == Seq("short doc"))
   }
+
+  test("pii scrub redacts email/ip/phone/id, ordered, leaves prose alone") {
+    val cases = Seq(
+      "mail bob.smith+x@corp.example.com ok" -> "mail <EMAIL> ok",
+      "host 10.0.255.3 up" -> "host <IP> up",
+      "call +14155550123" -> "call <PHONE>",
+      "or 415-555-0199 now" -> "or <PHONE> now",
+      "acct 9934120455." -> "acct <ID>.",
+      // email wins over the digit-run rule inside the local part
+      "x 12345678901@mail.com y" -> "x <EMAIL> y",
+      // IP octets never half-match the digit-run rule
+      "ip 192.168.100.200 end" -> "ip <IP> end",
+      "plain text, no pii 42" -> "plain text, no pii 42")
+    val out = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.piiScrub(col("text"))).as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("repetition stats: ratios on known-repetitious and clean docs") {
+    val df = Seq(
+      (1L, "a b a b a b"),      // 2 uniq / 6 toks; bigrams all dup; 'a' x3
+      (2L, "u v w x y z"),      // all unique
+      (3L, "solo"))             // 1 token: bigram ratio 0 by definition
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .select("doc_id", "n_tokens", "uniq_token_ratio", "dup_bigram_ratio",
+        "top_token_ratio")
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 6, 2.0 / 6, 1.0 - 2.0 / 5, 3.0 / 6)))
+    assert(out(1) == ((2L, 6, 1.0, 0.0, 1.0 / 6)))
+    assert(out(2) == ((3L, 1, 1.0, 0.0, 1.0)))
+  }
+
+  test("vocab: frequency-ranked corpus word count") {
+    val df = Seq("b a a", "c b a").toDF("text")
+    val out = TextAnalysis.vocab(df, "text")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
 }
