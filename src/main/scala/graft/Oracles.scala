@@ -374,6 +374,28 @@ object Oracles {
         "min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY fp"),
 
+    // transitive closure by recursive CTE — an independent algorithm
+    // (BFS closure) from the engine's label propagation
+    "dedup_clusters" ->
+      ("""WITH RECURSIVE e AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
+         |  JOIN documents b ON b.doc_id = a.doc_id * 2 AND a.doc_id > 0
+         |  UNION ALL
+         |  SELECT a.doc_id, b.doc_id FROM documents a
+         |  JOIN documents b ON b.doc_id = a.doc_id * 3 AND a.doc_id > 0
+         |), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |rr(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, rr.lbl FROM rr JOIN sym s ON s.src = rr.node
+         |), cc AS (
+         |  SELECT node, min(lbl) AS cluster_id FROM rr GROUP BY node
+         |)
+         |SELECT node AS doc_id, cluster_id,
+         |  (node = cluster_id) AS is_canonical
+         |FROM cc ORDER BY doc_id""".stripMargin),
+
     "pii_scrub" ->
       ("""WITH planted AS (
          |  SELECT doc_id,

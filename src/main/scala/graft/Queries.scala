@@ -553,6 +553,20 @@ object Queries {
       TextAnalysis.stats(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // transitive duplicate-cluster resolution: candidate pairs built
+      // deterministically as doc_id -> 2*doc_id and 3*doc_id (self-join
+      // keeps them in-corpus, no driver-side max), yielding multi-hop
+      // components the resolver must close transitively — (k, 2k) and
+      // (2k, 6k) only meet through propagation, never in one pair
+      val d = t(s, dir, "documents").select("doc_id")
+      def times(m: Int) = d.as("a").join(d.as("b"),
+          col("b.doc_id") === col("a.doc_id") * m && col("a.doc_id") > 0)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.resolveClusters(times(2).union(times(3)), "id_a", "id_b")
+        .orderBy("doc_id")
+    }),
+
     "pii_scrub" -> ((s, dir) => {
       // PII redaction over documents: the fixture corpus is clean, so
       // plant deterministic hazards (email/IP/phone/ID) on a slice of

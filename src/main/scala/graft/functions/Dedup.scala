@@ -245,4 +245,63 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
+
+
+  // ---------------- duplicate-cluster resolution ----------------
+
+  /** Connected components over candidate duplicate pairs: the step
+    * between pair generation (minhashCandidatePairs, embeddingNearDups)
+    * and the keep/drop decision — pairs (A,B),(B,C) must resolve to ONE
+    * cluster {A,B,C} with one canonical survivor, or transitive
+    * duplicates survive in pieces.
+    *
+    * Iterative min-label propagation: every node starts as its own
+    * label; each round every node takes the min of its own and its
+    * neighbors' labels; fixpoint in O(component diameter) rounds — and
+    * dedup clusters are shallow (LSH pairs within a bucket, so near-
+    * clique components converge in 2-3 rounds). Each round is one
+    * shuffle keyed by node id: balanced, no driver state, the classic
+    * large-scale CC shape (the star-contraction refinements in the
+    * literature cut rounds for pathological chain graphs; plain
+    * propagation is the right trade for shallow dup clusters).
+    * Early-exits when a round changes nothing (label sum is strictly
+    * decreasing until fixpoint). localCheckpoint truncates the
+    * iterative lineage — on a cluster with reliable storage, swap for
+    * `checkpoint` against a checkpoint dir.
+    *
+    * Returns (node, cluster_id) — cluster_id = min node id reachable.
+    * Isolated docs (no pairs) are not rows here; callers keep them all.
+    */
+  def connectedComponents(pairs: DataFrame, leftCol: String,
+                          rightCol: String, maxIter: Int = 30): DataFrame = {
+    val sym = pairs.select(col(leftCol).as("src"), col(rightCol).as("dst"))
+      .union(pairs.select(col(rightCol).as("src"), col(leftCol).as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var prev = labelSum(labels)
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val next = sym.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("lbl"))
+        .union(labels.select(col("node"), col("lbl")))
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      done = s.compareTo(prev) == 0
+      prev = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("lbl").as("cluster_id"))
+  }
+
+  /** Keep/drop decision per clustered doc: canonical = min id. */
+  def resolveClusters(pairs: DataFrame, leftCol: String,
+                      rightCol: String): DataFrame =
+    connectedComponents(pairs, leftCol, rightCol)
+      .select(col("node").as("doc_id"), col("cluster_id"),
+        (col("node") === col("cluster_id")).as("is_canonical"))
 }

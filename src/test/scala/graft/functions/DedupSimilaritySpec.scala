@@ -131,6 +131,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cents.collect().toSet == cents2.collect().toSet)
   }
 
+  test("connected components: chains close transitively, canonical = min id") {
+    // chain 1-2-4-8 (multi-hop), triangle 20-21-22, isolated pair 50-51
+    val pairs = Seq((1L, 2L), (2L, 4L), (4L, 8L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (50L, 51L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.resolveClusters(pairs, "id_a", "id_b")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 1L, true), (2L, 1L, false), (4L, 1L, false), (8L, 1L, false),
+      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false),
+      (50L, 50L, true), (51L, 50L, false)))
+    // early exit: a long chain still converges under the iteration cap
+    val chain = (1 until 20).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSeq
+    assert(cc.forall(_._2 == 1L) && cc.size == 20)
+  }
+
   test("ngram jaccard hot-shingle cap bounds stop-shingle pair blowup") {
     // 12 docs sharing ONE stop-shingle, otherwise disjoint: without the
     // cap the shared shingle alone contributes 12*11/2 = 66 join rows
