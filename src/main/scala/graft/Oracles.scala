@@ -374,6 +374,23 @@ object Oracles {
         "min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY fp"),
 
+    "decontaminate" ->
+      (s"""WITH sh AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN len(tk) >= 5
+         |      THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk)-3)]
+         |      ELSE [array_to_string(tk, ' ')] END AS sh
+         |  FROM (SELECT doc_id, $toks AS tk FROM documents)
+         |), b AS (
+         |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0
+         |), tr AS (
+         |  SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sh
+         |  WHERE doc_id % 97 <> 0
+         |)
+         |SELECT tr.doc_id, count(*) AS n_hits
+         |FROM tr JOIN b ON tr.g = b.g
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
+
     // transitive closure by recursive CTE — an independent algorithm
     // (BFS closure) from the engine's label propagation
     "dedup_clusters" ->

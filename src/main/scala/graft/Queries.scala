@@ -567,6 +567,19 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 97th doc plays the eval set,
+      // the rest are training docs; a training doc is contaminated if
+      // it shares any 5-gram with the eval side (broadcast semi-join,
+      // no corpus shuffle — plan keeps the corpus scan exchange-free
+      // up to the final count aggregation)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      Dedup.contamination(train, bench, "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    }),
+
     "pii_scrub" -> ((s, dir) => {
       // PII redaction over documents: the fixture corpus is clean, so
       // plant deterministic hazards (email/IP/phone/ID) on a slice of

@@ -247,6 +247,27 @@ object Dedup {
   }
 
 
+  // ---------------- benchmark decontamination ----------------
+
+  /** Test-set decontamination: flag training documents that share any
+    * word n-gram with a benchmark/eval corpus — the overlap scrub from
+    * the public LLM training literature (GPT-3 App. C / PaLM-style
+    * 13-gram collision checks; n is a parameter because fixture docs
+    * are shorter than web pages). The benchmark side is small by
+    * nature, so its distinct shingles BROADCAST and the training
+    * corpus is scanned ONCE with a broadcast hash join on the shingle
+    * — no corpus shuffle, the 100-TB shape. Returns (doc_id, n_hits =
+    * distinct colliding n-grams); clean docs are absent. */
+  def contamination(train: DataFrame, bench: DataFrame, textCol: String,
+                    idCol: String, n: Int = 5): DataFrame = {
+    val trainSh = train.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), n))).as("__sh"))
+    val benchSh = bench
+      .select(explode(shingles(col(textCol), n)).as("__sh")).distinct()
+    trainSh.join(broadcast(benchSh), Seq("__sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   // ---------------- duplicate-cluster resolution ----------------
 
   /** Connected components over candidate duplicate pairs: the step

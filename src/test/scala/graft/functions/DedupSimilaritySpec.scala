@@ -131,6 +131,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cents.collect().toSet == cents2.collect().toSet)
   }
 
+  test("contamination: 5-gram overlap flags, 4-gram overlap does not") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "tiny doc")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x x alpha beta gamma delta epsilon y"), // shares a 5-gram
+      (2L, "alpha beta gamma delta X epsilon"),     // best overlap only 4
+      (3L, "tiny doc"),                             // short doc = whole text
+      (4L, "clean text entirely")).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, bench, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("connected components: chains close transitively, canonical = min id") {
     // chain 1-2-4-8 (multi-hop), triangle 20-21-22, isolated pair 50-51
     val pairs = Seq((1L, 2L), (2L, 4L), (4L, 8L),
