@@ -413,6 +413,105 @@ object Oracles {
          |  (node = cluster_id) AS is_canonical
          |FROM cc ORDER BY doc_id""".stripMargin),
 
+    // the same recursive-CTE closure as dedup_clusters, but over REAL
+    // MinHash-LSH candidate pairs, left-joined back onto the corpus so
+    // unpaired docs survive as their own cluster
+    "dedup_canonical" ->
+      (s"""WITH RECURSIVE bands AS ($minhashBandsSql),
+         |p AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |sym AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |rr(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, rr.lbl FROM rr JOIN sym s ON s.src = rr.node
+         |), cc AS (SELECT node, min(lbl) AS cluster_id FROM rr GROUP BY node)
+         |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         |  (coalesce(cc.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // same 10-token window arithmetic as doc_chunks; first occurrence
+    // = min (doc_id, pos) per line fingerprint
+    "line_dedup" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |c AS (SELECT doc_id, tk,
+         |  greatest(1, CAST(ceil(len(tk)/10.0) AS INT)) AS nl FROM t),
+         |l AS (SELECT doc_id,
+         |  unnest(range(0, nl)) AS pos,
+         |  unnest(list_transform(range(0, nl),
+         |    i -> array_to_string(tk[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' '))) AS line
+         |FROM c),
+         |f AS (SELECT doc_id, pos, line,
+         |  row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+         |FROM l)
+         |SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(line, ' ' ORDER BY pos) AS text_clean
+         |FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // integer-only rate derivation: 30% of total tokens, split equally
+    // across strata, floored to basis points — bit-exact in any engine
+    "token_budget_sample" ->
+      (s"""WITH t AS (SELECT lang, doc_id, len($toks) AS nt FROM documents),
+         |s AS (SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS tokens FROM t GROUP BY lang),
+         |g AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+         |  count(*) AS n_strata FROM s),
+         |r AS (SELECT lang, n_docs, tokens,
+         |  least(10000, (((total * 3) // 10) // n_strata) * 10000 // tokens) AS rate_bp
+         |FROM s, g),
+         |k AS (SELECT t.lang, count(*) AS kept_docs,
+         |  CAST(sum(t.nt) AS BIGINT) AS kept_tokens
+         |FROM t JOIN r ON t.lang = r.lang
+         |WHERE ${hex8("CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bp
+         |GROUP BY t.lang)
+         |SELECT r.lang, n_docs, tokens, CAST(rate_bp AS BIGINT) AS rate_bp,
+         |  coalesce(kept_docs, 0) AS kept_docs,
+         |  coalesce(kept_tokens, 0) AS kept_tokens
+         |FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang""".stripMargin),
+
+    // the text_quality scoring expression, ranked per source
+    "source_cap" ->
+      (s"""WITH t AS (SELECT source, doc_id, text, $toks AS tk FROM documents),
+         |q AS (SELECT source, doc_id,
+         |  (CASE WHEN len(tk) BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END +
+         |   CASE WHEN len(list_filter(tk, x -> list_contains($stopwordsSql, x))) > 0 THEN 0.3 ELSE 0.0 END +
+         |   CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS DOUBLE) / length(text) < 0.2 THEN 0.3 ELSE 0.0 END) AS quality
+         |FROM t),
+         |r AS (SELECT source, doc_id, quality,
+         |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+         |FROM q)
+         |SELECT source, doc_id, quality, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin),
+
+    // IVF cell assignment exactly as ann_ivf, then within-cell pairs
+    // and the lower-id-twin drop rule
+    "semantic_dedup" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id, v FROM e
+         |  ORDER BY ${hex8("CAST(vec_id AS VARCHAR)")} LIMIT 4),
+         |cents AS (SELECT row_number() OVER (ORDER BY v[1]) - 1 AS centroid_id, v AS cv FROM seeds),
+         |ac AS (SELECT e.vec_id, c.centroid_id,
+         |  round(list_dot_product(e.v, c.cv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sc
+         |FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM ac)
+         |  WHERE rk = 1),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assign a JOIN assign b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+         |d AS (SELECT DISTINCT id_b FROM p
+         |  JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+         |  WHERE list_dot_product(ea.v, eb.v) /
+         |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.35)
+         |SELECT a.vec_id, a.centroid_id, (d.id_b IS NULL) AS kept
+         |FROM assign a LEFT JOIN d ON d.id_b = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin),
+
     "pii_scrub" ->
       ("""WITH planted AS (
          |  SELECT doc_id,

@@ -567,6 +567,43 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "dedup_canonical" -> ((s, dir) => {
+      // the dedup pipeline end-to-end: MinHash-LSH candidate pairs ->
+      // transitive connected components -> one canonical survivor per
+      // cluster, unpaired docs surviving as their own cluster — the
+      // keep/drop frame a corpus build actually consumes
+      val docs = t(s, dir, "documents")
+      Dedup.canonicalize(docs,
+          Dedup.minhashCandidates(docs, "text", "doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "line_dedup" -> ((s, dir) =>
+      // C4-style corpus-wide line dedup: repeated 10-token lines keep
+      // only their globally-first occurrence, docs reassemble from the
+      // surviving lines
+      TextAnalysis.lineDedup(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "token_budget_sample" -> ((s, dir) =>
+      // flat-mixture rebalance to a 30% token budget split equally
+      // across the 5 languages: dominant langs sample down, rare langs
+      // keep everything (rate capped at 100%)
+      graft.functions.Sampling.tokenBudgetSummary(
+        t(s, dir, "documents"), "text", "lang", "doc_id",
+        budgetNum = 3, budgetDen = 10)
+        .withColumnRenamed("stratum", "lang").orderBy("lang")),
+
+    "source_cap" -> ((s, dir) =>
+      // per-source cap: no source contributes more than its 10 best
+      // docs by quality (doc_id tie-break keeps the rank deterministic)
+      graft.functions.Sampling.capPerGroup(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "source", k = 10,
+        Seq(col("quality").desc, col("doc_id").asc))
+        .orderBy("source", "rank")),
+
     "decontaminate" -> ((s, dir) => {
       // benchmark decontamination: every 97th doc plays the eval set,
       // the rest are training docs; a training doc is contaminated if
@@ -701,6 +738,17 @@ object Queries {
       val cents = Similarity.fitCentroids(e, "embedding", "vec_id",
         k = 4, iterations = 0)
       Similarity.ivfAssign(e, cents, "embedding", "vec_id")
+        .orderBy("vec_id")
+    }),
+
+    "semantic_dedup" -> ((s, dir) => {
+      // SemDeDup over the embedding corpus: IVF cells from seed
+      // centroids (SQL-exact, like ann_ivf), within-cell cosine, drop
+      // any vector with a lower-id near-twin in its cell
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.fitCentroids(e, "embedding", "vec_id",
+        k = 4, iterations = 0)
+      Dedup.semanticDedup(e, cents, "embedding", "vec_id", minCos = 0.35)
         .orderBy("vec_id")
     }),
 

@@ -302,6 +302,9 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0)
     var prev = labelSum(labels)
+    // no pairs at all -> no clustered nodes; sum over the empty frame is
+    // NULL, so exit before the fixpoint loop dereferences it
+    if (prev == null) return labels.select(col("node"), col("lbl").as("cluster_id"))
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -325,4 +328,58 @@ object Dedup {
     connectedComponents(pairs, leftCol, rightCol)
       .select(col("node").as("doc_id"), col("cluster_id"),
         (col("node") === col("cluster_id")).as("is_canonical"))
+
+  /** The full corpus-dedup decision, end to end: candidate `pairs`
+    * (from [[minhashCandidates]], [[embeddingNearDups]], …) resolve to
+    * transitive clusters, every doc gets its cluster id (its own id
+    * when unpaired — isolated docs always survive), canonical = min id
+    * per cluster. One broadcast-or-shuffle left join of the tiny
+    * clustered-node set against the corpus ids; the corpus itself is
+    * never re-shuffled beyond that join. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame,
+                   idCol: String, leftCol: String = "id_a",
+                   rightCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, leftCol, rightCol)
+    docs.select(col(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
+  // ---------------- semantic dedup ----------------
+
+  /** SemDeDup-style semantic deduplication (the public recipe: cluster
+    * embeddings, compare only WITHIN-cluster pairs by exact cosine,
+    * drop every vector with a more-canonical — lower-id — near-twin in
+    * its cell). Cell assignment is [[Similarity.ivfAssign]]: a pure
+    * projection over driver-literal centroids, zero corpus shuffle.
+    * Within-cell pairing is the design's whole point — a balanced fit
+    * bounds each cell at ~corpus/k vectors, so the quadratic pair term
+    * scales with CELL size, never corpus size; size k with the corpus.
+    * The same hot-cell guard as [[embeddingNearDups]] drops degenerate
+    * cells (a collapsed fit) instead of letting one cell go quadratic
+    * in the corpus. Returns every vector with its cell and the keep
+    * verdict. */
+  def semanticDedup(df: DataFrame, centroids: DataFrame, vecCol: String,
+                    idCol: String, minCos: Double,
+                    maxCellSize: Int = 100000): DataFrame = {
+    val assign = Similarity.ivfAssign(df, centroids, vecCol, idCol)
+      .select(col(idCol), col("centroid_id"))
+    val withV = assign.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+    val fits = withV.groupBy("centroid_id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCellSize).select("centroid_id")
+    val cell = withV.join(broadcast(fits), Seq("centroid_id"))
+    val l = cell.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val r = cell.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    val dropped = l.join(r, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= minCos)
+      .select(col("id_b").as("__dup")).distinct()
+    assign.join(dropped, col(idCol) === col("__dup"), "left")
+      .select(col(idCol), col("centroid_id"),
+        col("__dup").isNull.as("kept"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -40,5 +41,59 @@ object Sampling {
     df.filter(
       pmod(Hashing.hex8ToLong(col(keyCol).cast("string")), lit(Denom)) <
         threshold)
+  }
+
+  /** Token-budget mixture sampling: scale a corpus down to
+    * `budgetNum/budgetDen` of its total tokens, split EQUALLY across
+    * the strata (the flat-mixture rebalance from the public training-
+    * data literature — over-represented languages/sources are sampled
+    * down hard, under-represented ones keep everything). Per-stratum
+    * rates are integer basis points derived with integer division
+    * only, so any engine reproduces them bit-for-bit; membership is
+    * the stable hash threshold of [[keep]].
+    *
+    * Two map-side-combined aggregations (per-doc token counts →
+    * per-stratum sums → one global row) and two broadcast joins of the
+    * tiny rate table back onto the corpus — the corpus itself is
+    * scanned twice and never shuffled. Returns the per-stratum summary
+    * (docs/tokens before, rate, docs/tokens kept). */
+  def tokenBudgetSummary(df: DataFrame, textCol: String, strataCol: String,
+                         idCol: String, budgetNum: Int,
+                         budgetDen: Int): DataFrame = {
+    val perDoc = df.select(col(strataCol).as("stratum"),
+      col(idCol).cast("string").as("__k"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("__nt"))
+    val byStratum = perDoc.groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("tokens"))
+    val totals = byStratum
+      .agg(sum(col("tokens")).as("__total"),
+        count(lit(1)).as("__n_strata"))
+    val rates = byStratum.crossJoin(broadcast(totals))
+      .withColumn("rate_bp", least(lit(Denom),
+        expr(s"(((__total * $budgetNum) DIV $budgetDen) DIV __n_strata)" +
+          s" * $Denom DIV tokens")))
+      .select("stratum", "n_docs", "tokens", "rate_bp")
+    val kept = perDoc
+      .join(broadcast(rates.select("stratum", "rate_bp")), Seq("stratum"))
+      .filter(pmod(Hashing.hex8ToLong(col("__k")), lit(Denom)) <
+        col("rate_bp"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("kept_docs"), sum("__nt").as("kept_tokens"))
+    rates.join(kept, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_docs"), col("tokens"), col("rate_bp"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
+  /** Cap each group at its top-`k` rows under `order` (per-source /
+    * per-domain caps from corpus curation: no single source may
+    * dominate the mix). A PARTITIONED row_number window — each group
+    * ranks independently in its own partition, so the shape holds at
+    * any corpus size as long as single groups fit a partition (they
+    * do: the cap exists because groups are supposed to be small). */
+  def capPerGroup(df: DataFrame, groupCol: String, k: Int,
+                  order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

@@ -185,4 +185,42 @@ object TextAnalysis {
     transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(t, i * stride + 1, lit(chunkTokens))))
   }
+
+  /** Line-level exact dedup across the corpus (the C4-style recipe from
+    * the public corpus-cleaning literature: repeated lines — navbars,
+    * boilerplate, license headers — are removed corpus-wide, keeping
+    * only the FIRST occurrence). The fixture corpus has no newline
+    * structure, so "lines" are consecutive `lineTokens`-token windows —
+    * the same integer window arithmetic as [[chunks]], engine-exact.
+    *
+    * First-occurrence-wins resolves by min (doc id, position): a
+    * min-struct groupBy on the line fingerprint, which map-side
+    * combines — one balanced shuffle on the 128-bit fp even when a
+    * boilerplate line repeats millions of times (a row_number window
+    * would sort every occurrence of a hot line inside one task; the
+    * min-aggregate reduces them map-side instead). Reassembly is one
+    * doc-id shuffle. Docs whose every line was claimed elsewhere drop
+    * out entirely — that is the dedup verdict, not data loss. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                lineTokens: Int = 10): DataFrame = {
+    val t = tokens(col(textCol))
+    val nLines = greatest(lit(1),
+      ceil(size(t) / lit(lineTokens.toDouble))).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1),
+      i => concat_ws(" ", slice(t, i * lineTokens + 1, lit(lineTokens))))
+    val ex = df.select(col(idCol), posexplode(lines))
+      .withColumnRenamed("col", "line")
+      .withColumn("fp", md5(col("line")))
+    val firsts = ex.groupBy("fp")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+    ex.join(firsts, Seq("fp"))
+      .filter(struct(col(idCol), col("pos")) === col("__first"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("line"))))
+          .as("__ls"))
+      .select(col(idCol), col("n_kept"),
+        concat_ws(" ", transform(col("__ls"), x => x.getField("line")))
+          .as("text_clean"))
+  }
 }

@@ -275,4 +275,75 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (exact & lossy).size.toDouble / exact.size
     assert(recall >= 0.8, s"SQ8 recall $recall below 0.8")
   }
+
+  test("semantic dedup drops the higher-id near-twin within its cell only") {
+    // two well-separated blobs; ids 2 and 3 are exact twins inside blob A
+    def va(m: Double) = Array(1.0f, m.toFloat, 0f, 0f)
+    def vb(m: Double) = Array(0f, 0.1f, 1.0f, m.toFloat)
+    val vecs = Seq(
+      0L -> va(0.0), 1L -> va(0.4), 2L -> va(0.8), 3L -> va(0.8),
+      4L -> va(1.2),
+      10L -> vb(0.0), 11L -> vb(0.4), 12L -> vb(0.8), 13L -> vb(1.2),
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.fitCentroids(vecs, "embedding", "vec_id",
+      k = 2, iterations = 3)
+    val out = Dedup.semanticDedup(vecs, cents, "embedding", "vec_id",
+        minCos = 0.99)
+      .as[(Long, Int, Boolean)].collect().toSeq
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert(kept == Set(0L, 1L, 2L, 4L, 10L, 11L, 12L, 13L),
+      s"unexpected survivors $kept")
+    // the twins share a cell; the two blobs land in different cells
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    assert(cellOf(2L) == cellOf(3L))
+    assert(cellOf(0L) != cellOf(10L))
+    // hot-cell guard: cap below the cell size -> no pairs, all kept
+    val capped = Dedup.semanticDedup(vecs, cents, "embedding", "vec_id",
+      minCos = 0.99, maxCellSize = 2)
+    assert(capped.filter(!col("kept")).count() == 0)
+  }
+
+  test("canonicalize keeps isolated docs and resolves transitive clusters") {
+    val ids = (0L to 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalize(ids, pairs, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out.size == 10)
+    assert(out.filter(t => Set(2L, 4L).contains(t._1))
+      .forall(t => t._2 == 1L && !t._3))
+    assert(out.filterNot(t => Set(2L, 4L).contains(t._1))
+      .forall(t => t._2 == t._1 && t._3))
+    // no pairs at all: every doc is its own canonical cluster
+    val none = Dedup.canonicalize(ids,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id")
+    assert(none.filter(col("is_canonical")).count() == 10)
+  }
+
+  test("token budget: integer-exact rates, over-budget strata sampled down") {
+    // stratum a: 4 docs x 10 tokens = 40; stratum b: 1 doc x 10 tokens
+    // budget 1/2 of 50 = 25, split 2 ways = 12 each (integer floor):
+    // rate_a = 12*10000/40 = 3000 bp, rate_b = min(10000, 12000) = 10000
+    val ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = ((0 to 3).map(i => (i.toLong, "a", ten)) :+ (9L, "b", ten))
+      .toDF("doc_id", "lang", "text")
+    val out = Sampling.tokenBudgetSummary(docs, "text", "lang", "doc_id",
+        budgetNum = 1, budgetDen = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a")._4 == 3000L && out("b")._4 == 10000L)
+    assert(out("b")._5 == 1L && out("b")._6 == 10L) // under budget: keep all
+    assert(out("a")._6 == out("a")._5 * 10)          // tokens track docs
+    assert(out("a")._5 < 4)                          // sampled down
+  }
+
+  test("capPerGroup keeps top-k per group under the given order") {
+    val rows = (for (g <- Seq("x", "y"); i <- 1 to 5)
+      yield (g, s"$g$i", i.toDouble)).toDF("grp", "id", "score")
+    val out = Sampling.capPerGroup(rows, "grp", 3,
+        Seq(col("score").desc, col("id").asc))
+      .select("grp", "id", "rank").as[(String, String, Int)].collect()
+    assert(out.length == 6)
+    assert(out.filter(_._1 == "x").map(_._2).toSet == Set("x5", "x4", "x3"))
+    assert(out.forall(r => r._3 >= 1 && r._3 <= 3))
+  }
 }

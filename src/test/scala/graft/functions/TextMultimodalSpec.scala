@@ -131,4 +131,25 @@ class TextMultimodalSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
+
+  test("line dedup: first occurrence wins corpus-wide, docs reassemble") {
+    val lineA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"   // shared boilerplate
+    val lineB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val lineC = "c1 c2 c3 c4 c5"                    // short tail line
+    val df = Seq(
+      (1L, s"$lineA $lineB"),   // owns the first occurrence of A and B
+      (2L, s"$lineA $lineC"),   // loses A, keeps its tail line C
+      (3L, lineA),              // every line claimed elsewhere: drops out
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(df, "text", "doc_id")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 2L, s"$lineA $lineB")))
+    assert(out(2L) == ((2L, 1L, lineC)))
+    // duplicate line INSIDE one doc also collapses to its first position
+    val self = Seq((7L, s"$lineA $lineA")).toDF("doc_id", "text")
+    val so = TextAnalysis.lineDedup(self, "text", "doc_id")
+      .as[(Long, Long, String)].head()
+    assert(so == ((7L, 1L, lineA)))
+  }
 }
