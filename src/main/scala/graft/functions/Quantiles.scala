@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact quantiles over integer-domain metrics (token counts, char
+  * lengths, degree counts) via a COUNT HISTOGRAM — the scale-safe
+  * alternative to `percentile()` for corpus gating:
+  *
+  *   - `percentile()` buffers every value of the group in one
+  *     aggregation buffer — exact but O(corpus) memory in one place;
+  *   - `approx_percentile()` scales but is engine-specific, so no
+  *     cross-engine oracle can confirm it;
+  *   - a histogram groupBy is ONE balanced shuffle keyed on the value,
+  *     map-side combined; the cumulative pass then runs over the
+  *     DISTINCT-VALUE frame, whose size is the metric's domain
+  *     (thousands), not the corpus. Exact at any corpus size.
+  *
+  * Quantile ranks are integer per-milles and the threshold test is
+  * cross-multiplied (`cum * 1000 >= n * p` — no division, no floats),
+  * so every engine reproduces the thresholds bit-for-bit: threshold(p)
+  * = smallest value whose cumulative count reaches ceil(n*p/1000).
+  */
+object Quantiles {
+
+  /** (value, cumulative count, total) over the distinct-value frame.
+    * The unpartitioned window is deliberate and safe: it runs on the
+    * histogram (domain-sized), never the corpus. */
+  private def cumHist(df: DataFrame, valueCol: String): DataFrame = {
+    val hist = df.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("v")
+    hist.withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+  }
+
+  /** Exact per-mille thresholds, one row per requested rank. */
+  def intThresholds(df: DataFrame, valueCol: String,
+                    permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 0 && p <= 1000))
+    val cum = cumHist(df, valueCol)
+    val aggs = permilles.map(p =>
+      min(when(col("cum") * 1000 >= col("n") * p, col("v"))).as(s"__t$p"))
+    val row = cum.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(map(
+      permilles.flatMap(p => Seq(lit(p), col(s"__t$p"))): _*))
+      .as(Seq("permille", "threshold")))
+  }
+
+  /** Keep rows whose integer metric lies within the [lo, hi] per-mille
+    * quantile band — the outlier gate from corpus curation (drop the
+    * degenerate tails: empty/truncated docs below, concatenation
+    * artifacts above). Two scans of the corpus (histogram + filter),
+    * one broadcast of the single-row threshold frame, zero corpus
+    * shuffles. */
+  def gate(df: DataFrame, valueCol: String, loPermille: Int,
+           hiPermille: Int): DataFrame = {
+    require(loPermille <= hiPermille)
+    val th = cumHist(df, valueCol).agg(
+      min(when(col("cum") * 1000 >= col("n") * loPermille, col("v")))
+        .as("__lo"),
+      min(when(col("cum") * 1000 >= col("n") * hiPermille, col("v")))
+        .as("__hi"))
+    df.crossJoin(broadcast(th))
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+}
