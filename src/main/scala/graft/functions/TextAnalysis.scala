@@ -186,6 +186,69 @@ object TextAnalysis {
       i => concat_ws(" ", slice(t, i * stride + 1, lit(chunkTokens))))
   }
 
+  /** GPT-style sequence-packing offsets: documents concatenate in id
+    * order and chunk into fixed `seqTokens` training sequences; a doc
+    * may straddle a pack boundary — that IS the public packing recipe
+    * (concat-and-chunk), not an error. Emits each doc's global token
+    * offset and first/last pack ids.
+    *
+    * The global prefix-sum is DISTRIBUTED: docs bucket by contiguous
+    * id ranges (`idsPerBucket` ids each), the within-bucket cumulative
+    * runs in a partitioned window (balanced — each bucket is its own
+    * partition), and bucket base offsets come from a cumulative pass
+    * over the bucket-totals frame, which is corpus/idsPerBucket rows —
+    * domain-sized, like [[Quantiles]]' histogram. No corpus-wide
+    * single-partition window anywhere (compare Collapse.tagTransactions,
+    * the same discipline for transaction ranks). */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    seqTokens: Int, idsPerBucket: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      expr(s"CAST($idCol AS BIGINT) DIV $idsPerBucket").as("__b"))
+    val local = base.withColumn("__local",
+      coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy("__b").orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = base.groupBy("__b")
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__base",
+        coalesce(sum(col("__bt")).over(
+          Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__base")
+    local.join(broadcast(offsets), Seq("__b"))
+      .withColumn("token_offset", col("__base") + col("__local"))
+      .select(col(idCol), col("n_tokens"), col("token_offset"),
+        expr(s"token_offset DIV $seqTokens").as("pack_first"),
+        expr(s"(token_offset + n_tokens - 1) DIV $seqTokens").as("pack_last"))
+  }
+
+  /** Corpus-weighted keywords (tf-idf): per-doc term frequency, corpus
+    * document frequency from one token-keyed aggregation, top-`k`
+    * keywords per doc. The RANKING keys are integers — tf desc, df asc
+    * (rarer wins), then token — so every engine agrees exactly; the
+    * float tf·ln(N/df) score is reported (rounded) but never sorted
+    * on. Two balanced shuffles (doc-token, then token) plus a
+    * broadcast of the one-row corpus count. */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Line-level exact dedup across the corpus (the C4-style recipe from
     * the public corpus-cleaning literature: repeated lines — navbars,
     * boilerplate, license headers — are removed corpus-wide, keeping

@@ -132,6 +132,55 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
 
+  test("sequence packing: distributed prefix sum, boundary straddles") {
+    // 5 docs x 3 tokens into 4-token packs; 2-id buckets force the
+    // cross-bucket offset path
+    val df5 = (0L to 4L).map(i => (i, "t1 t2 t3")).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(df5, "text", "doc_id",
+        seqTokens = 4, idsPerBucket = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "token_offset", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 0L, 0L, 0L),
+      (1L, 3L, 3L, 0L, 1L),  // straddles packs 0 and 1 — by design
+      (2L, 3L, 6L, 1L, 2L),
+      (3L, 3L, 9L, 2L, 2L),
+      (4L, 3L, 12L, 3L, 3L)))
+  }
+
+  test("tfidf keywords: tf first, rarer df breaks ties, score reported") {
+    val df3 = Seq(
+      (1L, "apple banana apple zebra"),
+      (2L, "banana banana cherry"),
+      (3L, "apple banana")).toDF("doc_id", "text")
+    // df: apple 2, banana 3, cherry 1, zebra 1
+    val out = TextAnalysis.tfidfKeywords(df3, "text", "doc_id", k = 2)
+      .select("doc_id", "token", "rank", "score")
+      .as[(Long, String, Int, Double)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    assert(out((1L, 1))._1 == "apple")  // tf 2 wins
+    assert(out((1L, 2))._1 == "zebra")  // df 1 beats banana's df 3 at tf 1
+    assert(out((2L, 1))._1 == "banana")
+    assert(out((2L, 2))._1 == "cherry")
+    assert(out((2L, 1))._2 == 0.0)      // ln(3/3) = 0: ubiquitous token
+    assert(out((2L, 2))._2 > 0.0)
+  }
+
+  test("url normalization: tracking/fragment/case/www stripped, host kept") {
+    val urls = Seq(
+      "HTTPS://WWW.News.Example.COM/Path/Art?page=2&utm_source=x&ref=7#top",
+      "http://example.org/a/",
+      "https://Example.net/?utm_campaign=z").toDF("url")
+    val out = urls.select(UrlOps.normalize(col("url")).as("n"))
+      .withColumn("h", UrlOps.host(col("n")))
+      .as[(String, String)].collect().toSeq
+    assert(out(0) ==
+      (("https://news.example.com/Path/Art?page=2", "news.example.com")))
+    assert(out(1) == (("http://example.org/a", "example.org")))
+    assert(out(2) == (("https://example.net", "example.net")))
+  }
+
   test("line dedup: first occurrence wins corpus-wide, docs reassemble") {
     val lineA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"   // shared boilerplate
     val lineB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
