@@ -473,6 +473,73 @@ object Oracles {
          |  coalesce(kept_tokens, 0) AS kept_tokens
          |FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang""".stripMargin),
 
+    // concat-and-chunk packing: exclusive running token sum in id
+    // order, integer pack arithmetic
+    "sequence_pack" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |FROM t)
+         |SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS token_offset,
+         |  CAST(off // 512 AS BIGINT) AS pack_first,
+         |  CAST((off + n_tokens - 1) // 512 AS BIGINT) AS pack_last
+         |FROM c ORDER BY doc_id""".stripMargin),
+
+    // integer ranking keys (tf desc, df asc, token); ln only in the
+    // reported rounded score
+    "doc_tfidf" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT doc_id, tf.token AS token, tf.tf AS tf, dfq.df AS df,
+         |  round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 6) AS score,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tf.tf DESC, dfq.df, tf.token) AS rank
+         |FROM tf JOIN dfq ON tf.token = dfq.token, n)
+         |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, score, CAST(rank AS INT) AS rank
+         |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+
+    // the identical planted input and RE2 chain as the Spark side
+    "url_normalize" ->
+      ("""WITH planted AS (
+         |  SELECT doc_id, 'HTTPS://WWW.' || upper(source) || '.Example.COM/'
+         |    || lang || '/p/' || CAST(doc_id % 97 AS VARCHAR) ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN '?page=' || CAST(doc_id % 5 AS VARCHAR)
+         |        || '&utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+         |      ELSE '?utm_source=feed' END || '#sec' AS url
+         |  FROM documents
+         |), n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM planted),
+         |n2 AS (SELECT doc_id, regexp_replace(u,
+         |  '(utm_[A-Za-z0-9_]*=[^&#]*&?|ref=[^&#]*&?)', '', 'g') AS u FROM n1),
+         |n3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS u FROM n2),
+         |n4 AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+         |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS u FROM n3),
+         |n5 AS (SELECT doc_id, regexp_replace(
+         |  regexp_replace(u, '://www\.', '://'), '/+$', '') AS u FROM n4)
+         |SELECT doc_id, u AS url_norm,
+         |  regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+         |FROM n5 ORDER BY doc_id""".stripMargin),
+
+    // count-histogram exact quantiles with integer cross-multiplied
+    // ranks: threshold(p) = smallest v whose cumulative count reaches
+    // ceil(n*p/1000) — no floats anywhere
+    "quantile_gate" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT n_tokens AS v, count(*) AS c FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+         |th AS (SELECT min(CASE WHEN cum*1000 >= n*50 THEN v END) AS lo,
+         |              min(CASE WHEN cum*1000 >= n*950 THEN v END) AS hi
+         |       FROM cum, tot)
+         |SELECT doc_id, n_tokens FROM t, th
+         |WHERE n_tokens >= lo AND n_tokens <= hi
+         |ORDER BY doc_id""".stripMargin),
+
     // the text_quality scoring expression, ranked per source
     "source_cap" ->
       (s"""WITH t AS (SELECT source, doc_id, text, $toks AS tk FROM documents),

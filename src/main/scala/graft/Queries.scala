@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Hashing, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Hashing, Multimodal, Quantiles, Similarity, TextAnalysis, UrlOps}
 import graft.model.{CdcEnvelope => E}
 import graft.operators.{Collapse, Transformers => T}
 import graft.parsers.{Debezium, GenericParser}
@@ -593,6 +593,53 @@ object Queries {
         t(s, dir, "documents"), "text", "lang", "doc_id",
         budgetNum = 3, budgetDen = 10)
         .withColumnRenamed("stratum", "lang").orderBy("lang")),
+
+    "sequence_pack" -> ((s, dir) =>
+      // GPT-style concat-and-chunk packing offsets into 512-token
+      // training sequences; the prefix-sum is distributed (bucketed
+      // windows + domain-sized base offsets), never a corpus-wide
+      // single-partition window
+      TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id",
+        seqTokens = 512, idsPerBucket = 64)
+        .orderBy("doc_id")),
+
+    "doc_tfidf" -> ((s, dir) =>
+      // corpus-weighted keywords: top-3 per doc ranked by integer keys
+      // (tf desc, rarer df first, token) — the float tf-idf score is
+      // reported, never sorted on
+      TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "text", "doc_id",
+        k = 3)
+        .orderBy("doc_id", "rank")),
+
+    "url_normalize" -> ((s, dir) => {
+      // the fixture corpus has no URL column, so plant deterministic
+      // messy URLs (mixed-case authority, tracking params, fragments)
+      // and canonicalize; the oracle builds the identical input and
+      // re-derives the chain with the same RE2 patterns
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM/"), col("lang"), lit("/p/"),
+          (col("doc_id") % 97).cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?page="), (col("doc_id") % 5).cast("string"),
+              lit("&utm_source=feed&ref="), col("doc_id").cast("string")))
+            .otherwise(lit("?utm_source=feed")),
+          lit("#sec")).as("url"))
+      planted.select(col("doc_id"),
+          UrlOps.normalize(col("url")).as("url_norm"))
+        .withColumn("host", UrlOps.host(col("url_norm")))
+        .orderBy("doc_id")
+    }),
+
+    "quantile_gate" -> ((s, dir) =>
+      // outlier gate on exact [5%, 95%] token-count quantiles, derived
+      // from a count histogram with integer cross-multiplied ranks —
+      // scale-exact where percentile() would buffer the corpus
+      Quantiles.gate(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "n_tokens", loPermille = 50, hiPermille = 950)
+        .orderBy("doc_id")),
 
     "source_cap" -> ((s, dir) =>
       // per-source cap: no source contributes more than its 10 best

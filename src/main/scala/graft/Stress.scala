@@ -67,9 +67,16 @@ object Stress {
       qz.write.format("noop").mode("overwrite").save()
     }
     timed("ivfTopK over SQ8-reconstructed 500k corpus, 100 queries") {
+      // MATERIALIZE the reconstruction before assignment (a real
+      // pipeline reads reconstructed vectors back from the SQ8 store).
+      // Feeding the dequant EXPRESSION straight into ivfTopK is a
+      // measured scale trap: Catalyst's projection collapse inlines it
+      // into bestCell's per-centroid expressions — k=16 interpreted
+      // re-evaluations per row (higher-order array lambdas never enter
+      // whole-stage codegen) — turning a ~30s probe into >10 minutes.
       val corpus = qz.select(col("vec_id"),
         functions.Similarity.dequantInt8(col("codes"), col("q_lo"),
-          col("q_scale")).as("embedding"))
+          col("q_scale")).as("embedding")).localCheckpoint()
       functions.Similarity.ivfTopK(vecs.filter(col("vec_id") < 100), corpus,
         cents, "embedding", "vec_id", k = 10, nprobe = 2)
         .write.format("noop").mode("overwrite").save()
@@ -90,7 +97,48 @@ object Stress {
     println(s"[stress]   $stats")
     require(stats.filesAfter < 64, s"compaction left ${stats.filesAfter} files")
 
-    // 5. Delta checkpoint: 200-commit table — read cost through the
+    // 5. Line dedup with a UNIVERSAL boilerplate line: 200k docs, every
+    // one sharing the same 10-token header — the hottest possible fp.
+    // The min-struct groupBy must reduce the 200k occurrences map-side
+    // (a row_number window would sort them all inside one task).
+    val ldocs = spark.range(200000).select(col("id").as("doc_id"),
+      concat(lit("shared header line one two three four five six seven "),
+        lit("unique body "), col("id").cast("string"),
+        lit(" tail words for this document only padding out the line"))
+        .as("text"))
+    timed("lineDedup 200k docs, one universal boilerplate line") {
+      val out = functions.TextAnalysis.lineDedup(ldocs, "text", "doc_id")
+      out.write.format("noop").mode("overwrite").save()
+    }
+
+    // 6. Semantic dedup at 50k vectors / 16 cells (~156M within-cell
+    // pairs — the n^2/k quadratic term this operator deliberately
+    // bounds by cell). The synthetic corpus has EXACT twins by
+    // construction (ids congruent mod 997 repeat the embedding), so a
+    // near-1.0 threshold must drop all-but-one per twin class.
+    val svecs = vecs.filter(col("vec_id") < 50000)
+    val nDropped = timed("semanticDedup 50k x 64d, 16 cells (~156M in-cell pairs)") {
+      functions.Dedup.semanticDedup(svecs, cents,
+        "embedding", "vec_id", minCos = 0.999999)
+        .filter(!col("kept")).count()
+    }
+    println(s"[stress]   dropped=$nDropped of 50000 (mod-997 twin classes)")
+    require(nDropped >= 49003, // 50000 ids - 997 twin classes
+      s"expected >= 49003 twin drops, got $nDropped")
+
+    // 7. Token-budget mixture over 2M docs x 20 strata: two scans, two
+    // map-side-combined aggs, zero corpus shuffles.
+    val bdocs = spark.range(2000000).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 20).cast("string")).as("lang"),
+      concat(lit("alpha beta gamma delta epsilon zeta "),
+        col("id").cast("string")).as("text"))
+    timed("tokenBudgetSummary 2M docs, 20 strata, 30% budget") {
+      functions.Sampling.tokenBudgetSummary(bdocs, "text", "lang",
+          "doc_id", budgetNum = 3, budgetDen = 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // 8. Delta checkpoint: 200-commit table — read cost through the
     // checkpoint vs full JSON replay.
     val table = java.nio.file.Files.createTempDirectory("graft_stress_delta")
       .toString + "/t"

@@ -31,6 +31,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_stable_hash64 takes one argument")
         org.apache.spark.sql.graft.StableHash64Expr(args.head)
+      }),
+    ("graft_dot",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.DotProductExpr].getName,
+        "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes two arguments")
+        org.apache.spark.sql.graft.DotProductExpr(args(0), args(1))
       }))
 
   /** Register on an existing session. */

@@ -22,9 +22,25 @@ object Similarity {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
+  /** Tag a provably-non-null expression so the optimizer skips
+    * join-key isnotnull filters that would duplicate it. */
+  private def notNull(c: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+        org.apache.spark.sql.graft.bridge.expression(c)))
+
+  /** Native codegen dot product ([[org.apache.spark.sql.graft.DotProductExpr]]).
+    * Value-identical to the old `aggregate(zip_with(...))` spelling
+    * (same element widening, same left-to-right IEEE accumulation) but
+    * stays inside whole-stage codegen — the HOF spelling interprets
+    * two lambda chains per evaluation, the measured bottleneck on
+    * candidate-pair volumes (156M pairs: 408s interpreted vs the
+    * primitive loop; Stress case 6). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.graft.DotProductExpr(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -150,7 +166,7 @@ object Similarity {
     * materialization [[hyperplaneBucket]] does for its planes. The norm
     * fold is sequential left-to-right, matching [[norm]]'s aggregate
     * bit-for-bit, so scores are identical to the joined spelling. */
-  private def collectCentroids(centroids: DataFrame, vecCol: String)
+  private[graft] def collectCentroids(centroids: DataFrame, vecCol: String)
       : Array[(Int, Array[Double], Double)] =
     centroids.select(col("centroid_id").cast("int"), col(vecCol))
       .collect()
@@ -171,13 +187,12 @@ object Similarity {
     * (plan-asserted in DedupSimilaritySpec). Returns the
     * struct(score, negid) maximal by (score, -centroid_id): ties pick
     * the smallest id, matching the previous window/max_by spelling. */
-  private def bestCell(v: Column, cents: Array[(Int, Array[Double], Double)],
+  private[graft] def bestCell(v: Column, cents: Array[(Int, Array[Double], Double)],
                        roundTo: Int): Column = {
     val nv = norm(v)
     array_max(array(cents.map { case (cid, comps, cnorm) =>
       val compLit = array(comps.map(lit(_)): _*)
-      val dp = aggregate(zip_with(toDouble(v), compLit, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dp = dot(v, compLit)
       struct(round(dp / (nv * lit(cnorm)), roundTo).as("score"),
         lit(-cid).as("negid"))
     }: _*))
@@ -239,8 +254,15 @@ object Similarity {
               vecCol: String, idCol: String, k: Int, nprobe: Int = 2,
               roundTo: Int = 6): DataFrame = {
     val centsLocal = collectCentroids(centroids, vecCol)
+    // KnownNotNull on the join key: negid is a literal inside the
+    // array_max struct, so the cell id can never be null — without the
+    // marker the optimizer inserts isnotnull(<whole 16-centroid
+    // assignment>) under the join and EVALUATES THE ASSIGNMENT TWICE
+    // per corpus row, doubling the stage's generated-code size (which
+    // is what tips a wide stage over janino's limit into interpreted
+    // fallback)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      (-bestCell(col(vecCol), centsLocal, roundTo).getField("negid"))
+      notNull(-bestCell(col(vecCol), centsLocal, roundTo).getField("negid"))
         .as("centroid_id"))
     val cents = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
     val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -264,7 +286,17 @@ object Similarity {
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small table collected to driver literals); search
     * probes only the closest cells (fit with [[fitCentroids]]). A pure
-    * projection — no join, no shuffle, no window. */
+    * projection — no join, no shuffle, no window.
+    *
+    * Scale note: `vecCol` should be a STORED column, not a computed
+    * array expression (e.g. [[dequantInt8]] straight off the SQ8
+    * codes). The assignment references the vector once per centroid,
+    * and Catalyst's projection collapse inlines a computed expression
+    * into every reference — k interpreted re-evaluations per row,
+    * because higher-order array lambdas never enter whole-stage
+    * codegen. Measured 20x+ on a 500k corpus at k=16 (Stress case 3):
+    * materialize the reconstruction first (read it back from storage,
+    * or cache/localCheckpoint). */
   def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String,
                 idCol: String, roundTo: Int = 6): DataFrame = {
     val cents = collectCentroids(centroids, vecCol)

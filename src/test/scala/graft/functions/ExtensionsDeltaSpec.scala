@@ -27,6 +27,45 @@ class ExtensionsDeltaSpec extends SparkSpec {
     assert(plan.linesIterator.next().startsWith("*("), plan)
   }
 
+  test("graft_dot: native dot product equals HOF spelling, stays codegen'd") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // float and double arrays, plus a null element and a length mismatch
+    val df = spark.range(1000).select(
+      transform(sequence(lit(0), lit(15)),
+        i => (col("id") + i).cast("float")).as("fa"),
+      transform(sequence(lit(0), lit(15)),
+        i => (col("id") * i).cast("double")).as("da"))
+    val both = df.select(
+      Similarity.dot(col("fa"), col("da")).as("native"),
+      aggregate(
+        zip_with(transform(col("fa"), _.cast("double")), col("da"),
+          (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
+    // codegen: with codegen-friendly inputs (CreateArray, not a HOF
+    // transform) the projection stays whole-stage compiled
+    val cg = spark.range(100).select(
+        array((0 until 8).map(i => (col("id") + i).cast("float")): _*).as("a"),
+        array((0 until 8).map(i => (col("id") * i).cast("double")): _*).as("b"))
+      .select(Similarity.dot(col("a"), col("b")))
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+    // SQL registration
+    assert(spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0) == 11.0)
+    // null semantics: null element and length mismatch both yield NULL
+    val edge = Seq(
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))),
+      (Seq(Some(1.0)), Seq(Some(1.0), Some(2.0)))).toDF("a", "b")
+    assert(edge.select(Similarity.dot(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+    // int arrays widen like the cast spelling
+    assert(spark.sql("SELECT graft_dot(array(1, 2), array(3L, 4L))")
+      .head().getDouble(0) == 11.0)
+  }
+
   test("DeltaLite reads a hand-built Delta log (add/remove replay)") {
     val table = Files.createTempDirectory("graft_delta").toString
     // two data files, second commit removes the first
