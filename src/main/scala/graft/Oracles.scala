@@ -374,6 +374,93 @@ object Oracles {
         "min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY fp"),
 
+    // same planted batch (odd docs + re-crawled history + within-batch
+    // copies); anti-join spelled as NOT IN over the history fingerprints
+    "dedup_incremental" ->
+      (s"""WITH batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 2 = 1 AND doc_id % 10 = 1
+         |), hist AS (
+         |  SELECT DISTINCT
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents WHERE doc_id % 2 = 0
+         |), keep AS (
+         |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    min(doc_id) AS doc_id
+         |  FROM batch GROUP BY 1
+         |)
+         |SELECT doc_id, fp FROM keep
+         |WHERE fp NOT IN (SELECT fp FROM hist) ORDER BY doc_id""".stripMargin),
+
+    // independent re-derivation: bigram/unigram counts by SQL GROUP BY,
+    // the same rounded-then-DECIMAL log-prob accumulation (exact,
+    // order-independent — double summation order is the trap)
+    "lm_score" ->
+      (s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |bi AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+         |        FROM t WHERE len(tk) >= 2)
+         |), btf AS (
+         |  SELECT doc_id, w1, w2, count(*) AS k FROM bi GROUP BY 1, 2, 3
+         |), bc AS (
+         |  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cb FROM btf GROUP BY 1, 2
+         |), uni AS (
+         |  SELECT tok AS w1, count(*) AS cu
+         |  FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY 1
+         |), v AS (SELECT count(*) AS v FROM uni)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(CAST(round(ln((cb + 1.0) / (cu + v)), 6)
+         |    AS DECIMAL(18,6)) * k) AS DOUBLE) / sum(k), 6) AS avg_logp
+         |FROM btf JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // the identical planted page and the same RE2-compatible chain:
+    // per-tag block strips (no backreferences), comment/tag drop,
+    // entity decode with &amp; last, whitespace collapse
+    "html_extract" ->
+      (s"""WITH page AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>' || source || ' | ' || lang ||
+         |    '</title><style>body {color: #000}</style></head>' || chr(10) ||
+         |    '<body><nav>Home &gt; Docs</nav><script>var x = 1 < 2;</script>' ||
+         |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+         |    '<p>' || substr(text, 1, 120) ||
+         |    ' &amp; more&nbsp;&#39;quoted&#39;</p><!-- id ' ||
+         |    CAST(doc_id AS VARCHAR) || ' --></body></html>' AS html
+         |  FROM documents
+         |), stripped AS (
+         |  SELECT doc_id, html,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(html,
+         |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '(?is)<nav[^>]*>.*?</nav>', ' ', 'g'),
+         |      '(?s)<!--.*?-->', ' ', 'g'),
+         |      '<[^>]+>', ' ', 'g') AS raw
+         |  FROM page
+         |), decoded AS (
+         |  SELECT doc_id,
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |      '&nbsp;', ' '), '&amp;', '&') AS title,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(raw,
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |        '&nbsp;', ' '), '&amp;', '&'),
+         |      '\\s+', ' ', 'g')) AS text_clean
+         |  FROM stripped
+         |)
+         |SELECT doc_id, title, text_clean,
+         |  length(text_clean) AS n_chars
+         |FROM decoded ORDER BY doc_id""".stripMargin),
+
     "decontaminate" ->
       (s"""WITH sh AS (
          |  SELECT doc_id, tk,

@@ -585,6 +585,54 @@ object Queries {
       TextAnalysis.lineDedup(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // cross-snapshot dedup: even docs are the ingested history, the
+      // "new crawl" batch is the odd docs plus planted re-crawls of
+      // history docs (id+10000 — must drop against history) and
+      // planted within-batch copies (id+20000 — must lose to the
+      // min-id original); survivors are exactly the novel odd docs
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 2 === 0 &&
+            col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 2 === 1 &&
+            col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      Dedup.crossSnapshotDedup(batch, history, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "lm_score" -> ((s, dir) =>
+      // CCNet-style quality gate: corpus-trained add-one bigram LM,
+      // per-doc tf-weighted mean log-prob; training is two counting
+      // aggregations, scoring two balanced key joins — no driver model
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "html_extract" -> ((s, dir) => {
+      // the corpus has no markup column, so plant deterministic HTML
+      // (title/style/script/nav blocks, comments, entities) around each
+      // doc's text and run the extraction chain; the oracle rebuilds
+      // the identical page and re-derives the same RE2 chain
+      val page = concat(
+        lit("<html><head><title>"), col("source"), lit(" | "), col("lang"),
+        lit("</title><style>body {color: #000}</style></head>\n<body>"),
+        lit("<nav>Home &gt; Docs</nav><script>var x = 1 < 2;</script>"),
+        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>\n<p>"),
+        substring(col("text"), 1, 120),
+        lit(" &amp; more&nbsp;&#39;quoted&#39;</p><!-- id "),
+        col("doc_id").cast("string"), lit(" --></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"), page.as("html"))
+        .select(col("doc_id"),
+          graft.functions.Html.title(col("html")).as("title"),
+          graft.functions.Html.text(col("html")).as("text_clean"))
+        .withColumn("n_chars", length(col("text_clean")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "token_budget_sample" -> ((s, dir) =>
       // flat-mixture rebalance to a 30% token budget split equally
       // across the 5 languages: dominant langs sample down, rare langs

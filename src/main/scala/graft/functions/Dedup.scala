@@ -28,6 +28,31 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental (cross-snapshot) dedup: today's crawl batch against
+    * everything already ingested. The batch first self-dedups (min-id
+    * survivor per canonical fingerprint — the same map-side-combined
+    * groupBy as [[exactGroups]]), then a LEFT ANTI join against the
+    * history's distinct fingerprints drops docs the corpus already
+    * holds. Returns the surviving (id, fp) pairs — globally unique
+    * across history ∪ batch.
+    *
+    * Scale shape: both join inputs reduce to fingerprints first, so
+    * the anti-join shuffles 16-byte keys, never document text, and the
+    * history is NEVER re-shuffled per batch when it lives pre-bucketed
+    * by fp (operators/Joins.bucketed — the state layout CdcStream uses
+    * for exactly this reason); a small daily batch against a huge
+    * history can instead broadcast the batch side. */
+  def crossSnapshotDedup(batch: DataFrame, history: DataFrame,
+                         textCol: String, idCol: String): DataFrame = {
+    val histFp = history
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val batchKeep = batch
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+    batchKeep.join(histFp, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** Word shingles (n-grams) of the token stream. */

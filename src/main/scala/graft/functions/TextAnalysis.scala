@@ -249,6 +249,54 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Corpus-trained bigram language-model score — the CCNet-style
+    * perplexity quality filter from the public corpus-curation
+    * literature (docs whose token transitions are improbable under a
+    * model trained on the corpus itself are gibberish/boilerplate
+    * candidates). Add-one smoothing over the corpus vocabulary:
+    * lp(w1,w2) = ln((c(w1,w2)+1) / (c(w1)+V)); the reported score is
+    * the tf-weighted mean log-prob of the doc's bigrams.
+    *
+    * Scale shape: model "training" is two map-side-combined counting
+    * aggregations (bigram, unigram) — the classic distributed word
+    * count, never a driver-side model. Scoring joins the per-doc
+    * bigram-tf frame against the count tables on the bigram/unigram
+    * key: balanced hash shuffles, and the count side carries one row
+    * per key so hot bigrams probe without exploding. The per-bigram
+    * log-prob is rounded then accumulated as DECIMAL(18,6)·tf, so the
+    * sum is order-independent and engines agree bit-for-bit (double
+    * summation order is the classic cross-engine mismatch trap —
+    * compare the DECIMAL discipline in the join oracles). Only the
+    * one-row vocabulary size crosses stages, as a broadcast. */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val docBi = df.select(col(idCol), t.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val docTf = docBi.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val biCounts = docTf.groupBy("w1", "w2").agg(sum("k").as("cb"))
+    val uniCounts = df.select(explode(t).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocabN = uniCounts.agg(count(lit(1)).as("__v"))
+    docTf.join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocabN))
+      .withColumn("__lp",
+        round(log((col("cb") + 1).cast("double") / (col("cu") + col("__v"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(sum(col("__lp") * col("k")).cast("double") / sum(col("k")), 6)
+          .as("avg_logp"))
+      .select(col(idCol), col("n_bigrams").cast("long").as("n_bigrams"),
+        col("avg_logp"))
+  }
+
   /** Line-level exact dedup across the corpus (the C4-style recipe from
     * the public corpus-cleaning literature: repeated lines — navbars,
     * boilerplate, license headers — are removed corpus-wide, keeping

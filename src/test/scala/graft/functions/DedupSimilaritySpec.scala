@@ -23,6 +23,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(groups == Seq((0L, 2L)))
   }
 
+  test("cross-snapshot dedup: batch drops history dups and self-dups") {
+    val history = Seq(
+      (1L, "Hello  World"),         // canonicalizes case + whitespace
+      (2L, "already ingested doc"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "hello world"),         // re-crawl of history doc 1: drops
+      (11L, "a brand new doc"),
+      (12L, "a brand new doc"),     // within-batch copy: loses to 11
+      (13L, "another new doc"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.crossSnapshotDedup(batch, history, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(11L, 13L))
+  }
+
   test("minhash signatures: identical docs identical, near-dups co-bucket") {
     val bands = Dedup.lshBands(docs, "text", "doc_id")
     // exact duplicates share every band hash

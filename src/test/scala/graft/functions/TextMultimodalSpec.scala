@@ -181,6 +181,39 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2) == (("https://example.net", "example.net")))
   }
 
+  test("bigram lm score: add-one counts, tf weighting, short docs drop") {
+    val corpus = Seq(
+      (0L, "a b a b"),  // bigrams ab ab ba -> tf ab=2 ba=1
+      (1L, "a b c"),    // ab bc
+      (2L, "x"),        // no bigram: dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(corpus, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._2 == 3L && out(1L)._2 == 2L)
+    // corpus model: c(a)=3 c(b)=3 c(c)=1 c(x)=1 V=4; c(ab)=3 c(ba)=1 c(bc)=1
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (ab, ba, bc) = (r6(math.log(4.0 / 7)), r6(math.log(2.0 / 7)), r6(math.log(2.0 / 7)))
+    assert(math.abs(out(0L)._3 - r6((2 * ab + ba) / 3)) < 2e-6)
+    assert(math.abs(out(1L)._3 - r6((ab + bc) / 2)) < 2e-6)
+    // the repeated high-count transition scores doc 0 above doc 1
+    assert(out(0L)._3 > out(1L)._3)
+  }
+
+  test("html extract: blocks/comments/tags drop, entities decode once") {
+    val page = "<html><head><title>My &amp; Title</title>" +
+      "<style>p {c: 1}</style></head><body><NAV>skip</NAV>" +
+      "<script>\nif (1 < 2) { x(); }\n</script>" +
+      "<p>Tom &amp; Jerry &gt; others</p>" +
+      "<!-- hidden --><div>literal &amp;lt; stays</div></body></html>"
+    val out = Seq((1L, page)).toDF("doc_id", "html")
+      .select(Html.title(col("html")).as("t"), Html.text(col("html")).as("x"))
+      .as[(String, String)].head()
+    assert(out._1 == "My & Title")
+    // &amp;lt; decodes to the literal text "&lt;" — not double-decoded to "<"
+    assert(out._2 == "My & Title Tom & Jerry > others literal &lt; stays")
+  }
+
   test("line dedup: first occurrence wins corpus-wide, docs reassemble") {
     val lineA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"   // shared boilerplate
     val lineB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
