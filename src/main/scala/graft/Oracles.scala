@@ -1077,6 +1077,22 @@ object Oracles {
          |FROM orders WHERE o_totalprice > 100000
          |ORDER BY o_orderkey""".stripMargin),
 
+    // the model DAG flattened to plain SQL: staging filter -> rollup ->
+    // report (integer floor division, scalar-subquery row count)
+    "dbt_run" ->
+      ("""WITH stg AS (
+         |  SELECT doc_id, lang, source, n_chars FROM documents
+         |  WHERE n_chars >= 150
+         |), mix AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM stg GROUP BY lang
+         |)
+         |SELECT lang, n_docs, total_chars,
+         |  total_chars // n_docs AS avg_chars,
+         |  (SELECT count(*) FROM stg) AS n_kept
+         |FROM mix ORDER BY lang""".stripMargin),
+
     "merge_multitable" ->
       ("""SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS val,
          |  'orders/' || o_orderstatus AS "__table"

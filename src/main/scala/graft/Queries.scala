@@ -1258,6 +1258,38 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "dbt_run" -> ((s, dir) => {
+      // dbt-core model semantics engine-side: a 3-model project
+      // (staging view -> table-materialized rollup -> report view with
+      // TWO refs) written as real model files, DAG-resolved and
+      // materialized in dependency order; the view chain stays lazy so
+      // Catalyst fuses it, the table model cuts through parquet
+      val proj = new java.io.File("/tmp/graft_dbt/project")
+      val models = new java.io.File(proj, "models")
+      models.mkdirs()
+      def w(n: String, sql: String): Unit =
+        java.nio.file.Files.write(new java.io.File(models, n).toPath,
+          sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      w("stg_docs.sql",
+        """{{ config(materialized='view') }}
+          |SELECT doc_id, lang, source, n_chars
+          |FROM {{ source('raw', 'documents') }} WHERE n_chars >= 150""".stripMargin)
+      w("lang_mix.sql",
+        """{{ config(materialized='table') }}
+          |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+          |FROM {{ ref('stg_docs') }} GROUP BY lang""".stripMargin)
+      w("report.sql",
+        """SELECT m.lang, m.n_docs, m.total_chars,
+          |  m.total_chars DIV m.n_docs AS avg_chars,
+          |  (SELECT count(*) FROM {{ ref('stg_docs') }}) AS n_kept
+          |FROM {{ ref('lang_mix') }} m""".stripMargin)
+      graft.operators.Dbt.runProject(s, proj.toString, "report",
+          (sch, tbl) => { require(sch == "raw" && tbl == "documents",
+            s"unexpected source ($sch,$tbl)"); t(s, dir, "documents") },
+          targetDir = Some("/tmp/graft_dbt/target"))
+        .orderBy("lang")
+    }),
+
     "merge_multitable" -> ((s, dir) => {
       // multi-table batch routing: one enveloped batch splits on __table
       // and MERGEs into per-table bucketed state dirs; all states read

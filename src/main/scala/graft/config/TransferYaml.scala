@@ -133,6 +133,9 @@ object TransferYaml {
         cfg.getOrElse("stable", "false").toString.toBoolean)
       case "table_splitter" => T.TableSplitter(cfg("table").toString, strs("columns"))
       case "batch_splitter" => T.BatchSplitter(cfg("parts").toString.toInt)
+      case "dbt" => T.DbtTransform(cfg("project").toString,
+        cfg("select").toString,
+        cfg.getOrElse("view", "this").toString)
       case "yt_dict" => T.YtDict(strs("columns"))
       case "jsonparser" => T.JsonParser(cfg("column").toString,
         DataType.fromDDL(cfg("schema").toString).asInstanceOf[StructType])

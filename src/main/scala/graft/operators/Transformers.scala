@@ -151,11 +151,13 @@ object Transformers {
     }
   }
 
-  /** #8 dbt — the reference runs a dbt project against the destination
-    * after transfer (registry/dbt/transformer.go:51). The Spark-native
-    * post-hook is a SQL script over the session catalog: statements run
-    * in order after the frame lands as `viewName`; the last statement's
-    * result is the output. Full dbt (templating, DAG) stays external. */
+  /** #8 dbt (script form) — the reference runs a dbt project against
+    * the destination after transfer (registry/dbt/transformer.go:51).
+    * The simplest Spark-native post-hook is a SQL script over the
+    * session catalog: statements run in order after the frame lands as
+    * `viewName`; the last statement's result is the output. The full
+    * model-DAG semantics (ref/source templating, materializations,
+    * dependency order) live in [[DbtTransform]] / [[Dbt]]. */
   final case class SqlScript(statements: Seq[String],
                              viewName: String = "this") extends Transformer {
     val name = "sql_script"
@@ -163,6 +165,27 @@ object Transformers {
       df.createOrReplaceTempView(viewName)
       statements.map(df.sparkSession.sql).last
     }
+  }
+
+  /** #8 dbt (project form) — engine-side dbt-core model semantics (see
+    * [[Dbt]]): parse `models/<name>.sql`, resolve the ref DAG, materialize
+    * in dependency order. The incoming frame is exposed to models as
+    * `{{ source('transfer', viewName) }}`; the selected model is the
+    * transformer output. Unlike the reference's container round-trip,
+    * view-materialized models stay LAZY, so Catalyst optimizes the
+    * whole model chain and the transfer plan as one. */
+  final case class DbtTransform(projectDir: String, select: String,
+                                viewName: String = "this",
+                                targetDir: Option[String] = None)
+      extends Transformer {
+    val name = "dbt"
+    def apply(df: DataFrame): DataFrame =
+      Dbt.runProject(df.sparkSession, projectDir, select, {
+        case ("transfer", v) if v == viewName => df
+        case (s, tb) => throw new IllegalArgumentException(
+          s"unknown source ('$s','$tb'); the transfer exposes " +
+            s"('transfer','$viewName')")
+      }, targetDir)
   }
 
   /** #9 convert_to_string — cast listed (or all data) columns to canonical

@@ -144,4 +144,65 @@ class TransformersSpec extends SparkSpec {
       "SELECT count(*) AS n FROM this")).apply(df)
     assert(out.as[Long].head() == 2L)
   }
+
+  test("dbt: model parsing extracts config/refs/sources, view default") {
+    val m = Dbt.parseModel("rollup",
+      "{{ config(materialized='table') }}\nSELECT a, count(*) n " +
+        "FROM {{ ref('stg') }} JOIN {{ source('raw', 'dim') }} USING (a) " +
+        "WHERE a IN (SELECT a FROM {{ ref('allow') }})")
+    assert(m.materialized == "table")
+    assert(m.deps == Seq("stg", "allow"))
+    assert(m.sources == Seq(("raw", "dim")))
+    assert(Dbt.parseModel("v", "SELECT 1").materialized == "view")
+  }
+
+  test("dbt: topo order respects refs; cycles and unknown refs rejected") {
+    def m(n: String, deps: String*) = Dbt.Model(n, "", "view", deps, Nil)
+    val order = Dbt.topoOrder(Seq(m("c", "b"), m("a"), m("b", "a")))
+      .map(_.name)
+    assert(order == Seq("a", "b", "c"))
+    val cycle = intercept[IllegalArgumentException] {
+      Dbt.topoOrder(Seq(m("x", "y"), m("y", "x")))
+    }
+    assert(cycle.getMessage.contains("cycle"))
+    val unknown = intercept[IllegalArgumentException] {
+      Dbt.topoOrder(Seq(m("x", "nope")))
+    }
+    assert(unknown.getMessage.contains("unknown ref"))
+  }
+
+  test("dbt: project runs in dependency order, table model hits parquet") {
+    val proj = java.nio.file.Files
+      .createTempDirectory("dbt_spec").toFile
+    val models = new java.io.File(proj, "models"); models.mkdirs()
+    def w(n: String, sql: String): Unit = java.nio.file.Files.write(
+      new java.io.File(models, n).toPath, sql.getBytes("UTF-8"))
+    // file order (a_report < z_stg alphabetically) must NOT dictate run
+    // order — the ref DAG must
+    w("a_report.sql", "SELECT v, n FROM {{ ref('z_stg') }} WHERE n > 1")
+    w("z_stg.sql", "{{ config(materialized='table') }}\n" +
+      "SELECT v, count(*) AS n FROM {{ source('t', 'in') }} GROUP BY v")
+    val target = new java.io.File(proj, "target").toString
+    val in = Seq("a", "a", "b").toDF("v")
+    val out = Dbt.runProject(spark, proj.toString, "a_report",
+      (s, t) => { assert(s == "t" && t == "in"); in },
+      targetDir = Some(target))
+    assert(out.as[(String, Long)].collect().toSeq == Seq(("a", 2L)))
+    // the table materialization really wrote parquet
+    assert(new java.io.File(s"$target/z_stg").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("dbt transformer exposes the transfer frame as source('transfer', view)") {
+    val proj = java.nio.file.Files
+      .createTempDirectory("dbt_tr").toFile
+    new java.io.File(proj, "models").mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(proj, "models/agg.sql").toPath,
+      "SELECT sum(x) AS s FROM {{ source('transfer', 'this') }}"
+        .getBytes("UTF-8"))
+    val out = T.DbtTransform(proj.toString, "agg")
+      .apply(Seq(1L, 2L, 3L).toDF("x"))
+    assert(out.as[Long].head() == 6L)
+  }
 }
