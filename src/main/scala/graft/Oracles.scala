@@ -1266,6 +1266,21 @@ object Oracles {
          |  CAST(length(text) % 1920 AS INTEGER) AS width,
          |  CAST(length(text) AS BIGINT) * 33 AS duration_ms
          |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // the oracle knows which signature was planted per id (doc_id % 7)
+    // and independently recomputes the header length for byte_len
+    "mime_sniff" ->
+      ("""SELECT doc_id,
+         |  CASE doc_id % 7
+         |    WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+         |    WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'video/mp4'
+         |    WHEN 4 THEN 'image/gif' WHEN 5 THEN 'application/pdf'
+         |    ELSE 'application/octet-stream' END AS mime,
+         |  CAST(CASE doc_id % 7
+         |    WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 12 WHEN 3 THEN 12
+         |    WHEN 4 THEN 6 WHEN 5 THEN 4 ELSE 0 END
+         |    + octet_length(encode(text)) AS BIGINT) AS byte_len
+         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 
   /** Shared MinHash band SQL (16 affine permutations of one md5-derived

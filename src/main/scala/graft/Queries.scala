@@ -1730,5 +1730,28 @@ object Queries {
           col("media_meta.width").as("width"),
           col("media_meta.duration_ms").as("duration_ms"))
         .orderBy("doc_id")),
+
+    "mime_sniff" -> ((s, dir) => {
+      // magic-byte content-type detection over planted payloads: each
+      // doc gets a real file signature (or none) prefixed to its text
+      // bytes; the oracle knows which signature it planted per id and
+      // checks the sniffer recovered exactly that
+      val hdr = element_at(array(
+        lit("FFD8FFE0"),                  // jpeg
+        lit("89504E470D0A1A0A"),          // png
+        lit("524946460000000057415645"),  // riff/wave
+        lit("000000186674797069736F6D"),  // mp4 ftyp isom
+        lit("474946383961"),              // gif89a
+        lit("25504446"),                  // %PDF
+        lit("")),                         // bare text: no signature
+        (col("doc_id") % 7 + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(unhex(hdr), col("text").cast("binary")).as("payload"))
+        .select(col("doc_id"),
+          Multimodal.mimeSniff(col("payload")).as("mime"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+        .orderBy("doc_id")
+    }),
   )
 }

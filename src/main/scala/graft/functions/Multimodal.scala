@@ -35,6 +35,33 @@ object Multimodal {
         (length(col(srcCol)) % 1080).cast(IntegerType).as("height"),
         (length(col(srcCol)).cast(LongType) * 33).as("duration_ms")))
 
+  /** Content-type sniffing from magic bytes (the public file-signature
+    * table: JPEG FFD8FF, PNG 89504E47…, RIFF containers, ISO-BMFF
+    * `ftyp`, …) — what a mixed media crawl runs FIRST, before trusting
+    * any declared mime or paying for a decode. Pure hex-prefix
+    * comparisons on the binary column: whole-stage codegen, scan
+    * speed, no UDFs. Unknown signatures map to
+    * `application/octet-stream`. */
+  def mimeSniff(payload: Column): Column = {
+    def at(off: Int, n: Int) = hex(substring(payload, off + 1, n))
+    def pfx(n: Int) = at(0, n)
+    when(pfx(3) === "FFD8FF", "image/jpeg")
+      .when(pfx(8) === "89504E470D0A1A0A", "image/png")
+      .when(pfx(6).isin("474946383761", "474946383961"), "image/gif")
+      // RIFF containers discriminate on the format tag at offset 8
+      .when(pfx(4) === "52494646" && at(8, 4) === "57415645", "audio/wav")
+      .when(pfx(4) === "52494646" && at(8, 4) === "57454250", "image/webp")
+      .when(pfx(4) === "52494646" && at(8, 4) === "41564920", "video/avi")
+      // ISO-BMFF: box size (4 bytes) then 'ftyp'
+      .when(at(4, 4) === "66747970", "video/mp4")
+      .when(pfx(4) === "4F676753", "audio/ogg")
+      .when(pfx(4) === "664C6143", "audio/flac")
+      .when(pfx(3) === "494433", "audio/mpeg")
+      .when(pfx(4) === "25504446", "application/pdf")
+      .when(pfx(4) === "504B0304", "application/zip")
+      .otherwise("application/octet-stream")
+  }
+
   /** Cheap metadata-level features — pure expressions, no decode:
     * byte length and content hash. This is the stage that should do all
     * filtering/dedup before any expensive decode runs. */

@@ -181,6 +181,35 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2) == (("https://example.net", "example.net")))
   }
 
+  test("mime sniff: full signature table, RIFF discrimination, unknowns") {
+    def bytes(hexs: String, tail: String = "body"): Array[Byte] = {
+      val h = hexs.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      h ++ tail.getBytes("UTF-8")
+    }
+    val cases = Seq(
+      ("jpeg", bytes("FFD8FFE1"), "image/jpeg"),
+      ("png", bytes("89504E470D0A1A0A"), "image/png"),
+      ("gif87", bytes("474946383761"), "image/gif"),
+      ("wav", bytes("5249464600000000" + "57415645"), "audio/wav"),
+      ("webp", bytes("5249464600000000" + "57454250"), "image/webp"),
+      ("avi", bytes("5249464600000000" + "41564920"), "video/avi"),
+      ("mp4", bytes("00000018" + "6674797069736F6D"), "video/mp4"),
+      ("ogg", bytes("4F676753"), "audio/ogg"),
+      ("flac", bytes("664C6143"), "audio/flac"),
+      ("mp3", bytes("494433"), "audio/mpeg"),
+      ("pdf", bytes("25504446"), "application/pdf"),
+      ("zip", bytes("504B0304"), "application/zip"),
+      ("text", "just words".getBytes("UTF-8"), "application/octet-stream"),
+      ("short", Array[Byte](0x25), "application/octet-stream"),
+      ("empty", Array[Byte](), "application/octet-stream"),
+    )
+    val out = cases.map { case (n, b, _) => (n, b) }
+      .toDF("name", "payload")
+      .select(col("name"), Multimodal.mimeSniff(col("payload")).as("mime"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (n, _, want) => assert(out(n) == want, n) }
+  }
+
   test("bigram lm score: add-one counts, tf weighting, short docs drop") {
     val corpus = Seq(
       (0L, "a b a b"),  // bigrams ab ab ba -> tf ab=2 ba=1
