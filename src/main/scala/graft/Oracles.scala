@@ -1184,6 +1184,14 @@ object Oracles {
     // descriptor-driven nested decode: both engines recompute the same
     // fields the proto wire carried; p/2 + p/4 is IEEE-deterministic in
     // both (two exact halvings, one add), so the compare is exact
+    // the oracle knows the planted entries and the proto3 duplicate-key
+    // rule: 'a' was re-sent with k%9, so k%9 must be the surviving value
+    "proto_map_parse" ->
+      ("""SELECT o_orderkey AS id, CAST(2 AS INTEGER) AS n_attrs,
+         |  'a=' || CAST(o_orderkey % 9 AS VARCHAR) ||
+         |  ',b=' || CAST(o_orderkey % 7 AS VARCHAR) AS attrs_csv
+         |FROM orders ORDER BY id""".stripMargin),
+
     "proto_nested_parse" ->
       ("""SELECT o_orderkey AS id,
          |  'n' || CAST(o_orderkey AS VARCHAR) AS item_name,

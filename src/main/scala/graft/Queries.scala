@@ -1538,6 +1538,41 @@ object Queries {
         .orderBy("id")
     }),
 
+    "proto_map_parse" -> ((s, dir) => {
+      // map<string,int64> via the protoc encoding: a repeated map-entry
+      // message flagged by MessageOptions.map_entry — decoded to a real
+      // Spark MapType; key 'a' is sent TWICE (last entry wins, the
+      // public proto3 map merge rule); output renders the map as a
+      // key-sorted csv so the cross-engine compare is plain strings
+      import graft.parsers.{ProtoDescriptors => PD, ProtoWire => W}
+      val descSet = PD.buildSet("shop", Seq(
+        "Doc" -> Seq(
+          PD.FieldDesc("id", 1, 1, PD.TInt64, ""),
+          PD.FieldDesc("attrs", 2, PD.LabelRepeated, PD.TMessage,
+            ".shop.AttrsEntry")),
+        "AttrsEntry" -> Seq(
+          PD.FieldDesc("key", 1, 1, PD.TString, ""),
+          PD.FieldDesc("value", 2, 1, PD.TInt64, ""))),
+        mapEntries = Set("AttrsEntry"))
+      val enc = udf { (k: Long) =>
+        def entry(key: String, v: Long) =
+          W.lenDelim(2, W.concat(W.str(1, key), W.vint(2, v)))
+        W.concat(W.vint(1, k),
+          entry("a", k % 5), entry("b", k % 7),
+          entry("a", k % 9)) // duplicate key: this one must win
+      }
+      val wire = qw(s, dir, "orders")
+        .select(enc(col("o_orderkey")).as("raw"))
+      PD.parse(wire, "raw", descSet, "shop.Doc")
+        .select(col("id"),
+          size(col("attrs")).as("n_attrs"),
+          array_join(transform(array_sort(map_keys(col("attrs"))),
+            k => concat(k, lit("="),
+              element_at(col("attrs"), k).cast(StringType))), ",")
+            .as("attrs_csv"))
+        .orderBy("id")
+    }),
+
     "monotonic_guard" -> ((s, dir) => {
       // per-key LSN monotonicity guard through a 2-batch stream: every
       // key's insert in batch 1, then per key ONE redelivery — stale for

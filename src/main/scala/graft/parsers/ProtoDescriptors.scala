@@ -71,7 +71,11 @@ object ProtoDescriptors {
                              ptype: Int, typeName: String) {
     def repeated: Boolean = label == LabelRepeated
   }
-  final case class MessageDesc(fullName: String, fields: Seq[FieldDesc])
+  /** `mapEntry` marks a protoc-synthesized map entry message
+    * (MessageOptions.map_entry): a repeated field of such a message IS
+    * a `map<key, value>` on the wire (entry fields key=1, value=2). */
+  final case class MessageDesc(fullName: String, fields: Seq[FieldDesc],
+                               mapEntry: Boolean = false)
 
   import ProtoReader.{WireValue, VarintV, Fixed64V, Fixed32V, BytesV}
 
@@ -139,7 +143,8 @@ object ProtoDescriptors {
   }
 
   /** DescriptorProto: name=1, field=2 (FieldDescriptorProto),
-    * nested_type=3 (DescriptorProto). */
+    * nested_type=3 (DescriptorProto), options=7 (MessageOptions, whose
+    * map_entry=7 flags protoc-synthesized map entries). */
   private def registerMessage(bytes: Array[Byte], prefix: String,
       reg: scala.collection.mutable.Map[String, MessageDesc]): Unit = {
     val parts = wireSeq(bytes)
@@ -156,7 +161,10 @@ object ProtoDescriptors {
         ptype = fp.collectFirst { case (5, v) => longOf(v).toInt }.getOrElse(0),
         typeName = fp.collectFirst { case (6, v) => strOf(v) }.getOrElse(""))
     }
-    reg(fullName) = MessageDesc(fullName, fields)
+    val mapEntry = parts.collectFirst { case (7, v) => bytesOf(v) }
+      .exists(ob => wireSeq(ob)
+        .collectFirst { case (7, ov) => longOf(ov) != 0L }.getOrElse(false))
+    reg(fullName) = MessageDesc(fullName, fields, mapEntry)
     parts.collect { case (3, v) => bytesOf(v) }
       .foreach(registerMessage(_, fullName, reg))
   }
@@ -165,23 +173,45 @@ object ProtoDescriptors {
     reg.getOrElse(typeName.stripPrefix("."),
       throw new IllegalArgumentException(s"unknown message type $typeName"))
 
+  private def isMapField(f: FieldDesc, reg: Map[String, MessageDesc]): Boolean =
+    f.repeated && f.ptype == TMessage && resolve(f.typeName, reg).mapEntry
+
+  private def mapKV(f: FieldDesc,
+                    reg: Map[String, MessageDesc]): (FieldDesc, FieldDesc) = {
+    val entry = resolve(f.typeName, reg)
+    (entry.fields.find(_.number == 1).getOrElse(throw new
+        IllegalArgumentException(s"map field ${f.name}: entry lacks key")),
+      entry.fields.find(_.number == 2).getOrElse(throw new
+        IllegalArgumentException(s"map field ${f.name}: entry lacks value")))
+  }
+
+  private def elemType(f: FieldDesc, reg: Map[String, MessageDesc]): DataType =
+    f.ptype match {
+      case TDouble => DoubleType
+      case TFloat => FloatType
+      case TInt64 | TUint64 | TSint64 | TFixed64 | TSfixed64 => LongType
+      case TInt32 | TUint32 | TSint32 | TFixed32 | TSfixed32 | TEnum => IntegerType
+      case TBool => BooleanType
+      case TString => StringType
+      case TBytes => BinaryType
+      case TMessage => structType(resolve(f.typeName, reg), reg)
+      case t => throw new IllegalArgumentException(
+        s"field ${f.name}: proto type $t unsupported")
+    }
+
   /** Spark schema of a message per the descriptor: nested messages are
-    * structs, repeated fields arrays; groups (deprecated) rejected. */
+    * structs, repeated fields arrays, map fields (repeated map-entry
+    * messages) MapType; groups (deprecated) rejected. */
   def structType(msg: MessageDesc, reg: Map[String, MessageDesc]): StructType =
     StructType(msg.fields.map { f =>
-      val elem: DataType = f.ptype match {
-        case TDouble => DoubleType
-        case TFloat => FloatType
-        case TInt64 | TUint64 | TSint64 | TFixed64 | TSfixed64 => LongType
-        case TInt32 | TUint32 | TSint32 | TFixed32 | TSfixed32 | TEnum => IntegerType
-        case TBool => BooleanType
-        case TString => StringType
-        case TBytes => BinaryType
-        case TMessage => structType(resolve(f.typeName, reg), reg)
-        case t => throw new IllegalArgumentException(
-          s"field ${f.name}: proto type $t unsupported")
-      }
-      StructField(f.name, if (f.repeated) ArrayType(elem) else elem)
+      val dt: DataType =
+        if (isMapField(f, reg)) {
+          val (k, v) = mapKV(f, reg)
+          MapType(elemType(k, reg), elemType(v, reg))
+        }
+        else if (f.repeated) ArrayType(elemType(f, reg))
+        else elemType(f, reg)
+      StructField(f.name, dt)
     })
 
   private def isVarintType(t: Int): Boolean = t match {
@@ -251,7 +281,18 @@ object ProtoDescriptors {
     val byNumber = wireSeq(bytes).groupBy(_._1)
     org.apache.spark.sql.Row.fromSeq(msg.fields.map { f =>
       val occ = byNumber.getOrElse(f.number, Nil).map(_._2)
-      if (f.repeated) {
+      if (isMapField(f, reg)) {
+        // map fields: each occurrence is one entry message; duplicate
+        // keys take the LAST entry (the public proto3 map merge rule)
+        val (kf, vf) = mapKV(f, reg)
+        occ.map { v =>
+          val e = wireSeq(bytesOf(v)).groupBy(_._1)
+          def part(fd: FieldDesc) =
+            e.getOrElse(fd.number, Nil).lastOption
+              .map(p => scalarOf(fd, p._2, reg)).orNull
+          part(kf) -> part(vf)
+        }.toMap
+      } else if (f.repeated) {
         occ.flatMap {
           // a length-delimited value on a numeric repeated field is a
           // packed blob; on string/bytes/message it's one element
@@ -284,14 +325,19 @@ object ProtoDescriptors {
     * — each message: (name, fields). Enough of descriptor.proto to
     * round-trip through [[parseSet]]; lets tests and fixtures exercise
     * the descriptor path without a protoc binary in the container. */
-  def buildSet(pkg: String, messages: Seq[(String, Seq[FieldDesc])]): Array[Byte] = {
+  def buildSet(pkg: String, messages: Seq[(String, Seq[FieldDesc])],
+               mapEntries: Set[String] = Set.empty): Array[Byte] = {
     import ProtoWire._
     def fieldProto(f: FieldDesc): Array[Byte] = concat(
       str(1, f.name), vint(3, f.number.toLong), vint(4, f.label.toLong),
       vint(5, f.ptype.toLong),
       if (f.typeName.nonEmpty) str(6, f.typeName) else Array.emptyByteArray)
     def msgProto(name: String, fields: Seq[FieldDesc]): Array[Byte] =
-      concat((str(1, name) +: fields.map(f => lenDelim(2, fieldProto(f)))): _*)
+      concat((str(1, name) +:
+        fields.map(f => lenDelim(2, fieldProto(f)))) ++
+        // options(7).map_entry(7) marks protoc-style map entry messages
+        (if (mapEntries(name)) Seq(lenDelim(7, vint(7, 1L)))
+         else Nil): _*)
     val fileProto = concat((str(2, pkg) +:
       messages.map { case (n, fs) => lenDelim(4, msgProto(n, fs)) }): _*)
     lenDelim(1, fileProto)

@@ -80,6 +80,45 @@ class ProtoDescriptorsSpec extends SparkSpec {
     assert(row.isNullAt(4) && row.isNullAt(5))
   }
 
+  test("map fields: map_entry option -> MapType, duplicate key last-wins") {
+    val set = ProtoDescriptors.buildSet("m", Seq(
+      "Doc" -> Seq(
+        FieldDesc("id", 1, 1, TInt64, ""),
+        FieldDesc("attrs", 2, LabelRepeated, TMessage, ".m.AttrsEntry"),
+        FieldDesc("entries", 3, LabelRepeated, TMessage, ".m.PlainEntry")),
+      "AttrsEntry" -> Seq(
+        FieldDesc("key", 1, 1, TString, ""),
+        FieldDesc("value", 2, 1, TInt64, "")),
+      // same shape but NOT flagged map_entry: must stay array<struct>
+      "PlainEntry" -> Seq(
+        FieldDesc("key", 1, 1, TString, ""),
+        FieldDesc("value", 2, 1, TInt64, ""))),
+      mapEntries = Set("AttrsEntry"))
+    val reg = ProtoDescriptors.parseSet(set)
+    assert(reg("m.AttrsEntry").mapEntry && !reg("m.PlainEntry").mapEntry)
+    val st = ProtoDescriptors.structType(reg("m.Doc"), reg)
+    assert(st("attrs").dataType == MapType(StringType, LongType))
+    assert(st("entries").dataType.isInstanceOf[ArrayType])
+    def entry(field: Int, k: String, v: Long) =
+      lenDelim(field, concat(str(1, k), vint(2, v)))
+    val row = ProtoDescriptors.decodeMessage(reg("m.Doc"), reg, concat(
+      vint(1, 9L),
+      entry(2, "a", 1L), entry(2, "b", 2L), entry(2, "a", 3L),
+      entry(3, "x", 5L)))
+    assert(row.getMap[String, Long](1) == Map("a" -> 3L, "b" -> 2L))
+    assert(row.getSeq[org.apache.spark.sql.Row](2).map(r =>
+      (r.getString(0), r.getLong(1))) == Seq(("x", 5L)))
+    // distributed parse round-trips the MapType through the encoder
+    val df = Seq(concat(vint(1, 1L), entry(2, "k", 7L)),
+      concat(vint(1, 2L), entry(2, "k", 8L), entry(2, "z", 9L)))
+      .toDF("raw")
+    val out = ProtoDescriptors.parse(df, "raw", set, "m.Doc")
+      .selectExpr("id", "attrs['k'] AS k", "size(attrs) AS n")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 7L, 1), (2L, 8L, 2)))
+  }
+
   test("DataFrame parse: distributed decode against the descriptor set") {
     val wires = (1L to 50L).map { k =>
       concat(
