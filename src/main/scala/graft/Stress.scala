@@ -138,7 +138,47 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
 
-    // 8. Delta checkpoint: 200-commit table — read cost through the
+    // 8. Bigram LM scoring at 200k docs: model "training" (bigram +
+    // unigram counts) and scoring joins must all stay map-side-combined
+    // key shuffles — no driver model, no corpus broadcast.
+    val lmDocs = spark.range(200000).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma "), col("id").cast("string"),
+        lit(" delta epsilon "), (col("id") % 97).cast("string"),
+        lit(" zeta eta theta iota kappa")).as("text"))
+    timed("bigramLmScore 200k docs (~2M bigrams, ~400k distinct)") {
+      functions.TextAnalysis.bigramLmScore(lmDocs, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // 9. Cross-snapshot dedup: 1M-doc batch against 2M-doc history with
+    // a 50% planted overlap. Join inputs must reduce to fingerprints
+    // before the anti-join shuffle.
+    val hist = spark.range(2000000).select(col("id").as("doc_id"),
+      concat(lit("document body number "), col("id").cast("string")).as("text"))
+    val batch = spark.range(1000000).select(
+      (col("id") + 10000000L).as("doc_id"),
+      concat(lit("document body number "),
+        (col("id") + 1500000L).cast("string")).as("text"))
+    val kept = timed("crossSnapshotDedup 1M batch vs 2M history (50% dups)") {
+      functions.Dedup.crossSnapshotDedup(batch, hist, "text", "doc_id").count()
+    }
+    require(kept == 500000L, s"expected 500000 survivors, got $kept")
+
+    // 10. HTML extraction at 200k planted pages: the whole strip chain
+    // is per-row regex work — must run at scan speed, zero shuffles.
+    val pages = spark.range(200000).select(col("id").as("doc_id"),
+      concat(lit("<html><head><title>T"), col("id").cast("string"),
+        lit("</title><style>p{x}</style></head><body><nav>N</nav>"),
+        lit("<script>var x=1;</script><p>body text &amp; entity "),
+        col("id").cast("string"), lit("</p><!-- c --></body></html>"))
+        .as("html"))
+    timed("Html.text 200k pages (regex chain, shuffle-free)") {
+      pages.select(col("doc_id"),
+        functions.Html.text(col("html")).as("text"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // 11. Delta checkpoint: 200-commit table — read cost through the
     // checkpoint vs full JSON replay.
     val table = java.nio.file.Files.createTempDirectory("graft_stress_delta")
       .toString + "/t"
