@@ -911,6 +911,20 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    // the same correlation as plain SQL: CAST truncates ns -> µs exactly
+    // like the Spark loader's `ts div 1000`, so boundary comparisons
+    // agree; bounds are inclusive on both ends
+    "stream_join" ->
+      ("""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+         |  FROM events
+         |)
+         |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+         |FROM e v JOIN e c ON c.user_id = v.user_id
+         | AND v.event_type = 'view' AND c.event_type = 'click'
+         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+         |ORDER BY 1, 2, 3""".stripMargin),
+
     "session_window" ->
       ("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          |m AS (SELECT user_id, ts,

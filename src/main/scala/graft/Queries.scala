@@ -1179,6 +1179,35 @@ object Queries {
       s.table("graft_wm_out").orderBy("event_id")
     }),
 
+    "stream_join" -> ((s, dir) => {
+      // stream-stream interval join through real watermarked streams:
+      // clicks correlate to views by user within 30 minutes; the fixture
+      // feeds MemoryStreams (driver-fed by contract), the operator under
+      // test is the distributed watermarked join with bounded state
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .as[(Long, Long, java.sql.Timestamp, String)].collect()
+      val memV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val memC = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val views = memV.toDF().toDF("user_id", "view_id", "view_ts")
+      val clicks = memC.toDF().toDF("user_id", "click_id", "click_ts")
+      val joined = graft.streaming.CdcStream.intervalJoin(
+        views, clicks, Seq("user_id"), "view_ts", "click_ts",
+        delay = "1 hour", maxLag = "30 minutes")
+        .select("user_id", "view_id", "click_id")
+      val q = joined.writeStream.format("memory")
+        .queryName("graft_sj_out").outputMode("append").start()
+      try {
+        memV.addData(ev.filter(_._4 == "view").map(e => (e._1, e._2, e._3)).toSeq)
+        memC.addData(ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3)).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_sj_out").orderBy("user_id", "view_id", "click_id")
+    }),
+
     "udx_hash" -> ((s, dir) => {
       // the UDx registration surface: graft_stable_hash64 resolved BY
       // NAME through Spark SQL (FunctionRegistry path — the same hook

@@ -396,6 +396,29 @@ object CdcStream {
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join (event correlation): a right-side
+    * event matches a left-side event with the same keys when it arrives
+    * within `[leftTime, leftTime + maxLag]`. Both sides are
+    * watermarked, and the time-range predicate is what lets Spark
+    * EXPIRE join state: a buffered left row stops waiting once the
+    * right watermark passes `leftTime + maxLag`, so state is bounded by
+    * event rate × (delay + maxLag) — never by stream length. That
+    * bound is the scale condition for an unbounded correlation join
+    * (SURVEY §2.7; the reference correlates queue events downstream of
+    * the transfer — Structured Streaming makes it an engine operator).
+    * Key columns must share names across sides; the duplicate right
+    * copies are dropped from the output. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   delay: String, maxLag: String): DataFrame = {
+    val l = left.withWatermark(leftTime, delay)
+    val r = right.withWatermark(rightTime, delay)
+    val keyCond = keys.map(k => l(k) === r(k)).reduceLeft(_ && _)
+    val timeCond = r(rightTime) >= l(leftTime) &&
+      r(rightTime) <= l(leftTime) + expr(s"INTERVAL $maxLag")
+    keys.foldLeft(l.join(r, keyCond && timeCond))((d, k) => d.drop(r(k)))
+  }
+
   /** Deterministic rate-limited sample stream (reference: the `sample`
     * provider used for replication tests): rate source mapped to the
     * same IoT shape as [[graft.sources.SampleSource]]. */

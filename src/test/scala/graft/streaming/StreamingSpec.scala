@@ -354,6 +354,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: inclusive bounds, per-key, state-expiring plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val memL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = CdcStream.intervalJoin(
+      memL.toDF().toDF("user_id", "view_id", "view_ts"),
+      memR.toDF().toDF("user_id", "click_id", "click_ts"),
+      Seq("user_id"), "view_ts", "click_ts", "10 minutes", "30 minutes")
+      .select("user_id", "view_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      memL.addData((1L, 100L, t("2024-01-01 10:00:00")),
+        (2L, 200L, t("2024-01-01 10:00:00")))
+      memR.addData(
+        (1L, 7L, t("2024-01-01 10:00:00")),  // same instant: inclusive
+        (1L, 8L, t("2024-01-01 10:30:00")),  // exactly +30min: inclusive
+        (1L, 9L, t("2024-01-01 10:30:01")),  // past the lag: dropped
+        (1L, 10L, t("2024-01-01 09:59:59")), // before the view: dropped
+        (2L, 11L, t("2024-01-01 10:05:00")), // other user's view only
+        (3L, 12L, t("2024-01-01 10:05:00"))) // keyless: dropped
+      q.processAllAvailable()
+      val out = spark.table("ij_out")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(out == Seq((1L, 100L, 7L), (1L, 100L, 8L), (2L, 200L, 11L)))
+      // both sides carry event-time watermarks in the plan — the
+      // condition Spark needs to expire buffered join state
+      val analyzed = joined.queryExecution.analyzed.toString
+      assert("(?i)eventtimewatermark".r.findAllIn(analyzed).size == 2)
+    } finally q.stop()
+  }
+
   test("bufferer count/size limits map to per-source rate options") {
     val b = CdcStream.Bufferer(maxRecordsPerBatch = Some(1000),
       maxBytesPerBatch = Some(1 << 20))
