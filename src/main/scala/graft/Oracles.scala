@@ -420,6 +420,36 @@ object Oracles {
          |FROM btf JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // independent NB re-derivation: count tables by GROUP BY, the same
+    // rounded-log DECIMAL accumulation and (score desc, cls) argmax
+    "nb_classify" ->
+      (s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS token FROM t),
+         |dtf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |pri AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY 1),
+         |tokc AS (SELECT lang AS cls, token, count(*) AS ct
+         |         FROM (SELECT lang, unnest(tk) AS token FROM t) GROUP BY 1, 2),
+         |ctot AS (SELECT cls, CAST(sum(ct) AS BIGINT) AS cls_tokens
+         |         FROM tokc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT token) AS v FROM tok),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT d.doc_id, c.cls,
+         |    round(round(ln(CAST(c.n_docs AS DOUBLE) / n.n), 6)
+         |      + CAST(sum(CAST(round(ln((coalesce(tc.ct, 0) + 1.0)
+         |          / (ct2.cls_tokens + v.v)), 6) AS DECIMAL(18,6)) * d.tf)
+         |        AS DOUBLE), 6) AS score
+         |  FROM dtf d CROSS JOIN pri c
+         |  LEFT JOIN tokc tc ON tc.cls = c.cls AND tc.token = d.token
+         |  JOIN ctot ct2 ON ct2.cls = c.cls
+         |  CROSS JOIN v CROSS JOIN n
+         |  GROUP BY d.doc_id, c.cls, c.n_docs, ct2.cls_tokens, v.v, n.n
+         |)
+         |SELECT doc_id, cls, score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, cls) AS INT) AS rank
+         |FROM sc ORDER BY doc_id, rank""".stripMargin),
+
     // the identical planted page and the same RE2-compatible chain:
     // per-tag block strips (no backreferences), comment/tag drop,
     // entity decode with &amp; last, whitespace collapse

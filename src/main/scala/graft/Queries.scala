@@ -612,6 +612,16 @@ object Queries {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    "nb_classify" -> ((s, dir) =>
+      // model-based labeling: multinomial Naive Bayes trained on the
+      // corpus's lang labels by pure counting aggs, full per-class
+      // score matrix with a deterministic argmax rank (the fixture's
+      // labels aren't text-correlated — the MECHANISM under test is the
+      // distributed train/score/argmax pipeline, proven bit-exact)
+      TextAnalysis.nbClassify(t(s, dir, "documents"), "text", "lang",
+          "doc_id")
+        .orderBy("doc_id", "rank")),
+
     "html_extract" -> ((s, dir) => {
       // the corpus has no markup column, so plant deterministic HTML
       // (title/style/script/nav blocks, comments, entities) around each

@@ -297,6 +297,58 @@ object TextAnalysis {
         col("avg_logp"))
   }
 
+  /** Corpus-trained multinomial Naive Bayes classification — the
+    * model-based filter family from the public corpus-curation
+    * literature (fastText-style domain/quality labeling): score(d, c) =
+    * ln(P(c)) + Σ_t tf(d,t)·ln((count(c,t)+1) / (tokens(c)+V)),
+    * argmax over classes.
+    *
+    * Training is counting: class priors and per-class token counts are
+    * two map-side-combined aggregations — no driver-side model, no
+    * gradient loop. Scoring: the per-doc token-tf frame crosses the
+    * |classes|-row class frame (broadcast) and LEFT-joins the count
+    * table on (class, token) — a balanced key shuffle whose build side
+    * has one row per key; unseen (class, token) pairs coalesce to the
+    * smoothing floor. Per-token log-probs are rounded then accumulated
+    * as DECIMAL·tf (order-independent, engine-exact — see
+    * [[bigramLmScore]]); the argmax resolves on (rounded score desc,
+    * class asc), so every engine picks the same winner. Returns one row
+    * per (doc, class) with `rank`; filter rank=1 for the verdict. */
+  def nbClassify(df: DataFrame, textCol: String, labelCol: String,
+                 idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col(textCol))
+    val docTf = df.select(col(idCol), explode(t).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val priors = df.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tokC = df.select(col(labelCol).as("cls"), explode(t).as("token"))
+      .groupBy("cls", "token").agg(count(lit(1)).as("ct"))
+    val clsTotals = tokC.groupBy("cls").agg(sum("ct").as("cls_tokens"))
+    val vocabN = df.select(explode(t).as("token")).agg(
+      count_distinct(col("token")).as("__v"))
+    val nTotal = df.agg(count(lit(1)).as("__n"))
+    val classes = priors.join(clsTotals, Seq("cls"))
+      .crossJoin(broadcast(vocabN)).crossJoin(broadcast(nTotal))
+    val scored = docTf
+      .crossJoin(broadcast(classes))
+      .join(tokC, Seq("cls", "token"), "left")
+      .withColumn("__lp",
+        round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (col("cls_tokens") + col("__v"))), 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("__n")).as("__n"),
+        sum(col("__lp") * col("tf")).as("__sum"))
+      .withColumn("score",
+        round(round(log(col("n_docs").cast("double") / col("__n")), 6)
+          + col("__sum").cast("double"), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("cls").asc)
+    scored.select(col(idCol), col("cls"), col("score"))
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Line-level exact dedup across the corpus (the C4-style recipe from
     * the public corpus-cleaning literature: repeated lines — navbars,
     * boilerplate, license headers — are removed corpus-wide, keeping

@@ -229,6 +229,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(0L)._3 > out(1L)._3)
   }
 
+  test("naive bayes: separable classes self-classify, scores ranked") {
+    val corpus = Seq(
+      (0L, "apple banana apple cherry", "fruit"),
+      (1L, "banana cherry banana apple", "fruit"),
+      (2L, "engine wheel brake engine", "car"),
+      (3L, "wheel engine clutch brake", "car"),
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(corpus, "text", "lang", "doc_id")
+    // every doc's argmax class is its own label (vocabularies disjoint)
+    val top = out.filter(col("rank") === 1)
+      .select("doc_id", "cls").as[(Long, String)].collect().toMap
+    assert(top == Map(0L -> "fruit", 1L -> "fruit", 2L -> "car", 3L -> "car"))
+    // full matrix: one row per (doc, class), ranks dense from 1
+    assert(out.count() == 8)
+    val ranks = out.filter(col("doc_id") === 0).select("rank")
+      .as[Int].collect().toSeq.sorted
+    assert(ranks == Seq(1, 2))
+    // winning score strictly beats the loser for a separable doc
+    val s0 = out.filter(col("doc_id") === 0)
+      .select("cls", "score").as[(String, Double)].collect().toMap
+    assert(s0("fruit") > s0("car"))
+  }
+
   test("html extract: blocks/comments/tags drop, entities decode once") {
     val page = "<html><head><title>My &amp; Title</title>" +
       "<style>p {c: 1}</style></head><body><NAV>skip</NAV>" +
