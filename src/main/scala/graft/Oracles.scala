@@ -590,6 +590,35 @@ object Oracles {
          |  coalesce(kept_tokens, 0) AS kept_tokens
          |FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang""".stripMargin),
 
+    // tau=1/2 temperature weights: sqrt is IEEE-exact, weights rounded
+    // to 6dp then summed as DECIMAL, one fixed double-arithmetic shape
+    // floored to basis points — engines agree operand-for-operand
+    "temperature_sample" ->
+      (s"""WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs,
+         |  CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS weight
+         |FROM s),
+         |g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         |  sum(weight) AS wsum FROM w),
+         |r AS (SELECT lang, n_docs, CAST(weight AS DOUBLE) AS weight,
+         |  least(10000, CAST(floor(
+         |    CAST((total * 2) // 5 AS DOUBLE) * CAST(weight AS DOUBLE)
+         |      / CAST(wsum AS DOUBLE) / CAST(n_docs AS DOUBLE) * 10000)
+         |    AS BIGINT)) AS rate_bp
+         |FROM w, g),
+         |k AS (SELECT d.lang, count(*) AS kept_docs
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${hex8("CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bp
+         |GROUP BY d.lang)
+         |SELECT r.lang, n_docs, weight, rate_bp,
+         |  coalesce(kept_docs, 0) AS kept_docs
+         |FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang""".stripMargin),
+
+    "shard_manifest" ->
+      (s"""SELECT ${hex8("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |  count(*) AS n_docs, CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin),
+
     // concat-and-chunk packing: exclusive running token sum in id
     // order, integer pack arithmetic
     "sequence_pack" ->

@@ -652,6 +652,23 @@ object Queries {
         budgetNum = 3, budgetDen = 10)
         .withColumnRenamed("stratum", "lang").orderBy("lang")),
 
+    "temperature_sample" -> ((s, dir) =>
+      // temperature-flattened mixture (tau=1/2 via IEEE-exact sqrt):
+      // big langs sample down harder than proportional, small langs
+      // keep more — 40% doc budget redistributed by sqrt weights
+      graft.functions.Sampling.temperatureSummary(
+        t(s, dir, "documents"), "lang", "doc_id",
+        budgetNum = 2, budgetDen = 5)
+        .withColumnRenamed("stratum", "lang").orderBy("lang")),
+
+    "shard_manifest" -> ((s, dir) =>
+      // deterministic shard assignment (stable hash mod 8) + the
+      // per-shard doc/token manifest a corpus shard writer verifies
+      // against; balance comes from the hash, not a shuffle
+      graft.functions.Sampling.shardManifest(
+        t(s, dir, "documents"), "text", "doc_id", nShards = 8)
+        .orderBy("shard")),
+
     "sequence_pack" -> ((s, dir) =>
       // GPT-style concat-and-chunk packing offsets into 512-token
       // training sequences; the prefix-sum is distributed (bucketed

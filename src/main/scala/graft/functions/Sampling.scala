@@ -85,6 +85,58 @@ object Sampling {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
+  /** Temperature-based mixture resampling (the multilingual-LM recipe:
+    * sampling mass ∝ n_i^τ flattens the stratum distribution — τ=1
+    * keeps it proportional, τ→0 approaches uniform). τ is fixed at 1/2
+    * because sqrt is the one fractional power IEEE-754 defines exactly
+    * — every engine computes the identical weight, where a general
+    * pow() could differ in the last ulp. Weights are rounded to 6 dp
+    * and summed as DECIMAL (order-independent), the per-stratum rate
+    * is then one fixed shape of double arithmetic over those exact
+    * operands, floored to integer basis points. Membership is the
+    * stable hash threshold of [[keep]]. Same two-scan,
+    * zero-corpus-shuffle shape as [[tokenBudgetSummary]]. */
+  def temperatureSummary(df: DataFrame, strataCol: String, idCol: String,
+                         budgetNum: Int, budgetDen: Int): DataFrame = {
+    val perDoc = df.select(col(strataCol).as("stratum"),
+      col(idCol).cast("string").as("__k"))
+    val byStratum = perDoc.groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        round(sqrt(col("n_docs").cast("double")), 6).cast("decimal(18,6)"))
+    val totals = byStratum.agg(sum(col("n_docs")).as("__total"),
+      sum(col("weight")).as("__w"))
+    val rates = byStratum.crossJoin(broadcast(totals))
+      .withColumn("rate_bp", least(lit(Denom), floor(
+        expr(s"CAST((__total * $budgetNum) DIV $budgetDen AS DOUBLE)")
+          * col("weight").cast("double") / col("__w").cast("double")
+          / col("n_docs").cast("double") * Denom).cast("long")))
+      .select(col("stratum"), col("n_docs"),
+        col("weight").cast("double").as("weight"), col("rate_bp"))
+    val kept = perDoc
+      .join(broadcast(rates.select("stratum", "rate_bp")), Seq("stratum"))
+      .filter(pmod(Hashing.hex8ToLong(col("__k")), lit(Denom)) <
+        col("rate_bp"))
+      .groupBy("stratum").agg(count(lit(1)).as("kept_docs"))
+    rates.join(kept, Seq("stratum"), "left")
+      .select(col("stratum"), col("n_docs"), col("weight"), col("rate_bp"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"))
+  }
+
+  /** Deterministic shard assignment + manifest for the final corpus
+    * write: shard = stable_hash(id) mod n — balanced at any scale by
+    * the hash, reproducible everywhere, and the manifest (per-shard
+    * doc/token counts) is what a shard writer needs to size and verify
+    * output files. One map-side-combined aggregation on the shard id. */
+  def shardManifest(df: DataFrame, textCol: String, idCol: String,
+                    nShards: Int): DataFrame =
+    df.select(
+        pmod(Hashing.hex8ToLong(col(idCol).cast("string")), lit(nShards.toLong))
+          .as("shard"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+
   /** Cap each group at its top-`k` rows under `order` (per-source /
     * per-domain caps from corpus curation: no single source may
     * dominate the mix). A PARTITIONED row_number window — each group

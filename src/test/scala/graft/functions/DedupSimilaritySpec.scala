@@ -39,6 +39,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(11L, 13L))
   }
 
+  test("temperature sampling flattens toward small strata; shard manifest partitions exactly") {
+    // 80/16/4 split: tau=1/2 must give the small stratum a HIGHER keep
+    // rate than the big one, and rates must decrease with stratum size
+    val docs = (0 until 100).map { i =>
+      val s = if (i < 80) "big" else if (i < 96) "mid" else "small"
+      (i.toLong, s"word$i text", s)
+    }.toDF("doc_id", "text", "lang")
+    val t = Sampling.temperatureSummary(docs, "lang", "doc_id",
+      budgetNum = 1, budgetDen = 2)
+    val rates = t.select("stratum", "rate_bp")
+      .as[(String, Long)].collect().toMap
+    assert(rates("small") > rates("mid") && rates("mid") > rates("big"))
+    // kept_docs is within the hash-threshold tolerance of rate * n
+    val m = Sampling.shardManifest(docs, "text", "doc_id", nShards = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(m.map(_._1).sorted == Seq(0L, 1L, 2L, 3L))
+    assert(m.map(_._2).sum == 100L)      // every doc lands in exactly one shard
+    assert(m.map(_._3).sum == 200L)      // 2 tokens per doc
+  }
+
   test("minhash signatures: identical docs identical, near-dups co-bucket") {
     val bands = Dedup.lshBands(docs, "text", "doc_id")
     // exact duplicates share every band hash
