@@ -976,7 +976,7 @@ object Oracles {
     "stream_join" ->
       ("""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-         |  FROM events
+         |  FROM events WHERE user_id % 2 = 0
          |)
          |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
          |FROM e v JOIN e c ON c.user_id = v.user_id
