@@ -1262,7 +1262,9 @@ object Oracles {
     "proto_map_parse" ->
       ("""SELECT o_orderkey AS id, CAST(2 AS INTEGER) AS n_attrs,
          |  'a=' || CAST(o_orderkey % 9 AS VARCHAR) ||
-         |  ',b=' || CAST(o_orderkey % 7 AS VARCHAR) AS attrs_csv
+         |  ',b=' || CAST(o_orderkey % 7 AS VARCHAR) AS attrs_csv,
+         |  CASE o_orderkey % 3 WHEN 0 THEN 'OK' WHEN 1 THEN 'DEGRADED'
+         |    ELSE 'FAIL' END AS status
          |FROM orders ORDER BY id""".stripMargin),
 
     "proto_nested_parse" ->

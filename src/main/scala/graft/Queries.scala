@@ -1617,17 +1617,20 @@ object Queries {
         "Doc" -> Seq(
           PD.FieldDesc("id", 1, 1, PD.TInt64, ""),
           PD.FieldDesc("attrs", 2, PD.LabelRepeated, PD.TMessage,
-            ".shop.AttrsEntry")),
+            ".shop.AttrsEntry"),
+          PD.FieldDesc("status", 3, 1, PD.TEnum, ".shop.Status")),
         "AttrsEntry" -> Seq(
           PD.FieldDesc("key", 1, 1, PD.TString, ""),
           PD.FieldDesc("value", 2, 1, PD.TInt64, ""))),
-        mapEntries = Set("AttrsEntry"))
+        mapEntries = Set("AttrsEntry"),
+        enums = Seq("Status" -> Seq("OK" -> 0, "DEGRADED" -> 1, "FAIL" -> 2)))
       val enc = udf { (k: Long) =>
         def entry(key: String, v: Long) =
           W.lenDelim(2, W.concat(W.str(1, key), W.vint(2, v)))
         W.concat(W.vint(1, k),
           entry("a", k % 5), entry("b", k % 7),
-          entry("a", k % 9)) // duplicate key: this one must win
+          entry("a", k % 9), // duplicate key: this one must win
+          W.vint(3, k % 3))  // enum by number -> declared name
       }
       val wire = qw(s, dir, "orders")
         .select(enc(col("o_orderkey")).as("raw"))
@@ -1637,7 +1640,8 @@ object Queries {
           array_join(transform(array_sort(map_keys(col("attrs"))),
             k => concat(k, lit("="),
               element_at(col("attrs"), k).cast(StringType))), ",")
-            .as("attrs_csv"))
+            .as("attrs_csv"),
+          col("status"))
         .orderBy("id")
     }),
 

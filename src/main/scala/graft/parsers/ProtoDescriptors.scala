@@ -73,9 +73,14 @@ object ProtoDescriptors {
   }
   /** `mapEntry` marks a protoc-synthesized map entry message
     * (MessageOptions.map_entry): a repeated field of such a message IS
-    * a `map<key, value>` on the wire (entry fields key=1, value=2). */
+    * a `map<key, value>` on the wire (entry fields key=1, value=2).
+    * `isEnum` marks an enum registered in the same namespace: its
+    * "fields" are the (value-name, value-number) pairs, so enum fields
+    * decode to their declared NAMES (the spark-protobuf convention)
+    * with unknown numbers kept numerically (proto3 open enums). */
   final case class MessageDesc(fullName: String, fields: Seq[FieldDesc],
-                               mapEntry: Boolean = false)
+                               mapEntry: Boolean = false,
+                               isEnum: Boolean = false)
 
   import ProtoReader.{WireValue, VarintV, Fixed64V, Fixed32V, BytesV}
 
@@ -138,6 +143,10 @@ object ProtoDescriptors {
       fileFields.collect { case (4, v) => bytesOf(v) }.foreach { msgB =>
         registerMessage(msgB, if (pkg.isEmpty) "" else pkg, reg)
       }
+      // FileDescriptorProto.enum_type = 5
+      fileFields.collect { case (5, v) => bytesOf(v) }.foreach { enB =>
+        registerEnum(enB, if (pkg.isEmpty) "" else pkg, reg)
+      }
     }
     reg.toMap
   }
@@ -167,7 +176,33 @@ object ProtoDescriptors {
     reg(fullName) = MessageDesc(fullName, fields, mapEntry)
     parts.collect { case (3, v) => bytesOf(v) }
       .foreach(registerMessage(_, fullName, reg))
+    // DescriptorProto.enum_type = 4 (nested enums)
+    parts.collect { case (4, v) => bytesOf(v) }
+      .foreach(registerEnum(_, fullName, reg))
   }
+
+  /** EnumDescriptorProto: name=1, value=2 (EnumValueDescriptorProto:
+    * name=1, number=2). Registered as an isEnum [[MessageDesc]]. */
+  private def registerEnum(bytes: Array[Byte], prefix: String,
+      reg: scala.collection.mutable.Map[String, MessageDesc]): Unit = {
+    val parts = wireSeq(bytes)
+    val name = parts.collectFirst { case (1, v) => strOf(v) }
+      .getOrElse(throw new IllegalArgumentException("unnamed enum descriptor"))
+    val fullName = if (prefix.isEmpty) name else s"$prefix.$name"
+    val values = parts.collect { case (2, v) => bytesOf(v) }.map { vb =>
+      val vp = wireSeq(vb)
+      FieldDesc(
+        name = vp.collectFirst { case (1, v) => strOf(v) }.getOrElse(""),
+        number = vp.collectFirst { case (2, v) => longOf(v).toInt }.getOrElse(0),
+        label = 1, ptype = 0, typeName = "")
+    }
+    reg(fullName) = MessageDesc(fullName, values, isEnum = true)
+  }
+
+  private def enumOf(f: FieldDesc,
+                     reg: Map[String, MessageDesc]): Option[MessageDesc] =
+    if (f.typeName.isEmpty) None
+    else reg.get(f.typeName.stripPrefix(".")).filter(_.isEnum)
 
   private def resolve(typeName: String, reg: Map[String, MessageDesc]): MessageDesc =
     reg.getOrElse(typeName.stripPrefix("."),
@@ -190,6 +225,7 @@ object ProtoDescriptors {
       case TDouble => DoubleType
       case TFloat => FloatType
       case TInt64 | TUint64 | TSint64 | TFixed64 | TSfixed64 => LongType
+      case TEnum if enumOf(f, reg).isDefined => StringType
       case TInt32 | TUint32 | TSint32 | TFixed32 | TSfixed32 | TEnum => IntegerType
       case TBool => BooleanType
       case TString => StringType
@@ -227,7 +263,12 @@ object ProtoDescriptors {
   private def scalarOf(f: FieldDesc, v: WireValue,
                        reg: Map[String, MessageDesc]): Any = (v, f.ptype) match {
     case (VarintV(x), TInt64 | TUint64) => x
-    case (VarintV(x), TInt32 | TUint32 | TEnum) => x.toInt
+    case (VarintV(x), TEnum) => enumOf(f, reg) match {
+      case Some(e) => e.fields.find(_.number == x.toInt).map(_.name)
+        .getOrElse(x.toInt.toString) // proto3 open enum: unknown stays numeric
+      case None => x.toInt // no descriptor for the type: raw number
+    }
+    case (VarintV(x), TInt32 | TUint32) => x.toInt
     case (VarintV(x), TSint64) => ProtoReader.zigzag(x)
     case (VarintV(x), TSint32) => ProtoReader.zigzag(x).toInt
     case (VarintV(x), TBool) => x != 0L
@@ -326,7 +367,8 @@ object ProtoDescriptors {
     * round-trip through [[parseSet]]; lets tests and fixtures exercise
     * the descriptor path without a protoc binary in the container. */
   def buildSet(pkg: String, messages: Seq[(String, Seq[FieldDesc])],
-               mapEntries: Set[String] = Set.empty): Array[Byte] = {
+               mapEntries: Set[String] = Set.empty,
+               enums: Seq[(String, Seq[(String, Int)])] = Nil): Array[Byte] = {
     import ProtoWire._
     def fieldProto(f: FieldDesc): Array[Byte] = concat(
       str(1, f.name), vint(3, f.number.toLong), vint(4, f.label.toLong),
@@ -338,8 +380,12 @@ object ProtoDescriptors {
         // options(7).map_entry(7) marks protoc-style map entry messages
         (if (mapEntries(name)) Seq(lenDelim(7, vint(7, 1L)))
          else Nil): _*)
+    def enumProto(name: String, vs: Seq[(String, Int)]): Array[Byte] =
+      concat((str(1, name) +: vs.map { case (vn, num) =>
+        lenDelim(2, concat(str(1, vn), vint(2, num.toLong))) }): _*)
     val fileProto = concat((str(2, pkg) +:
-      messages.map { case (n, fs) => lenDelim(4, msgProto(n, fs)) }): _*)
+      (messages.map { case (n, fs) => lenDelim(4, msgProto(n, fs)) } ++
+        enums.map { case (n, vs) => lenDelim(5, enumProto(n, vs)) })): _*)
     lenDelim(1, fileProto)
   }
 }

@@ -119,6 +119,26 @@ class ProtoDescriptorsSpec extends SparkSpec {
       Seq((1L, 7L, 1), (2L, 8L, 2)))
   }
 
+  test("enum fields decode to declared names; unknown numbers stay numeric") {
+    val set = ProtoDescriptors.buildSet("e", Seq(
+      "Ev" -> Seq(
+        FieldDesc("id", 1, 1, TInt64, ""),
+        FieldDesc("state", 2, 1, 14, ".e.State"),       // TEnum
+        FieldDesc("bare", 3, 1, 14, ""))),              // enum w/o descriptor
+      enums = Seq("State" -> Seq("IDLE" -> 0, "BUSY" -> 1)))
+    val reg = ProtoDescriptors.parseSet(set)
+    assert(reg("e.State").isEnum)
+    val st = ProtoDescriptors.structType(reg("e.Ev"), reg)
+    assert(st("state").dataType == StringType)  // resolvable enum: name
+    assert(st("bare").dataType == IntegerType)  // unresolvable: number
+    def dec(state: Long) = ProtoDescriptors.decodeMessage(reg("e.Ev"), reg,
+      concat(vint(1, 1L), vint(2, state), vint(3, state)))
+    assert(dec(1L).getString(1) == "BUSY" && dec(1L).getInt(2) == 1)
+    assert(dec(0L).getString(1) == "IDLE")
+    // proto3 open enum: a number with no declared value stays numeric
+    assert(dec(9L).getString(1) == "9")
+  }
+
   test("DataFrame parse: distributed decode against the descriptor set") {
     val wires = (1L to 50L).map { k =>
       concat(
