@@ -81,9 +81,13 @@ object Dbt {
     emitted.toSeq.map(byName)
   }
 
-  private def viewOf(model: String) = s"dbt_$model"
-  private def sourceViewOf(schema: String, table: String) =
-    s"dbt_src_${schema}_$table"
+  // per-run view namespace: two dbt projects running in one session
+  // (parallel transfers) must not clobber each other's temp views
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def viewOf(run: Long, model: String) = s"dbt_r${run}_$model"
+  private def sourceViewOf(run: Long, schema: String, table: String) =
+    s"dbt_r${run}_src_${schema}_$table"
 
   /** Run a model set: resolve sources via `source`, materialize in
     * dependency order, return every model's frame (laziness preserved
@@ -91,17 +95,18 @@ object Dbt {
   def run(spark: SparkSession, models: Seq[Model],
           source: (String, String) => DataFrame,
           targetDir: Option[String] = None): Map[String, DataFrame] = {
+    val runId = runSeq.incrementAndGet()
     val ordered = topoOrder(models)
     ordered.flatMap(_.sources).distinct.foreach { case (sch, tbl) =>
-      source(sch, tbl).createOrReplaceTempView(sourceViewOf(sch, tbl))
+      source(sch, tbl).createOrReplaceTempView(sourceViewOf(runId, sch, tbl))
     }
     val out = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
     ordered.foreach { m =>
       val sql = RefRe.replaceAllIn(
         SourceRe.replaceAllIn(
           ConfigRe.replaceAllIn(m.rawSql, ""),
-          mm => sourceViewOf(mm.group(1), mm.group(2))),
-        mm => viewOf(mm.group(1)))
+          mm => sourceViewOf(runId, mm.group(1), mm.group(2))),
+        mm => viewOf(runId, mm.group(1)))
       val df0 = spark.sql(sql)
       val df = (m.materialized, targetDir) match {
         case ("table", Some(dir)) =>
@@ -110,7 +115,7 @@ object Dbt {
           spark.read.parquet(path)
         case _ => df0 // view (or table without a target): stay lazy
       }
-      df.createOrReplaceTempView(viewOf(m.name))
+      df.createOrReplaceTempView(viewOf(runId, m.name))
       out(m.name) = df
     }
     out.toMap
