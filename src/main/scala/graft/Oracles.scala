@@ -301,6 +301,33 @@ object Oracles {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
+    // DuckDB's native ASOF LEFT JOIN — an independent engine's
+    // implementation of the backward-inclusive as-of semantics
+    "asof_join" ->
+      ("""WITH l AS (SELECT user_id, ts, event_id FROM events
+         |           WHERE event_id % 5 <> 0),
+         |     r AS (SELECT user_id, ts, max(value) AS state FROM events
+         |           WHERE event_id % 5 = 0 GROUP BY user_id, ts)
+         |SELECT l.event_id, l.user_id, l.ts,
+         |       r.state AS r_state, r.ts AS r_ts
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+         |ORDER BY l.event_id""".stripMargin),
+
+    // plain inequality join in the oracle — bucketization changes the
+    // plan (equi-join vs nested loop), not the result
+    "range_join" ->
+      ("""WITH p AS (SELECT l_orderkey % 10 AS g, l_extendedprice AS p
+         |           FROM lineitem),
+         |     iv AS (SELECT o_orderkey, o_orderkey % 10 AS g,
+         |                   o_totalprice * 0.9 AS lo,
+         |                   o_totalprice * 1.1 AS hi
+         |            FROM orders WHERE o_orderkey % 500 = 0)
+         |SELECT iv.o_orderkey, count(*) AS n,
+         |  CAST(sum(CAST(p.p AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM iv JOIN p ON iv.g = p.g AND iv.lo <= p.p AND p.p < iv.hi
+         |GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""".stripMargin),
+
     "serialize_csv" ->
       ("""WITH f AS (
          |  SELECT CAST(c_custkey AS VARCHAR) AS k,

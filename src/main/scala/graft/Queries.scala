@@ -481,6 +481,44 @@ object Queries {
         .orderBy("c_mktsegment")
     }),
 
+    "asof_join" -> ((s, dir) => {
+      // point-in-time lookup (operators.AsofJoin): each event joins the
+      // latest state row at-or-before its timestamp within its user.
+      // One union + one keyed shuffle + per-key sort — the sort-merge
+      // shape that survives 100 TB. Oracle is DuckDB's NATIVE `ASOF LEFT
+      // JOIN`, an entirely independent implementation of the semantics.
+      val ev = t(s, dir, "events")
+      val left = ev.filter(col("event_id") % 5 =!= 0)
+        .select("user_id", "ts", "event_id")
+      val right = ev.filter(col("event_id") % 5 === 0)
+        .groupBy("user_id", "ts").agg(max(col("value")).as("state"))
+      graft.operators.AsofJoin.join(left, right, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("r_state"), col("r_ts"))
+        .orderBy("event_id")
+    }),
+
+    "range_join" -> ((s, dir) => {
+      // interval-containment join (operators.RangeJoin): lineitem prices
+      // against +/-10% bands around a sampled set of order totals,
+      // banded by a group key. Bucketization turns the inequality join
+      // into ONE equi-join shuffle — Spark's default plan here is a
+      // nested loop over every (point, interval) pair. Granularity 10000
+      // ~ typical band width, so replication stays ~O(spans).
+      val pts = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 10).as("g"),
+          col("l_extendedprice").as("p"))
+      val ivs = t(s, dir, "orders").filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey"), (col("o_orderkey") % 10).as("g"),
+          (col("o_totalprice") * 0.9).as("lo"),
+          (col("o_totalprice") * 1.1).as("hi"))
+      graft.operators.RangeJoin.pointInterval(pts, "p", ivs, "lo", "hi",
+          granularity = 10000.0, keys = Seq("g"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), dsum(col("p")).as("total"))
+        .orderBy("o_orderkey")
+    }),
+
     "serialize_csv" -> ((s, dir) => {
       // CSV wire serializer (Sinks.csvLine): NULL -> empty field,
       // embedded delimiter / quote / newline -> quoted with internal

@@ -48,6 +48,138 @@ object Bucketing {
     spark.table(left).join(spark.table(right), keys)
 }
 
+/** As-of join: for each left row, attach the single right row with the
+  * largest `rightTime <= leftTime` (backward, the default) or smallest
+  * `rightTime >= leftTime` (forward) within the same key group — the
+  * point-in-time lookup every CDC/state pipeline needs (reference models
+  * this implicitly: its replication sink always applies "latest state as
+  * of the event's LSN", pkg/abstract/changeitem ordering contract).
+  *
+  * Scale shape: ONE hash shuffle of each side on the key columns (the
+  * union is partitioned once), then a per-key sort — no broadcast, no
+  * range-nested-loop, no per-row probe. At 100 TB this is the same cost
+  * as a single sort-merge join; state per task is one row of carried
+  * right-side values, so arbitrarily long key histories stream through.
+  *
+  * Equal timestamps match (inclusive), like DuckDB/pandas `merge_asof`.
+  * Right-side value columns ride in ONE struct so a legitimately-NULL
+  * value column cannot "tear" and pick up an older row's value.
+  */
+object AsofJoin {
+
+  /** @param keys       equi-join key columns (present on both sides)
+    * @param leftTime   left event-time column name
+    * @param rightTime  right event-time column name
+    * @param direction  "backward" (right.t <= left.t, default) or
+    *                   "forward" (right.t >= left.t)
+    * @param tolerance  max |leftTime - rightTime| to accept, e.g.
+    *                   `expr("interval 1 hour")`; matches farther away
+    *                   yield NULLs (left row is kept — left-outer
+    *                   semantics, again matching merge_asof)
+    * @param rightPrefix prefix for right value columns in the output
+    *                   (rightTime surfaces as `<prefix><rightTime>`)
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           direction: String = "backward",
+           tolerance: Option[Column] = None,
+           rightPrefix: String = "r_"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val rightVals = right.columns.filterNot(c => keys.contains(c)).toSeq
+    val leftVals = left.columns
+      .filterNot(c => keys.contains(c) || c == leftTime).toSeq
+
+    // right rows carry their payload (incl. the right timestamp) in one
+    // nullable struct; left rows carry a typed NULL of the same struct
+    val rv = struct(rightVals.map(right(_)): _*)
+    val rSide = right.select(
+      keys.map(right(_)) ++ Seq(
+        right(rightTime).as("__t"), lit(0).as("__side"),
+        rv.as("__rv")) ++
+        leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val rvType = rSide.schema("__rv").dataType
+    val lSide = left.select(
+      keys.map(left(_)) ++ Seq(
+        left(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(rvType).as("__rv")) ++
+        leftVals.map(left(_)): _*)
+
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.partitionBy(keys.map(col): _*)
+    // backward: latest right at or before the left row — right (side 0)
+    // sorts before left (side 1) at equal __t, last() looks back.
+    // forward: earliest right at or after — flip the sort so "look back"
+    // in the flipped order is "look forward" in time; side order flips
+    // too so an equal-time right row still falls inside the frame.
+    val w =
+      if (direction == "backward")
+        w0.orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        w0.orderBy(col("__t").desc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matchedRaw = last(col("__rv"), ignoreNulls = true).over(w)
+    val matched = tolerance match {
+      case Some(tol) =>
+        val rt = matchedRaw.getField(rightTime)
+        val ok =
+          if (direction == "backward") rt >= col("__t") - tol
+          else rt <= col("__t") + tol
+        when(ok, matchedRaw)
+      case None => matchedRaw
+    }
+
+    rSide.unionByName(lSide)
+      .withColumn("__m", matched)
+      .filter(col("__side") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__t").as(leftTime)) ++ leftVals.map(col) ++
+          rightVals.map(c => col("__m").getField(c).as(rightPrefix + c)): _*)
+  }
+}
+
+/** Range (interval-containment) join: points to the intervals that
+  * contain them, `lo <= p < hi`, optionally within equi-key groups.
+  * Spark's planner turns a bare inequality join into a nested-loop over
+  * every (point, interval) pair — quadratic, a non-starter at scale.
+  *
+  * Bucketization makes it an equi-join: each interval is replicated to
+  * every `granularity`-sized bucket it overlaps; each point belongs to
+  * exactly ONE bucket, so the equi-join on (keys, bucket) finds every
+  * containing interval exactly once (no post-join dedup needed), and the
+  * trailing `lo <= p < hi` filter discards same-bucket near-misses.
+  *
+  * Cost: one shuffle keyed on (keys, bucket); interval replication
+  * factor is `ceil(span / granularity) + 1`, so pick `granularity` near
+  * the typical interval span. Degenerate granularity (everything in one
+  * bucket) degrades to the quadratic join — the guard rails against a
+  * granularity more than ~1000x smaller than the widest span are on the
+  * caller.
+  */
+object RangeJoin {
+
+  /** @param granularity bucket width in the native units of `pointCol`
+    *                    (numeric columns; timestamps should be cast to
+    *                    epoch seconds by the caller) */
+  def pointInterval(points: DataFrame, pointCol: String,
+                    intervals: DataFrame, loCol: String, hiCol: String,
+                    granularity: Double, keys: Seq[String] = Nil): DataFrame = {
+    require(granularity > 0, "granularity must be positive")
+    val b = lit(granularity)
+    val iv = intervals.withColumn("__b",
+      explode(sequence(floor(col(loCol) / b).cast("long"),
+        floor(col(hiCol) / b).cast("long"))))
+    val pt = points.withColumn("__b",
+      floor(col(pointCol) / b).cast("long"))
+    pt.join(iv, keys :+ "__b")
+      .filter(col(loCol) <= col(pointCol) && col(pointCol) < col(hiCol))
+      .drop("__b")
+  }
+}
+
 object SaltedJoin {
 
   /** Inner-join `big` with `small` on `key`, fanning the big side's hot

@@ -45,4 +45,88 @@ class JoinsSpec extends SparkSpec {
         pmod(graft.functions.Hashing.hex8ToLong(col("v").cast("string")), lit(8L)))
     assert(s1.select("__s").distinct().count() <= 8)
   }
+
+  test("asof join backward picks latest right at-or-before each left time") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "early"),
+      (2L, 15L, "c"), (3L, 50L, "nokey")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 18L, 200.0), (2L, 15L, 300.0),
+      (2L, 99L, 999.0)).toDF("k", "t", "price")
+    val out = AsofJoin.join(left, right, Seq("k"), "t", "t")
+      .select("k", "t", "tag", "r_price", "r_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(out == Set(
+      (1L, 10L, "a", Some(100.0), Some(10L)),     // equal time matches
+      (1L, 20L, "b", Some(200.0), Some(18L)),
+      (1L, 5L, "early", None, None),              // nothing at-or-before
+      (2L, 15L, "c", Some(300.0), Some(15L)),     // later right row ignored
+      (3L, 50L, "nokey", None, None)))            // left-outer on no key
+  }
+
+  test("asof join forward + tolerance") {
+    val left = Seq((1L, 10L), (1L, 40L)).toDF("k", "t")
+    val right = Seq((1L, 12L, "near"), (1L, 90L, "far")).toDF("k", "t", "v")
+    val fwd = AsofJoin.join(left, right, Seq("k"), "t", "t",
+        direction = "forward")
+      .select("t", "r_v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(fwd == Set((10L, Some("near")), (40L, Some("far"))))
+    val tol = AsofJoin.join(left, right, Seq("k"), "t", "t",
+        direction = "forward", tolerance = Some(lit(10L)))
+      .select("t", "r_v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(tol == Set((10L, Some("near")), (40L, None))) // 90 is 50 away
+  }
+
+  test("asof join does not tear null right value columns") {
+    // right row at t=20 has a NULL v; a torn (per-column ignoreNulls)
+    // implementation would surface t=10's v with t=20's w
+    val left = Seq((1L, 30L)).toDF("k", "t")
+    val right = Seq((1L, 10L, Option("old"), Option("ow")),
+      (1L, 20L, None: Option[String], Option("nw"))).toDF("k", "t", "v", "w")
+    val row = AsofJoin.join(left, right, Seq("k"), "t", "t")
+      .select("r_t", "r_v", "r_w").collect().head
+    assert(row.getLong(0) == 20L && row.isNullAt(1) && row.getString(2) == "nw")
+  }
+
+  test("asof join matches DuckDB-style windowed reference on real tables") {
+    // independent re-derivation: per (user, left-time) the max right time
+    // <= left time via a plain SQL correlated aggregate
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val leftE = ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val rightE = ev.filter(col("event_id") % 5 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("state"))
+    val got = AsofJoin.join(leftE, rightE, Seq("user_id"), "ts", "ts")
+    leftE.createOrReplaceTempView("aj_l"); rightE.createOrReplaceTempView("aj_r")
+    val ref = spark.sql("""
+      SELECT l.user_id, l.ts, l.event_id,
+             (SELECT MAX(r.ts) FROM aj_r r
+               WHERE r.user_id = l.user_id AND r.ts <= l.ts) AS r_ts
+      FROM aj_l l""")
+    val a = got.select(col("user_id"), col("ts"), col("event_id"),
+      col("r_ts")).collect().toSet
+    val b = ref.collect().toSet
+    assert(a == b)
+  }
+
+  test("range join bucketization equals the naive inequality join") {
+    val pts = (1 to 500).map(i => (i.toLong % 7, i.toDouble)).toDF("g", "p")
+    val ivs = Seq((0L, 10.0, 40.0, "A"), (0L, 35.0, 36.0, "tiny"),
+      (3L, 100.0, 400.0, "wide"), (5L, 480.0, 600.0, "edge"),
+      (6L, 700.0, 800.0, "empty")).toDF("g", "lo", "hi", "name")
+    val naive = pts.join(ivs, Seq("g")).filter(col("lo") <= col("p") &&
+      col("p") < col("hi")).select("g", "p", "name").collect().toSet
+    for (gran <- Seq(5.0, 50.0, 1000.0)) {
+      val got = RangeJoin.pointInterval(pts, "p", ivs, "lo", "hi", gran,
+        keys = Seq("g")).select("g", "p", "name").collect().toSet
+      assert(got == naive, s"granularity $gran")
+    }
+    // no duplicate pairs even when an interval spans many buckets
+    val dup = RangeJoin.pointInterval(pts, "p", ivs, "lo", "hi", 5.0,
+      keys = Seq("g")).groupBy("g", "p", "name").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
 }
