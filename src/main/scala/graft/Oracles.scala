@@ -328,6 +328,25 @@ object Oracles {
          |FROM iv JOIN p ON iv.g = p.g AND iv.lo <= p.p AND p.p < iv.hi
          |GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""".stripMargin),
 
+    // single-pass whole-table sketch — the Spark side merges two
+    // disjoint-half sketches, so the match proves the merge law too
+    "sketch_hll" ->
+      (s"""WITH h AS (
+         |  SELECT CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,2)) AS BIGINT) AS bucket,
+         |         CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),3,8)) AS BIGINT) AS h2
+         |  FROM orders WHERE o_custkey IS NOT NULL)
+         |SELECT bucket, max(${graft.functions.Sketches.rho32Sql("h2")}) AS r
+         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    "sketch_cms" ->
+      ("""WITH e AS (
+         |  SELECT j.j,
+         |         CAST(('0x'||substr(md5(CAST(j.j AS VARCHAR)||':'||CAST(l_partkey AS VARCHAR)),1,8)) AS BIGINT) % 1024 AS c
+         |  FROM lineitem CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j
+         |  WHERE l_partkey IS NOT NULL)
+         |SELECT j, c, count(*) AS cnt FROM e
+         |GROUP BY j, c ORDER BY j, c""".stripMargin),
+
     "serialize_csv" ->
       ("""WITH f AS (
          |  SELECT CAST(c_custkey AS VARCHAR) AS k,

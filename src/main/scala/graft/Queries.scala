@@ -519,6 +519,36 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "sketch_hll" -> ((s, dir) => {
+      // engine-exact HyperLogLog registers (functions.Sketches): the
+      // query sketches two DISJOINT halves of orders and merges them
+      // (per-bucket max); the oracle sketches the whole table in one
+      // pass. A green row therefore proves both the register math and
+      // the merge law — the property that lets per-shard/per-day
+      // sketches fold without touching raw data at 100 TB.
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+      graft.functions.Sketches.hllMerge(Seq(
+          graft.functions.Sketches.hllRegisters(a, "o_custkey"),
+          graft.functions.Sketches.hllRegisters(b, "o_custkey")))
+        .orderBy("bucket")
+    }),
+
+    "sketch_cms" -> ((s, dir) => {
+      // engine-exact Count-Min sketch over lineitem part frequencies:
+      // same split-merge-vs-single-pass proof as sketch_hll, with
+      // cell-wise sum as the merge. 4x1024 cells regardless of input
+      // size — the fixed-size shuffle state is the entire point.
+      val l = t(s, dir, "lineitem")
+      val a = l.filter(col("l_orderkey") % 2 === 0)
+      val b = l.filter(col("l_orderkey") % 2 === 1)
+      graft.functions.Sketches.cmsMerge(Seq(
+          graft.functions.Sketches.cmsTable(a, "l_partkey"),
+          graft.functions.Sketches.cmsTable(b, "l_partkey")))
+        .orderBy("j", "c")
+    }),
+
     "serialize_csv" -> ((s, dir) => {
       // CSV wire serializer (Sinks.csvLine): NULL -> empty field,
       // embedded delimiter / quote / newline -> quoted with internal

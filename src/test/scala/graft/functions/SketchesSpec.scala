@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jvmMd5(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("hll registers match a driver-side recomputation") {
+    val vals = (1 to 2000).map(i => s"v$i")
+    val df = vals.toDF("v")
+    val got = Sketches.hllRegisters(df, "v").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = vals.map { s =>
+      val h = jvmMd5(s)
+      val bucket = java.lang.Long.parseLong(h.substring(0, 2), 16)
+      val h2 = java.lang.Long.parseLong(h.substring(2, 10), 16)
+      val rho = if (h2 == 0) 33 else 33 - (64 - java.lang.Long.numberOfLeadingZeros(h2))
+      bucket -> rho
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(got == expected)
+  }
+
+  test("hll estimate within 10% on 5000 distincts, duplicates ignored") {
+    val df = (1 to 5000).flatMap(i => Seq.fill(1 + i % 3)(s"k$i")).toDF("v")
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "v"))
+    assert(math.abs(est - 5000) / 5000.0 < 0.10, s"estimate $est")
+  }
+
+  test("hll merge of disjoint halves equals the whole-data sketch") {
+    val all = (1 to 3000).map(i => s"m$i").toDF("v")
+    val a = all.filter(length(col("v")) % 2 === 0)
+    val b = all.filter(length(col("v")) % 2 === 1)
+    val merged = Sketches.hllMerge(Seq(
+      Sketches.hllRegisters(a, "v"), Sketches.hllRegisters(b, "v")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val whole = Sketches.hllRegisters(all, "v")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == whole)
+  }
+
+  test("hll aggregation is map-side combined (partial merge in plan)") {
+    val df = (1 to 100).map(i => s"p$i").toDF("v")
+    val plan = Sketches.hllRegisters(df, "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("Partial"),
+      "register aggregation must have a partial (map-side) phase:\n" + plan)
+  }
+
+  test("cms estimates dominate true counts and are tight for heavy keys") {
+    // 20 heavy keys (200 each) over 2000 light keys (1 each)
+    val rows = (1 to 20).flatMap(i => Seq.fill(200)(s"hot$i")) ++
+      (1 to 2000).map(i => s"cold$i")
+    val df = rows.toDF("v")
+    val sketch = Sketches.cmsTable(df, "v")
+    val cand = ((1 to 20).map(i => s"hot$i") ++ (1 to 50).map(i => s"cold$i"))
+      .toDF("v")
+    val est = Sketches.cmsQuery(sketch, cand, "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for ((k, e) <- est) {
+      assert(e >= truth(k), s"$k: est $e < truth ${truth(k)}")
+      // eps = e/width ~ 0.0027; N = 6000 -> slack ~ 16, generous bound 40
+      assert(e <= truth(k) + 40, s"$k: est $e way above truth ${truth(k)}")
+    }
+  }
+
+  test("cms merge of disjoint halves equals the whole-data sketch") {
+    val all = (1 to 1000).map(i => s"c${i % 123}").toDF("v")
+    val a = all.filter(md5(col("v")).startsWith("0"))
+    val b = all.filter(!md5(col("v")).startsWith("0"))
+    val merged = Sketches.cmsMerge(Seq(
+      Sketches.cmsTable(a, "v"), Sketches.cmsTable(b, "v")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsTable(all, "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+}
