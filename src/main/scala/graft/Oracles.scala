@@ -328,6 +328,24 @@ object Oracles {
          |FROM iv JOIN p ON iv.g = p.g AND iv.lo <= p.p AND p.p < iv.hi
          |GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""".stripMargin),
 
+    "zorder_curve" ->
+      (s"""SELECT l_orderkey, l_linenumber,
+         |  l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+         |  ${graft.sinks.ZOrderLake.zValueSql(
+               Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)} AS z
+         |FROM lineitem WHERE l_orderkey % 50 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // the layout and manifest change WHICH FILES are read, not the
+    // result — the oracle filters the original table directly
+    "zorder_pruned_scan" ->
+      ("""SELECT (l_suppkey % 1024) % 8 AS yb, count(*) AS n,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         |FROM lineitem
+         |WHERE l_suppkey % 1024 BETWEEN 100 AND 163
+         |GROUP BY (l_suppkey % 1024) % 8 ORDER BY yb""".stripMargin),
+
     // single-pass whole-table sketch — the Spark side merges two
     // disjoint-half sketches, so the match proves the merge law too
     "sketch_hll" ->

@@ -519,6 +519,40 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "zorder_curve" -> ((s, dir) => {
+      // Morton z-values (sinks.ZOrderLake.zValue) — pure shift/and/or
+      // projection; the oracle recomputes them with DuckDB's bit
+      // operators from the same generated loop
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
+      val x = pmod(col("l_partkey"), lit(1024L))
+      val y = pmod(col("l_suppkey"), lit(1024L))
+      l.select(col("l_orderkey"), col("l_linenumber"),
+          x.as("x"), y.as("y"),
+          graft.sinks.ZOrderLake.zValue(Seq(x, y), 10).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "zorder_pruned_scan" -> ((s, dir) => {
+      // E2E layout proof: lineitem written z-ordered on (part, supp)
+      // buckets, then read back through the min/max manifest with a
+      // supp-bucket predicate — only intersecting files are opened
+      // (ZOrderLakeSpec asserts the file-count pruning; this row proves
+      // the pruned read loses no rows). Oracle is a plain filter+agg
+      // over the original table.
+      val path = "/tmp/graft_zorder/lineitem"
+      val l = t(s, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(1024L)).as("x"),
+        pmod(col("l_suppkey"), lit(1024L)).as("y"),
+        col("l_extendedprice"), col("l_quantity"))
+      val man = graft.sinks.ZOrderLake.writeZOrdered(
+        l, path, Seq("x", "y"), files = 16, bits = 10)
+      graft.sinks.ZOrderLake.prunedRead(s, path, man, "y", 100, 163)
+        .groupBy((col("y") % 8).as("yb"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"),
+          dsum(col("l_quantity")).as("qty"))
+        .orderBy("yb")
+    }),
+
     "sketch_hll" -> ((s, dir) => {
       // engine-exact HyperLogLog registers (functions.Sketches): the
       // query sketches two DISJOINT halves of orders and merges them

@@ -1,0 +1,107 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Z-order (Morton-curve) data layout + min/max file skipping.
+  *
+  * A lake sorted on ONE column prunes files only for predicates on that
+  * column; every other dimension's values smear across all files.
+  * Interleaving the bits of d columns into one z-value and range-
+  * partitioning on it gives every file a tight bounding box in ALL d
+  * dimensions, so a predicate on ANY of them skips most files — the
+  * layout trick behind Delta/Iceberg OPTIMIZE ZORDER, rebuilt here on
+  * plain parquet + a stats manifest.
+  *
+  * Scale shape: the z-value is a pure codegen projection (shift/and/or
+  * over already-read columns — zero extra I/O), the layout write is one
+  * range shuffle (identical cost to any sorted write), and the manifest
+  * is one row per FILE, so planning a 100 TB scan reads a few thousand
+  * manifest rows instead of footers of every file.
+  *
+  * Reference ground: the reference's sharded upload orders parts by a
+  * single PK range (sharding upload, pkg/abstract/storage.go TableDescription
+  * ranges); multi-dimensional read patterns are where that layout stops
+  * pruning and this one keeps going.
+  */
+object ZOrderLake {
+
+  /** Interleave the low `bits` bits of each (non-negative integer)
+    * column: dimension d contributes its bit i at position i*n+d.
+    * Callers bound their columns first (e.g. `pmod`, bucketized ranks);
+    * values >= 2^bits fold into the top z-range rather than erroring. */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty && bits * cols.size <= 62,
+      s"need bits*dims <= 62, got $bits*${cols.size}")
+    val n = cols.size
+    val terms = for {
+      i <- 0 until bits
+      (c, d) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast(LongType), i).bitwiseAND(lit(1L)), i * n + d)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** DuckDB twin of [[zValue]], generated from the same loop so the
+    * oracle recomputes bit-identical z-values. */
+  def zValueSql(cols: Seq[String], bits: Int = 16): String = {
+    val n = cols.size
+    (for {
+      i <- 0 until bits
+      (c, d) <- cols.zipWithIndex
+    } yield s"(((CAST($c AS BIGINT) >> $i) & 1) << ${i * n + d})")
+      .mkString(" | ")
+  }
+
+  /** Write `df` z-ordered on `dims` into `files` range-partitioned
+    * parquet files and return the path of a one-row-per-file min/max
+    * manifest over `dims` (written next to the data as parquet). */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
+                    files: Int, bits: Int = 16): String = {
+    val z = zValue(dims.map(col), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    buildManifest(df.sparkSession, path, dims)
+  }
+
+  /** (Re)build the per-file min/max manifest for `dims` — one scan of
+    * the dim columns, grouped by source file. */
+  def buildManifest(spark: SparkSession, path: String,
+                    dims: Seq[String]): String = {
+    val manifestPath = path.stripSuffix("/") + "_manifest"
+    val aggs = dims.flatMap(d =>
+      Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+    manifestPath
+  }
+
+  /** Files whose bounding box intersects `lo <= dim <= hi` — the
+    * planning step. The manifest is file-count-sized, so this is a
+    * driver-cheap metadata query. */
+  def candidateFiles(spark: SparkSession, manifestPath: String,
+                     dim: String, lo: Long, hi: Long): Seq[String] =
+    spark.read.parquet(manifestPath)
+      .filter(col(s"min_$dim") <= hi && col(s"max_$dim") >= lo)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Manifest-pruned scan: read only intersecting files, then apply the
+    * exact predicate. Result-identical to a full scan + filter; I/O
+    * proportional to the bounding-box selectivity instead of the table
+    * size. */
+  def prunedRead(spark: SparkSession, path: String, manifestPath: String,
+                 dim: String, lo: Long, hi: Long): DataFrame = {
+    val files = candidateFiles(spark, manifestPath, dim, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(dim) >= lo && col(dim) <= hi)
+  }
+}
