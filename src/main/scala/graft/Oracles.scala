@@ -328,6 +328,35 @@ object Oracles {
          |FROM iv JOIN p ON iv.g = p.g AND iv.lo <= p.p AND p.p < iv.hi
          |GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""".stripMargin),
 
+    // re-derives the expected error report from the defect formulas
+    // with plain SQL set ops (the planted defects are deterministic)
+    "checksum_compare" ->
+      ("""WITH missed AS (SELECT CAST(o_orderkey AS VARCHAR) AS key
+         |                FROM orders WHERE o_orderkey % 97 = 0),
+         |     extra AS (SELECT CAST(o_orderkey + 100000000 AS VARCHAR) AS key
+         |               FROM orders WHERE o_orderkey % 499 = 0),
+         |     price AS (SELECT CAST(o_orderkey AS VARCHAR) AS key
+         |               FROM orders
+         |               WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 = 0),
+         |     prio AS (SELECT CAST(o_orderkey AS VARCHAR) AS key
+         |              FROM orders
+         |              WHERE o_orderkey % 97 <> 0 AND o_orderkey % 103 = 0)
+         |SELECT * FROM (
+         |  SELECT 'missed key' AS kind, '' AS "column", count(*) AS n,
+         |    array_to_string((list(key ORDER BY key))[1:3], ',') AS sample_keys
+         |  FROM missed
+         |  UNION ALL
+         |  SELECT 'extra key', '', count(*),
+         |    array_to_string((list(key ORDER BY key))[1:3], ',') FROM extra
+         |  UNION ALL
+         |  SELECT 'column ''o_totalprice'' mismatch', 'o_totalprice', count(*),
+         |    array_to_string((list(key ORDER BY key))[1:3], ',') FROM price
+         |  UNION ALL
+         |  SELECT 'column ''o_orderpriority'' mismatch', 'o_orderpriority',
+         |    count(*),
+         |    array_to_string((list(key ORDER BY key))[1:3], ',') FROM prio
+         |) t WHERE n > 0 ORDER BY kind, "column"""".stripMargin),
+
     "zorder_curve" ->
       (s"""SELECT l_orderkey, l_linenumber,
          |  l_partkey % 1024 AS x, l_suppkey % 1024 AS y,

@@ -519,6 +519,30 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "checksum_compare" -> ((s, dir) => {
+      // source/target consistency check (operators.Checksum — the
+      // reference's checksum task, pkg/worker/tasks/checksum.go): the
+      // "target" is orders with planted defects (dropped keys, extra
+      // keys, perturbed price/priority), derived by the same formulas
+      // in the oracle, which re-derives the expected report with plain
+      // SQL set ops.
+      val src = t(s, dir, "orders")
+      val perturbed = src.filter(col("o_orderkey") % 97 =!= 0).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 0.5)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"),
+        when(col("o_orderkey") % 103 === 0,
+            concat(lit("X-"), col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      val extra = src.filter(col("o_orderkey") % 499 === 0).select(
+        (col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      graft.operators.Checksum.compare(
+        src, perturbed.unionByName(extra), Seq("o_orderkey"))
+    }),
+
     "zorder_curve" -> ((s, dir) => {
       // Morton z-values (sinks.ZOrderLake.zValue) — pure shift/and/or
       // projection; the oracle recomputes them with DuckDB's bit
