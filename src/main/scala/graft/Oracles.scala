@@ -357,6 +357,26 @@ object Oracles {
          |    array_to_string((list(key ORDER BY key))[1:3], ',') FROM prio
          |) t WHERE n > 0 ORDER BY kind, "column"""".stripMargin),
 
+    "sketch_kmv" ->
+      ("""WITH a AS (
+         |  SELECT DISTINCT CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12)) AS BIGINT) AS h
+         |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey IS NOT NULL
+         |  ORDER BY h LIMIT 256),
+         |b AS (
+         |  SELECT DISTINCT CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12)) AS BIGINT) AS h
+         |  FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey IS NOT NULL
+         |  ORDER BY h LIMIT 256),
+         |u AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+         |      ORDER BY h LIMIT 256),
+         |s AS (SELECT count(*) AS k_eff, max(h) AS kth FROM u),
+         |i AS (SELECT count(*) AS n_inter FROM u
+         |      WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+         |SELECT s.k_eff, s.kth, i.n_inter,
+         |  CAST(floor(CAST(i.n_inter AS DOUBLE) / s.k_eff * 1000000) AS BIGINT) AS jaccard_ppm,
+         |  CAST(floor((CASE WHEN s.k_eff < 256 THEN CAST(s.k_eff AS DOUBLE)
+         |    ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(s.kth AS DOUBLE) END) * 100) AS BIGINT) AS union_est_x100
+         |FROM s, i""".stripMargin),
+
     "zorder_curve" ->
       (s"""SELECT l_orderkey, l_linenumber,
          |  l_partkey % 1024 AS x, l_suppkey % 1024 AS y,

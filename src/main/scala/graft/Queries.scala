@@ -543,6 +543,31 @@ object Queries {
         src, perturbed.unionByName(extra), Seq("o_orderkey"))
     }),
 
+    "sketch_kmv" -> ((s, dir) => {
+      // KMV theta sketch (functions.Sketches.kmvSketch): bottom-256
+      // hash values of two overlapping customer sets, union-merged and
+      // membership-intersected — the set-operation capability HLL
+      // lacks. Estimates surface as floored integers (ppm / cents) so
+      // the cross-engine compare never rides on float rounding ties.
+      import graft.functions.Sketches
+      val o = t(s, dir, "orders")
+      val sa = Sketches.kmvSketch(
+        o.filter(col("o_orderkey") % 3 =!= 0).select("o_custkey"), "o_custkey")
+      val sb = Sketches.kmvSketch(
+        o.filter(col("o_orderkey") % 2 === 0).select("o_custkey"), "o_custkey")
+      val u = Sketches.kmvUnion(Seq(sa, sb))
+      val summ = u.agg(count(lit(1)).as("k_eff"), max(col("h")).as("kth"))
+      val inter = u.join(sa, "h").join(sb, "h")
+        .agg(count(lit(1)).as("n_inter"))
+      summ.crossJoin(inter).select(
+        col("k_eff"), col("kth"), col("n_inter"),
+        floor(col("n_inter").cast("double") / col("k_eff") * 1000000L)
+          .as("jaccard_ppm"),
+        floor(when(col("k_eff") < 256, col("k_eff").cast("double"))
+          .otherwise(lit(255.0) * lit(281474976710656.0) /
+            col("kth").cast("double")) * 100).as("union_est_x100"))
+    }),
+
     "zorder_curve" -> ((s, dir) => {
       // Morton z-values (sinks.ZOrderLake.zValue) — pure shift/and/or
       // projection; the oracle recomputes them with DuckDB's bit

@@ -91,6 +91,48 @@ object Sketches {
       .groupBy("j", "c").agg(count(lit(1)).as("cnt"))
   }
 
+  /** KMV (k-minimum-values / bottom-k theta) sketch: the k smallest
+    * DISTINCT 48-bit md5-derived hash values of a column. Where HLL
+    * only answers cardinality, KMV also answers set INTERSECTION:
+    * because every engine keeps the same k smallest hashes, two
+    * sketches can be compared value-by-value (Jaccard over the union
+    * sketch — Beyer et al., SIGMOD'07). 48 bits keeps every hash exact
+    * in a BIGINT on both engines.
+    *
+    * Scale shape: distinct-then-take-k-smallest is a map-side-combined
+    * aggregate plus a TakeOrdered — per-partition state is k values. */
+  def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast(LongType)
+
+  def kmvSketch(df: DataFrame, colName: String, k: Int = 256): DataFrame =
+    df.filter(col(colName).isNotNull)
+      .select(kmvHash(col(colName)).as("h")).distinct()
+      .orderBy("h").limit(k)
+
+  /** Union of KMV sketches = k smallest of the merged value sets. */
+  def kmvUnion(sketches: Seq[DataFrame], k: Int = 256): DataFrame =
+    sketches.reduce(_ unionByName _).distinct().orderBy("h").limit(k)
+
+  /** Distinct-count estimate: exact when the sketch is not full (it
+    * then holds every distinct hash), else (k-1) * 2^48 / h_k. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): Double = {
+    val hs = sketch.orderBy("h").collect().map(_.getLong(0))
+    if (hs.length < k) hs.length.toDouble
+    else (k - 1).toDouble * math.pow(2.0, 48) / hs.last.toDouble
+  }
+
+  /** Jaccard + intersection estimate of two columns via their sketches:
+    * the union sketch's values are membership-tested against each side.
+    * Returns (jaccard, unionEstimate, intersectionEstimate). */
+  def kmvJaccard(a: DataFrame, b: DataFrame, k: Int = 256): (Double, Double, Double) = {
+    val u = kmvUnion(Seq(a, b), k)
+    val inBoth = u.join(a, "h").join(b, "h").count()
+    val uCount = u.count()
+    val j = if (uCount == 0) 0.0 else inBoth.toDouble / uCount
+    val uEst = kmvEstimate(u, k)
+    (j, uEst, j * uEst)
+  }
+
   /** Merge CMS tables from disjoint data (cell-wise sum). */
   def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
     sketches.reduce(_ unionByName _)

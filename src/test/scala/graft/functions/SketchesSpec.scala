@@ -70,6 +70,36 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmv estimate within 15% on 5000 distincts; exact when not full") {
+    val df = (1 to 5000).map(i => s"k$i").toDF("v")
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(df, "v"))
+    assert(math.abs(est - 5000) / 5000.0 < 0.15, s"estimate $est")
+    val small = (1 to 100).map(i => s"s$i").toDF("v")
+    assert(Sketches.kmvEstimate(Sketches.kmvSketch(small, "v")) == 100.0)
+  }
+
+  test("kmv union sketch equals the sketch of the union") {
+    val a = (1 to 2000).map(i => s"u$i").toDF("v")
+    val b = (1500 to 3500).map(i => s"u$i").toDF("v")
+    val merged = Sketches.kmvUnion(Seq(
+      Sketches.kmvSketch(a, "v"), Sketches.kmvSketch(b, "v")))
+      .collect().map(_.getLong(0)).toSeq
+    val whole = Sketches.kmvSketch(a.unionByName(b), "v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == whole)
+  }
+
+  test("kmv jaccard tracks true overlap") {
+    // |A|=3000, |B|=3000, |A∩B|=2000, |A∪B|=4000 -> J = 0.5
+    val a = (1 to 3000).map(i => s"j$i").toDF("v")
+    val b = (1001 to 4000).map(i => s"j$i").toDF("v")
+    val (j, uEst, iEst) = Sketches.kmvJaccard(
+      Sketches.kmvSketch(a, "v"), Sketches.kmvSketch(b, "v"))
+    assert(math.abs(j - 0.5) < 0.1, s"jaccard $j")
+    assert(math.abs(uEst - 4000) / 4000.0 < 0.15, s"union $uEst")
+    assert(math.abs(iEst - 2000) / 2000.0 < 0.25, s"intersection $iEst")
+  }
+
   test("cms merge of disjoint halves equals the whole-data sketch") {
     val all = (1 to 1000).map(i => s"c${i % 123}").toDF("v")
     val a = all.filter(md5(col("v")).startsWith("0"))
