@@ -189,6 +189,85 @@ object Stress {
     timed("activeFiles via checkpoint (replays 200->10 json commits)") {
       require(sources.DeltaLite.activeFiles(spark, table).size == 200)
     }
+
+    // 12. As-of join at 5M events vs 500k state rows over 100k keys:
+    // one union + one keyed shuffle + per-key sort, state carried is
+    // one struct per task — must be sort-merge-join-priced, not
+    // nested-loop-priced.
+    val evts = spark.range(5000000).select(
+      (col("id") % 100000L).as("k"), (col("id") * 7L % 1000000L).as("t"),
+      col("id").as("eid"))
+    val states = spark.range(500000).select(
+      (col("id") % 100000L).as("k"), (col("id") * 13L % 1000000L).as("t"),
+      (col("id") % 997L).as("sv"))
+      .groupBy("k", "t").agg(max("sv").as("sv"))
+    val asofN = timed("AsofJoin 5M x 500k over 100k keys") {
+      operators.AsofJoin.join(evts, states, Seq("k"), "t", "t").count()
+    }
+    require(asofN == 5000000L, s"as-of must keep every left row, got $asofN")
+
+    // 13. Range join: 2M points vs 20k intervals — naive is 4e10
+    // pair-evaluations via nested loop; bucketization must keep it to
+    // one equi-join shuffle with ~interval-span replication.
+    val rpts = spark.range(2000000).select(
+      (col("id") % 16L).as("g"),
+      (col("id") * 2654435761L % 1000000L).cast("double").as("p"))
+    val rivs = spark.range(20000).select(
+      (col("id") % 16L).as("g"), col("id").as("iv_id"),
+      (col("id") * 48271L % 990000L).cast("double").as("lo"))
+      .withColumn("hi", col("lo") + 500.0)
+    val rjN = timed("RangeJoin 2M points x 20k intervals (gran=1000)") {
+      operators.RangeJoin.pointInterval(rpts, "p", rivs, "lo", "hi",
+        granularity = 1000.0, keys = Seq("g")).count()
+    }
+    println(s"[stress]   contained pairs=$rjN")
+
+    // 14. Checksum at 2M rows with ~0.1% planted defects: one
+    // full-outer join; the two-level sample cap keeps the report path
+    // skew-proof even though one error class holds 2k keys.
+    val csrc = spark.range(2000000).select(col("id"),
+      (col("id") % 1009L).cast("double").as("v"),
+      concat(lit("s"), (col("id") % 31L).cast("string")).as("s"))
+    val cdst = csrc.filter(col("id") % 2003L =!= 0)
+      .withColumn("v", when(col("id") % 997L === 0, col("v") + 1.0)
+        .otherwise(col("v")))
+    val crep = timed("Checksum 2M rows full-outer compare") {
+      operators.Checksum.compare(csrc, cdst, Seq("id")).collect()
+    }
+    require(crep.exists(r => r.getString(0) == "missed key" && r.getLong(2) == 999L),
+      crep.mkString("; "))
+
+    // 15. Sketches at 10M rows: fixed-size shuffle state means these
+    // must run at scan speed; HLL estimate must land within 3% of the
+    // true 1M distincts.
+    val wide = spark.range(10000000).select(
+      (col("id") % 1000000L).cast("string").as("v"))
+    val hllEst = timed("HLL registers over 10M rows (1M distinct)") {
+      functions.Sketches.hllEstimate(
+        functions.Sketches.hllRegisters(wide, "v"))
+    }
+    require(math.abs(hllEst - 1e6) / 1e6 < 0.10, s"hll estimate $hllEst")
+    timed("KMV sketch over 10M rows") {
+      functions.Sketches.kmvSketch(wide, "v").count()
+    }
+
+    // 16. Z-order at 2M rows into 64 files: the write is one range
+    // shuffle; a 1/16-wide predicate on EITHER dimension must prune
+    // most files via the manifest.
+    val zdf = spark.range(2000000).select(
+      (functions.Hashing.hex8ToLong(concat(lit("zx"), col("id").cast("string"))) % 4096L).as("x"),
+      (functions.Hashing.hex8ToLong(concat(lit("zy"), col("id").cast("string"))) % 4096L).as("y"),
+      col("id"))
+    val zpath = java.nio.file.Files.createTempDirectory("graft_stress_z")
+      .toString + "/lake"
+    val zman = timed("Z-order write 2M rows -> 64 files + manifest") {
+      sinks.ZOrderLake.writeZOrdered(zdf, zpath, Seq("x", "y"), files = 64,
+        bits = 12)
+    }
+    val zcand = sinks.ZOrderLake.candidateFiles(spark, zman, "y", 0, 255).size
+    println(s"[stress]   y-slice candidate files: $zcand of 64")
+    require(zcand <= 24, s"z-order manifest should prune most files, got $zcand")
+
     spark.stop()
   }
 }
