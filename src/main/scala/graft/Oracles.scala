@@ -357,6 +357,13 @@ object Oracles {
          |    array_to_string((list(key ORDER BY key))[1:3], ',') FROM prio
          |) t WHERE n > 0 ORDER BY kind, "column"""".stripMargin),
 
+    // the bloom index changes which files are read, not the result
+    "bloom_pruned_scan" ->
+      ("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         |FROM lineitem
+         |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+         |ORDER BY l_linenumber""".stripMargin),
+
     "sketch_kmv" ->
       ("""WITH a AS (
          |  SELECT DISTINCT CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12)) AS BIGINT) AS h

@@ -543,6 +543,27 @@ object Queries {
         src, perturbed.unionByName(extra), Seq("o_orderkey"))
     }),
 
+    "bloom_pruned_scan" -> ((s, dir) => {
+      // point-lookup through the bloom file index (sinks.ZOrderLake
+      // .bloomManifest): lineitem hash-partitioned into 16 files so
+      // min/max manifests cannot prune an orderkey probe, the bloom
+      // index opens only files that can contain it. The probed key (the
+      // table's min orderkey) is present at every scale factor; oracle
+      // filters the original table directly — the index changes which
+      // files are READ, never the result.
+      val path = "/tmp/graft_bloom/lineitem"
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      l.repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      val man = graft.sinks.ZOrderLake.bloomManifest(s, path, "l_orderkey")
+      val probe = l.agg(min("l_orderkey")).collect().head.getLong(0)
+      graft.sinks.ZOrderLake.bloomPointRead(
+          s, path, man, "l_orderkey", probe.toString)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_linenumber")
+    }),
+
     "sketch_kmv" -> ((s, dir) => {
       // KMV theta sketch (functions.Sketches.kmvSketch): bottom-256
       // hash values of two overlapping customer sets, union-merged and

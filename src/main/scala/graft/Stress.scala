@@ -268,6 +268,20 @@ object Stress {
     println(s"[stress]   y-slice candidate files: $zcand of 64")
     require(zcand <= 24, s"z-order manifest should prune most files, got $zcand")
 
+    // 17. Bloom file index on the same 2M-row lake: a point probe on
+    // the 2M-cardinality id column (min/max manifests prune nothing
+    // here) must open a handful of the 64 files.
+    val bman = timed("bloomManifest 2M rows, 64 files, 256k bits") {
+      sinks.ZOrderLake.bloomManifest(spark, zpath, "id", bits = 262144)
+    }
+    val bcand = sinks.ZOrderLake.bloomCandidateFiles(
+      spark, bman, "123456", bits = 262144).size
+    println(s"[stress]   point-probe candidate files: $bcand of 64")
+    require(bcand <= 16, s"bloom index should prune most files, got $bcand")
+    val brow = sinks.ZOrderLake.bloomPointRead(
+      spark, zpath, bman, "id", "123456", bits = 262144).count()
+    require(brow == 1L, s"probe must find exactly its row, got $brow")
+
     spark.stop()
   }
 }

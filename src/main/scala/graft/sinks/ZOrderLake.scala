@@ -104,4 +104,50 @@ object ZOrderLake {
       else spark.read.parquet(files: _*)
     base.filter(col(dim) >= lo && col(dim) <= hi)
   }
+
+  /** Bloom-filter file index for POINT lookups — the complement of the
+    * min/max manifest, which prunes nothing for an equality probe on a
+    * high-cardinality key spread across the full value range.
+    *
+    * Per file, per indexed column: the set of occupied positions
+    * `md5-hash(value) % bits` — a bloom bitset in sparse form, bounded
+    * by `bits` entries regardless of file size, built by ONE map-side-
+    * combined aggregation. False-positive rate ~ fill ratio (choose
+    * bits >= a few x the expected per-file distinct count); false
+    * negatives impossible, so pruned reads stay result-exact. */
+  def bloomManifest(spark: SparkSession, path: String, column: String,
+                    bits: Int = 4096): String = {
+    val manifestPath = path.stripSuffix("/") + s"_bloom_$column"
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(sort_array(collect_set(pmod(
+        graft.functions.Hashing.hex8ToLong(col(column).cast("string")),
+        lit(bits.toLong)).cast("int"))).as("positions"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+    manifestPath
+  }
+
+  /** Files whose bloom bitset contains the probe value's position. */
+  def bloomCandidateFiles(spark: SparkSession, bloomPath: String,
+                          value: String, bits: Int = 4096): Seq[String] = {
+    val pos = math.floorMod(
+      graft.functions.Hashing.hex8ToLongJvm(value), bits.toLong).toInt
+    spark.read.parquet(bloomPath)
+      .filter(array_contains(col("positions"), pos))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Point-lookup scan through the bloom index: result-identical to a
+    * full scan + equality filter, reading only files that can contain
+    * the value. */
+  def bloomPointRead(spark: SparkSession, path: String, bloomPath: String,
+                     column: String, value: String,
+                     bits: Int = 4096): DataFrame = {
+    val files = bloomCandidateFiles(spark, bloomPath, value, bits)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(column).cast("string") === value)
+  }
 }

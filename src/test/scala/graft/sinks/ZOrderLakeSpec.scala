@@ -61,6 +61,33 @@ class ZOrderLakeSpec extends SparkSpec {
     assert(pruned.getLong(0) > 0)
   }
 
+  test("bloom index prunes point lookups, never loses rows") {
+    // 200k rows hash-partitioned into 32 files: each key lives in ONE
+    // file, so a probe should open ~1 file + false positives
+    val df = spark.range(200000).select(
+      concat(lit("key"), col("id").cast("string")).as("k"), col("id"))
+    val p = "/tmp/graft_zorder/bloom"
+    df.repartition(32, col("k")).write.mode("overwrite").parquet(p)
+    val man = ZOrderLake.bloomManifest(spark, p, "k", bits = 65536)
+
+    val present = ZOrderLake.bloomCandidateFiles(spark, man, "key123456", bits = 65536).size
+    assert(present >= 1 && present <= 8,
+      s"probe should open few files, got $present of 32")
+    val got = ZOrderLake.bloomPointRead(spark, p, man, "k", "key123456", bits = 65536)
+      .collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(123456L))
+
+    // min/max manifest is useless for this probe — every file spans
+    // nearly the whole value range (the reason the bloom index exists)
+    val mm = ZOrderLake.buildManifest(spark, p, Seq("id"))
+    val mmCand = ZOrderLake.candidateFiles(spark, mm, "id", 123456, 123456)
+    assert(mmCand.size == 32, s"min/max cannot prune here: ${mmCand.size}")
+
+    // absent key: typically zero candidates, never a wrong row
+    val absent = ZOrderLake.bloomPointRead(spark, p, man, "k", "nosuchkey", bits = 65536)
+    assert(absent.count() == 0)
+  }
+
   test("prunedRead with no intersecting files returns empty, not error") {
     val df = Seq((1L, 2L, 10L)).toDF("x", "y", "id")
     val p = "/tmp/graft_zorder/tiny"
