@@ -364,6 +364,16 @@ object Oracles {
          |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
          |ORDER BY l_linenumber""".stripMargin),
 
+    // one-pass batch sketch — the Spark side accumulated the SAME
+    // registers incrementally over a stream
+    "stream_sketch" ->
+      (s"""WITH h AS (
+         |  SELECT CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,2)) AS BIGINT) AS bucket,
+         |         CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),3,8)) AS BIGINT) AS h2
+         |  FROM orders WHERE o_custkey IS NOT NULL)
+         |SELECT bucket, max(${graft.functions.Sketches.rho32Sql("h2")}) AS r
+         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin),
+
     "sketch_kmv" ->
       ("""WITH a AS (
          |  SELECT DISTINCT CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12)) AS BIGINT) AS h

@@ -1358,6 +1358,32 @@ object Queries {
       graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 
+    "stream_sketch" -> ((s, dir) => {
+      // streaming HLL: the SAME register aggregation as sketch_hll run
+      // as an update-over-stream (complete mode, 256-row state), fed in
+      // two batches; the final state must equal the one-pass batch
+      // sketch the oracle computes — a replication stream can keep live
+      // distinct counts at fixed state, because the sketch IS its own
+      // streaming state. Fixture feed is driver-fed by MemoryStream
+      // contract.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val keys = t(s, dir, "orders").select(col("o_custkey"))
+        .as[Long].collect()
+      val mem = MemoryStream[Long]
+      val regs = graft.functions.Sketches.hllRegisters(
+        mem.toDF().toDF("o_custkey"), "o_custkey")
+      val q = regs.writeStream.format("memory")
+        .queryName("graft_hll_stream").outputMode("complete").start()
+      try {
+        val (a, b) = keys.splitAt(keys.length / 3)
+        mem.addData(a.toSeq); q.processAllAvailable()
+        mem.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_hll_stream").orderBy("bucket")
+    }),
+
     "watermark_dedup" -> ((s, dir) => {
       // watermarked duplicate suppression through a real stream: replayed
       // rows (identical key+ts) inside the watermark collapse to one

@@ -73,13 +73,60 @@ object ZOrderLake {
   def buildManifest(spark: SparkSession, path: String,
                     dims: Seq[String]): String = {
     val manifestPath = path.stripSuffix("/") + "_manifest"
-    val aggs = dims.flatMap(d =>
-      Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(minMaxAggs(dims).head, minMaxAggs(dims).tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath)
+    manifestPath
+  }
+
+  private def minMaxAggs(dims: Seq[String]) = dims.flatMap(d =>
+    Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+
+  /** Incremental manifest maintenance for append/compact workloads:
+    * scan ONLY files not yet in the manifest, drop manifest rows for
+    * files that no longer exist, keep the rest untouched. A full
+    * rebuild rescans the whole lake — at 100 TB an append of one file
+    * must cost one file's scan, which is what this does. Parquet file
+    * names are immutable (writers never modify a committed file), so a
+    * known file's stats can never go stale.
+    *
+    * The file listing comes from the read relation's file index
+    * (driver metadata, no data scan); the manifest itself is
+    * file-count-sized, so the known-set comparison is driver-cheap.
+    * The swap is write-new-then-rename, so a crash leaves either the
+    * old or the new manifest, never a torn one. */
+  def updateManifest(spark: SparkSession, path: String,
+                     dims: Seq[String]): String = {
+    val manifestPath = path.stripSuffix("/") + "_manifest"
+    val hPath = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return buildManifest(spark, path, dims)
+
+    val current = spark.read.parquet(path).inputFiles.toSet
+    val old = spark.read.parquet(manifestPath)
+    val known = old.select("file").collect().map(_.getString(0)).toSet
+    val added = (current -- known).toSeq.sorted
+    val removed = known -- current
+    if (added.isEmpty && removed.isEmpty) return manifestPath
+
+    val kept =
+      (if (removed.isEmpty) old
+       else old.filter(!col("file").isInCollection(removed))).collect()
+    val fresh =
+      if (added.isEmpty) Seq.empty
+      else spark.read.parquet(added: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(minMaxAggs(dims).head, minMaxAggs(dims).tail: _*)
+        .collect().toSeq
+    val combined = spark.createDataFrame(
+      spark.sparkContext.parallelize(kept ++ fresh, 1), old.schema)
+
+    val tmp = new org.apache.hadoop.fs.Path(manifestPath + "_new")
+    combined.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
     manifestPath
   }
 

@@ -88,6 +88,48 @@ class ZOrderLakeSpec extends SparkSpec {
     assert(absent.count() == 0)
   }
 
+  test("updateManifest scans only new files, drops vanished ones") {
+    val p = "/tmp/graft_zorder/incr"
+    val fsPath = new org.apache.hadoop.fs.Path(p)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fsPath, true)
+    fs.delete(new org.apache.hadoop.fs.Path(p + "_manifest"), true)
+
+    Seq((1L, 10L)).toDF("x", "id").coalesce(1)
+      .write.mode("append").parquet(p)
+    val man = ZOrderLake.updateManifest(spark, p, Seq("x")) // builds fresh
+    val before = spark.read.parquet(man).collect()
+    assert(before.length == 1)
+
+    // append a second file: only it should be (re)scanned; the old
+    // row must survive BYTE-identical (same stats, same file name)
+    Seq((5L, 20L), (7L, 30L)).toDF("x", "id").coalesce(1)
+      .write.mode("append").parquet(p)
+    ZOrderLake.updateManifest(spark, p, Seq("x"))
+    val after = spark.read.parquet(man).collect()
+    assert(after.length == 2)
+    assert(after.map(_.toString).toSet.contains(before.head.toString))
+    val newRow = after.filter(_.toString != before.head.toString).head
+    assert(newRow.getLong(newRow.fieldIndex("min_x")) == 5L)
+    assert(newRow.getLong(newRow.fieldIndex("max_x")) == 7L)
+
+    // no changes -> untouched (same modification time)
+    val mt0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(man))
+      .getModificationTime
+    ZOrderLake.updateManifest(spark, p, Seq("x"))
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(man))
+      .getModificationTime == mt0)
+
+    // delete the first file -> its manifest row disappears
+    val firstFile = new org.apache.hadoop.fs.Path(
+      new java.net.URI(before.head.getString(before.head.fieldIndex("file"))))
+    fs.delete(firstFile, false)
+    ZOrderLake.updateManifest(spark, p, Seq("x"))
+    val pruned = spark.read.parquet(man).collect()
+    assert(pruned.length == 1)
+    assert(pruned.head.getLong(pruned.head.fieldIndex("min_x")) == 5L)
+  }
+
   test("prunedRead with no intersecting files returns empty, not error") {
     val df = Seq((1L, 2L, 10L)).toDF("x", "y", "id")
     val p = "/tmp/graft_zorder/tiny"
