@@ -1450,6 +1450,13 @@ object Oracles {
       ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "ORDER BY o_orderkey"),
 
+    // the overwrite commit (v2) must be invisible at version 1
+    "delta_time_travel" ->
+      ("""SELECT o_orderstatus, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders WHERE o_orderkey % 4 <= 1
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
     "merge_bucketed" ->
       ("""SELECT o_orderkey AS k,
          |  CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0

@@ -1986,6 +1986,27 @@ object Queries {
       graft.sources.DeltaLite.read(s, path).orderBy("o_orderkey")
     }),
 
+    "delta_time_travel" -> ((s, dir) => {
+      // versionAsOf over the same public protocol: three commits (two
+      // appends, then an overwrite that logically removes them); reading
+      // version 1 must reconstruct exactly the pre-overwrite state from
+      // the immutable data files + truncated log replay
+      val path = "/tmp/graft_delta_tt/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_delta_tt"), true)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.DeltaLite.write(o.filter(col("o_orderkey") % 4 === 0), path)
+      graft.sources.DeltaLite.write(o.filter(col("o_orderkey") % 4 === 1), path)
+      graft.sources.DeltaLite.write(o.filter(col("o_orderkey") % 4 === 2), path,
+        overwrite = true)
+      graft.sources.DeltaLite.readAt(s, path, 1L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "merge_bucketed" -> ((s, dir) => {
       // bucketed incremental MERGE end-to-end: snapshot batch, then a
       // CDC batch of disjoint updates/deletes; the final state is read

@@ -26,12 +26,32 @@ object DeltaLite {
       .parquet(files.map(f => s"$tablePath/$f"): _*)
   }
 
+  /** Time travel: the table exactly as of commit `version` (the public
+    * protocol's `versionAsOf`). Same log replay as [[read]], truncated
+    * at `version` — data files are immutable and removes are logical
+    * log entries, so every historical state stays reconstructible until
+    * a vacuum physically deletes files. */
+  def readAt(spark: SparkSession, tablePath: String, version: Long): DataFrame = {
+    val files = activeFilesAt(spark, tablePath, Some(version))
+    if (files.isEmpty) read(spark, tablePath).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$tablePath/$f"): _*)
+  }
+
   /** Active data files after replaying the log. Starts from the latest
     * parquet checkpoint when `_last_checkpoint` points at one (the
     * public protocol's log-compaction mechanism), then replays only the
     * JSON commits AFTER it — without this, a 10k-commit table costs a
     * driver-side O(n) JSON replay on every read. */
-  def activeFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+  def activeFiles(spark: SparkSession, tablePath: String): Seq[String] =
+    activeFilesAt(spark, tablePath, None)
+
+  /** As [[activeFiles]], optionally truncating the replay at `asOf`:
+    * the checkpoint shortcut applies only when the checkpoint is not
+    * newer than `asOf` (a newer one already folds commits that must be
+    * excluded), and the requested version must actually be committed. */
+  def activeFilesAt(spark: SparkSession, tablePath: String,
+                    asOf: Option[Long]): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
@@ -46,7 +66,13 @@ object DeltaLite {
           finally in.close()
         """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
           .map(_.group(1).toLong)
+          .filter(v => asOf.forall(v <= _))
       }
+    }
+    asOf.foreach { v =>
+      val committed = ckptVersion.contains(v) || fs.exists(
+        new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"))
+      require(committed, s"version $v was never committed at $tablePath")
     }
     val adds = scala.collection.mutable.LinkedHashMap[String, Unit]()
     ckptVersion.foreach { v =>
@@ -61,6 +87,7 @@ object DeltaLite {
     val entries = fs.listStatus(logDir).map(_.getPath.getName)
       .filter(_.endsWith(".json"))
       .filter(n => ckptVersion.forall(n.stripSuffix(".json").toLong > _))
+      .filter(n => asOf.forall(n.stripSuffix(".json").toLong <= _))
       .sorted
     entries.foreach { name =>
       val p = new org.apache.hadoop.fs.Path(logDir, name)

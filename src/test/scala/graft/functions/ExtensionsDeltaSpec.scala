@@ -200,6 +200,34 @@ class ExtensionsDeltaSpec extends SparkSpec {
     assert(plainOut.toSeq == Seq(1L))
   }
 
+  test("DeltaLite time travel: readAt reconstructs each committed version") {
+    val table = Files.createTempDirectory("graft_delta_tt").toString + "/t"
+    DeltaLite.write(Seq((1L, "a")).toDF("id", "v"), table)
+    DeltaLite.write(Seq((2L, "b")).toDF("id", "v"), table)
+    DeltaLite.write(Seq((9L, "z")).toDF("id", "v"), table, overwrite = true)
+    def at(ver: Long) = DeltaLite.readAt(spark, table, ver)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(at(0) == Seq((1L, "a")))
+    assert(at(1) == Seq((1L, "a"), (2L, "b")))
+    assert(at(2) == Seq((9L, "z"))) // overwrite logically removed v0-v1 files
+    assert(at(2) == DeltaLite.read(spark, table)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1))
+    intercept[IllegalArgumentException](at(7))
+  }
+
+  test("DeltaLite time travel ignores checkpoints newer than the target") {
+    val table = Files.createTempDirectory("graft_delta_ttc").toString + "/t"
+    for (i <- 0 until 15)
+      DeltaLite.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), table,
+        checkpointInterval = 10)
+    // _last_checkpoint points at v10; reading v5 must replay JSON only
+    val at5 = DeltaLite.readAt(spark, table, 5L)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(at5 == (0 to 5).map(i => (i.toLong, s"v$i")))
+    // reading v12 may use the v10 checkpoint + 2 JSON commits
+    assert(DeltaLite.readAt(spark, table, 12L).count() == 13)
+  }
+
   test("cloudevents envelope parse") {
     val df = Seq(
       """{"specversion":"1.0","id":"e1","source":"/svc","type":"created","time":"2024-01-01T00:00:00Z","data":{"k":7}}""")
