@@ -11,9 +11,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
-    val spark = GraftSession
+    val spark = GraftSession.init(GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen path once so the first measured query isn't
     // charged several seconds of one-time initialization

@@ -51,11 +51,19 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
 
-  def create(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]")
-      : SparkSession = {
-    val spark = builder(master).getOrCreate()
+  /** Engine registrations on a freshly-built session: SQL functions,
+    * JDBC dialect, plan-extension rules. Every entrypoint that builds
+    * via [[builder]] must pass through here (create() does). */
+  def init(spark: SparkSession): SparkSession = {
     graft.functions.GraftFunctions.register(spark)
     graft.sources.GraftJdbcDialect.register()
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RangeJoinRewrite)
     spark
   }
+
+  def create(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]")
+      : SparkSession = init(builder(master).getOrCreate())
 }

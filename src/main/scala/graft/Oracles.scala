@@ -314,6 +314,20 @@ object Oracles {
          |  ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY l.event_id""".stripMargin),
 
+    // identical semantics to range_join — here the bucketization was
+    // applied by the OPTIMIZER RULE to plain SQL, not by the operator
+    "range_join_sql" ->
+      ("""WITH p AS (SELECT l_orderkey % 10 AS g, l_extendedprice AS p
+         |           FROM lineitem),
+         |     iv AS (SELECT o_orderkey, o_orderkey % 10 AS g,
+         |                   o_totalprice * 0.9 AS lo,
+         |                   o_totalprice * 1.1 AS hi
+         |            FROM orders WHERE o_orderkey % 500 = 0)
+         |SELECT iv.o_orderkey, count(*) AS n,
+         |  CAST(sum(CAST(p.p AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM iv JOIN p ON iv.g = p.g AND iv.lo <= p.p AND p.p < iv.hi
+         |GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""".stripMargin),
+
     // plain inequality join in the oracle — bucketization changes the
     // plan (equi-join vs nested loop), not the result
     "range_join" ->

@@ -653,6 +653,44 @@ object Queries {
         .orderBy("j", "c")
     }),
 
+    "range_join_sql" -> ((s, dir) => {
+      // the same interval join as range_join, spelled as PLAIN SQL and
+      // bucketized transparently by the RangeJoinRewrite optimizer rule
+      // (plans.RangeJoinRewrite via SparkSessionExtensions). The plan
+      // assertion proves the rewrite fired and killed the nested loop;
+      // persist+count materializes THROUGH the rewritten plan so the
+      // verified rows are the rule's output, not a later re-plan.
+      val key = "spark.graft.rangejoin.bucketWidth"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "10000")
+      try {
+        t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 10).as("pg"),
+            col("l_extendedprice").as("p"))
+          .createOrReplaceTempView("rjq_pts")
+        t(s, dir, "orders").filter(col("o_orderkey") % 500 === 0)
+          .select(col("o_orderkey"), (col("o_orderkey") % 10).as("ig"),
+            (col("o_totalprice") * 0.9).as("lo"),
+            (col("o_totalprice") * 1.1).as("hi"))
+          .createOrReplaceTempView("rjq_ivs")
+        val df = s.sql(
+          """SELECT o_orderkey, count(*) AS n,
+            |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM rjq_pts JOIN rjq_ivs
+            |  ON pg = ig AND lo <= p AND p < hi
+            |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("__rj_b"), "rewrite did not fire:\n" + plan)
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"), plan)
+        df.persist(); df.count()
+        df
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     "serialize_csv" -> ((s, dir) => {
       // CSV wire serializer (Sinks.csvLine): NULL -> empty field,
       // embedded delimiter / quote / newline -> quoted with internal

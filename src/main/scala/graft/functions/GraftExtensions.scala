@@ -14,10 +14,14 @@ import org.apache.spark.sql.graft.bridge
   *   - `GraftFunctions.register(spark)` on a live session (tests, REPL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // plan-level extension: transparent range-join bucketization for
+    // the SQL surface (gated on spark.graft.rangejoin.bucketWidth)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftFunctions {

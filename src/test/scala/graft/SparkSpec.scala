@@ -21,6 +21,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // same plan extensions a GraftSession.create() session carries
+    s.experimental.extraOptimizations ++= Seq(graft.plans.RangeJoinRewrite)
     s
   }
 }
