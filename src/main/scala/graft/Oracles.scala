@@ -314,6 +314,26 @@ object Oracles {
          |  ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY l.event_id""".stripMargin),
 
+    // identical oracle to asof_join: broadcast vs shuffle is a plan
+    // choice, not a semantics choice
+    "asof_join_broadcast" ->
+      ("""WITH l AS (SELECT user_id, ts, event_id FROM events
+         |           WHERE event_id % 5 <> 0),
+         |     r AS (SELECT user_id, ts, max(value) AS state FROM events
+         |           WHERE event_id % 5 = 0 GROUP BY user_id, ts)
+         |SELECT l.event_id, l.user_id, l.ts,
+         |       r.state AS r_state, r.ts AS r_ts
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+         |ORDER BY l.event_id""".stripMargin),
+
+    "global_index" ->
+      ("""SELECT o_orderkey, global_idx FROM (
+         |  SELECT o_orderkey,
+         |         row_number() OVER (ORDER BY o_orderkey) - 1 AS global_idx
+         |  FROM orders) t
+         |WHERE global_idx % 100 = 0 ORDER BY global_idx""".stripMargin),
+
     // identical semantics to range_join — here the bucketization was
     // applied by the OPTIMIZER RULE to plain SQL, not by the operator
     "range_join_sql" ->

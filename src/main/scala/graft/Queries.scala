@@ -498,6 +498,37 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "asof_join_broadcast" -> ((s, dir) => {
+      // same semantics as asof_join via the broadcast spelling
+      // (operators.AsofJoinBroadcast): the small state side collapses
+      // to per-key sorted histories and broadcasts; the event side is
+      // NEVER shuffled — the spelling a 100 TB event table against a
+      // GB state table wants. Same DuckDB native ASOF oracle.
+      val ev = t(s, dir, "events")
+      val left = ev.filter(col("event_id") % 5 =!= 0)
+        .select("user_id", "ts", "event_id")
+      val right = ev.filter(col("event_id") % 5 === 0)
+        .groupBy("user_id", "ts").agg(max(col("value")).as("state"))
+      graft.operators.AsofJoinBroadcast.join(
+          left, right, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("r_state"), col("r_ts"))
+        .orderBy("event_id")
+    }),
+
+    "global_index" -> ((s, dir) => {
+      // dense 0-based global numbering in key order without a single-
+      // task window (operators.GlobalIndex: one range shuffle +
+      // zipWithIndex). Every 100th row keeps the output compact while
+      // still proving the whole assignment (any offset error shifts
+      // some sampled row).
+      graft.operators.GlobalIndex.byOrder(
+          t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"))
+        .filter(col("global_idx") % 100 === 0)
+        .select("o_orderkey", "global_idx")
+        .orderBy("global_idx")
+    }),
+
     "range_join" -> ((s, dir) => {
       // interval-containment join (operators.RangeJoin): lineitem prices
       // against +/-10% bands around a sampled set of order totals,

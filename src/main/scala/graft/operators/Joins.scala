@@ -141,6 +141,42 @@ object AsofJoin {
   }
 }
 
+object AsofJoinBroadcast {
+
+  /** As-of join for a SMALL right side: the reason to prefer this over
+    * [[AsofJoin.join]] is WHICH SIDE SHUFFLES. The union spelling
+    * shuffles both sides on the key — at 100 TB of left events against
+    * a GB of state, repartitioning the events is the entire job cost.
+    * Here the right side collapses to one sorted array per key
+    * (bounded by that key's history — the caller asserts it fits a
+    * broadcast), the join broadcasts, and the left side is NEVER
+    * shuffled: the probe is a per-row scan of the key's array inside a
+    * codegen'd higher-order function.
+    *
+    * Per-row probe cost is O(history); for long histories use the
+    * shuffle spelling, which sorts once instead. Semantics match
+    * [[AsofJoin.join]] backward-inclusive exactly (spec-asserted).
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           rightPrefix: String = "r_"): DataFrame = {
+    val rightVals = right.columns.filterNot(c => keys.contains(c)).toSeq
+    val rightAgg = right.groupBy(keys.map(right(_)): _*)
+      .agg(sort_array(collect_list(struct(
+        (right(rightTime).as("__rt") +:
+          rightVals.map(c => right(c).as(c))): _*))).as("__hist"))
+    val probed = left.join(broadcast(rightAgg), keys, "left")
+    // latest history entry at-or-before the left time: filter then last
+    // (size-guarded — element_at out-of-bounds throws under ANSI)
+    val hist = filter(col("__hist"),
+      e => e.getField("__rt") <= col(leftTime))
+    val m = when(size(hist) > 0, element_at(hist, size(hist)))
+    probed.select(
+      left.columns.map(col) ++
+        rightVals.map(c => m.getField(c).as(rightPrefix + c)): _*)
+  }
+}
+
 /** Range (interval-containment) join: points to the intervals that
   * contain them, `lo <= p < hi`, optionally within equi-key groups.
   * Spark's planner turns a bare inequality join into a nested-loop over

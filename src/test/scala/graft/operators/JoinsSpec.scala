@@ -111,6 +111,37 @@ class JoinsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("broadcast asof join matches the shuffle spelling exactly") {
+    val left = graft.Tables.load(spark, sf(), "events")
+      .filter(col("event_id") % 5 =!= 0)
+      .select("user_id", "ts", "event_id")
+    val right = graft.Tables.load(spark, sf(), "events")
+      .filter(col("event_id") % 5 === 0)
+      .groupBy("user_id", "ts").agg(max(col("value")).as("state"))
+    val viaShuffle = AsofJoin.join(left, right, Seq("user_id"), "ts", "ts")
+      .select("event_id", "r_state", "r_ts").collect()
+      .map(_.toString).sorted.toSeq
+    val viaBroadcast = AsofJoinBroadcast.join(
+        left, right, Seq("user_id"), "ts", "ts")
+      .select("event_id", "r_state", "r_ts").collect()
+      .map(_.toString).sorted.toSeq
+    assert(viaBroadcast == viaShuffle)
+  }
+
+  test("broadcast asof join never shuffles the left side") {
+    val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val plan = AsofJoinBroadcast.join(left, right, Seq("k"), "t", "t")
+      .queryExecution.executedPlan.toString
+    // only the tiny right aggregation may exchange; the probe side must
+    // go straight into a BroadcastHashJoin
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val streamSide = plan.split("BroadcastHashJoin")(1)
+      .split("BroadcastExchange")(0)
+    assert(!streamSide.contains("Exchange"),
+      "left side must not shuffle:\n" + plan)
+  }
+
   test("range join bucketization equals the naive inequality join") {
     val pts = (1 to 500).map(i => (i.toLong % 7, i.toDouble)).toDF("g", "p")
     val ivs = Seq((0L, 10.0, 40.0, "A"), (0L, 35.0, 36.0, "tiny"),
