@@ -282,6 +282,37 @@ object Stress {
       spark, zpath, bman, "id", "123456", bits = 262144).count()
     require(brow == 1L, s"probe must find exactly its row, got $brow")
 
+    // 18. Global index over 10M rows: one range shuffle + zipWithIndex;
+    // the single-task window spelling would funnel 10M rows through one
+    // core.
+    val gidx = timed("GlobalIndex 10M rows") {
+      operators.GlobalIndex.byOrder(
+        spark.range(10000000).select(
+          (col("id") * 2654435761L % 999999937L).as("k")),
+        Seq("k"), partitions = 32)
+    }
+    val gStats = gidx.agg(count(lit(1)), min("global_idx"),
+      max("global_idx"), count_distinct(col("global_idx"))).collect().head
+    require(gStats.getLong(0) == 10000000L && gStats.getLong(1) == 0L &&
+      gStats.getLong(2) == 9999999L && gStats.getLong(3) == 10000000L,
+      s"index must be dense 0..N-1: $gStats")
+
+    // 19. Broadcast as-of: 5M events probe a 50k-row state table
+    // (500 keys x 100 history entries) with ZERO shuffle of the event
+    // side — compare wall-clock with the double-shuffle spelling above.
+    val bevts = spark.range(5000000).select(
+      (col("id") % 500L).as("k"), (col("id") * 7L % 1000000L).as("t"),
+      col("id").as("eid"))
+    val bstates = spark.range(50000).select(
+      (col("id") % 500L).as("k"), (col("id") * 13L % 1000000L).as("t"),
+      (col("id") % 997L).as("sv"))
+      .groupBy("k", "t").agg(max("sv").as("sv"))
+    val bN = timed("AsofJoinBroadcast 5M x 50k (500 keys, no left shuffle)") {
+      operators.AsofJoinBroadcast.join(bevts, bstates, Seq("k"), "t", "t")
+        .count()
+    }
+    require(bN == 5000000L, s"broadcast as-of must keep every left row, got $bN")
+
     spark.stop()
   }
 }

@@ -105,6 +105,43 @@ object DeltaLite {
     adds.keys.toSeq
   }
 
+  /** Physical cleanup (the protocol's VACUUM): delete data files not
+    * referenced by the active set of any of the newest
+    * `retainVersions` commits. Removes are LOGICAL until this runs —
+    * that is what makes time travel free — so storage only shrinks
+    * here. After a vacuum, [[readAt]] older than the retention horizon
+    * fails on missing files, exactly like real Delta.
+    * Returns the deleted file count. */
+  def vacuum(spark: SparkSession, tablePath: String,
+             retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
+    val versions = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).sorted
+    require(versions.nonEmpty, s"no commits at $tablePath")
+    val retained = versions.takeRight(retainVersions)
+    val referenced: Set[String] = retained.flatMap(v =>
+      activeFilesAt(spark, tablePath, Some(v))).toSet
+
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val it = fs.listFiles(root, true)
+    var deleted = 0
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
+        .stripPrefix("/")
+      val isData = rel.endsWith(".parquet") && !rel.startsWith("_delta_log")
+      if (isData && !referenced.contains(rel)) {
+        fs.delete(st.getPath, false)
+        deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Minimal Delta-protocol WRITER (the emit direction of the same
     * public protocol): stages parquet data files into the table dir
     * under version-tagged names, then commits one

@@ -228,6 +228,32 @@ class ExtensionsDeltaSpec extends SparkSpec {
     assert(DeltaLite.readAt(spark, table, 12L).count() == 13)
   }
 
+  test("DeltaLite vacuum deletes only files outside the retention set") {
+    val table = Files.createTempDirectory("graft_delta_vac").toString + "/t"
+    DeltaLite.write(Seq((1L, "a")).toDF("id", "v"), table)
+    DeltaLite.write(Seq((2L, "b")).toDF("id", "v"), table)
+    DeltaLite.write(Seq((9L, "z")).toDF("id", "v"), table, overwrite = true)
+    def dataFiles() = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(table)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_delta_log")).size
+    }
+    assert(dataFiles() == 3)
+    // retain 2 versions: v1 (files of v0+v1) and v2 (only its own file)
+    assert(DeltaLite.vacuum(spark, table, retainVersions = 2) == 0)
+    assert(dataFiles() == 3)
+    // retain just the latest: the two overwritten files go away
+    assert(DeltaLite.vacuum(spark, table, retainVersions = 1) == 2)
+    assert(dataFiles() == 1)
+    assert(DeltaLite.read(spark, table).as[(Long, String)].collect()
+      .toSeq == Seq((9L, "z")))
+    // history before the horizon is gone — like real Delta post-vacuum
+    intercept[Exception] {
+      DeltaLite.readAt(spark, table, 0L).collect()
+    }
+  }
+
   test("cloudevents envelope parse") {
     val df = Seq(
       """{"specversion":"1.0","id":"e1","source":"/svc","type":"created","time":"2024-01-01T00:00:00Z","data":{"k":7}}""")
