@@ -579,8 +579,9 @@ object Oracles {
          |  FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY 1
          |), v AS (SELECT count(*) AS v FROM uni)
          |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-         |  round(CAST(sum(CAST(round(ln((cb + 1.0) / (cu + v)), 6)
-         |    AS DECIMAL(18,6)) * k) AS DOUBLE) / sum(k), 6) AS avg_logp
+         |  floor(CAST(sum(CAST(round(ln((cb + 1.0) / (cu + v)), 6)
+         |    AS DECIMAL(18,6)) * k) AS DOUBLE) / sum(k)
+         |    * 1000000) / CAST(1000000 AS DOUBLE) AS avg_logp
          |FROM btf JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 

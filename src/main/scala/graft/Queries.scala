@@ -714,8 +714,8 @@ object Queries {
         require(plan.contains("__rj_b"), "rewrite did not fire:\n" + plan)
         require(!plan.contains("BroadcastNestedLoopJoin") &&
           !plan.contains("CartesianProduct"), plan)
-        df.persist(); df.count()
-        df
+        df.persist(); df.count() // aggregated output: ~interval-count
+        df                       // rows (~30 at sf0.01), KBs pinned
       } finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)

@@ -291,8 +291,12 @@ object TextAnalysis {
           .cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_bigrams"),
-        round(sum(col("__lp") * col("k")).cast("double") / sum(col("k")), 6)
-          .as("avg_logp"))
+        // floor-at-6dp, not round: round() on a double quotient has
+        // half-ties that Spark (BigDecimal shortest-repr) and DuckDB
+        // (x*1e6 rounding) break differently — bit one cell at sf0.1.
+        // floor of the identical IEEE product can never disagree.
+        (floor(sum(col("__lp") * col("k")).cast("double") / sum(col("k"))
+          * 1000000L) / 1000000.0).as("avg_logp"))
       .select(col(idCol), col("n_bigrams").cast("long").as("n_bigrams"),
         col("avg_logp"))
   }

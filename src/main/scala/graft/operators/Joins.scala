@@ -91,11 +91,16 @@ object AsofJoin {
       .filterNot(c => keys.contains(c) || c == leftTime).toSeq
 
     // right rows carry their payload (incl. the right timestamp) in one
-    // nullable struct; left rows carry a typed NULL of the same struct
-    val rv = struct(rightVals.map(right(_)): _*)
-    val rSide = right.select(
-      keys.map(right(_)) ++ Seq(
-        right(rightTime).as("__t"), lit(0).as("__side"),
+    // nullable struct; left rows carry a typed NULL of the same struct.
+    // NULL-key right rows are dropped up front: SQL equi-join semantics
+    // (and DuckDB ASOF, and the broadcast spelling) never match on
+    // NULL, but Window.partitionBy would happily group them — a left
+    // row with a NULL key must find nothing, not the NULL-key "group"
+    val rightKeyed = keys.foldLeft(right)((d, k) => d.filter(d(k).isNotNull))
+    val rv = struct(rightVals.map(rightKeyed(_)): _*)
+    val rSide = rightKeyed.select(
+      keys.map(rightKeyed(_)) ++ Seq(
+        rightKeyed(rightTime).as("__t"), lit(0).as("__side"),
         rv.as("__rv")) ++
         leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val rvType = rSide.schema("__rv").dataType

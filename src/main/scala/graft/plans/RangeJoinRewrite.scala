@@ -64,8 +64,32 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
             // Sequence is TimeZoneAwareExpression: the analyzer's
             // ResolveTimeZone already ran, so set the zone explicitly
             // or the new node stays unresolved
-            val seq = Sequence(bucketOf(lo), bucketOf(hi),
+            val bLo = bucketOf(lo)
+            val bHi = bucketOf(hi)
+            val span = Subtract(bHi, bLo)
+            val rawSeq = Sequence(bLo, bHi,
               Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+            // per-row guards — the un-rewritten join tolerates dirty
+            // interval rows, so the rewrite must too:
+            //  - inverted (lo > hi): unsatisfiable -> no buckets (the
+            //    raw Sequence would throw on start > stop with step 1)
+            //  - span > 10M buckets (incl. +Inf bounds, whose cast
+            //    lands at Long.MaxValue, and subtraction wrap-around
+            //    seen as span < 0 with bLo <= bHi): bucketWidth is
+            //    wrong for this data by 7 orders of magnitude — fail
+            //    with a diagnosis instead of an opaque Sequence error
+            val maxSpan = Literal(10000000L)
+            val emptyBuckets = Literal.create(Seq.empty[Long],
+              org.apache.spark.sql.types.ArrayType(LongType, false))
+            val seq = CaseWhen(Seq(
+              (GreaterThan(bLo, bHi), emptyBuckets),
+              (Or(GreaterThan(span, maxSpan), LessThan(span, Literal(0L))),
+                Cast(new RaiseError(Literal("graft range-join rewrite: " +
+                  "interval spans more than 10M buckets — raise spark.graft." +
+                  "rangejoin.bucketWidth toward the typical interval span " +
+                  "or unset it to disable the rewrite")),
+                  emptyBuckets.dataType))),
+              Some(rawSeq))
             val gen = Generate(Explode(seq),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(iB), child = intervals)

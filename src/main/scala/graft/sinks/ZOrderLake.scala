@@ -29,8 +29,10 @@ object ZOrderLake {
 
   /** Interleave the low `bits` bits of each (non-negative integer)
     * column: dimension d contributes its bit i at position i*n+d.
-    * Callers bound their columns first (e.g. `pmod`, bucketized ranks);
-    * values >= 2^bits fold into the top z-range rather than erroring. */
+    * Callers MUST bound their columns first (e.g. `pmod`, bucketized
+    * ranks): a value >= 2^bits contributes only its LOW bits, aliasing
+    * onto a small value and landing the row in the wrong z-range —
+    * which silently widens file bounding boxes and erodes pruning. */
   def zValue(cols: Seq[Column], bits: Int = 16): Column = {
     require(cols.nonEmpty && bits * cols.size <= 62,
       s"need bits*dims <= 62, got $bits*${cols.size}")
@@ -95,13 +97,21 @@ object ZOrderLake {
     * The file listing comes from the read relation's file index
     * (driver metadata, no data scan); the manifest itself is
     * file-count-sized, so the known-set comparison is driver-cheap.
-    * The swap is write-new-then-rename, so a crash leaves either the
-    * old or the new manifest, never a torn one. */
+    * Swap protocol (Hadoop rename cannot overwrite a directory):
+    * old -> .bak, new -> manifest, drop .bak. A crash between the two
+    * renames leaves no manifest but an intact .bak — the next call
+    * restores it before proceeding, so the lake is never left
+    * manifest-less for longer than one maintenance run. This is a
+    * single-writer maintenance op; readers racing the swap window
+    * should retry. */
   def updateManifest(spark: SparkSession, path: String,
                      dims: Seq[String]): String = {
     val manifestPath = path.stripSuffix("/") + "_manifest"
     val hPath = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(manifestPath + "_bak")
+    // crash recovery: a previous run died between its two renames
+    if (!fs.exists(hPath) && fs.exists(bak)) fs.rename(bak, hPath)
     if (!fs.exists(hPath)) return buildManifest(spark, path, dims)
 
     val current = spark.read.parquet(path).inputFiles.toSet
@@ -125,8 +135,10 @@ object ZOrderLake {
 
     val tmp = new org.apache.hadoop.fs.Path(manifestPath + "_new")
     combined.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
+    fs.delete(bak, true)
+    fs.rename(hPath, bak)
     fs.rename(tmp, hPath)
+    fs.delete(bak, true)
     manifestPath
   }
 

@@ -33,9 +33,22 @@ object DeltaLite {
     * a vacuum physically deletes files. */
   def readAt(spark: SparkSession, tablePath: String, version: Long): DataFrame = {
     val files = activeFilesAt(spark, tablePath, Some(version))
-    if (files.isEmpty) read(spark, tablePath).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$tablePath/$f"): _*)
+    if (files.nonEmpty)
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$tablePath/$f"): _*)
+    else {
+      // legitimately-empty historical version (e.g. an empty
+      // overwrite). Schema comes from whatever data files exist
+      // anywhere in the table history — an empty version recorded no
+      // schema of its own in this minimal log; if the table never had
+      // a file, there is no schema to give
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+      val anyData = fs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      if (anyData.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(anyData.head.toString).limit(0)
+    }
   }
 
   /** Active data files after replaying the log. Starts from the latest
@@ -111,9 +124,17 @@ object DeltaLite {
     * that is what makes time travel free — so storage only shrinks
     * here. After a vacuum, [[readAt]] older than the retention horizon
     * fails on missing files, exactly like real Delta.
+    *
+    * Concurrent-writer safety: a writer stages files under `.stage-*`
+    * before committing — those are never touched here. `minAgeMs`
+    * additionally protects data files moved into place but whose
+    * commit json is not yet written (the rename-then-commit window):
+    * real Delta's retention-hours check exists for exactly this race.
+    * The default 0 is for single-writer tables; set it above your
+    * longest write duration when writers run concurrently.
     * Returns the deleted file count. */
   def vacuum(spark: SparkSession, tablePath: String,
-             retainVersions: Int = 1): Int = {
+             retainVersions: Int = 1, minAgeMs: Long = 0L): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
@@ -133,8 +154,12 @@ object DeltaLite {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
         .stripPrefix("/")
-      val isData = rel.endsWith(".parquet") && !rel.startsWith("_delta_log")
-      if (isData && !referenced.contains(rel)) {
+      val isData = rel.endsWith(".parquet") &&
+        !rel.startsWith("_delta_log") && !rel.contains(".stage-") &&
+        !rel.contains(".ckpt-")
+      val oldEnough = minAgeMs <= 0L ||
+        st.getModificationTime < System.currentTimeMillis() - minAgeMs
+      if (isData && oldEnough && !referenced.contains(rel)) {
         fs.delete(st.getPath, false)
         deleted += 1
       }

@@ -63,6 +63,19 @@ class JoinsSpec extends SparkSpec {
       (3L, 50L, "nokey", None, None)))            // left-outer on no key
   }
 
+  test("asof join never matches on NULL keys (SQL equi-join semantics)") {
+    val left = Seq((Option(1L), 10L), (None: Option[Long], 10L))
+      .toDF("k", "t")
+    val right = Seq((Option(1L), 5L, "v1"), (None: Option[Long], 5L, "vnull"))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.join(left, right, Seq("k"), "t", "t")
+      .select("k", "r_v").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    // the NULL-key left row finds nothing, like DuckDB ASOF and the
+    // broadcast spelling; the real key still matches
+    assert(out == Set((Some(1L), Some("v1")), (None, None)))
+  }
+
   test("asof join forward + tolerance") {
     val left = Seq((1L, 10L), (1L, 40L)).toDF("k", "t")
     val right = Seq((1L, 12L, "near"), (1L, 90L, "far")).toDF("k", "t", "v")

@@ -81,6 +81,35 @@ class RangeJoinRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(W)
   }
 
+  test("dirty interval rows: inverted matches nothing, huge span diagnoses") {
+    val pts = (1 to 100).map(i => i.toDouble).toDF("p")
+    pts.createOrReplaceTempView("rj_dirty_pts")
+    try {
+      spark.conf.set(W, "100")
+      // inverted interval (lo > hi): unsatisfiable, must yield zero
+      // rows — not crash (the naive plan also yields zero rows)
+      Seq((500.0, 200.0, "inv"), (10.0, 50.0, "ok"))
+        .toDF("lo", "hi", "name").createOrReplaceTempView("rj_dirty_ivs")
+      val df = spark.sql("""SELECT p, name FROM rj_dirty_pts
+        JOIN rj_dirty_ivs ON p >= lo AND p < hi""")
+      assert(df.queryExecution.executedPlan.toString.contains("__rj_b"))
+      assert(df.collect().map(_.getString(1)).forall(_ == "ok"))
+      // open-ended interval: span overflows the bucket cap — must fail
+      // with the diagnostic message, not an opaque Sequence error
+      Seq((10.0, Double.PositiveInfinity, "open"))
+        .toDF("lo", "hi", "name").createOrReplaceTempView("rj_dirty_ivs")
+      val e = intercept[Exception] {
+        spark.sql("""SELECT p, name FROM rj_dirty_pts
+          JOIN rj_dirty_ivs ON p >= lo AND p < hi""").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("rangejoin.bucketWidth")),
+        messages(e).mkString(" | "))
+    } finally spark.conf.unset(W)
+  }
+
   test("non-range joins and outer joins are left untouched") {
     fixtures()
     try {
