@@ -408,6 +408,12 @@ object Oracles {
          |SELECT bucket, max(${graft.functions.Sketches.rho32Sql("h2")}) AS r
          |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin),
 
+    // the trigram index changes which files are read, not the result
+    "trigram_pruned_scan" ->
+      ("""SELECT doc_id, length(text) AS n_chars FROM documents
+         |WHERE contains(text, 'window small')
+         |ORDER BY doc_id""".stripMargin),
+
     "sketch_kmv" ->
       ("""WITH a AS (
          |  SELECT DISTINCT CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12)) AS BIGINT) AS h

@@ -595,6 +595,23 @@ object Queries {
         .orderBy("l_linenumber")
     }),
 
+    "trigram_pruned_scan" -> ((s, dir) => {
+      // substring-search through the trigram bloom index
+      // (sinks.ZOrderLake.trigramBloomManifest): neither min/max nor a
+      // value bloom can prune contains(); the trigram index opens only
+      // files holding every trigram of the needle. Oracle filters the
+      // original table — the index changes which files are read, never
+      // the result.
+      val path = "/tmp/graft_trgm/documents"
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      d.repartition(16, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      val man = graft.sinks.ZOrderLake.trigramBloomManifest(s, path, "text")
+      graft.sinks.ZOrderLake.trigramRead(s, path, man, "text", "window small")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "sketch_kmv" -> ((s, dir) => {
       // KMV theta sketch (functions.Sketches.kmvSketch): bottom-256
       // hash values of two overlapping customer sets, union-merged and

@@ -282,6 +282,27 @@ object Stress {
       spark, zpath, bman, "id", "123456", bits = 262144).count()
     require(brow == 1L, s"probe must find exactly its row, got $brow")
 
+    // 17b. Trigram bloom: index 200k ~100-char docs (one |text|-row
+    // explode, map-side combined), then a rare-marker probe must open
+    // few of the 64 files.
+    val tdocs = spark.range(200000).select(col("id"),
+      concat(lit("synthetic corpus line with shared vocabulary item "),
+        col("id").cast("string"),
+        when(col("id") % 50000L === 17L, lit(" xylophoneQuartz"))
+          .otherwise(lit(""))).as("text"))
+    val tpath = java.nio.file.Files.createTempDirectory("graft_stress_trgm")
+      .toString + "/docs"
+    tdocs.repartition(64, col("id")).write.mode("overwrite").parquet(tpath)
+    val tman = timed("trigramBloomManifest 200k docs x 64 files") {
+      sinks.ZOrderLake.trigramBloomManifest(spark, tpath, "text")
+    }
+    val tcand = sinks.ZOrderLake.trigramCandidateFiles(
+      spark, tman, "xylophoneQuartz").size
+    println(s"[stress]   substring-probe candidate files: $tcand of 64")
+    require(tcand <= 16, s"trigram index should prune most files, got $tcand")
+    require(sinks.ZOrderLake.trigramRead(
+      spark, tpath, tman, "text", "xylophoneQuartz").count() == 4L)
+
     // 18. Global index over 10M rows: one range shuffle + zipWithIndex;
     // the single-task window spelling would funnel 10M rows through one
     // core.

@@ -209,4 +209,73 @@ object ZOrderLake {
       else spark.read.parquet(files: _*)
     base.filter(col(column).cast("string") === value)
   }
+
+  /** Trigram bloom index: substring-search file pruning. Neither
+    * min/max nor a value bloom can prune `contains(text, needle)` —
+    * the standard trick (pg_trgm, log-search engines) is a bloom over
+    * every 3-char window of the column: a file can contain the needle
+    * only if it contains EVERY trigram of the needle. One indexing
+    * pass (the trigram explode is |text| rows per doc, map-side
+    * combined into a per-file position set bounded by `bits`);
+    * probing is a driver-cheap manifest filter. Case-sensitive;
+    * needles shorter than 3 chars cannot prune (every file stays a
+    * candidate). False negatives impossible, so pruned reads are
+    * result-exact. */
+  def trigramBloomManifest(spark: SparkSession, path: String,
+                           column: String, bits: Int = 65536): String = {
+    val manifestPath = path.stripSuffix("/") + s"_trgm_$column"
+    val s = col(column).cast("string")
+    spark.read.parquet(path)
+      .filter(s.isNotNull && length(s) >= 3)
+      .select(input_file_name().as("file"),
+        explode(sequence(lit(1), length(s) - 2)).as("i"), s.as("__s"))
+      .select(col("file"), pmod(
+        graft.functions.Hashing.hex8ToLong(
+          substring(col("__s"), col("i"), lit(3))),
+        lit(bits.toLong)).cast("int").as("pos"))
+      .groupBy("file")
+      .agg(sort_array(collect_set(col("pos"))).as("positions"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+    manifestPath
+  }
+
+  private def trigramPositions(needle: String, bits: Int): Seq[Int] =
+    (0 to needle.length - 3).map { i =>
+      math.floorMod(graft.functions.Hashing.hex8ToLongJvm(
+        needle.substring(i, i + 3)), bits.toLong).toInt
+    }.distinct
+
+  /** Files that can contain `needle` as a substring (all of the
+    * needle's trigram positions occupied). Requires a needle of at
+    * least 3 chars — shorter needles cannot consult this index (files
+    * whose rows are all sub-trigram-length have no manifest row). */
+  def trigramCandidateFiles(spark: SparkSession, trgmPath: String,
+                            needle: String,
+                            bits: Int = 65536): Seq[String] = {
+    val pos = trigramPositions(needle, bits)
+    require(pos.nonEmpty,
+      s"needle '$needle' is shorter than a trigram — no pruning possible")
+    spark.read.parquet(trgmPath)
+      .filter(pos.map(p =>
+        array_contains(col("positions"), p)).reduce(_ && _))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Substring-search scan through the trigram index: result-identical
+    * to a full scan + contains filter. Sub-trigram needles fall back
+    * to a full scan (the index cannot speak for rows shorter than a
+    * trigram). */
+  def trigramRead(spark: SparkSession, path: String, trgmPath: String,
+                  column: String, needle: String,
+                  bits: Int = 65536): DataFrame = {
+    val pred = (df: DataFrame) =>
+      df.filter(col(column).cast("string").contains(needle))
+    if (needle.length < 3) return pred(spark.read.parquet(path))
+    val files = trigramCandidateFiles(spark, trgmPath, needle, bits)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    pred(base)
+  }
 }

@@ -130,6 +130,35 @@ class ZOrderLakeSpec extends SparkSpec {
     assert(pruned.head.getLong(pruned.head.fieldIndex("min_x")) == 5L)
   }
 
+  test("trigram bloom prunes substring search, never loses rows") {
+    // 64 files; a rare marker string lives in exactly 3 documents
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("common filler text block number "),
+        col("id").cast("string"),
+        when(col("id").isin(111L, 7777L, 19999L),
+          lit(" zebraQuartz rare marker")).otherwise(lit(""))).as("text"))
+    val p = "/tmp/graft_zorder/trgm"
+    df.repartition(64, col("id")).write.mode("overwrite").parquet(p)
+    val man = ZOrderLake.trigramBloomManifest(spark, p, "text")
+
+    val cand = ZOrderLake.trigramCandidateFiles(spark, man, "zebraQuartz")
+    assert(cand.size >= 1 && cand.size <= 16,
+      s"rare needle should prune most of 64 files, got ${cand.size}")
+    val got = ZOrderLake.trigramRead(spark, p, man, "text", "zebraQuartz")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(111L, 7777L, 19999L))
+
+    // common needle: may hit everything, but never loses rows
+    val common = ZOrderLake.trigramRead(spark, p, man, "text", "filler")
+      .count()
+    assert(common == 20000L)
+    // absent needle with plausible trigrams
+    assert(ZOrderLake.trigramRead(spark, p, man, "text", "quartzZebra")
+      .count() == 0)
+    // sub-trigram needle falls back to a correct full scan
+    assert(ZOrderLake.trigramRead(spark, p, man, "text", "ze").count() == 3)
+  }
+
   test("prunedRead with no intersecting files returns empty, not error") {
     val df = Seq((1L, 2L, 10L)).toDF("x", "y", "id")
     val p = "/tmp/graft_zorder/tiny"
