@@ -391,6 +391,17 @@ object Oracles {
          |    array_to_string((list(key ORDER BY key))[1:3], ',') FROM prio
          |) t WHERE n > 0 ORDER BY kind, "column"""".stripMargin),
 
+    // recomputes the post-changelog table's aggregate from scratch;
+    // the Spark side only ever folds signed deltas into the base state
+    "incremental_rollup" ->
+      ("""SELECT o_orderpriority, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN o_orderkey % 10 = 1
+         |                THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+         |                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+         |    AS DOUBLE) AS total_price
+         |FROM orders WHERE o_orderkey % 10 <> 2
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     // the bloom index changes which files are read, not the result
     "bloom_pruned_scan" ->
       ("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -574,6 +574,48 @@ object Queries {
         src, perturbed.unionByName(extra), Seq("o_orderkey"))
     }),
 
+    "incremental_rollup" -> ((s, dir) => {
+      // incremental aggregate maintenance (operators.Rollup): the
+      // GROUP BY state is maintained by folding a signed retraction
+      // delta — base history is aggregated once for the initial state
+      // and never scanned again. Fixture: base = orders with
+      // o_orderkey%10 != 0; the changelog then inserts the missing
+      // tenth, reprices %10==1 (+100) via before/after updates, and
+      // deletes %10==2. The oracle recomputes the FINAL table's
+      // aggregate from scratch — a green row proves fold == recompute.
+      import graft.operators.Rollup
+      val keys = Seq("o_orderpriority")
+      val mets = Seq("o_totalprice")
+      // fixture prices are DOUBLE in parquet: pin them to decimal(18,2)
+      // on entry (both engines) so the fold is decimal-exact
+      val o = t(s, dir, "orders").withColumn("o_totalprice",
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val img = struct(col("o_orderpriority"), col("o_totalprice"))
+      val nullImg = when(lit(false), img)
+      val s0 = Rollup.init(
+        o.filter(col("o_orderkey") % 10 =!= 0)
+          .select("o_orderpriority", "o_totalprice"), keys, mets)
+      val inserts = o.filter(col("o_orderkey") % 10 === 0).select(
+        nullImg.as("before"), img.as("after"), lit(E.Insert).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val updates = o.filter(col("o_orderkey") % 10 === 1).select(
+        img.as("before"),
+        struct(col("o_orderpriority"),
+          (col("o_totalprice") + 100).cast(DecimalType(18, 2))
+            .as("o_totalprice")).as("after"),
+        lit(E.Update).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val deletes = o.filter(col("o_orderkey") % 10 === 2).select(
+        img.as("before"), nullImg.as("after"), lit(E.Delete).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val changes = inserts.unionByName(updates).unionByName(deletes)
+      val st = Rollup.merge(s0,
+        Rollup.delta(Rollup.retractions(changes), keys, mets), keys, mets)
+      st.select(col("o_orderpriority"), col("n_rows"),
+          col("sum_o_totalprice").cast("double").as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "bloom_pruned_scan" -> ((s, dir) => {
       // point-lookup through the bloom file index (sinks.ZOrderLake
       // .bloomManifest): lineitem hash-partitioned into 16 files so

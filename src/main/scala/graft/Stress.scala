@@ -334,6 +334,37 @@ object Stress {
     }
     require(bN == 5000000L, s"broadcast as-of must keep every left row, got $bN")
 
+    // 20. Incremental rollup: fold a 1M-row update changelog into a
+    // 100k-group state built from 5M rows — the fold's cost is
+    // ∝ |state| + |batch|, never the 5M base; recompute cross-check.
+    val rbase = spark.range(5000000).select(
+      (col("id") % 100000L).as("g"), (col("id") % 1000L).as("v"))
+    val rs0 = operators.Rollup.init(rbase, Seq("g"), Seq("v"))
+      .persist()
+    require(rs0.count() == 100000L)
+    val rimg = struct(col("g"), col("v"))
+    val rchg = spark.range(1000000).select(
+      (col("id") % 100000L).as("g"), (col("id") % 1000L).as("v"))
+      .select(rimg.as("before"),
+        struct(col("g"), (col("v") + 1L).as("v")).as("after"),
+        lit("update").as(graft.model.CdcEnvelope.Kind),
+        col("g").as(graft.model.CdcEnvelope.Lsn),
+        lit(0).as(graft.model.CdcEnvelope.Counter))
+    val rs1 = timed("Rollup fold 1M updates into 100k-group state") {
+      val d = operators.Rollup.delta(
+        operators.Rollup.retractions(rchg), Seq("g"), Seq("v"))
+      operators.Rollup.merge(rs0, d, Seq("g"), Seq("v")).persist()
+    }
+    require(rs1.count() == 100000L)
+    val rexp = operators.Rollup.init(
+      spark.range(5000000).select((col("id") % 100000L).as("g"),
+        (when(col("id") < 1000000L, col("id") % 1000L + 1L)
+          .otherwise(col("id") % 1000L)).as("v")), Seq("g"), Seq("v"))
+    require(rs1.except(rexp).count() == 0L &&
+      rexp.except(rs1).count() == 0L,
+      "incremental fold must equal recompute")
+    rs0.unpersist(); rs1.unpersist()
+
     spark.stop()
   }
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.model.{CdcEnvelope => E}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate (rollup) maintenance over a CDC changelog.
+  *
+  * At 100 TB a `GROUP BY` you keep fresh must never be recomputed from
+  * base history: the changelog batch is folded into the existing
+  * aggregate state as SIGNED deltas (the public retract-stream design,
+  * cf. Flink's retraction semantics and the reference's ClickHouse
+  * collapsing-sink family, pkg/providers/clickhouse — where a -1/+1
+  * sign column makes aggregates maintainable by merge alone).
+  *
+  * Contract: the changelog is first rewritten as retractions — updates
+  * become a delete(before-image) + insert(after-image) pair
+  * ([[retractions]], from a Debezium-style before/after frame). A
+  * retraction stream makes every additive aggregate maintainable:
+  *   count  += sign
+  *   sum(m) += sign * m
+  * and avg derives as sum/count at read time. MIN/MAX are deliberately
+  * NOT offered — they are not retractable (dropping the current min
+  * needs the runner-up, i.e. base history); use a re-aggregate of the
+  * affected groups for those.
+  *
+  * Scale shape: [[delta]] is one map-side-combined aggregation of the
+  * BATCH (state never scanned); [[merge]] is one keyed shuffle of
+  * state ∪ delta, so the cost is ∝ |state| + |batch|, independent of
+  * the base table size. Groups whose count reaches zero leave the
+  * state; a negative count raises (inconsistent changelog) rather than
+  * corrupting silently.
+  */
+object Rollup {
+
+  /** Rewrite a before/after changelog (Debezium envelope shape:
+    * struct columns holding the full pre/post row images, plus the
+    * engine's kind/lsn) as a retraction stream: insert → +after,
+    * delete → −before, update → −before then +after. The pair keeps
+    * the update's LSN; counters are doubled so retract orders before
+    * add within the event. Unknown kinds fail loudly — folding an
+    * unsplit update would corrupt every downstream aggregate. */
+  def retractions(changes: DataFrame, beforeCol: String = "before",
+                  afterCol: String = "after"): DataFrame = {
+    val b = col(beforeCol)
+    val a = col(afterCol)
+    val pair = when(col(E.Kind) === E.Insert,
+        array(struct(lit(E.Insert).as("k"), a.as("img"))))
+      .when(col(E.Kind) === E.Delete,
+        array(struct(lit(E.Delete).as("k"), b.as("img"))))
+      .when(col(E.Kind) === E.Update,
+        array(struct(lit(E.Delete).as("k"), b.as("img")),
+              struct(lit(E.Insert).as("k"), a.as("img"))))
+      .otherwise(raise_error(concat(
+        lit("rollup: unfoldable change kind "), col(E.Kind))))
+    val exploded = changes
+      .withColumn("__ev", explode(pair))
+      .withColumn("__off",
+        when(col("__ev.k") === E.Delete && col(E.Kind) === E.Update, 0)
+          .otherwise(1))
+    val dataFields = changes.schema(afterCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toIndexedSeq
+    exploded.select(
+      (dataFields.map(f => col(s"__ev.img.$f").as(f)) ++ Seq(
+        col("__ev.k").as(E.Kind),
+        col(E.Lsn),
+        (col(E.Counter) * 2 + col("__off")).as(E.Counter))): _*)
+  }
+
+  private def sign = when(col(E.Kind) === E.Insert, lit(1L))
+    .when(col(E.Kind) === E.Delete, lit(-1L))
+    .otherwise(raise_error(concat(
+      lit("rollup: delta expects a retraction stream, got kind "),
+      col(E.Kind))))
+
+  /** Aggregate state of a plain snapshot — the initial rollup.
+    * Output schema: groupKeys, n_rows, sum_<metric>... */
+  def init(snapshot: DataFrame, groupKeys: Seq[String],
+           metrics: Seq[String]): DataFrame =
+    snapshot.groupBy(groupKeys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        metrics.map(m => sum(col(m)).as(s"sum_$m")): _*)
+
+  /** Signed per-group delta of a retraction-stream batch. One
+    * aggregation of the BATCH only; negation (not multiplication)
+    * keeps each metric's native numeric type so sums line up with
+    * [[init]]'s for the merge union. */
+  def delta(retractionBatch: DataFrame, groupKeys: Seq[String],
+            metrics: Seq[String]): DataFrame = {
+    val s = sign
+    retractionBatch.groupBy(groupKeys.map(col): _*)
+      .agg(sum(s).as("n_rows"),
+        metrics.map(m =>
+          sum(when(s > 0, col(m)).otherwise(-col(m))).as(s"sum_$m")): _*)
+  }
+
+  /** Fold a delta into the state: one keyed shuffle of state ∪ delta.
+    * Emptied groups drop out; a group driven negative raises. Sum
+    * columns are cast back to the state's own types so chained merges
+    * cannot walk decimal precision upward generation by generation. */
+  def merge(state: DataFrame, deltaDf: DataFrame,
+            groupKeys: Seq[String], metrics: Seq[String]): DataFrame = {
+    val sumTypes = metrics.map(m =>
+      m -> state.schema(s"sum_$m").dataType).toMap
+    val merged = state.unionByName(deltaDf)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        metrics.map(m => sum(col(s"sum_$m")).as(s"sum_$m")): _*)
+    val checked = merged.withColumn("n_rows",
+      when(col("n_rows") < 0, raise_error(concat(
+        lit("rollup: group count went negative — changelog retracts "),
+        lit("rows absent from the state")))).otherwise(col("n_rows")))
+    checked.filter(col("n_rows") > 0)
+      .select((groupKeys.map(col) :+ col("n_rows")) ++
+        metrics.map(m =>
+          col(s"sum_$m").cast(sumTypes(m)).as(s"sum_$m")): _*)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.{CdcEnvelope => E}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+class RollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (grp, v) row image as a struct column expression
+  private def img(grp: Column, v: Column) =
+    struct(grp.as("grp"), v.as("v"))
+  private val nullImg = lit(null).cast("struct<grp:string,v:bigint>")
+
+  private def change(kind: String, lsn: Long,
+                     before: Column, after: Column): DataFrame =
+    spark.range(1).select(before.as("before"), after.as("after"),
+      lit(kind).as(E.Kind), lit(lsn).as(E.Lsn), lit(0).as(E.Counter))
+
+  private def state(rows: Seq[(String, Long, Long)]): DataFrame =
+    rows.toDF("grp", "n_rows", "sum_v")
+
+  private def collectState(df: DataFrame): Set[(String, Long, Long)] =
+    df.select("grp", "n_rows", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("incremental fold equals recompute across two batches") {
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L))
+      .toDF("grp", "v")
+    val s0 = Rollup.init(base, Seq("grp"), Seq("v"))
+
+    // batch 1: insert into b, update a(10 -> 11), delete c(7)
+    val b1 = change(E.Insert, 1, nullImg, img(lit("b"), lit(100L)))
+      .union(change(E.Update, 2, img(lit("a"), lit(10L)),
+        img(lit("a"), lit(11L))))
+      .union(change(E.Delete, 3, img(lit("c"), lit(7L)), nullImg))
+    val s1 = Rollup.merge(s0,
+      Rollup.delta(Rollup.retractions(b1), Seq("grp"), Seq("v")),
+      Seq("grp"), Seq("v"))
+    assert(collectState(s1) == Set(("a", 2L, 31L), ("b", 2L, 105L)))
+
+    // batch 2: group-moving update b(100) -> d(100); the retraction
+    // pair lands in two different groups
+    val b2 = change(E.Update, 4, img(lit("b"), lit(100L)),
+      img(lit("d"), lit(100L)))
+    val s2 = Rollup.merge(s1,
+      Rollup.delta(Rollup.retractions(b2), Seq("grp"), Seq("v")),
+      Seq("grp"), Seq("v"))
+    assert(collectState(s2) ==
+      Set(("a", 2L, 31L), ("b", 1L, 5L), ("d", 1L, 100L)))
+  }
+
+  test("a group emptied by deletes leaves the state") {
+    val s0 = state(Seq(("a", 1L, 10L), ("b", 2L, 9L)))
+    val b = change(E.Delete, 1, img(lit("a"), lit(10L)), nullImg)
+    val s1 = Rollup.merge(s0,
+      Rollup.delta(Rollup.retractions(b), Seq("grp"), Seq("v")),
+      Seq("grp"), Seq("v"))
+    assert(collectState(s1) == Set(("b", 2L, 9L)))
+  }
+
+  test("unknown kind and negative counts fail loudly") {
+    val bad = change("truncate", 1, nullImg, img(lit("a"), lit(1L)))
+    intercept[Exception] {
+      Rollup.retractions(bad).collect()
+    }
+    // retracting a row from a group with no state rows
+    val s0 = state(Seq(("a", 1L, 10L)))
+    val over = change(E.Delete, 1, img(lit("z"), lit(5L)), nullImg)
+    intercept[Exception] {
+      Rollup.merge(s0,
+        Rollup.delta(Rollup.retractions(over), Seq("grp"), Seq("v")),
+        Seq("grp"), Seq("v")).collect()
+    }
+  }
+
+  test("decimal sums keep the state's type across chained merges") {
+    val base = Seq(("a", "10.25"), ("b", "1.50")).toDF("grp", "s")
+      .select(col("grp"), col("s").cast("decimal(15,2)").as("v"))
+    var st = Rollup.init(base, Seq("grp"), Seq("v"))
+    val t0 = st.schema("sum_v").dataType
+    for (i <- 1 to 3) {
+      val b = change(E.Insert, i,
+        lit(null).cast("struct<grp:string,v:decimal(15,2)>"),
+        struct(lit("a").as("grp"),
+          lit("0.75").cast("decimal(15,2)").as("v")))
+      st = Rollup.merge(st,
+        Rollup.delta(Rollup.retractions(b), Seq("grp"), Seq("v")),
+        Seq("grp"), Seq("v"))
+      assert(st.schema("sum_v").dataType == t0)
+    }
+    val a = st.filter(col("grp") === "a").select("sum_v")
+      .head().getDecimal(0)
+    assert(a.toPlainString == "12.50")
+  }
+}
