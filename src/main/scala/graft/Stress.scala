@@ -350,12 +350,15 @@ object Stress {
         lit("update").as(graft.model.CdcEnvelope.Kind),
         col("g").as(graft.model.CdcEnvelope.Lsn),
         lit(0).as(graft.model.CdcEnvelope.Counter))
-    val rs1 = timed("Rollup fold 1M updates into 100k-group state") {
+    val rs1 = {
       val d = operators.Rollup.delta(
         operators.Rollup.retractions(rchg), Seq("g"), Seq("v"))
       operators.Rollup.merge(rs0, d, Seq("g"), Seq("v")).persist()
     }
-    require(rs1.count() == 100000L)
+    val rn = timed("Rollup fold 1M updates into 100k-group state") {
+      rs1.count() // materializes the fold (persist above is lazy)
+    }
+    require(rn == 100000L)
     val rexp = operators.Rollup.init(
       spark.range(5000000).select((col("id") % 100000L).as("g"),
         (when(col("id") < 1000000L, col("id") % 1000L + 1L)

@@ -116,4 +116,41 @@ object Rollup {
         metrics.map(m =>
           col(s"sum_$m").cast(sumTypes(m)).as(s"sum_$m")): _*)
   }
+
+  /** Continuously-maintained aggregate: fold one changelog batch into
+    * a parquet-persisted state — the `foreachBatch` body of a streaming
+    * rollup. The state is group-cardinality-sized, so it is rewritten
+    * whole each fold behind a two-phase swap (write .tmp → move live
+    * aside to .bak → move .tmp in → drop .bak); a crash at any point
+    * leaves either the old state or a recoverable .bak, never a torn
+    * directory. Returns the post-fold state. */
+  def fold(spark: org.apache.spark.sql.SparkSession, statePath: String,
+           retractionBatch: DataFrame, groupKeys: Seq[String],
+           metrics: Seq[String]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(statePath)
+    val fs = live.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(statePath + ".bak")
+    val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp")
+    // crash recovery: a .bak with no live state means the previous
+    // fold died between its two moves — restore the pre-fold state
+    if (fs.exists(bak) && !fs.exists(live)) fs.rename(bak, live)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+
+    val d = delta(retractionBatch, groupKeys, metrics)
+    val next =
+      if (fs.exists(live)) merge(spark.read.parquet(statePath), d,
+        groupKeys, metrics)
+      else // bootstrap: the delta IS the state (negative counts raise)
+        d.withColumn("n_rows", when(col("n_rows") < 0, raise_error(
+            lit("rollup: bootstrap batch retracts rows absent from " +
+              "the (empty) state"))).otherwise(col("n_rows")))
+          .filter(col("n_rows") > 0)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(live)) fs.rename(live, bak)
+    fs.rename(tmp, live)
+    fs.delete(bak, true)
+    spark.read.parquet(statePath)
+  }
 }

@@ -75,6 +75,57 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("fold maintains parquet state across streaming micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup")
+    val statePath = root.toString + "/state"
+    // (kind, lsn, bgrp, bv, agrp, av); empty group string = null image
+    val mem = MemoryStream[(String, Long, String, Long, String, Long)]
+    val stream = mem.toDF().toDF(E.Kind, E.Lsn, "bg", "bv", "ag", "av")
+      .select(col(E.Kind), col(E.Lsn), lit(0).as(E.Counter),
+        when(col("bg") =!= "", img(col("bg"), col("bv"))).as("before"),
+        when(col("ag") =!= "", img(col("ag"), col("av"))).as("after"))
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        Rollup.fold(spark, statePath, Rollup.retractions(b),
+          Seq("grp"), Seq("v")); ()
+      }
+      .option("checkpointLocation", root.toString + "/ckpt")
+      .start()
+    try {
+      mem.addData((E.Insert, 1L, "", 0L, "a", 10L),
+        (E.Insert, 2L, "", 0L, "a", 20L),
+        (E.Insert, 3L, "", 0L, "b", 5L))
+      q.processAllAvailable()
+      assert(collectState(spark.read.parquet(statePath)) ==
+        Set(("a", 2L, 30L), ("b", 1L, 5L)))
+      mem.addData((E.Update, 4L, "a", 10L, "a", 11L),
+        (E.Delete, 5L, "b", 5L, "", 0L))
+      q.processAllAvailable()
+      assert(collectState(spark.read.parquet(statePath)) ==
+        Set(("a", 2L, 31L)))
+    } finally q.stop()
+  }
+
+  test("fold recovers the pre-fold state from a crashed swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_bak")
+    val statePath = root.toString + "/state"
+    val b1 = change(E.Insert, 1, nullImg, img(lit("a"), lit(10L)))
+    Rollup.fold(spark, statePath, Rollup.retractions(b1),
+      Seq("grp"), Seq("v"))
+    // simulate a crash between the two swap moves: live went to .bak,
+    // the new state never arrived
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(statePath),
+      new org.apache.hadoop.fs.Path(statePath + ".bak"))
+    val b2 = change(E.Insert, 2, nullImg, img(lit("a"), lit(5L)))
+    val st = Rollup.fold(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"))
+    assert(collectState(st) == Set(("a", 2L, 15L)))
+  }
+
   test("decimal sums keep the state's type across chained merges") {
     val base = Seq(("a", "10.25"), ("b", "1.50")).toDF("grp", "s")
       .select(col("grp"), col("s").cast("decimal(15,2)").as("v"))
