@@ -1502,6 +1502,23 @@ object Oracles {
       ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "ORDER BY o_orderkey"),
 
+    // recomputes the post-upsert/post-delete table from the same
+    // formulas; the Spark side reaches it through COW file rewrites
+    "delta_merge" ->
+      ("""WITH fin AS (
+         |  SELECT CASE WHEN o_orderkey % 100 = 1
+         |              THEN o_totalprice + 1000 ELSE o_totalprice END AS p,
+         |         CASE WHEN o_orderkey % 100 = 1
+         |              THEN 'U' ELSE o_orderstatus END AS s
+         |  FROM orders WHERE o_orderkey % 100 <> 2
+         |  UNION ALL
+         |  SELECT o_totalprice AS p, 'N' AS s
+         |  FROM orders WHERE o_orderkey % 100 = 3
+         |)
+         |SELECT s AS o_orderstatus, count(*) AS n,
+         |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM fin GROUP BY s ORDER BY s""".stripMargin),
+
     // the overwrite commit (v2) must be invisible at version 1
     "delta_time_travel" ->
       ("""SELECT o_orderstatus, count(*) AS n,

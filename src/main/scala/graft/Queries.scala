@@ -2135,6 +2135,37 @@ object Queries {
         .orderBy("o_orderstatus")
     }),
 
+    "delta_merge" -> ((s, dir) => {
+      // copy-on-write row-level ops over the public Delta protocol
+      // (sources.DeltaLite.upsert/deleteWhere): two file-disjoint
+      // commits, then a PK upsert (reprice %100==1, insert synthetic
+      // high keys) and a predicate delete (%100==2). Only files
+      // containing touched rows are rewritten — the spec asserts the
+      // untouched file survives; here the oracle recomputes the final
+      // table state from the same formulas.
+      val path = "/tmp/graft_delta_mrg/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_delta_mrg"), true)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.DeltaLite.write(o.filter(col("o_orderkey") % 2 === 0), path)
+      graft.sources.DeltaLite.write(o.filter(col("o_orderkey") % 2 =!= 0), path)
+      val ups = o.filter(col("o_orderkey") % 100 === 1)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+        .unionByName(o.filter(col("o_orderkey") % 100 === 3)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("N").as("o_orderstatus")))
+      graft.sources.DeltaLite.upsert(s, path, ups, Seq("o_orderkey"))
+      graft.sources.DeltaLite.deleteWhere(s, path,
+        col("o_orderkey") % 100 === 2)
+      graft.sources.DeltaLite.read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "merge_bucketed" -> ((s, dir) => {
       // bucketed incremental MERGE end-to-end: snapshot batch, then a
       // CDC batch of disjoint updates/deletes; the final state is read

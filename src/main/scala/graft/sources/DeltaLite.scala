@@ -181,35 +181,64 @@ object DeltaLite {
             overwrite: Boolean = false,
             checkpointInterval: Int = 10): Long = {
     val spark = df.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
-    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
-    val version: Long =
-      if (!fs.exists(logDir)) 0L
-      else {
-        // next version = max(committed json, checkpointed) + 1 — json
-        // commits at or below a checkpoint may have been cleaned up
-        val jsons = fs.listStatus(logDir).map(_.getPath.getName)
-          .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong)
-        val ckpts = fs.listStatus(logDir).map(_.getPath.getName)
-          .filter(_.endsWith(".checkpoint.parquet"))
-          .map(_.stripSuffix(".checkpoint.parquet").toLong)
-        (jsons ++ ckpts).maxOption.map(_ + 1).getOrElse(0L)
-      }
+    val fs = tableFs(spark, tablePath)
+    val version = nextVersion(fs, tablePath)
     val removed: Seq[String] =
       if (overwrite && version > 0) activeFiles(spark, tablePath) else Nil
+    val moved = stageIn(df, fs, tablePath, version)
+    writeCommit(spark, tablePath, version, df.schema, moved, removed,
+      checkpointInterval)
+    version
+  }
 
-    // stage data files, then move them in under version-tagged names
-    val staging = new org.apache.hadoop.fs.Path(s"$tablePath/.stage-$version")
+  private def tableFs(spark: SparkSession, tablePath: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+
+  /** Next version = max(committed json, checkpointed) + 1 — json
+    * commits at or below a checkpoint may have been cleaned up. */
+  private def nextVersion(fs: org.apache.hadoop.fs.FileSystem,
+                          tablePath: String): Long = {
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
+    if (!fs.exists(logDir)) 0L
+    else {
+      val jsons = fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong)
+      val ckpts = fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(_.endsWith(".checkpoint.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet").toLong)
+      (jsons ++ ckpts).maxOption.map(_ + 1).getOrElse(0L)
+    }
+  }
+
+  /** Stage `df`'s part files, then move them in under version-tagged
+    * names (`tag` keeps two stagings of one commit distinct). */
+  private def stageIn(df: DataFrame, fs: org.apache.hadoop.fs.FileSystem,
+                      tablePath: String, version: Long,
+                      tag: String = ""): Seq[(String, Long)] = {
+    val staging =
+      new org.apache.hadoop.fs.Path(s"$tablePath/.stage-$version$tag")
     df.write.mode("overwrite").parquet(staging.toString)
     val moved = fs.listStatus(staging)
       .filter(_.getPath.getName.startsWith("part-")).toSeq.map { st =>
-        val name = s"part-$version-${st.getPath.getName.stripPrefix("part-")}"
+        val name =
+          s"part-$version$tag-${st.getPath.getName.stripPrefix("part-")}"
         fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tablePath, name))
         (name, st.getLen)
       }
     fs.delete(staging, true)
+    moved
+  }
 
+  /** Emit one commit of add+remove actions at `version`
+    * (create-exclusive: racing writers lose), then checkpoint on the
+    * configured cadence. */
+  private def writeCommit(spark: SparkSession, tablePath: String,
+                          version: Long, schema: StructType,
+                          adds: Seq[(String, Long)], removes: Seq[String],
+                          checkpointInterval: Int): Unit = {
+    val fs = tableFs(spark, tablePath)
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
     def js(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -224,12 +253,12 @@ object DeltaLite {
     // log stays self-describing across schema evolution
     actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
       s""""format":{"provider":"parquet","options":{}},""" +
-      s""""schemaString":${js(df.schema.json)},""" +
+      s""""schemaString":${js(schema.json)},""" +
       s""""partitionColumns":[],"configuration":{},"createdTime":$now}}"""
-    removed.foreach { p =>
+    removes.foreach { p =>
       actions += s"""{"remove":{"path":${js(p)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    moved.foreach { case (name, len) =>
+    adds.foreach { case (name, len) =>
       actions += s"""{"add":{"path":${js(name)},"partitionValues":{},""" +
         s""""size":$len,"modificationTime":$now,"dataChange":true}}"""
     }
@@ -241,7 +270,109 @@ object DeltaLite {
     finally out.close()
     if (checkpointInterval > 0 && version > 0 &&
         version % checkpointInterval == 0)
-      checkpoint(spark, tablePath, version, df.schema)
+      checkpoint(spark, tablePath, version, schema)
+  }
+
+  /** Copy-on-write DELETE (row-level delete under the public protocol,
+    * without deletion vectors): only files CONTAINING matching rows are
+    * rewritten — on a lake clustered by the predicate column (time,
+    * z-order) a retention delete rewrites a sliver of the table, never
+    * the whole of it. The touched-file probe is one scan carrying
+    * input_file_name; driver state is ≤ one string per file. Returns
+    * the committed version, or -1 when no row matched (no commit
+    * written — the delete is a no-op, not an empty commit). */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+                  predicate: org.apache.spark.sql.Column,
+                  checkpointInterval: Int = 10): Long = {
+    val files = activeFiles(spark, tablePath)
+    require(files.nonEmpty, s"Delta table at $tablePath has no active files")
+    val full = files.map(f => s"$tablePath/$f")
+    val cur = spark.read.option("mergeSchema", "true").parquet(full: _*)
+    val touchedUris = cur
+      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
+      .filter(predicate).select("__file").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touchedUris.isEmpty) return -1L
+    // input_file_name yields a URI; data files live flat in the table
+    // dir, so the table-relative name is the last path segment
+    val touchedNames =
+      touchedUris.map(u => u.substring(u.lastIndexOf('/') + 1))
+    val fs = tableFs(spark, tablePath)
+    val version = nextVersion(fs, tablePath)
+    val keep = spark.read.option("mergeSchema", "true")
+      .parquet(touchedUris: _*)
+      .filter(org.apache.spark.sql.functions.not(predicate))
+    val moved = stageIn(keep, fs, tablePath, version)
+    writeCommit(spark, tablePath, version, cur.schema, moved, touchedNames,
+      checkpointInterval)
+    version
+  }
+
+  /** Copy-on-write MERGE (PK upsert): files holding rows whose key
+    * matches an update are rewritten without those rows; the update
+    * batch itself lands as new files, so unmatched keys become inserts
+    * by construction. Untouched files are never rewritten — cost ∝
+    * touched files + batch size, not table size. `updates` must be
+    * PK-unique (collapse the changelog first,
+    * [[graft.operators.Collapse]]). */
+  def upsert(spark: SparkSession, tablePath: String, updates: DataFrame,
+             pks: Seq[String], checkpointInterval: Int = 10): Long = {
+    require(pks.nonEmpty, "upsert requires primary keys")
+    val fs = tableFs(spark, tablePath)
+    if (nextVersion(fs, tablePath) == 0L)
+      return write(updates, tablePath, checkpointInterval = checkpointInterval)
+    val files = activeFiles(spark, tablePath)
+    val full = files.map(f => s"$tablePath/$f")
+    val cur = spark.read.option("mergeSchema", "true").parquet(full: _*)
+    val keyFrame = updates
+      .select(pks.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val touchedUris = cur
+      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
+      .join(keyFrame, pks, "left_semi")
+      .select("__file").distinct().collect().map(_.getString(0)).toSeq
+    val touchedNames =
+      touchedUris.map(u => u.substring(u.lastIndexOf('/') + 1))
+    val version = nextVersion(fs, tablePath)
+    val survivors =
+      if (touchedUris.isEmpty) Nil
+      else stageIn(spark.read.option("mergeSchema", "true")
+        .parquet(touchedUris: _*).join(keyFrame, pks, "left_anti"),
+        fs, tablePath, version, tag = "k")
+    val added = stageIn(updates, fs, tablePath, version, tag = "u")
+    writeCommit(spark, tablePath, version, updates.schema,
+      survivors ++ added, touchedNames, checkpointInterval)
+    version
+  }
+
+  /** Protocol-committed small-file compaction (the lakehouse OPTIMIZE):
+    * bin-packs active files smaller than `targetBytes` into
+    * ~target-sized rewrites and commits add+remove in one version — a
+    * logical no-op (same rows), so readers never see a torn table and
+    * time travel still reconstructs every pre-compaction version.
+    * Returns the committed version, or -1 when fewer than two small
+    * files exist (nothing to gain — no empty commit). Complements the
+    * layout-preserving compactor in [[graft.sinks.Sinks]], which
+    * targets plain (log-less) lakes. */
+  def optimize(spark: SparkSession, tablePath: String,
+               targetBytes: Long = 128L * 1024 * 1024,
+               checkpointInterval: Int = 10): Long = {
+    val fs = tableFs(spark, tablePath)
+    val files = activeFiles(spark, tablePath)
+    val small = files.filter { f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$tablePath/$f"))
+        .getLen < targetBytes
+    }
+    if (small.size < 2) return -1L
+    val totalBytes = small.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$tablePath/$f"))
+        .getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val version = nextVersion(fs, tablePath)
+    val packed = spark.read.option("mergeSchema", "true")
+      .parquet(small.map(f => s"$tablePath/$f"): _*).coalesce(nOut)
+    val moved = stageIn(packed, fs, tablePath, version)
+    writeCommit(spark, tablePath, version, packed.schema, moved, small,
+      checkpointInterval)
     version
   }
 

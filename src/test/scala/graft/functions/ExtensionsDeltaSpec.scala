@@ -254,6 +254,68 @@ class ExtensionsDeltaSpec extends SparkSpec {
     }
   }
 
+  test("DeltaLite deleteWhere rewrites only files containing matches") {
+    val table = Files.createTempDirectory("graft_delta_del").toString + "/t"
+    // two single-file commits: ids 0-9 and 10-19
+    DeltaLite.write(spark.range(0, 10).toDF("id").coalesce(1), table)
+    DeltaLite.write(spark.range(10, 20).toDF("id").coalesce(1), table)
+    val before = DeltaLite.activeFiles(spark, table).toSet
+    assert(before.size == 2)
+    val v = DeltaLite.deleteWhere(spark, table, col("id") === 3L)
+    assert(v == 2L)
+    val after = DeltaLite.activeFiles(spark, table).toSet
+    // the 10-19 file survived untouched; the 0-9 file was replaced
+    assert(after.intersect(before).size == 1)
+    assert(DeltaLite.read(spark, table).count() == 19)
+    assert(DeltaLite.read(spark, table).filter(col("id") === 3L).count() == 0)
+    // time travel still sees the pre-delete state
+    assert(DeltaLite.readAt(spark, table, 1L).count() == 20)
+    // no match -> no commit, version unchanged
+    assert(DeltaLite.deleteWhere(spark, table, col("id") === 999L) == -1L)
+    assert(DeltaLite.activeFiles(spark, table).toSet == after)
+  }
+
+  test("DeltaLite upsert replaces matched keys and appends new ones") {
+    val table = Files.createTempDirectory("graft_delta_ups").toString + "/t"
+    DeltaLite.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1), table)
+    DeltaLite.write(Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+      .coalesce(1), table)
+    val before = DeltaLite.activeFiles(spark, table).toSet
+    // update id=3, insert id=9: only the (3,4) file is rewritten
+    val v = DeltaLite.upsert(spark, table,
+      Seq((3L, "C9"), (9L, "new")).toDF("id", "v"), Seq("id"))
+    assert(v == 2L)
+    val after = DeltaLite.activeFiles(spark, table).toSet
+    assert(after.intersect(before).size == 1)
+    val out = DeltaLite.read(spark, table).as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "C9"), (4L, "d"),
+      (9L, "new")))
+    // upsert into an empty table bootstraps it
+    val t2 = Files.createTempDirectory("graft_delta_ups2").toString + "/t"
+    assert(DeltaLite.upsert(spark, t2,
+      Seq((1L, "x")).toDF("id", "v"), Seq("id")) == 0L)
+    assert(DeltaLite.read(spark, t2).count() == 1)
+  }
+
+  test("DeltaLite optimize bin-packs small files, preserving rows and history") {
+    val table = Files.createTempDirectory("graft_delta_opt").toString + "/t"
+    for (i <- 0 until 8)
+      DeltaLite.write(spark.range(i * 10, i * 10 + 10).toDF("id")
+        .coalesce(1), table)
+    assert(DeltaLite.activeFiles(spark, table).size == 8)
+    val v = DeltaLite.optimize(spark, table)
+    assert(v == 8L)
+    assert(DeltaLite.activeFiles(spark, table).size == 1)
+    assert(DeltaLite.read(spark, table).as[Long].collect().sorted.toSeq ==
+      (0L until 80L))
+    // pre-compaction versions still reconstruct (removes are logical)
+    assert(DeltaLite.readAt(spark, table, 3L).count() == 40)
+    // second optimize: single file left, nothing to gain, no commit
+    assert(DeltaLite.optimize(spark, table) == -1L)
+  }
+
   test("cloudevents envelope parse") {
     val df = Seq(
       """{"specversion":"1.0","id":"e1","source":"/svc","type":"created","time":"2024-01-01T00:00:00Z","data":{"k":7}}""")
