@@ -391,6 +391,20 @@ object Oracles {
          |    array_to_string((list(key ORDER BY key))[1:3], ',') FROM prio
          |) t WHERE n > 0 ORDER BY kind, "column"""".stripMargin),
 
+    // DuckDB's native ASOF JOIN re-derives the carry-forward semantics
+    // independently of the window spelling
+    "gap_fill" ->
+      ("""WITH obs AS (
+         |  SELECT user_id % 20 AS k, epoch_ns(ts) // 3600000000000 AS h,
+         |         count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT k, min(h) AS lo, max(h) AS hi FROM obs GROUP BY k),
+         |grid AS (SELECT k, unnest(generate_series(lo, hi, 1)) AS h
+         |         FROM bounds)
+         |SELECT g.k, g.h, o.n_events
+         |FROM grid g ASOF JOIN obs o ON g.k = o.k AND g.h >= o.h
+         |ORDER BY g.k, g.h""".stripMargin),
+
     // recomputes the post-changelog table's aggregate from scratch;
     // the Spark side only ever folds signed deltas into the base state
     "incremental_rollup" ->

@@ -574,6 +574,25 @@ object Queries {
         src, perturbed.unionByName(extra), Seq("o_orderkey"))
     }),
 
+    "gap_fill" -> ((s, dir) => {
+      // regular-grid resample with forward fill (operators.GapFill):
+      // irregular event instants -> one row per (user group, hour),
+      // last observation carried forward. Hour bucketing is integer
+      // division on epoch micros (a double division would lose
+      // precision above 2^53; hour boundaries are whole micros, so the
+      // loader's ns->us truncation cannot move a row across one).
+      // Oracle: DuckDB's native ASOF JOIN of a generate_series grid
+      // against the observations — an independent implementation of
+      // carry-forward semantics.
+      val obs = t(s, dir, "events")
+        .select((col("user_id") % 20).as("k"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy("k", "h").agg(count(lit(1)).as("n_events"))
+      graft.operators.GapFill.fill(obs, Seq("k"), "h", step = 1,
+          Seq("n_events"))
+        .orderBy("k", "h")
+    }),
+
     "incremental_rollup" -> ((s, dir) => {
       // incremental aggregate maintenance (operators.Rollup): the
       // GROUP BY state is maintained by folding a signed retraction
