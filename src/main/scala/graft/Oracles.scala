@@ -391,6 +391,17 @@ object Oracles {
          |    array_to_string((list(key ORDER BY key))[1:3], ',') FROM prio
          |) t WHERE n > 0 ORDER BY kind, "column"""".stripMargin),
 
+    // same floor(log2) via binary string length — integer-exact
+    "skew_profile" ->
+      ("""WITH kc AS (
+         |  SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0
+         |              ELSE l_orderkey END AS k, count(*) AS c
+         |  FROM lineitem GROUP BY 1)
+         |SELECT CAST(length(bin(c)) - 1 AS INTEGER) AS magnitude,
+         |  count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         |  max(c) AS max_key_rows
+         |FROM kc GROUP BY 1 ORDER BY magnitude""".stripMargin),
+
     // DuckDB's native ASOF JOIN re-derives the carry-forward semantics
     // independently of the window spelling
     "gap_fill" ->

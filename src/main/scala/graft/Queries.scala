@@ -574,6 +574,19 @@ object Queries {
         src, perturbed.unionByName(extra), Seq("o_orderkey"))
     }),
 
+    "skew_profile" -> ((s, dir) => {
+      // key-weight skew diagnostics (operators.SkewProfile): a planted
+      // hot key (every %10==0 orderkey folded to 0) must surface as a
+      // lonely high magnitude above the uniform band. Magnitude is
+      // floor(log2) via length(bin(c))-1 — integer-exact in both
+      // engines, no float log.
+      val l = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 === 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"))
+      graft.operators.SkewProfile.histogram(l, Seq("k"))
+        .orderBy("magnitude")
+    }),
+
     "gap_fill" -> ((s, dir) => {
       // regular-grid resample with forward fill (operators.GapFill):
       // irregular event instants -> one row per (user group, hour),
