@@ -391,6 +391,21 @@ object Oracles {
          |    array_to_string((list(key ORDER BY key))[1:3], ',') FROM prio
          |) t WHERE n > 0 ORDER BY kind, "column"""".stripMargin),
 
+    // re-derives the v0->v2 changelog from the fixture formulas
+    "delta_cdf" ->
+      ("""SELECT * FROM (
+         |  SELECT 'update' AS kind, o_orderkey AS k,
+         |    o_totalprice AS bp, o_totalprice + 100 AS ap
+         |  FROM orders WHERE o_orderkey % 10 = 1
+         |  UNION ALL
+         |  SELECT 'insert', o_orderkey + 100000000,
+         |    CAST(NULL AS DOUBLE), o_totalprice
+         |  FROM orders WHERE o_orderkey % 10 = 3
+         |  UNION ALL
+         |  SELECT 'delete', o_orderkey, o_totalprice, CAST(NULL AS DOUBLE)
+         |  FROM orders WHERE o_orderkey % 10 = 2
+         |) ORDER BY k, kind""".stripMargin),
+
     // same floor(log2) via binary string length — integer-exact
     "skew_profile" ->
       ("""WITH kc AS (

@@ -574,6 +574,36 @@ object Queries {
         src, perturbed.unionByName(extra), Seq("o_orderkey"))
     }),
 
+    "delta_cdf" -> ((s, dir) => {
+      // change data feed by snapshot diff (sources.DeltaLite
+      // .changesBetween): three commits (base, COW upsert, COW delete),
+      // then the v0→v2 diff must read back exactly the planted changes
+      // — updates with both images, inserts/deletes with one. The
+      // oracle derives the same changelog from the fixture formulas.
+      val path = "/tmp/graft_delta_cdf/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_delta_cdf"), true)
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      graft.sources.DeltaLite.write(o, path)
+      val ups = o.filter(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100).as("o_totalprice"))
+        .unionByName(o.filter(col("o_orderkey") % 10 === 3)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      graft.sources.DeltaLite.upsert(s, path, ups, Seq("o_orderkey"))
+      graft.sources.DeltaLite.deleteWhere(s, path,
+        col("o_orderkey") % 10 === 2 && col("o_orderkey") < 100000000L)
+      graft.sources.DeltaLite.changesBetween(s, path, 0L, 2L,
+          Seq("o_orderkey"))
+        .select(col(E.Kind).as("kind"),
+          coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("k"),
+          col("before.o_totalprice").as("bp"),
+          col("after.o_totalprice").as("ap"))
+        .orderBy("k", "kind")
+    }),
+
     "skew_profile" -> ((s, dir) => {
       // key-weight skew diagnostics (operators.SkewProfile): a planted
       // hot key (every %10==0 orderkey folded to 0) must surface as a

@@ -376,6 +376,38 @@ object DeltaLite {
     version
   }
 
+  /** Change data feed by snapshot diff: the row-level changes between
+    * two committed versions, keyed on `pks` — right-only keys emit as
+    * inserts, left-only as deletes, changed payloads as updates with
+    * BOTH images. Output shape is exactly
+    * [[graft.operators.Rollup.retractions]]' input (`before`/`after`
+    * structs + kind/lsn/counter), so a lake diff folds straight into a
+    * maintained aggregate. Cost is one full-outer join of the two
+    * version snapshots (this minimal log stores no per-commit change
+    * files; the diff is computed, not replayed — the DBLog
+    * snapshot-reconcile tradeoff, reference pkg/dblog). Unchanged rows
+    * are dropped via null-safe struct comparison. */
+  def changesBetween(spark: SparkSession, tablePath: String,
+                     fromV: Long, toV: Long,
+                     pks: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(pks.nonEmpty, "changesBetween requires primary keys")
+    val E = graft.model.CdcEnvelope
+    val a = readAt(spark, tablePath, fromV)
+    val b = readAt(spark, tablePath, toV)
+    val l = a.select(pks.map(col) :+
+      struct(a.columns.map(col).toIndexedSeq: _*).as("before"): _*)
+    val r = b.select(pks.map(col) :+
+      struct(b.columns.map(col).toIndexedSeq: _*).as("after"): _*)
+    val kind = when(col("before").isNull, E.Insert)
+      .when(col("after").isNull, E.Delete)
+      .when(not(col("before") <=> col("after")), E.Update)
+    l.join(r, pks, "full_outer")
+      .select(col("before"), col("after"), kind.as(E.Kind),
+        lit(toV).as(E.Lsn), lit(0).as(E.Counter))
+      .filter(col(E.Kind).isNotNull)
+  }
+
   private val ckptSchema = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),

@@ -299,6 +299,39 @@ class ExtensionsDeltaSpec extends SparkSpec {
     assert(DeltaLite.read(spark, t2).count() == 1)
   }
 
+  test("DeltaLite changesBetween diffs versions; the feed folds into a rollup") {
+    import graft.operators.Rollup
+    val table = Files.createTempDirectory("graft_delta_cdf").toString + "/t"
+    DeltaLite.write(Seq((1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g2", 5.0))
+      .toDF("id", "g", "v"), table)                       // v0
+    DeltaLite.upsert(spark,
+      table, Seq((2L, "g1", 25.0), (9L, "g2", 7.0)).toDF("id", "g", "v"),
+      Seq("id"))                                          // v1: update + insert
+    DeltaLite.deleteWhere(spark, table, col("id") === 3L) // v2: delete
+    val ch = DeltaLite.changesBetween(spark, table, 0L, 2L, Seq("id"))
+    val kinds = ch.select(col("__kind"),
+        coalesce(col("after.id"), col("before.id")).as("id"))
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(kinds == Seq(("delete", 3L), ("insert", 9L), ("update", 2L)))
+
+    // composition: fold the feed into the v0 rollup == recompute at v2
+    val s0 = Rollup.init(DeltaLite.readAt(spark, table, 0L)
+      .select("g", "v"), Seq("g"), Seq("v"))
+    val chImg = ch.select(
+      when(col("before").isNotNull,
+        struct(col("before.g").as("g"), col("before.v").as("v"))).as("before"),
+      when(col("after").isNotNull,
+        struct(col("after.g").as("g"), col("after.v").as("v"))).as("after"),
+      col("__kind"), col("__lsn"), col("__counter"))
+    val folded = Rollup.merge(s0,
+      Rollup.delta(Rollup.retractions(chImg), Seq("g"), Seq("v")),
+      Seq("g"), Seq("v"))
+    val direct = Rollup.init(DeltaLite.read(spark, table)
+      .select("g", "v"), Seq("g"), Seq("v"))
+    assert(folded.except(direct).count() == 0 &&
+      direct.except(folded).count() == 0)
+  }
+
   test("DeltaLite optimize bin-packs small files, preserving rows and history") {
     val table = Files.createTempDirectory("graft_delta_opt").toString + "/t"
     for (i <- 0 until 8)
