@@ -368,6 +368,25 @@ object Stress {
       "incremental fold must equal recompute")
     rs0.unpersist(); rs1.unpersist()
 
+    // 21. Gap fill: 2M irregular observations over 5k keys resampled
+    // onto a ~10M-row grid — the sequence-explode grid and the single
+    // window pass must both stay key-balanced.
+    val gobs = spark.range(2000000).select(
+      (col("id") % 5000L).as("k"),
+      // `div`, not `/`: Column `/` is double division and a double ts
+      // cannot feed sequence()
+      expr("(id div 5000) * 10 + (id div 5000) % 3").as("ts"),
+      (col("id") % 97L).as("v"))
+    val gfill = operators.GapFill.fill(gobs, Seq("k"), "ts",
+      step = 2L, Seq("v")).persist()
+    val gn = timed("GapFill 2M obs x 5k keys -> ~10M grid rows") {
+      gfill.count() // materializes the fill (persist above is lazy)
+    }
+    require(gn > 9000000L && gn < 11000000L, s"grid size off: $gn")
+    require(gfill.filter(col("v").isNull).count() == 0L,
+      "every tick at/after the first observation must be filled")
+    gfill.unpersist()
+
     spark.stop()
   }
 }

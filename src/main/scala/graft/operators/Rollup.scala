@@ -123,10 +123,15 @@ object Rollup {
     * whole each fold behind a two-phase swap (write .tmp → move live
     * aside to .bak → move .tmp in → drop .bak); a crash at any point
     * leaves either the old state or a recoverable .bak, never a torn
-    * directory. Returns the post-fold state. */
+    * directory. Pass foreachBatch's `batchId` for exactly-once under
+    * replay: the id is written INSIDE the new state dir before the
+    * swap, so it travels atomically with the rename — a replayed batch
+    * that already folded (crash after swap, before the streaming
+    * checkpoint committed) is detected and skipped, never applied
+    * twice. Returns the post-fold state. */
   def fold(spark: org.apache.spark.sql.SparkSession, statePath: String,
            retractionBatch: DataFrame, groupKeys: Seq[String],
-           metrics: Seq[String]): DataFrame = {
+           metrics: Seq[String], batchId: Long = -1L): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(statePath)
     val fs = live.getFileSystem(conf)
@@ -136,6 +141,15 @@ object Rollup {
     // fold died between its two moves — restore the pre-fold state
     if (fs.exists(bak) && !fs.exists(live)) fs.rename(bak, live)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // replay detection: the live state already carries this batch id
+    val marker = new org.apache.hadoop.fs.Path(live, "_graft_batch")
+    if (batchId >= 0 && fs.exists(marker)) {
+      val in = fs.open(marker)
+      val folded =
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      if (folded == batchId) return spark.read.parquet(statePath)
+    }
 
     val d = delta(retractionBatch, groupKeys, metrics)
     val next =
@@ -147,6 +161,11 @@ object Rollup {
               "the (empty) state"))).otherwise(col("n_rows")))
           .filter(col("n_rows") > 0)
     next.write.mode("overwrite").parquet(tmp.toString)
+    if (batchId >= 0) {
+      // underscore-prefixed, so parquet readers ignore it like _SUCCESS
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_graft_batch"))
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(live)) fs.rename(live, bak)
     fs.rename(tmp, live)

@@ -87,9 +87,9 @@ class RollupSpec extends SparkSpec {
         when(col("bg") =!= "", img(col("bg"), col("bv"))).as("before"),
         when(col("ag") =!= "", img(col("ag"), col("av"))).as("after"))
     val q = stream.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, id: Long) =>
         Rollup.fold(spark, statePath, Rollup.retractions(b),
-          Seq("grp"), Seq("v")); ()
+          Seq("grp"), Seq("v"), batchId = id); ()
       }
       .option("checkpointLocation", root.toString + "/ckpt")
       .start()
@@ -106,6 +106,24 @@ class RollupSpec extends SparkSpec {
       assert(collectState(spark.read.parquet(statePath)) ==
         Set(("a", 2L, 31L)))
     } finally q.stop()
+  }
+
+  test("fold with a batchId is exactly-once under replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_rep")
+    val statePath = root.toString + "/state"
+    val b1 = change(E.Insert, 1, nullImg, img(lit("a"), lit(10L)))
+    Rollup.fold(spark, statePath, Rollup.retractions(b1),
+      Seq("grp"), Seq("v"), batchId = 0L)
+    // replay of batch 0 (crash after swap, before checkpoint commit):
+    // must be a no-op, not a double fold
+    val replayed = Rollup.fold(spark, statePath, Rollup.retractions(b1),
+      Seq("grp"), Seq("v"), batchId = 0L)
+    assert(collectState(replayed) == Set(("a", 1L, 10L)))
+    // the next batch id folds normally
+    val b2 = change(E.Insert, 2, nullImg, img(lit("a"), lit(5L)))
+    val st = Rollup.fold(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), batchId = 1L)
+    assert(collectState(st) == Set(("a", 2L, 15L)))
   }
 
   test("fold recovers the pre-fold state from a crashed swap") {
