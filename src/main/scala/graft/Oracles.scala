@@ -417,6 +417,13 @@ object Oracles {
          |  max(c) AS max_key_rows
          |FROM kc GROUP BY 1 ORDER BY magnitude""".stripMargin),
 
+    "heavy_keys" ->
+      ("""SELECT k, count(*) AS key_rows,
+         |  CAST(ceil(count(*) / 100.0) AS INTEGER) AS salt_factor
+         |FROM (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0
+         |             ELSE l_orderkey END AS k FROM lineitem)
+         |GROUP BY k HAVING count(*) > 100 ORDER BY k""".stripMargin),
+
     // DuckDB's native ASOF JOIN re-derives the carry-forward semantics
     // independently of the window spelling
     "gap_fill" ->

@@ -617,6 +617,20 @@ object Queries {
         .orderBy("magnitude")
     }),
 
+    "heavy_keys" -> ((s, dir) => {
+      // the actionable half of the skew profile: keys above the
+      // per-task target surface with the ceil salt factor that levels
+      // them (feed to Joins.salted / bucket sizing). targetPerTask=100
+      // keeps the planted hot key above threshold at every scale
+      // factor while uniform lineitem keys (<=7 rows) stay below.
+      val l = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 === 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"))
+      graft.operators.SkewProfile.heavyKeys(l, Seq("k"),
+          targetPerTask = 100)
+        .orderBy("k")
+    }),
+
     "gap_fill" -> ((s, dir) => {
       // regular-grid resample with forward fill (operators.GapFill):
       // irregular event instants -> one row per (user group, hour),
