@@ -144,6 +144,52 @@ class RollupSpec extends SparkSpec {
     assert(collectState(st) == Set(("a", 2L, 15L)))
   }
 
+  test("property: a random changelog folded batch-by-batch equals recompute") {
+    val rnd = new scala.util.Random(20260813)
+    val live = scala.collection.mutable.Map[Int, (String, Long)]()
+    var nextId = 0
+    def freshRow() = ("g" + rnd.nextInt(5), rnd.nextInt(100).toLong)
+    for (_ <- 0 until 20) { live(nextId) = freshRow(); nextId += 1 }
+    var st = Rollup.init(
+      live.values.toSeq.toDF("grp", "v"), Seq("grp"), Seq("v"))
+    for (_ <- 0 until 5) {
+      val ops = Seq.newBuilder[
+        (String, Option[String], Option[Long], Option[String], Option[Long])]
+      for (_ <- 0 until 30) {
+        val c = rnd.nextInt(3)
+        if (c == 0 || live.isEmpty) {
+          val r = freshRow(); live(nextId) = r; nextId += 1
+          ops += (("insert", None, None, Some(r._1), Some(r._2)))
+        } else {
+          val id = live.keys.toSeq(rnd.nextInt(live.size))
+          val b = live(id)
+          if (c == 1) { // update, possibly group-moving
+            val a = freshRow(); live(id) = a
+            ops += (("update", Some(b._1), Some(b._2), Some(a._1), Some(a._2)))
+          } else {
+            live.remove(id)
+            ops += (("delete", Some(b._1), Some(b._2), None, None))
+          }
+        }
+      }
+      val raw = ops.result().zipWithIndex.map { case (o, i) =>
+        (o._1, o._2, o._3, o._4, o._5, i.toLong) }
+        .toDF("k", "bg", "bv", "ag", "av", "lsn")
+      val ch = raw.select(
+        when(col("bg").isNotNull, img(col("bg"), col("bv"))).as("before"),
+        when(col("ag").isNotNull, img(col("ag"), col("av"))).as("after"),
+        col("k").as(E.Kind), col("lsn").as(E.Lsn), lit(0).as(E.Counter))
+      st = Rollup.merge(st,
+        Rollup.delta(Rollup.retractions(ch), Seq("grp"), Seq("v")),
+        Seq("grp"), Seq("v"))
+    }
+    val truth =
+      if (live.isEmpty) Set.empty[(String, Long, Long)]
+      else collectState(Rollup.init(
+        live.values.toSeq.toDF("grp", "v"), Seq("grp"), Seq("v")))
+    assert(collectState(st) == truth)
+  }
+
   test("decimal sums keep the state's type across chained merges") {
     val base = Seq(("a", "10.25"), ("b", "1.50")).toDF("grp", "s")
       .select(col("grp"), col("s").cast("decimal(15,2)").as("v"))
