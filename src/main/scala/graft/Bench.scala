@@ -74,22 +74,35 @@ object Bench {
       }.sorted
       runs(runs.length / 2)
     } catch { case _: Throwable => -1.0 }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},"sf":"$sfDir"}"""
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},"sf":"$sfDir"}"""
+    // The final printed line must fit the driver's ~2 KB tail-capture
+    // window: 158 queries x 17-digit doubles is 4.6 KB and arrives
+    // decapitated (BENCH_r04/r05 `parsed: null`). Print a COMPACT summary
+    // as the last line — totals plus only the 5 slowest queries, seconds
+    // rounded to 3 decimals (~400 bytes) — and leave the full per-query
+    // map in /tmp/graft_bench.json for forensics.
+    val top5 = results.collect { case (k, Right(v)) => k -> v }
+      .sortBy(-_._2).take(5)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top5,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""
     // Emission must be un-losable: streaming queries leave state-store
     // maintenance threads that race RpcEnv shutdown and can dump multi-KB
     // stack traces AFTER our output (this cost round 4 its perf signal —
     // BENCH_r04 `parsed: null`). Quiesce streams, silence the logger, stop
-    // Spark, THEN persist the JSON to a file and print it as the very last
-    // line before a hard exit so no straggler thread can write after it.
+    // Spark, THEN persist the JSON to a file and print the compact line as
+    // the very last output before a hard exit so no straggler thread can
+    // write after it.
     try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/tmp/graft_bench.json"),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => }
-    println(json)
+    println(compact)
     Console.out.flush()
     sys.exit(0)
   }

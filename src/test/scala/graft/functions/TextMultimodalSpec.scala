@@ -181,6 +181,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2) == (("https://example.net", "example.net")))
   }
 
+  test("url normalization: suffix-collision params survive the strip") {
+    // href=/pref=/xutm_source= merely CONTAIN utm_/ref as a suffix —
+    // they are distinct params; stripping them merges distinct pages
+    // into one dedup key (the exact false-merge normalize must avoid)
+    val urls = Seq(
+      "https://a.example/r?href=x",
+      "https://a.example/r?pref=1",
+      "https://a.example/r?xutm_source=1",
+      "https://a.example/r?href=x&utm_medium=m&pref=1",
+      "https://a.example/r?utm_a=1&utm_b=2&keep=3",
+      "https://a.example/r?keep=1&ref=2&utm_c=3").toDF("url")
+    val out = urls.select(UrlOps.normalize(col("url")).as("n"))
+      .as[String].collect().toSeq
+    assert(out(0) == "https://a.example/r?href=x")
+    assert(out(1) == "https://a.example/r?pref=1")
+    assert(out(2) == "https://a.example/r?xutm_source=1")
+    assert(out(3) == "https://a.example/r?href=x&pref=1")
+    assert(out(4) == "https://a.example/r?keep=3")
+    assert(out(5) == "https://a.example/r?keep=1")
+  }
+
   test("mime sniff: full signature table, RIFF discrimination, unknowns") {
     def bytes(hexs: String, tail: String = "body"): Array[Byte] = {
       val h = hexs.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray

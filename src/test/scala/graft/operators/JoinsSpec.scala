@@ -76,6 +76,31 @@ class JoinsSpec extends SparkSpec {
     assert(out == Set((Some(1L), Some("v1")), (None, None)))
   }
 
+  test("asof join never matches on NULL times (either side, either direction)") {
+    // DuckDB ASOF / merge_asof: a NULL timestamp compares UNKNOWN, so a
+    // NULL-time right row is never a candidate and a NULL-time left row
+    // matches nothing. Unguarded, the window sort parks NULLs at one end
+    // of the partition where last(ignoreNulls) CAN see them: backward
+    // asc-NULLS-FIRST feeds NULL-time right rows to every left row with
+    // no earlier match; forward desc-NULLS-LAST gives a NULL-time left
+    // row the entire partition as its frame.
+    val left = Seq((1L, Option(3L), "early"), (1L, None: Option[Long], "lnull"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, Option(5L), "v5"), (1L, None: Option[Long], "vnull"))
+      .toDF("k", "t", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsofJoin.join(left, right, Seq("k"), "t", "t", direction = dir)
+        .select("tag", "r_v").collect()
+        .map(r => (r.getString(0), Option(r.get(1)))).toMap
+      assert(out("lnull").isEmpty, s"$dir: NULL-time left row matched")
+      val early = out("early")
+      if (dir == "backward") assert(early.isEmpty,
+        "backward: t=3 has no right row at-or-before, NULL must not fill in")
+      else assert(early.contains("v5"),
+        "forward: t=3 must match t=5, not the NULL-time row")
+    }
+  }
+
   test("asof join forward + tolerance") {
     val left = Seq((1L, 10L), (1L, 40L)).toDF("k", "t")
     val right = Seq((1L, 12L, "near"), (1L, 90L, "far")).toDF("k", "t", "v")
