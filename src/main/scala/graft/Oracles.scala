@@ -449,6 +449,23 @@ object Oracles {
          |FROM orders WHERE o_orderkey % 10 <> 2
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // recomputes count/sum/min/max of the post-changelog table from
+    // scratch; the Spark side folded signed deltas and repaired only
+    // the groups whose extremum was deleted
+    "incremental_rollup_minmax" ->
+      ("""WITH final AS (
+         |  SELECT o_orderpriority,
+         |    CASE WHEN o_orderkey % 10 = 1
+         |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+         |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+         |  FROM orders WHERE o_orderkey % 10 <> 2)
+         |SELECT o_orderpriority, count(*) AS n_rows,
+         |  CAST(sum(p) AS DOUBLE) AS total_price,
+         |  CAST(min(p) AS DOUBLE) AS min_price,
+         |  CAST(max(p) AS DOUBLE) AS max_price
+         |FROM final
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     // the bloom index changes which files are read, not the result
     "bloom_pruned_scan" ->
       ("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -720,6 +720,56 @@ object Queries {
         .orderBy("o_orderpriority")
     }),
 
+    "incremental_rollup_minmax" -> ((s, dir) => {
+      // extrema-carrying rollup maintenance (Rollup.foldWithExtrema):
+      // count/sum fold as signed deltas, inserts extend min/max
+      // in-state, and ONLY groups whose delete touched a current
+      // extremum re-aggregate min/max from the (post-batch) base via a
+      // key-pruned semi join. Same fixture as incremental_rollup —
+      // the %10==2 deletes and the %10==1 before-images land on group
+      // extrema at every scale factor, so the repair path runs. The
+      // oracle recomputes the FINAL table's aggregate from scratch:
+      // green proves fold+repair == full recompute.
+      import graft.operators.Rollup
+      val keys = Seq("o_orderpriority")
+      val mets = Seq("o_totalprice")
+      val o = t(s, dir, "orders").withColumn("o_totalprice",
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val img = struct(col("o_orderpriority"), col("o_totalprice"))
+      val nullImg = when(lit(false), img)
+      val s0 = Rollup.initWithExtrema(
+        o.filter(col("o_orderkey") % 10 =!= 0)
+          .select("o_orderpriority", "o_totalprice"), keys, mets)
+      val inserts = o.filter(col("o_orderkey") % 10 === 0).select(
+        nullImg.as("before"), img.as("after"), lit(E.Insert).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val updates = o.filter(col("o_orderkey") % 10 === 1).select(
+        img.as("before"),
+        struct(col("o_orderpriority"),
+          (col("o_totalprice") + 100).cast(DecimalType(18, 2))
+            .as("o_totalprice")).as("after"),
+        lit(E.Update).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val deletes = o.filter(col("o_orderkey") % 10 === 2).select(
+        img.as("before"), nullImg.as("after"), lit(E.Delete).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val changes = inserts.unionByName(updates).unionByName(deletes)
+      // the base AFTER the batch applied — the repair contract
+      val base = o.filter(col("o_orderkey") % 10 =!= 2)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 1,
+            (col("o_totalprice") + 100).cast(DecimalType(18, 2)))
+            .otherwise(col("o_totalprice")))
+        .select("o_orderpriority", "o_totalprice")
+      val st = Rollup.foldWithExtrema(s0, Rollup.retractions(changes),
+        base, keys, mets)
+      st.select(col("o_orderpriority"), col("n_rows"),
+          col("sum_o_totalprice").cast("double").as("total_price"),
+          col("min_o_totalprice").cast("double").as("min_price"),
+          col("max_o_totalprice").cast("double").as("max_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "bloom_pruned_scan" -> ((s, dir) => {
       // point-lookup through the bloom file index (sinks.ZOrderLake
       // .bloomManifest): lineitem hash-partitioned into 16 files so

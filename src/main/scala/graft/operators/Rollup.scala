@@ -117,6 +117,89 @@ object Rollup {
           col(s"sum_$m").cast(sumTypes(m)).as(s"sum_$m")): _*)
   }
 
+  /** Aggregate state WITH extrema — [[init]]'s additive columns plus
+    * `min_<m>`/`max_<m>` per metric. Pair with [[foldWithExtrema]]. */
+  def initWithExtrema(snapshot: DataFrame, groupKeys: Seq[String],
+                      metrics: Seq[String]): DataFrame =
+    snapshot.groupBy(groupKeys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        metrics.flatMap(m => Seq(sum(col(m)).as(s"sum_$m"),
+          min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m"))): _*)
+
+  /** Fold a retraction batch into extrema-carrying state. MIN/MAX are
+    * not retractable from the state alone — dropping the current min
+    * needs the runner-up, which only base history knows — so the fold
+    * splits the work (the standard complement to the retract-stream
+    * design):
+    *
+    *   - additive columns (count, sums) fold exactly as [[merge]];
+    *   - INSERTS extend extrema in-state (`least`/`greatest` — an
+    *     insert can only push an extremum outward);
+    *   - DELETES (and update before-images) that TOUCH a current
+    *     extremum mark the group for repair, and ONLY those groups are
+    *     re-aggregated from `base` — the post-batch table — via a
+    *     key-pruned semi join (partition-pruned further when the lake
+    *     is laid out on a group-key prefix).
+    *
+    * Cost: |state| + |batch| for the fold, plus one scan of base
+    * RESTRICTED to repair groups — the groups whose extremum was
+    * deleted, typically a sliver. `base` must reflect the table AFTER
+    * this batch applied (the caller owns that contract: repair reads
+    * current truth, exactly like the reference's ClickHouse
+    * collapsing-sink re-SELECT path). */
+  def foldWithExtrema(state: DataFrame, retractionBatch: DataFrame,
+                      base: DataFrame, groupKeys: Seq[String],
+                      metrics: Seq[String]): DataFrame = {
+    val additiveState = state.select(
+      (groupKeys.map(col) :+ col("n_rows")) ++
+        metrics.map(m => col(s"sum_$m")): _*)
+    val additive = merge(additiveState,
+      delta(retractionBatch, groupKeys, metrics), groupKeys, metrics)
+
+    val s = sign
+    val extAggs = metrics.flatMap(m => Seq(
+      min(when(s > 0, col(m))).as(s"ins_min_$m"),
+      max(when(s > 0, col(m))).as(s"ins_max_$m"),
+      min(when(s < 0, col(m))).as(s"del_min_$m"),
+      max(when(s < 0, col(m))).as(s"del_max_$m")))
+    val batchExt = retractionBatch.groupBy(groupKeys.map(col): _*)
+      .agg(extAggs.head, extAggs.tail: _*)
+
+    val stateExt = state.select(
+      groupKeys.map(col) ++
+        metrics.flatMap(m => Seq(col(s"min_$m"), col(s"max_$m"))): _*)
+    val joined = stateExt.join(batchExt, groupKeys, "full_outer")
+    // a deleted value can only EQUAL an extremum when the changelog is
+    // consistent; <=/>= keeps the guard safe under any drift. A group
+    // with deletes but NO state extrema (created and retracted within
+    // one batch — e.g. insert then update) must also repair: its
+    // ins_min/ins_max include the retracted before-images.
+    val needsRepair = metrics.map(m =>
+      col(s"del_min_$m").isNotNull && (col(s"min_$m").isNull ||
+        col(s"del_min_$m") <= col(s"min_$m") ||
+        col(s"del_max_$m") >= col(s"max_$m")))
+      .reduce(_ || _)
+
+    val repairKeys = joined.filter(needsRepair)
+      .select(groupKeys.map(col): _*)
+    val mmAggs = metrics.flatMap(m => Seq(min(col(m)).as(s"min_$m"),
+      max(col(m)).as(s"max_$m")))
+    val repaired = base.join(repairKeys, groupKeys, "left_semi")
+      .groupBy(groupKeys.map(col): _*)
+      .agg(mmAggs.head, mmAggs.tail: _*)
+    // least/greatest skip NULL: a new group takes the insert extrema, an
+    // untouched group keeps the state's
+    val folded = joined.filter(!needsRepair).select(
+      groupKeys.map(col) ++ metrics.flatMap(m => Seq(
+        least(col(s"min_$m"), col(s"ins_min_$m")).as(s"min_$m"),
+        greatest(col(s"max_$m"), col(s"ins_max_$m")).as(s"max_$m"))): _*)
+
+    additive.join(folded.unionByName(repaired), groupKeys, "left")
+      .select((groupKeys.map(col) :+ col("n_rows")) ++
+        metrics.flatMap(m => Seq(col(s"sum_$m"), col(s"min_$m"),
+          col(s"max_$m"))): _*)
+  }
+
   /** Continuously-maintained aggregate: fold one changelog batch into
     * a parquet-persisted state — the `foreachBatch` body of a streaming
     * rollup. The state is group-cardinality-sized, so it is rewritten

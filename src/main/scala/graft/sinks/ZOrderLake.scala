@@ -75,16 +75,17 @@ object ZOrderLake {
   def buildManifest(spark: SparkSession, path: String,
                     dims: Seq[String]): String = {
     val manifestPath = path.stripSuffix("/") + "_manifest"
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(minMaxAggs(dims).head, minMaxAggs(dims).tail: _*)
+    minMaxStats(spark.read.parquet(path), dims)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath)
     manifestPath
   }
 
-  private def minMaxAggs(dims: Seq[String]) = dims.flatMap(d =>
-    Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+  private def minMaxStats(df: DataFrame, dims: Seq[String]): DataFrame = {
+    val aggs = dims.flatMap(d =>
+      Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Incremental manifest maintenance for append/compact workloads:
     * scan ONLY files not yet in the manifest, drop manifest rows for
@@ -105,14 +106,45 @@ object ZOrderLake {
     * single-writer maintenance op; readers racing the swap window
     * should retry. */
   def updateManifest(spark: SparkSession, path: String,
-                     dims: Seq[String]): String = {
-    val manifestPath = path.stripSuffix("/") + "_manifest"
+                     dims: Seq[String]): String =
+    incrementalUpdate(spark, path, path.stripSuffix("/") + "_manifest",
+      () => buildManifest(spark, path, dims),
+      added => minMaxStats(spark.read.parquet(added: _*), dims))
+
+  /** Incremental [[bloomManifest]] maintenance — same known-files diff
+    * as [[updateManifest]]: an append indexes one file's worth. */
+  def updateBloomManifest(spark: SparkSession, path: String,
+                          column: String, bits: Int = 4096): String =
+    incrementalUpdate(spark, path,
+      path.stripSuffix("/") + s"_bloom_$column",
+      () => bloomManifest(spark, path, column, bits),
+      added => bloomStats(spark.read.parquet(added: _*), column, bits))
+
+  /** Incremental [[trigramBloomManifest]] maintenance. Files whose rows
+    * are all sub-trigram-length get no manifest row (matching the full
+    * build) and so are re-listed as unknown on each update — a no-op
+    * rescan of an effectively empty file, never a correctness issue. */
+  def updateTrigramManifest(spark: SparkSession, path: String,
+                            column: String, bits: Int = 65536): String =
+    incrementalUpdate(spark, path,
+      path.stripSuffix("/") + s"_trgm_$column",
+      () => trigramBloomManifest(spark, path, column, bits),
+      added => trigramStats(spark.read.parquet(added: _*), column, bits))
+
+  /** The shared known-files diff + atomic swap behind all three index
+    * updates. `freshStats(addedFiles)` must produce rows schema-equal
+    * to the full build's (one row per file, keyed `file`). */
+  private def incrementalUpdate(spark: SparkSession, path: String,
+                                manifestPath: String,
+                                rebuild: () => String,
+                                freshStats: Seq[String] => DataFrame)
+      : String = {
     val hPath = new org.apache.hadoop.fs.Path(manifestPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new org.apache.hadoop.fs.Path(manifestPath + "_bak")
     // crash recovery: a previous run died between its two renames
     if (!fs.exists(hPath) && fs.exists(bak)) fs.rename(bak, hPath)
-    if (!fs.exists(hPath)) return buildManifest(spark, path, dims)
+    if (!fs.exists(hPath)) return rebuild()
 
     val current = spark.read.parquet(path).inputFiles.toSet
     val old = spark.read.parquet(manifestPath)
@@ -125,11 +157,7 @@ object ZOrderLake {
       (if (removed.isEmpty) old
        else old.filter(!col("file").isInCollection(removed))).collect()
     val fresh =
-      if (added.isEmpty) Seq.empty
-      else spark.read.parquet(added: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(minMaxAggs(dims).head, minMaxAggs(dims).tail: _*)
-        .collect().toSeq
+      if (added.isEmpty) Seq.empty else freshStats(added).collect().toSeq
     val combined = spark.createDataFrame(
       spark.sparkContext.parallelize(kept ++ fresh, 1), old.schema)
 
@@ -177,15 +205,18 @@ object ZOrderLake {
   def bloomManifest(spark: SparkSession, path: String, column: String,
                     bits: Int = 4096): String = {
     val manifestPath = path.stripSuffix("/") + s"_bloom_$column"
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(sort_array(collect_set(pmod(
-        graft.functions.Hashing.hex8ToLong(col(column).cast("string")),
-        lit(bits.toLong)).cast("int"))).as("positions"))
+    bloomStats(spark.read.parquet(path), column, bits)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath)
     manifestPath
   }
+
+  private def bloomStats(df: DataFrame, column: String,
+                         bits: Int): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(sort_array(collect_set(pmod(
+        graft.functions.Hashing.hex8ToLong(col(column).cast("string")),
+        lit(bits.toLong)).cast("int"))).as("positions"))
 
   /** Files whose bloom bitset contains the probe value's position. */
   def bloomCandidateFiles(spark: SparkSession, bloomPath: String,
@@ -224,9 +255,16 @@ object ZOrderLake {
   def trigramBloomManifest(spark: SparkSession, path: String,
                            column: String, bits: Int = 65536): String = {
     val manifestPath = path.stripSuffix("/") + s"_trgm_$column"
+    trigramStats(spark.read.parquet(path), column, bits)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+    manifestPath
+  }
+
+  private def trigramStats(df: DataFrame, column: String,
+                           bits: Int): DataFrame = {
     val s = col(column).cast("string")
-    spark.read.parquet(path)
-      .filter(s.isNotNull && length(s) >= 3)
+    df.filter(s.isNotNull && length(s) >= 3)
       .select(input_file_name().as("file"),
         explode(sequence(lit(1), length(s) - 2)).as("i"), s.as("__s"))
       .select(col("file"), pmod(
@@ -235,9 +273,6 @@ object ZOrderLake {
         lit(bits.toLong)).cast("int").as("pos"))
       .groupBy("file")
       .agg(sort_array(collect_set(col("pos"))).as("positions"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(manifestPath)
-    manifestPath
   }
 
   private def trigramPositions(needle: String, bits: Int): Seq[Int] =

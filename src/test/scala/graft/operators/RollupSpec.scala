@@ -190,6 +190,112 @@ class RollupSpec extends SparkSpec {
     assert(collectState(st) == truth)
   }
 
+  private def collectExt(df: DataFrame): Set[(String, Long, Long, Long, Long)] =
+    df.select("grp", "n_rows", "sum_v", "min_v", "max_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("extrema fold: inserts extend in-state, extremum deletes repair from base") {
+    // a: 10,20,30 — delete the max (30): repair must find runner-up 20
+    // b: 5,8      — insert 9: max extends in-state, no repair
+    // c: new group via inserts only
+    val baseRows = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 5L), ("b", 8L))
+    val s0 = Rollup.initWithExtrema(baseRows.toDF("grp", "v"),
+      Seq("grp"), Seq("v"))
+    assert(collectExt(s0) == Set(("a", 3L, 60L, 10L, 30L),
+      ("b", 2L, 13L, 5L, 8L)))
+    val batch = change(E.Delete, 1, img(lit("a"), lit(30L)), nullImg)
+      .union(change(E.Insert, 2, nullImg, img(lit("b"), lit(9L))))
+      .union(change(E.Insert, 3, nullImg, img(lit("c"), lit(42L))))
+    // base AFTER the batch applied — the caller's contract
+    val after = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("b", 8L),
+      ("b", 9L), ("c", 42L)).toDF("grp", "v")
+    val s1 = Rollup.foldWithExtrema(s0, Rollup.retractions(batch),
+      after, Seq("grp"), Seq("v"))
+    assert(collectExt(s1) == Set(("a", 2L, 30L, 10L, 20L),
+      ("b", 3L, 22L, 5L, 9L), ("c", 1L, 42L, 42L, 42L)))
+  }
+
+  test("extrema fold: only repair groups touch the base table") {
+    // base is a SPY: restrict it to the repair group and the fold must
+    // still be exact — proof the non-repair groups never read base
+    val s0 = Rollup.initWithExtrema(
+      Seq(("a", 1L), ("a", 9L), ("b", 3L)).toDF("grp", "v"),
+      Seq("grp"), Seq("v"))
+    val batch = change(E.Delete, 1, img(lit("a"), lit(1L)), nullImg)
+    val afterOnlyA = Seq(("a", 9L)).toDF("grp", "v") // b withheld
+    val s1 = Rollup.foldWithExtrema(s0, Rollup.retractions(batch),
+      afterOnlyA, Seq("grp"), Seq("v"))
+    assert(collectExt(s1) == Set(("a", 1L, 9L, 9L, 9L),
+      ("b", 1L, 3L, 3L, 3L)))
+  }
+
+  test("extrema fold: group created and updated within one batch repairs") {
+    // group d is new to the state; insert 7 then update 7 -> 50 in the
+    // SAME batch. The retracted before-image (7) must not survive as
+    // the min — the intra-batch delete forces repair even though the
+    // state holds no extrema for d.
+    val s0 = Rollup.initWithExtrema(
+      Seq(("a", 1L)).toDF("grp", "v"), Seq("grp"), Seq("v"))
+    val batch = change(E.Insert, 1, nullImg, img(lit("d"), lit(7L)))
+      .union(change(E.Update, 2, img(lit("d"), lit(7L)),
+        img(lit("d"), lit(50L))))
+    val after = Seq(("a", 1L), ("d", 50L)).toDF("grp", "v")
+    val s1 = Rollup.foldWithExtrema(s0, Rollup.retractions(batch),
+      after, Seq("grp"), Seq("v"))
+    assert(collectExt(s1) == Set(("a", 1L, 1L, 1L, 1L),
+      ("d", 1L, 50L, 50L, 50L)))
+  }
+
+  test("property: random changelog with extrema equals recompute") {
+    val rnd = new scala.util.Random(20260814)
+    val live = scala.collection.mutable.Map[Int, (String, Long)]()
+    var nextId = 0
+    def freshRow() = ("g" + rnd.nextInt(4), rnd.nextInt(50).toLong)
+    for (_ <- 0 until 15) { live(nextId) = freshRow(); nextId += 1 }
+    var st = Rollup.initWithExtrema(
+      live.values.toSeq.toDF("grp", "v"), Seq("grp"), Seq("v"))
+    for (_ <- 0 until 4) {
+      val ops = Seq.newBuilder[
+        (String, Option[String], Option[Long], Option[String], Option[Long])]
+      for (_ <- 0 until 20) {
+        val c = rnd.nextInt(3)
+        if (c == 0 || live.isEmpty) {
+          val r = freshRow(); live(nextId) = r; nextId += 1
+          ops += (("insert", None, None, Some(r._1), Some(r._2)))
+        } else {
+          val id = live.keys.toSeq(rnd.nextInt(live.size))
+          val b = live(id)
+          if (c == 1) {
+            val a = freshRow(); live(id) = a
+            ops += (("update", Some(b._1), Some(b._2), Some(a._1), Some(a._2)))
+          } else {
+            live.remove(id)
+            ops += (("delete", Some(b._1), Some(b._2), None, None))
+          }
+        }
+      }
+      val raw = ops.result().zipWithIndex.map { case (o, i) =>
+        (o._1, o._2, o._3, o._4, o._5, i.toLong) }
+        .toDF("k", "bg", "bv", "ag", "av", "lsn")
+      val ch = raw.select(
+        when(col("bg").isNotNull, img(col("bg"), col("bv"))).as("before"),
+        when(col("ag").isNotNull, img(col("ag"), col("av"))).as("after"),
+        col("k").as(E.Kind), col("lsn").as(E.Lsn), lit(0).as(E.Counter))
+      val after =
+        if (live.isEmpty) Seq.empty[(String, Long)].toDF("grp", "v")
+        else live.values.toSeq.toDF("grp", "v")
+      st = Rollup.foldWithExtrema(st, Rollup.retractions(ch), after,
+        Seq("grp"), Seq("v"))
+    }
+    val truth =
+      if (live.isEmpty) Set.empty[(String, Long, Long, Long, Long)]
+      else collectExt(Rollup.initWithExtrema(
+        live.values.toSeq.toDF("grp", "v"), Seq("grp"), Seq("v")))
+    assert(collectExt(st) == truth)
+  }
+
   test("decimal sums keep the state's type across chained merges") {
     val base = Seq(("a", "10.25"), ("b", "1.50")).toDF("grp", "s")
       .select(col("grp"), col("s").cast("decimal(15,2)").as("v"))

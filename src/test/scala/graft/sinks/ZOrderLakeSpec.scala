@@ -130,6 +130,103 @@ class ZOrderLakeSpec extends SparkSpec {
     assert(pruned.head.getLong(pruned.head.fieldIndex("min_x")) == 5L)
   }
 
+  private def posOf(v: String, bits: Int): Int = math.floorMod(
+    graft.functions.Hashing.hex8ToLongJvm(v), bits.toLong).toInt
+
+  // replace the bytes behind `fileUri` with a different one-column
+  // parquet file of the SAME name — a spy: any code path that rescans
+  // the file now sees different values
+  private def tamper(fileUri: String, replacement: org.apache.spark.sql.DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(new java.net.URI(fileUri))
+    val fs = target.getFileSystem(conf)
+    val tmp = "/tmp/graft_zorder/tamper_src"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    replacement.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(target, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, target, false, conf)
+  }
+
+  test("updateBloomManifest: an append indexes ONLY the new file") {
+    val p = "/tmp/graft_zorder/bloom_incr"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    fs.delete(new org.apache.hadoop.fs.Path(p + "_bloom_k"), true)
+
+    Seq(1L, 2L).toDF("k").coalesce(1).write.mode("append").parquet(p)
+    val man = ZOrderLake.updateBloomManifest(spark, p, "k") // builds fresh
+    val before = spark.read.parquet(man).collect()
+    assert(before.length == 1)
+    val fileA = before.head.getString(before.head.fieldIndex("file"))
+    val posA = before.head.getSeq[Int](before.head.fieldIndex("positions"))
+    assert(posA.toSet == Set(posOf("1", 4096), posOf("2", 4096)))
+
+    // spy: swap file A's bytes for different values, then append B —
+    // if the update rescans A, its row changes; it must not
+    tamper(fileA, Seq(999L).toDF("k"))
+    Seq(5L).toDF("k").coalesce(1).write.mode("append").parquet(p)
+    ZOrderLake.updateBloomManifest(spark, p, "k")
+    val after = spark.read.parquet(man).collect()
+    assert(after.length == 2)
+    val rowA = after.find(_.getString(after.head.fieldIndex("file")) == fileA).get
+    assert(rowA.getSeq[Int](rowA.fieldIndex("positions")).toSet ==
+      posA.toSet, "known file was rescanned")
+    val rowB = after.find(_.getString(after.head.fieldIndex("file")) != fileA).get
+    assert(rowB.getSeq[Int](rowB.fieldIndex("positions")).toSet ==
+      Set(posOf("5", 4096)))
+
+    // no changes -> untouched manifest (same modification time)
+    val mt0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(man))
+      .getModificationTime
+    ZOrderLake.updateBloomManifest(spark, p, "k")
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(man))
+      .getModificationTime == mt0)
+
+    // delete file A -> its manifest row disappears
+    fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(fileA)), false)
+    ZOrderLake.updateBloomManifest(spark, p, "k")
+    val pruned = spark.read.parquet(man).collect()
+    assert(pruned.length == 1)
+    assert(pruned.head.getSeq[Int](pruned.head.fieldIndex("positions"))
+      .toSet == Set(posOf("5", 4096)))
+  }
+
+  test("updateTrigramManifest: an append indexes ONLY the new file") {
+    val p = "/tmp/graft_zorder/trgm_incr"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    fs.delete(new org.apache.hadoop.fs.Path(p + "_trgm_text"), true)
+
+    Seq("abcd").toDF("text").coalesce(1).write.mode("append").parquet(p)
+    val man = ZOrderLake.updateTrigramManifest(spark, p, "text")
+    val before = spark.read.parquet(man).collect()
+    assert(before.length == 1)
+    val fileA = before.head.getString(before.head.fieldIndex("file"))
+    val posA = before.head.getSeq[Int](before.head.fieldIndex("positions"))
+    assert(posA.toSet == Set(posOf("abc", 65536), posOf("bcd", 65536)))
+
+    tamper(fileA, Seq("zzzz").toDF("text"))
+    Seq("wxyz").toDF("text").coalesce(1).write.mode("append").parquet(p)
+    ZOrderLake.updateTrigramManifest(spark, p, "text")
+    val after = spark.read.parquet(man).collect()
+    assert(after.length == 2)
+    val rowA = after.find(_.getString(after.head.fieldIndex("file")) == fileA).get
+    assert(rowA.getSeq[Int](rowA.fieldIndex("positions")).toSet ==
+      posA.toSet, "known file was rescanned")
+    val rowB = after.find(_.getString(after.head.fieldIndex("file")) != fileA).get
+    assert(rowB.getSeq[Int](rowB.fieldIndex("positions")).toSet ==
+      Set(posOf("wxy", 65536), posOf("xyz", 65536)))
+
+    // the maintained index still answers searches over the new file
+    val cand = ZOrderLake.trigramCandidateFiles(spark, man, "wxy")
+    assert(cand.contains(rowB.getString(rowB.fieldIndex("file"))))
+    assert(!cand.contains(fileA))
+  }
+
   test("trigram bloom prunes substring search, never loses rows") {
     // 64 files; a rare marker string lives in exactly 3 documents
     val df = spark.range(20000).select(col("id"),
