@@ -1193,6 +1193,22 @@ object Oracles {
          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rk FROM s)
          |SELECT vec_id, centroid_id, score FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin),
 
+    // regenerates the md5-derived 1024-centroid codebook in SQL and
+    // recomputes every assignment exactly — the Spark side ran ONE
+    // codegen loop per vector, never a join or shuffle
+    "ann_ivf_largek" ->
+      ("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |comp AS (SELECT c.c AS centroid_id, d.d AS dim,
+         |    CAST(CAST(('0x'||substr(md5('cent'||CAST(c.c AS VARCHAR)||'_'||CAST(d.d AS VARCHAR)),1,8)) AS BIGINT) % 2000 AS DOUBLE)/1000.0 - 1.0 AS x
+         |  FROM generate_series(0,1023) c(c) CROSS JOIN generate_series(0,63) d(d)),
+         |cents AS (SELECT centroid_id, list(x ORDER BY dim) AS cv FROM comp GROUP BY centroid_id),
+         |s AS (SELECT e.vec_id, c.centroid_id,
+         |  round(list_dot_product(e.v, c.cv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS score
+         |FROM e CROSS JOIN cents c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rk FROM s)
+         |SELECT vec_id, centroid_id, score FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin),
+
     "ann_ivf_topk" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |seeds AS (SELECT vec_id, v FROM e

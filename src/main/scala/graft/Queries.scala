@@ -1324,6 +1324,20 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    "ann_ivf_largek" -> ((s, dir) => {
+      // production-shape IVF: k=1024 centroids, 16x beyond the
+      // literal-unroll limit. Assignment runs as ONE compact codegen
+      // loop over a reference-object centroid matrix
+      // (NearestCentroidExpr) — generated code is O(1) in k, the
+      // corpus is a pure projection with zero Exchange (plan-asserted
+      // in DedupSimilaritySpec). The codebook is md5-derived so the
+      // oracle regenerates it exactly in SQL.
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.syntheticCentroids(s, 1024, 64, "embedding")
+      Similarity.ivfAssign(e, cents, "embedding", "vec_id")
+        .orderBy("vec_id")
+    }),
+
     "semantic_dedup" -> ((s, dir) => {
       // SemDeDup over the embedding corpus: IVF cells from seed
       // centroids (SQL-exact, like ann_ivf), within-cell cosine, drop

@@ -198,6 +198,58 @@ object Similarity {
     }: _*))
   }
 
+  /** Above this k the literal-unrolled [[bestCell]] stops being the
+    * right spelling: generated code grows with k*dims and a stage in
+    * the hundreds of centroids overflows janino into interpreted
+    * fallback. The loop expression takes over — same values, O(1)
+    * generated code. 64 is the largest k the stress suite has proven
+    * comfortably inside codegen limits (Stress case 3). */
+  private val literalCentroidLimit = 64
+
+  /** Large-k spelling of [[bestCell]]: one compact codegen loop over a
+    * reference-object centroid matrix
+    * ([[org.apache.spark.sql.graft.NearestCentroidExpr]]). Still a pure
+    * projection — zero joins, zero Exchange on the corpus at ANY k. */
+  private[graft] def bestCellLoop(v: Column,
+      cents: Array[(Int, Array[Double], Double)], roundTo: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.graft.NearestCentroidExpr(
+        org.apache.spark.sql.graft.bridge.expression(v),
+        cents.map(_._1), cents.map(_._2), cents.map(_._3), roundTo))
+
+  /** Threshold-selected assignment: struct(centroid_id, score), literal
+    * unroll at small k, matrix loop above [[literalCentroidLimit]]. */
+  private[graft] def assignStruct(v: Column,
+      cents: Array[(Int, Array[Double], Double)], roundTo: Int): Column =
+    if (cents.length <= literalCentroidLimit) {
+      val b = bestCell(v, cents, roundTo)
+      struct((-b.getField("negid")).as("centroid_id"),
+        b.getField("score").as("score"))
+    } else bestCellLoop(v, cents, roundTo)
+
+  /** Deterministic pseudo-random centroid component in [-1, 1):
+    * md5-derived like [[planeComponent]], `cent` namespace. SQL twin:
+    * `('0x'||substr(md5('cent<c>_<d>'),1,8))::BIGINT % 2000 / 1000.0 - 1`. */
+  def centroidComponent(c: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cent${c}_$dim".getBytes("UTF-8"))
+    val hex8 = d.take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex8, 16) % 2000L).toDouble / 1000.0 - 1.0
+  }
+
+  /** k md5-derived centroids as a centroid DataFrame (centroid_id,
+    * vecCol double array) — a deterministic stand-in for a fitted
+    * codebook when exercising large-k assignment. Doubles, not floats:
+    * the components are exact on both engines, so the oracle needs no
+    * float-rounding step. */
+  def syntheticCentroids(spark: org.apache.spark.sql.SparkSession, k: Int,
+                         dims: Int, vecCol: String): DataFrame = {
+    import spark.implicits._
+    (0 until k).map(c => (c,
+        (0 until dims).map(d => centroidComponent(c, d)).toArray))
+      .toDF("centroid_id", vecCol)
+  }
+
   /** Distributed k-means (Lloyd's) centroid fitting for IVF coarse
     * quantization. Deterministic: initial centroids are the vectors
     * whose stable id-hash is smallest (no RNG), updates are element-wise
@@ -222,7 +274,7 @@ object Similarity {
       // unpersist eagerly or every iteration leaks one cached frame
       centroids.unpersist()
       val assigned = df.select(
-        (-bestCell(col(vecCol), cents, 6).getField("negid"))
+        assignStruct(col(vecCol), cents, 6).getField("centroid_id")
           .as("centroid_id"),
         col(vecCol))
       // element-wise mean per centroid: explode dims, avg, re-assemble
@@ -262,8 +314,8 @@ object Similarity {
     // is what tips a wide stage over janino's limit into interpreted
     // fallback)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      notNull(-bestCell(col(vecCol), centsLocal, roundTo).getField("negid"))
-        .as("centroid_id"))
+      notNull(assignStruct(col(vecCol), centsLocal, roundTo)
+        .getField("centroid_id")).as("centroid_id"))
     val cents = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
     val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
@@ -300,8 +352,8 @@ object Similarity {
   def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String,
                 idCol: String, roundTo: Int = 6): DataFrame = {
     val cents = collectCentroids(centroids, vecCol)
-    df.withColumn("__best", bestCell(col(vecCol), cents, roundTo))
-      .select(col(idCol), (-col("__best.negid")).as("centroid_id"),
+    df.withColumn("__best", assignStruct(col(vecCol), cents, roundTo))
+      .select(col(idCol), col("__best.centroid_id").as("centroid_id"),
         col("__best.score").as("score"))
   }
 }

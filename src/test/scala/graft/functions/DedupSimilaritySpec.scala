@@ -238,6 +238,43 @@ class DedupSimilaritySpec extends SparkSpec {
       topkPlan)
   }
 
+  test("large-k ivf: loop expression matches the literal unroll exactly") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    // same 16 centroids through both spellings (16 <= unroll limit, so
+    // force the loop path directly): every assignment must be identical
+    val cents = Similarity.collectCentroids(
+      Similarity.syntheticCentroids(spark, 16, 64, "embedding"),
+      "embedding")
+    def run(c: org.apache.spark.sql.Column) =
+      e.select(col("vec_id"), c.as("b"))
+        .select(col("vec_id"), col("b.centroid_id"), col("b.score"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .toSeq.sortBy(_._1)
+    val literal = run({
+      val b = Similarity.bestCell(col("embedding"), cents, 6)
+      struct((-b.getField("negid")).as("centroid_id"),
+        b.getField("score").as("score"))
+    })
+    val loop = run(Similarity.bestCellLoop(col("embedding"), cents, 6))
+    assert(literal == loop)
+  }
+
+  test("large-k ivf assignment: zero Exchange, codegen survives k=1024") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val cents = Similarity.syntheticCentroids(spark, 1024, 64, "embedding")
+    val assigned = Similarity.ivfAssign(e, cents, "embedding", "vec_id")
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the loop expression must actually run (and inside codegen — a
+    // janino overflow would log a fallback but still compute; the
+    // count proves the 1024x64 matrix evaluates end to end)
+    assert(assigned.count() == e.count())
+    // every centroid id must be a valid codebook entry
+    val ids = assigned.agg(min("centroid_id"), max("centroid_id"))
+      .collect().head
+    assert(ids.getInt(0) >= 0 && ids.getInt(1) <= 1023)
+  }
+
   test("multi-probe lsh recall dominates single-probe at equal k") {
     val e = graft.Tables.load(spark, sf(), "embeddings")
     val q = e.filter(col("vec_id") < 10)
