@@ -449,6 +449,17 @@ object Oracles {
          |FROM orders WHERE o_orderkey % 10 <> 2
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // recomputes the final per-customer aggregate from scratch; the
+    // Spark side ran two bucket-pruned folds over hash-bucketed state
+    "incremental_rollup_bucketed" ->
+      ("""SELECT o_custkey, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN o_orderkey % 10 = 1
+         |                THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+         |                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+         |    AS DOUBLE) AS total_price
+         |FROM orders WHERE o_orderkey % 10 <> 2
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
     // recomputes count/sum/min/max of the post-changelog table from
     // scratch; the Spark side folded signed deltas and repaired only
     // the groups whose extremum was deleted

@@ -720,6 +720,53 @@ object Queries {
         .orderBy("o_orderpriority")
     }),
 
+    "incremental_rollup_bucketed" -> ((s, dir) => {
+      // HIGH-cardinality rollup maintenance (Rollup.foldBucketed):
+      // per-customer aggregates laid out as hash-bucketed state dirs;
+      // the bootstrap fold populates them, the changelog fold reads
+      // and rewrites ONLY the buckets its delta touches (the flat
+      // fold's whole-state rewrite stops scaling at billions of
+      // groups). The oracle recomputes the final per-customer
+      // aggregate from scratch: green proves two bucket-pruned folds
+      // == full recompute.
+      import graft.operators.Rollup
+      val keys = Seq("o_custkey")
+      val mets = Seq("o_totalprice")
+      val statePath = "/tmp/graft_rollup_bucketed/state"
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_rollup_bucketed"), true)
+      val o = t(s, dir, "orders").withColumn("o_totalprice",
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val img = struct(col("o_custkey"), col("o_totalprice"))
+      val nullImg = when(lit(false), img)
+      val boot = o.filter(col("o_orderkey") % 10 =!= 0).select(
+        nullImg.as("before"), img.as("after"), lit(E.Insert).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val inserts = o.filter(col("o_orderkey") % 10 === 0).select(
+        nullImg.as("before"), img.as("after"), lit(E.Insert).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val updates = o.filter(col("o_orderkey") % 10 === 1).select(
+        img.as("before"),
+        struct(col("o_custkey"),
+          (col("o_totalprice") + 100).cast(DecimalType(18, 2))
+            .as("o_totalprice")).as("after"),
+        lit(E.Update).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val deletes = o.filter(col("o_orderkey") % 10 === 2).select(
+        img.as("before"), nullImg.as("after"), lit(E.Delete).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      Rollup.foldBucketed(s, statePath, Rollup.retractions(boot),
+        keys, mets, numBuckets = 16, batchId = 0L)
+      val changes = inserts.unionByName(updates).unionByName(deletes)
+      Rollup.foldBucketed(s, statePath, Rollup.retractions(changes),
+        keys, mets, numBuckets = 16, batchId = 1L)
+      Rollup.readBucketed(s, statePath)
+        .select(col("o_custkey"), col("n_rows"),
+          col("sum_o_totalprice").cast("double").as("total_price"))
+        .orderBy("o_custkey")
+    }),
+
     "incremental_rollup_minmax" -> ((s, dir) => {
       // extrema-carrying rollup maintenance (Rollup.foldWithExtrema):
       // count/sum fold as signed deltas, inserts extend min/max

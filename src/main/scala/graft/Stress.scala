@@ -387,6 +387,50 @@ object Stress {
       "every tick at/after the first observation must be filled")
     gfill.unpersist()
 
+    // 22. Bucketed rollup state: 2M groups across 64 bucket dirs; a
+    // 1000-group batch must rewrite ONLY the buckets its keys hash to —
+    // rewrite I/O ∝ batch key spread, never group cardinality.
+    val bkState = "/tmp/graft_stress_rollup_bk/state"
+    val bkFs = new org.apache.hadoop.fs.Path(bkState)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bkFs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_stress_rollup_bk"), true)
+    val bImg = struct(col("g"), col("v"))
+    val bNullImg = lit(null).cast("struct<g:bigint,v:bigint>")
+    def bInserts(df: org.apache.spark.sql.DataFrame) = df.select(
+      bNullImg.as("before"), bImg.as("after"),
+      lit("insert").as(graft.model.CdcEnvelope.Kind),
+      col("g").as(graft.model.CdcEnvelope.Lsn),
+      lit(0).as(graft.model.CdcEnvelope.Counter))
+    val bBase = spark.range(4000000).select(
+      (col("id") % 2000000L).as("g"), (col("id") % 1000L).as("v"))
+    timed("foldBucketed bootstrap 4M rows -> 2M groups / 64 buckets") {
+      operators.Rollup.foldBucketed(spark, bkState,
+        operators.Rollup.retractions(bInserts(bBase)),
+        Seq("g"), Seq("v"), numBuckets = 64, batchId = 0L).count()
+    }
+    def bkMtimes(): Map[String, Long] =
+      bkFs.listStatus(new org.apache.hadoop.fs.Path(bkState))
+        .filter(_.getPath.getName.startsWith("__bucket"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val bkBefore = bkMtimes()
+    // 30 keys over 64 buckets: a genuinely partial rewrite (~25 dirs);
+    // a 1000-key batch would coupon-collect all 64 and prove nothing
+    val bBatch = spark.range(30).select(col("id").as("g"), lit(1L).as("v"))
+    timed("foldBucketed 30-group batch into 2M-group state") {
+      operators.Rollup.foldBucketed(spark, bkState,
+        operators.Rollup.retractions(bInserts(bBatch)),
+        Seq("g"), Seq("v"), numBuckets = 64, batchId = 1L).count()
+    }
+    val rewritten = bkMtimes().filter { case (d, t) => bkBefore(d) != t }
+    val expectedBk = (0L until 30L).map(g => math.floorMod(
+      functions.Hashing.hex8ToLongJvm(String.valueOf(g)), 64L)).toSet
+    require(rewritten.keySet ==
+      expectedBk.map(b => s"__bucket=$b"),
+      s"rewrote ${rewritten.size} buckets, expected ${expectedBk.size}")
+    val bkCount = operators.Rollup.readBucketed(spark, bkState).count()
+    require(bkCount == 2000000L, s"group count off: $bkCount")
+    println(s"[stress]   rewrote ${rewritten.size}/64 buckets for the 30-key batch")
+
     spark.stop()
   }
 }

@@ -255,4 +255,126 @@ object Rollup {
     fs.delete(bak, true)
     spark.read.parquet(statePath)
   }
+
+  private val BucketCol = graft.streaming.CdcStream.BucketCol
+  private val Marker = "_graft_batch"
+
+  /** [[fold]] for HIGH-cardinality rollups (per-user, per-document):
+    * the flat fold rewrites the whole group-cardinality-sized state
+    * every batch, which stops being acceptable once groups number in
+    * the billions. This variant lays the state out as
+    * `statePath/__bucket=i/` dirs keyed by a stable group-key hash
+    * (the same md5 layout [[graft.streaming.CdcStream.mergeBatch]]
+    * uses for replication state) and a fold
+    *
+    *   - aggregates the BATCH into a signed delta (map-side combined),
+    *   - reads ONLY the buckets its delta touches,
+    *   - merges and rewrites ONLY those buckets behind a two-phase
+    *     bucket swap —
+    *
+    * so rewrite I/O scales with the batch's key spread, never total
+    * group cardinality. Unlike the replication MERGE (last-write-wins,
+    * idempotent under replay) an aggregate fold is NOT idempotent, so
+    * the replay marker swaps WITH the buckets: it moves into `.bak`
+    * beside the displaced state and is rewritten only after the new
+    * buckets land — a crash anywhere leaves either the pre-fold state
+    * + pre-fold marker (batch replays, folds once) or the post-fold
+    * state + post-fold marker (replay detected, skipped). */
+  def foldBucketed(spark: org.apache.spark.sql.SparkSession,
+                   statePath: String, retractionBatch: DataFrame,
+                   groupKeys: Seq[String], metrics: Seq[String],
+                   numBuckets: Int = 64, batchId: Long = -1L): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(statePath + ".bak")
+    val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp")
+    val marker = new org.apache.hadoop.fs.Path(root, Marker)
+
+    // crash recovery: a leftover .bak means a previous swap died
+    // mid-flight. Restore EVERYTHING it holds (bucket dirs + marker) so
+    // the state is exactly pre-fold; the unfinished batch never reached
+    // its checkpoint and will replay.
+    if (fs.exists(bak)) {
+      fs.listStatus(bak).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(st.getPath, dst)
+      }
+      fs.delete(bak, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (batchId >= 0 && fs.exists(marker)) {
+      val in = fs.open(marker)
+      val folded =
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      if (folded == batchId) return readBucketed(spark, statePath)
+    }
+
+    val d = delta(retractionBatch, groupKeys, metrics)
+      .withColumn(BucketCol,
+        graft.streaming.CdcStream.bucketOf(groupKeys, numBuckets))
+      .persist()
+    // the touched-bucket set is <= numBuckets rows — driver-cheap
+    val affected = d.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val existingPaths = affected
+      .map(i => new org.apache.hadoop.fs.Path(root, s"$BucketCol=$i"))
+      .filter(fs.exists(_)).map(_.toString)
+    val next =
+      if (existingPaths.isEmpty)
+        d.drop(BucketCol)
+          .withColumn("n_rows", when(col("n_rows") < 0, raise_error(
+              lit("rollup: batch retracts rows absent from the state")))
+            .otherwise(col("n_rows")))
+          .filter(col("n_rows") > 0)
+      else merge(
+        spark.read.option("basePath", statePath)
+          .parquet(existingPaths: _*).drop(BucketCol),
+        d.drop(BucketCol), groupKeys, metrics)
+    // repartition on the bucket BEFORE partitionBy (tasks x buckets
+    // small-file explosion otherwise), keys sorted within for stats
+    val out = next.withColumn(BucketCol,
+      graft.streaming.CdcStream.bucketOf(groupKeys, numBuckets))
+    out.repartition(
+        math.min(numBuckets,
+          spark.sessionState.conf.numShufflePartitions),
+        col(BucketCol))
+      .sortWithinPartitions((col(BucketCol) +: groupKeys.map(col)): _*)
+      .write.partitionBy(BucketCol).parquet(tmp.toString)
+    d.unpersist()
+
+    if (!fs.exists(root)) fs.mkdirs(root)
+    fs.mkdirs(bak)
+    affected.foreach { i =>
+      val dst = new org.apache.hadoop.fs.Path(root, s"$BucketCol=$i")
+      if (fs.exists(dst)) {
+        fs.rename(dst, new org.apache.hadoop.fs.Path(bak, s"$BucketCol=$i"))
+        ()
+      }
+    }
+    // the marker swaps WITH the buckets: pre-fold marker rides in .bak
+    if (fs.exists(marker)) {
+      fs.rename(marker, new org.apache.hadoop.fs.Path(bak, Marker)); ()
+    }
+    affected.foreach { i =>
+      val src = new org.apache.hadoop.fs.Path(tmp, s"$BucketCol=$i")
+      val dst = new org.apache.hadoop.fs.Path(root, s"$BucketCol=$i")
+      if (fs.exists(src)) { fs.rename(src, dst); () }
+    }
+    if (batchId >= 0) {
+      val o = fs.create(marker)
+      try o.write(batchId.toString.getBytes("UTF-8")) finally o.close()
+    }
+    fs.delete(bak, true)
+    fs.delete(tmp, true)
+    readBucketed(spark, statePath)
+  }
+
+  /** Read a bucketed rollup state without its layout column. An absent
+    * dir is an empty state (bootstrap not yet run). */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession,
+                   statePath: String): DataFrame =
+    spark.read.parquet(statePath).drop(BucketCol)
 }

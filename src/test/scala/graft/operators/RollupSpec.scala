@@ -296,6 +296,76 @@ class RollupSpec extends SparkSpec {
     assert(collectExt(st) == truth)
   }
 
+  private def jvmBucket(key: String, n: Int): Long =
+    math.floorMod(graft.functions.Hashing.hex8ToLongJvm(key), n.toLong)
+
+  test("bucketed fold rewrites ONLY the buckets its batch touches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_bk")
+    val statePath = root.toString + "/state"
+    val n = 8
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // bootstrap: groups spread over several buckets
+    val groups = Seq("a", "b", "c", "d", "e")
+    val boot = groups.zipWithIndex.map { case (g, i) =>
+      change(E.Insert, i.toLong, nullImg, img(lit(g), lit(10L * (i + 1))))
+    }.reduce(_ union _)
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(boot),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 0L)
+    assert(collectState(Rollup.readBucketed(spark, statePath)) ==
+      groups.zipWithIndex.map { case (g, i) => (g, 1L, 10L * (i + 1)) }.toSet)
+
+    // record per-bucket mtimes, then fold a batch touching ONLY "a"
+    def mtimes(): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+        .filter(_.getPath.getName.startsWith("__bucket"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val before = mtimes()
+    val touched = s"__bucket=${jvmBucket("a", n)}"
+    val b2 = change(E.Insert, 100L, nullImg, img(lit("a"), lit(7L)))
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 1L)
+    val after = mtimes()
+    for ((dir, t0) <- before if dir != touched)
+      assert(after(dir) == t0, s"untouched bucket $dir was rewritten")
+    assert(after(touched) != before(touched) ||
+      !before.contains(touched))
+    val st = collectState(Rollup.readBucketed(spark, statePath))
+    assert(st.contains(("a", 2L, 17L)) && st.size == 5)
+
+    // replay of batch 1 must be a no-op, not a double fold
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 1L)
+    assert(collectState(Rollup.readBucketed(spark, statePath)) == st)
+  }
+
+  test("bucketed fold recovers the pre-fold state from a crashed swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_bkc")
+    val statePath = root.toString + "/state"
+    val n = 4
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = change(E.Insert, 1, nullImg, img(lit("a"), lit(10L)))
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b1),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 0L)
+    // simulate a crash mid-swap: a's bucket and the marker moved to
+    // .bak, nothing new moved in
+    val bkt = s"__bucket=${jvmBucket("a", n)}"
+    val bak = new org.apache.hadoop.fs.Path(statePath + ".bak")
+    fs.mkdirs(bak)
+    fs.rename(new org.apache.hadoop.fs.Path(statePath, bkt),
+      new org.apache.hadoop.fs.Path(bak, bkt))
+    fs.rename(new org.apache.hadoop.fs.Path(statePath, "_graft_batch"),
+      new org.apache.hadoop.fs.Path(bak, "_graft_batch"))
+    // the batch never committed, so it replays: recovery must restore
+    // the pre-fold state (incl. marker for batch 0) and fold ONCE
+    val b2 = change(E.Insert, 2, nullImg, img(lit("a"), lit(5L)))
+    val st = Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 1L)
+    assert(collectState(st) == Set(("a", 2L, 15L)))
+  }
+
   test("decimal sums keep the state's type across chained merges") {
     val base = Seq(("a", "10.25"), ("b", "1.50")).toDF("grp", "s")
       .select(col("grp"), col("s").cast("decimal(15,2)").as("v"))
