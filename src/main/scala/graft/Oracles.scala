@@ -1656,6 +1656,53 @@ object Oracles {
          |  CAST(length(text) AS BIGINT) * 33 AS duration_ms
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // the Spark side DECODED actual PPM pixels (and a 4x4 nearest-
+    // neighbor resize); the oracle recomputes the channel sums straight
+    // from the md5 hex pairs that built the 2x2 raster — each source
+    // pixel replicates exactly 4x in the upsample
+    "multimodal_decode" ->
+      ("""WITH b AS (SELECT doc_id, md5(text) AS m FROM documents),
+         |x AS (SELECT doc_id,
+         |  CAST(('0x'||substr(m,1,2)) AS INT) AS b0, CAST(('0x'||substr(m,3,2)) AS INT) AS b1,
+         |  CAST(('0x'||substr(m,5,2)) AS INT) AS b2, CAST(('0x'||substr(m,7,2)) AS INT) AS b3,
+         |  CAST(('0x'||substr(m,9,2)) AS INT) AS b4, CAST(('0x'||substr(m,11,2)) AS INT) AS b5,
+         |  CAST(('0x'||substr(m,13,2)) AS INT) AS b6, CAST(('0x'||substr(m,15,2)) AS INT) AS b7,
+         |  CAST(('0x'||substr(m,17,2)) AS INT) AS b8, CAST(('0x'||substr(m,19,2)) AS INT) AS b9,
+         |  CAST(('0x'||substr(m,21,2)) AS INT) AS b10, CAST(('0x'||substr(m,23,2)) AS INT) AS b11
+         |FROM b)
+         |SELECT doc_id, CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+         |  CAST(b0+b3+b6+b9 AS BIGINT) AS sum_r,
+         |  CAST(b1+b4+b7+b10 AS BIGINT) AS sum_g,
+         |  CAST(b2+b5+b8+b11 AS BIGINT) AS sum_b,
+         |  CAST(4 AS INTEGER) AS r_width, CAST(4 AS INTEGER) AS r_height,
+         |  CAST(4*(b0+b3+b6+b9) AS BIGINT) AS r_sum_r,
+         |  CAST(4*(b1+b4+b7+b10) AS BIGINT) AS r_sum_g,
+         |  CAST(4*(b2+b5+b8+b11) AS BIGINT) AS r_sum_b
+         |FROM x ORDER BY doc_id""".stripMargin),
+
+    // the Spark side walked RIFF chunks and decoded real int16 PCM;
+    // the oracle reconstructs the same little-endian signed samples
+    // from the md5 hex that built the data chunk
+    "multimodal_audio" ->
+      ("""WITH b AS (SELECT doc_id, md5(text) AS m FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(('0x'||substr(m,1,2)) AS INT) + 256*CAST(('0x'||substr(m,3,2)) AS INT) AS v0,
+         |  CAST(('0x'||substr(m,5,2)) AS INT) + 256*CAST(('0x'||substr(m,7,2)) AS INT) AS v1,
+         |  CAST(('0x'||substr(m,9,2)) AS INT) + 256*CAST(('0x'||substr(m,11,2)) AS INT) AS v2,
+         |  CAST(('0x'||substr(m,13,2)) AS INT) + 256*CAST(('0x'||substr(m,15,2)) AS INT) AS v3
+         |FROM b),
+         |sg AS (SELECT doc_id,
+         |  CASE WHEN v0 >= 32768 THEN v0 - 65536 ELSE v0 END AS s0,
+         |  CASE WHEN v1 >= 32768 THEN v1 - 65536 ELSE v1 END AS s1,
+         |  CASE WHEN v2 >= 32768 THEN v2 - 65536 ELSE v2 END AS s2,
+         |  CASE WHEN v3 >= 32768 THEN v3 - 65536 ELSE v3 END AS s3
+         |FROM s)
+         |SELECT doc_id, CAST(4 AS INTEGER) AS n_samples,
+         |  CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST(abs(s0)+abs(s1)+abs(s2)+abs(s3) AS BIGINT) AS sum_abs,
+         |  CAST(greatest(abs(s0),abs(s1),abs(s2),abs(s3)) AS INTEGER) AS peak
+         |FROM sg ORDER BY doc_id""".stripMargin),
+
     // the oracle knows which signature was planted per id (doc_id % 7)
     // and independently recomputes the header length for byte_len
     "mime_sniff" ->

@@ -2465,6 +2465,46 @@ object Queries {
           col("media_meta.duration_ms").as("duration_ms"))
         .orderBy("doc_id")),
 
+    "multimodal_decode" -> ((s, dir) => {
+      // REAL image decode (MediaCodecs.decodePpm): every doc becomes a
+      // 2x2 P6 image whose 12 raster bytes derive from md5(text); the
+      // mapPartitions kernel decodes actual pixels, then the resize
+      // stage nearest-neighbor upsamples 2x2 -> 4x4 and re-decodes —
+      // each source pixel replicates exactly 4x, so resized sums are
+      // 4x the originals. Integer channel sums verify bit-for-bit; the
+      // oracle recomputes them straight from the md5 hex pairs.
+      val ppm = concat(
+        unhex(lit("50360A3220320A3235350A")), // "P6\n2 2\n255\n"
+        unhex(substring(md5(col("text")), 1, 24)))
+      val docs = t(s, dir, "documents").select(col("doc_id"), ppm.as("payload"))
+      val decoded = Multimodal.decodeImageStats(docs)
+        .select("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      val resized = Multimodal.decodeImageStats(
+          Multimodal.resizeImages(docs, 4, 4).select(
+            col("doc_id"), col("resized").as("payload")))
+        .select(col("doc_id"), col("width").as("r_width"),
+          col("height").as("r_height"), col("sum_r").as("r_sum_r"),
+          col("sum_g").as("r_sum_g"), col("sum_b").as("r_sum_b"))
+      decoded.join(resized, "doc_id").orderBy("doc_id")
+    }),
+
+    "multimodal_audio" -> ((s, dir) => {
+      // REAL audio decode (MediaCodecs.decodeWav): every doc becomes a
+      // 44-byte PCM WAV (mono, 8 kHz, 16-bit) whose 4 samples are the
+      // first 8 md5(text) bytes, little-endian signed. The kernel
+      // walks the RIFF chunks and decodes actual samples; integer
+      // |sample| sums and peak verify bit-for-bit against the oracle's
+      // own int16 reconstruction from the md5 hex.
+      val wav = concat(
+        unhex(lit("524946462C00000057415645666D7420100000000100" +
+          "0100401F0000803E0000020010006461746108000000")),
+        unhex(substring(md5(col("text")), 1, 16)))
+      Multimodal.decodeAudioStats(
+          t(s, dir, "documents").select(col("doc_id"), wav.as("payload")))
+        .select("doc_id", "n_samples", "sample_rate", "sum_abs", "peak")
+        .orderBy("doc_id")
+    }),
+
     "mime_sniff" -> ((s, dir) => {
       // magic-byte content-type detection over planted payloads: each
       // doc gets a real file signature (or none) prefixed to its text

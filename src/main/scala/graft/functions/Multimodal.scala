@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * columns plus a typed metadata struct, with batch-shaped
   * decode/feature/resize stages over `mapPartitions`.
   *
-  * The decode kernels themselves are STUBBED (no media libraries in this
-  * container) with deterministic fakes — the Spark-side contract is the
-  * real deliverable: schema, batch iteration, partitioning, and the
-  * rule that binary payloads never pass through a shuffle wider than
-  * their metadata (filter on metadata first, decode last).
+  * Decode kernels are REAL for the library-free public formats —
+  * PPM/BMP images (decode + nearest-neighbor resize) and RIFF/WAV PCM
+  * audio, all in [[MediaCodecs]] — and oracle-gated
+  * (`multimodal_decode`, `multimodal_audio`). Compressed formats
+  * (JPEG/PNG/MP3…) need codec libraries this container lacks, so
+  * their feature path falls back to a clearly-marked deterministic
+  * stand-in; the Spark-side contract (schema, batch iteration,
+  * partitioning, metadata-first filtering before any decode) is
+  * identical either way.
   */
 object Multimodal {
 
@@ -70,24 +74,161 @@ object Multimodal {
       .withColumn("content_sha", sha2(col(payloadCol), 256))
 
   /** Batch decode stage: mapPartitions with a per-batch kernel — the
-    * Scala analogue of a pandas-UDF `mapInPandas` stage. The kernel here
-    * is a deterministic FAKE (mean byte value + simple byte histogram);
-    * a real deployment swaps `decodeKernel` for an image/audio library
-    * call with the identical batch contract. */
+    * Scala analogue of a pandas-UDF `mapInPandas` stage. PPM/BMP/WAV
+    * payloads run the REAL [[MediaCodecs]] decoders (features from
+    * actual pixels/samples); other formats fall back to a byte
+    * histogram, the documented stand-in for codec-library formats. */
   val FeatureDim = 8
 
   private[functions] def decodeKernel(payload: Array[Byte]): Array[Float] = {
-    // STUB: stands in for e.g. JPEG decode + model featurization.
     val out = new Array[Float](FeatureDim)
     if (payload == null || payload.isEmpty) return out
-    var i = 0
-    while (i < payload.length) {
-      out(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
-      i += 1
+    MediaCodecs.sniff(payload) match {
+      case "image/x-portable-pixmap" | "image/bmp" =>
+        // real decode: per-channel means + geometry
+        val r = try MediaCodecs.decodeImage(payload)
+          catch { case scala.util.control.NonFatal(_) => return out }
+        var cr = 0L; var cg = 0L; var cb = 0L
+        var i = 0
+        while (i < r.rgb.length) {
+          cr += r.rgb(i) & 0xff; cg += r.rgb(i + 1) & 0xff
+          cb += r.rgb(i + 2) & 0xff
+          i += 3
+        }
+        val n = (r.width * r.height).max(1)
+        out(0) = cr.toFloat / n / 255f
+        out(1) = cg.toFloat / n / 255f
+        out(2) = cb.toFloat / n / 255f
+        out(3) = r.width.toFloat
+        out(4) = r.height.toFloat
+        out
+      case "audio/wav" =>
+        // real decode: rms/peak/zero-crossings + geometry
+        val p = try MediaCodecs.decodeWav(payload)
+          catch { case scala.util.control.NonFatal(_) => return out }
+        var sq = 0.0; var peak = 0; var zc = 0
+        var i = 0
+        while (i < p.samples.length) {
+          val s = p.samples(i)
+          sq += s.toDouble * s
+          if (math.abs(s.toInt) > peak) peak = math.abs(s.toInt)
+          if (i > 0 && ((s < 0) != (p.samples(i - 1) < 0))) zc += 1
+          i += 1
+        }
+        val n = p.samples.length.max(1)
+        out(0) = (math.sqrt(sq / n) / 32768.0).toFloat
+        out(1) = peak / 32768f
+        out(2) = zc.toFloat / n
+        out(3) = p.samples.length.toFloat
+        out(4) = p.sampleRate.toFloat
+        out(5) = p.channels.toFloat
+        out
+      case _ =>
+        // STAND-IN for codec-library formats (JPEG/PNG/MP3…)
+        var i = 0
+        while (i < payload.length) {
+          out(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+        var j = 0
+        while (j < FeatureDim) { out(j) /= payload.length; j += 1 }
+        out
     }
-    var j = 0
-    while (j < FeatureDim) { out(j) /= payload.length; j += 1 }
-    out
+  }
+
+  /** Real image-decode stage: adds integer-exact raster stats
+    * (`width height sum_r sum_g sum_b`) from an actual PPM/BMP decode.
+    * Integer sums, not float means, so results verify bit-for-bit in
+    * any engine. Undecodable payloads yield null stats (curation
+    * pipelines route them to quarantine, they never poison a batch). */
+  def decodeImageStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats =
+          try {
+            val img = MediaCodecs.decodeImage(payload)
+            var cr = 0L; var cg = 0L; var cb = 0L
+            var i = 0
+            while (i < img.rgb.length) {
+              cr += img.rgb(i) & 0xff; cg += img.rgb(i + 1) & 0xff
+              cb += img.rgb(i + 2) & 0xff
+              i += 3
+            }
+            // Seq[Any], not Seq: a mixed Int/Long Seq numerically
+            // widens every element to Long and breaks the INT schema
+            Seq[Any](img.width, img.height, cr, cg, cb)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Seq[Any](null, null, null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
+  }
+
+  /** Real resize stage: decode PPM/BMP, nearest-neighbor resample to
+    * `w x h`, re-encode as PPM into `resizedCol`. Null for
+    * undecodable payloads. */
+  def resizeImages(df: DataFrame, w: Int, h: Int,
+                   payloadCol: String = "payload",
+                   resizedCol: String = "resized"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(resizedCol, BinaryType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val resized =
+          try MediaCodecs.encodePpm(
+            MediaCodecs.resizeNearest(MediaCodecs.decodeImage(payload), w, h))
+          catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
+  /** Real audio-decode stage: integer-exact PCM stats
+    * (`n_samples sample_rate sum_abs peak`) from an actual WAV decode.
+    * Null stats for undecodable payloads. */
+  def decodeAudioStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_samples", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("sum_abs", LongType), StructField("peak", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats =
+          try {
+            val p = MediaCodecs.decodeWav(payload)
+            var sum = 0L; var peak = 0
+            var i = 0
+            while (i < p.samples.length) {
+              val a = math.abs(p.samples(i).toInt)
+              sum += a; if (a > peak) peak = a
+              i += 1
+            }
+            Seq[Any](p.samples.length, p.sampleRate, sum, peak)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Seq[Any](null, null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
   }
 
   /** Decode/feature-extract over batches. Output: input columns plus

@@ -76,6 +76,116 @@ class TextMultimodalSpec extends SparkSpec {
     assert(frames.toSeq == (0 until 3))  // 30-char text -> 3 frames of 10
   }
 
+  test("ppm decode/encode: roundtrip, comments, truncation fails loudly") {
+    val raw = ("P6\n# a comment\n2 2\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val img = MediaCodecs.decodePpm(raw)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == (1 to 12).map(_.toByte))
+    // encode -> decode roundtrip is byte-identical raster
+    val rt = MediaCodecs.decodePpm(MediaCodecs.encodePpm(img))
+    assert(rt.width == 2 && rt.rgb.toSeq == img.rgb.toSeq)
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodePpm(raw.dropRight(1)) // truncated raster
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodePpm("P5\n1 1\n255\n0".getBytes("US-ASCII"))
+    }
+  }
+
+  test("bmp decode: bottom-up BGR with row padding, top-down variant") {
+    // 2x2, 24bpp: rows are 2*3=6 bytes padded to 8. Bottom-up file
+    // order: row0-in-file = IMAGE BOTTOM row. Pixels BGR.
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def bmp(height: Int): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(height) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        // file row 0: pixels (B,G,R)=(1,2,3),(4,5,6) + 2 pad bytes
+        Array[Byte](1, 2, 3, 4, 5, 6, 0, 0,
+        // file row 1: (7,8,9),(10,11,12) + pad
+          7, 8, 9, 10, 11, 12, 0, 0)
+    val up = MediaCodecs.decodeBmp(bmp(2))
+    assert(up.width == 2 && up.height == 2)
+    // bottom-up: image TOP row comes from file row 1, and BGR -> RGB
+    assert(up.rgb.toSeq == Seq[Byte](9, 8, 7, 12, 11, 10, 3, 2, 1, 6, 5, 4))
+    val down = MediaCodecs.decodeBmp(bmp(-2))
+    assert(down.rgb.toSeq == Seq[Byte](3, 2, 1, 6, 5, 4, 9, 8, 7, 12, 11, 10))
+  }
+
+  test("nearest-neighbor resize: upsample replicates, downsample strides") {
+    val img = MediaCodecs.Raster(2, 2,
+      (1 to 12).map(_.toByte).toArray)
+    val up = MediaCodecs.resizeNearest(img, 4, 4)
+    assert(up.width == 4 && up.height == 4)
+    // each source pixel appears exactly 4 times -> channel sums x4
+    def sums(r: MediaCodecs.Raster): (Long, Long, Long) = {
+      var a = 0L; var b = 0L; var c = 0L
+      for (i <- r.rgb.indices by 3) {
+        a += r.rgb(i) & 0xff; b += r.rgb(i + 1) & 0xff; c += r.rgb(i + 2) & 0xff
+      }
+      (a, b, c)
+    }
+    val (r1, g1, b1) = sums(img); val (r4, g4, b4) = sums(up)
+    assert((r4, g4, b4) == (r1 * 4, g1 * 4, b1 * 4))
+    // downsample 4x4 -> 2x2 picks src rows/cols 0 and 2
+    val back = MediaCodecs.resizeNearest(up, 2, 2)
+    assert(back.rgb.toSeq == img.rgb.toSeq)
+  }
+
+  test("wav decode: chunk walk, LE int16, skipped chunks, truncation") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    // a LIST chunk the walker must skip
+    val skip = "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII")
+    val data = "data".getBytes("US-ASCII") ++ le32(6) ++
+      le16(1000) ++ le16(0xFFFF) ++ le16(0x8000) // 1000, -1, -32768
+    val body = fmt ++ skip ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    val pcm = MediaCodecs.decodeWav(wav)
+    assert(pcm.channels == 1 && pcm.sampleRate == 8000)
+    assert(pcm.samples.toSeq == Seq[Short](1000, -1, -32768))
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav(wav.dropRight(3)) // truncated data chunk
+    }
+  }
+
+  test("decode stages: real stats, resize pipeline, quarantined junk") {
+    val ppm = "P6\n1 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val df = Seq((1L, ppm), (2L, junk)).toDF("id", "payload")
+    val stats = Multimodal.decodeImageStats(df)
+      .select("id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats(1L).getInt(1) == 1 && stats(1L).getInt(2) == 2)
+    assert((stats(1L).getLong(3), stats(1L).getLong(4), stats(1L).getLong(5))
+      == (50L, 70L, 90L))
+    assert(stats(2L).isNullAt(1) && stats(2L).isNullAt(3))
+    // resize then re-decode: 1x2 -> 2x4 quadruples the sums
+    val rs = Multimodal.decodeImageStats(
+      Multimodal.resizeImages(df, 2, 4)
+        .filter(col("resized").isNotNull)
+        .select(col("id"), col("resized").as("payload")))
+      .select("id", "sum_r", "sum_g", "sum_b").collect()
+    assert(rs.length == 1)
+    assert((rs.head.getLong(1), rs.head.getLong(2), rs.head.getLong(3))
+      == (200L, 280L, 360L))
+    // the feature kernel routes ppm through the REAL decoder: mean
+    // channel values land in features 0..2, geometry in 3..4
+    val feats = Multimodal.decodeFeatures(
+        Seq((1L, ppm)).toDF("id", "payload"))
+      .select("features").head().getSeq[Float](0)
+    assert(math.abs(feats(0) - 25f / 255f) < 1e-6)
+    assert(feats(3) == 1f && feats(4) == 2f)
+  }
+
   test("token chunks: overlap continuity, short docs, full coverage") {
     val text = (1 to 10).map(i => s"w$i").mkString(" ")
     val df = Seq(text, "short doc").toDF("text")
