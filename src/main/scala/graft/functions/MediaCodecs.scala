@@ -160,6 +160,10 @@ object MediaCodecs {
     while (pos + 8 <= b.length) {
       val id = new String(b, pos, 4, "US-ASCII")
       val size = i32(b, pos + 4)
+      // a corrupt/malicious negative size would walk pos backward (or
+      // hold it still) and spin this loop forever — callers' try/NonFatal
+      // routes a throw to quarantine but cannot contain a hang
+      require(size >= 0, s"wav chunk '$id' has negative size $size")
       val body = pos + 8
       id match {
         case "fmt " =>

@@ -258,6 +258,7 @@ object Rollup {
 
   private val BucketCol = graft.streaming.CdcStream.BucketCol
   private val Marker = "_graft_batch"
+  private val FreshManifest = "_graft_fresh"
 
   /** [[fold]] for HIGH-cardinality rollups (per-user, per-document):
     * the flat fold rewrites the whole group-cardinality-sized state
@@ -277,9 +278,14 @@ object Rollup {
     * idempotent under replay) an aggregate fold is NOT idempotent, so
     * the replay marker swaps WITH the buckets: it moves into `.bak`
     * beside the displaced state and is rewritten only after the new
-    * buckets land — a crash anywhere leaves either the pre-fold state
-    * + pre-fold marker (batch replays, folds once) or the post-fold
-    * state + post-fold marker (replay detected, skipped). */
+    * buckets land. Affected items with NO pre-fold state (every bucket
+    * on the bootstrap fold, any new-key bucket later, the marker on the
+    * first marked fold) are named in a fresh-item manifest written into
+    * `.bak` before any rename, so recovery can delete their folded
+    * copies from the root — a crash anywhere thus leaves either the
+    * pre-fold state + pre-fold marker (batch replays, folds once) or
+    * the post-fold state + post-fold marker (replay detected,
+    * skipped). */
   def foldBucketed(spark: org.apache.spark.sql.SparkSession,
                    statePath: String, retractionBatch: DataFrame,
                    groupKeys: Seq[String], metrics: Seq[String],
@@ -292,14 +298,37 @@ object Rollup {
     val marker = new org.apache.hadoop.fs.Path(root, Marker)
 
     // crash recovery: a leftover .bak means a previous swap died
-    // mid-flight. Restore EVERYTHING it holds (bucket dirs + marker) so
-    // the state is exactly pre-fold; the unfinished batch never reached
-    // its checkpoint and will replay.
+    // mid-flight. The .bak restore alone only covers buckets that
+    // EXISTED pre-fold; an affected bucket with no pre-fold state (every
+    // bucket on the bootstrap fold, any new group-key bucket later) has
+    // no .bak counterpart, so a folded copy left in the root would
+    // survive restore and double-count on replay. The fresh-item
+    // manifest (written into .bak before any rename) names exactly
+    // those: delete them from the root first — any root copy can only
+    // be a post-fold rename, since the item did not exist pre-fold —
+    // then restore everything .bak holds. Either way the state is
+    // exactly pre-fold; the unfinished batch never reached its
+    // checkpoint and will replay.
     if (fs.exists(bak)) {
+      val freshPath = new org.apache.hadoop.fs.Path(bak, FreshManifest)
+      if (fs.exists(freshPath)) {
+        val in = fs.open(freshPath)
+        val fresh =
+          try new String(in.readAllBytes(), "UTF-8").split("\n")
+            .map(_.trim).filter(_.nonEmpty)
+          finally in.close()
+        fresh.foreach { name =>
+          val p = new org.apache.hadoop.fs.Path(root, name)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      }
       fs.listStatus(bak).foreach { st =>
-        val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
-        if (fs.exists(dst)) fs.delete(dst, true)
-        fs.rename(st.getPath, dst)
+        if (st.getPath.getName != FreshManifest) {
+          val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+          if (fs.exists(dst)) fs.delete(dst, true)
+          fs.rename(st.getPath, dst)
+          ()
+        }
       }
       fs.delete(bak, true)
     }
@@ -347,6 +376,16 @@ object Rollup {
 
     if (!fs.exists(root)) fs.mkdirs(root)
     fs.mkdirs(bak)
+    // fresh-item manifest FIRST, before any rename: names every
+    // affected item with no pre-fold state (recovery must delete those
+    // from the root — they cannot be restored from .bak)
+    val freshNames =
+      affected.map(i => s"$BucketCol=$i")
+        .filterNot(n => fs.exists(new org.apache.hadoop.fs.Path(root, n))) ++
+      (if (fs.exists(marker)) Nil else Seq(Marker))
+    val fo = fs.create(new org.apache.hadoop.fs.Path(bak, FreshManifest))
+    try fo.write(freshNames.mkString("\n").getBytes("UTF-8"))
+    finally fo.close()
     affected.foreach { i =>
       val dst = new org.apache.hadoop.fs.Path(root, s"$BucketCol=$i")
       if (fs.exists(dst)) {
@@ -373,8 +412,27 @@ object Rollup {
   }
 
   /** Read a bucketed rollup state without its layout column. An absent
-    * dir is an empty state (bootstrap not yet run). */
+    * or empty dir is an empty state (bootstrap not yet run): when
+    * `schema` gives the expected post-read shape (group keys + n_rows +
+    * sum columns) an empty frame with that schema is returned;
+    * without it a pre-bootstrap probe fails loudly rather than letting
+    * `spark.read.parquet` throw its opaque path/infer error. */
   def readBucketed(spark: org.apache.spark.sql.SparkSession,
-                   statePath: String): DataFrame =
-    spark.read.parquet(statePath).drop(BucketCol)
+                   statePath: String,
+                   schema: Option[org.apache.spark.sql.types.StructType] =
+                     None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBuckets = fs.exists(root) && fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith(s"$BucketCol="))
+    if (hasBuckets) spark.read.parquet(statePath).drop(BucketCol)
+    else schema match {
+      case Some(s) =>
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], s)
+      case None => throw new IllegalStateException(
+        s"rollup: no bucketed state at $statePath (bootstrap not yet " +
+          "run) — pass the expected schema to read it as empty")
+    }
+  }
 }

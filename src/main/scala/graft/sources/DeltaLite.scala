@@ -757,7 +757,11 @@ object DeltaLite {
                  schema: StructType): Unit = {
     val fs = tableFs(spark, tablePath)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
-    val rep = replayAt(spark, tablePath, None)
+    // replay AT the labeled version, not HEAD: under OCC a concurrent
+    // commit landing after `version` must not be baked into a
+    // checkpoint labeled `version`, or readAt(asOf) starting from this
+    // checkpoint would silently return post-asOf state
+    val rep = replayAt(spark, tablePath, Some(version))
     val now = System.currentTimeMillis()
     val metaId = rep.meta.map(_.id).filter(_.nonEmpty)
       .getOrElse(java.util.UUID.randomUUID().toString)

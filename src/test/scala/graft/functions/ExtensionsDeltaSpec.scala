@@ -118,6 +118,23 @@ class ExtensionsDeltaSpec extends SparkSpec {
     assert(DeltaLite.read(spark, table).count() == 26)
   }
 
+  test("DeltaLite checkpoint labeled v replays AT v, not HEAD") {
+    val table = Files.createTempDirectory("graft_delta_ckv").toString + "/t"
+    for (i <- 0 until 6)
+      DeltaLite.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), table)
+    // a checkpoint racing behind two already-landed OCC commits: the
+    // file labeled v3 must hold v3's state, not HEAD's
+    DeltaLite.checkpoint(spark, table, 3L,
+      DeltaLite.read(spark, table).schema)
+    val log = Paths.get(table, "_delta_log")
+    assert(Files.exists(log.resolve("00000000000000000003.checkpoint.parquet")))
+    // time travel to v3 starts from this checkpoint (ckpt <= asOf) and
+    // must see exactly v0..v3's rows
+    assert(DeltaLite.readAt(spark, table, 3L).count() == 4)
+    // HEAD read replays the v4/v5 JSON commits on top
+    assert(DeltaLite.read(spark, table).count() == 6)
+  }
+
   test("DeltaLite writes versioned commits; append and overwrite round-trip") {
     val table = Files.createTempDirectory("graft_delta_w").toString + "/t"
     val v0 = DeltaLite.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table)

@@ -154,6 +154,12 @@ class TextMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MediaCodecs.decodeWav(wav.dropRight(3)) // truncated data chunk
     }
+    // a negative chunk size must throw (quarantine path), not walk pos
+    // backward and hang the executor task forever
+    val evil = "RIFF".getBytes("US-ASCII") ++ le32(4 + 8) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ le32(-8)
+    intercept[IllegalArgumentException] { MediaCodecs.decodeWav(evil) }
   }
 
   test("decode stages: real stats, resize pipeline, quarantined junk") {

@@ -366,6 +366,53 @@ class RollupSpec extends SparkSpec {
     assert(collectState(st) == Set(("a", 2L, 15L)))
   }
 
+  test("crashed swap with a folded FRESH bucket does not double-count " +
+      "on replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_bkf")
+    val statePath = root.toString + "/state"
+    val n = 4
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a key landing in a different bucket than "a" => its bucket has
+    // NO pre-fold state and thus no .bak counterpart
+    val zKey = Iterator.from(0).map(i => s"z$i")
+      .find(k => jvmBucket(k, n) != jvmBucket("a", n)).get
+    val b1 = change(E.Insert, 1, nullImg, img(lit("a"), lit(10L)))
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b1),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 0L)
+    val b2 = change(E.Insert, 2, nullImg, img(lit(zKey), lit(5L)))
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 1L)
+    // rewind into the crash window: the fresh bucket is already folded
+    // into the root, but the pre-fold marker (batch 0) rode into .bak
+    // with the fresh-item manifest and the post-fold marker was never
+    // written
+    val zBkt = s"__bucket=${jvmBucket(zKey, n)}"
+    val bak = new org.apache.hadoop.fs.Path(statePath + ".bak")
+    fs.mkdirs(bak)
+    fs.delete(new org.apache.hadoop.fs.Path(statePath, "_graft_batch"), false)
+    val mo = fs.create(new org.apache.hadoop.fs.Path(bak, "_graft_batch"))
+    try mo.write("0".getBytes("UTF-8")) finally mo.close()
+    val fo = fs.create(new org.apache.hadoop.fs.Path(bak, "_graft_fresh"))
+    try fo.write(zBkt.getBytes("UTF-8")) finally fo.close()
+    // replay of batch 1: recovery must DELETE the folded fresh bucket
+    // (it has no .bak counterpart) before restoring, then fold once
+    val st = Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 1L)
+    assert(collectState(st) == Set(("a", 1L, 10L), (zKey, 1L, 5L)))
+  }
+
+  test("readBucketed pre-bootstrap: empty with a schema, loud without") {
+    import org.apache.spark.sql.types._
+    val p = java.nio.file.Files.createTempDirectory("graft_rollup_rb")
+      .toString + "/none"
+    val sch = StructType(Seq(StructField("grp", StringType),
+      StructField("n_rows", LongType), StructField("sum_v", LongType)))
+    val empty = Rollup.readBucketed(spark, p, Some(sch))
+    assert(empty.count() == 0 && empty.schema == sch)
+    intercept[IllegalStateException] { Rollup.readBucketed(spark, p) }
+  }
+
   test("decimal sums keep the state's type across chained merges") {
     val base = Seq(("a", "10.25"), ("b", "1.50")).toDF("grp", "s")
       .select(col("grp"), col("s").cast("decimal(15,2)").as("v"))
