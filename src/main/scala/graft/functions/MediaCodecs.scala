@@ -162,8 +162,13 @@ object MediaCodecs {
       val size = i32(b, pos + 4)
       // a corrupt/malicious negative size would walk pos backward (or
       // hold it still) and spin this loop forever — callers' try/NonFatal
-      // routes a throw to quarantine but cannot contain a hang
-      require(size >= 0, s"wav chunk '$id' has negative size $size")
+      // routes a throw to quarantine but cannot contain a hang. The
+      // upper bound must hold BEFORE any `body + size` arithmetic: near
+      // Int.MaxValue that sum wraps negative, which would both defeat
+      // the truncation require and size a ~2 GB sample array whose
+      // OutOfMemoryError (not NonFatal) escapes the quarantine path.
+      require(size >= 0 && size <= b.length,
+        s"wav chunk '$id' size $size outside payload (${b.length} bytes)")
       val body = pos + 8
       id match {
         case "fmt " =>
@@ -176,7 +181,7 @@ object MediaCodecs {
           require(bits == 16, s"wav bits=$bits unsupported (need 16)")
         case "data" =>
           require(channels > 0, "data chunk before fmt")
-          require(body + size <= b.length, "truncated data chunk")
+          require(body.toLong + size <= b.length, "truncated data chunk")
           val n = size / 2
           val out = new Array[Short](n)
           var i = 0

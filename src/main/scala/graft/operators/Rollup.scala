@@ -259,6 +259,54 @@ object Rollup {
   private val BucketCol = graft.streaming.CdcStream.BucketCol
   private val Marker = "_graft_batch"
   private val FreshManifest = "_graft_fresh"
+  private val ManifestEnd = "#end"
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Parse the fresh-item manifest: `batch=<id>`, one fresh name per
+    * line, `#end` terminator. A file missing the terminator or the
+    * header is a torn direct-write (only possible on stores without
+    * atomic rename, and only while the manifest itself was being
+    * written — i.e. before ANY rename happened) and is treated as
+    * absent, so recovery never acts on a truncated name list. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           bak: org.apache.hadoop.fs.Path)
+      : Option[(Long, Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(bak, FreshManifest)
+    if (!fs.exists(p)) None
+    else {
+      val lines = readSmallFile(fs, p).split("\n")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      if (lines.isEmpty || lines.last != ManifestEnd ||
+          !lines.head.startsWith("batch=")) None
+      else scala.util.Try(lines.head.stripPrefix("batch=").toLong)
+        .toOption.map(b => (b, lines.slice(1, lines.length - 1)))
+    }
+  }
+
+  /** Tear down `.bak` in an order recovery can always interpret:
+    * bucket backups first, the manifest LAST, then the dir itself. A
+    * crash mid-teardown thus leaves either a live manifest with its
+    * backups still present (recovery re-checks the commit marker and
+    * resumes the teardown) or a manifest-less shell (recovery restores
+    * nothing and drops it) — never a live manifest over already-deleted
+    * backups, which would make rollback delete committed fresh buckets
+    * it can no longer restore. */
+  private def deleteBakOrdered(fs: org.apache.hadoop.fs.FileSystem,
+                               bak: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(bak)) {
+      fs.listStatus(bak).foreach { st =>
+        if (!st.getPath.getName.startsWith(FreshManifest))
+          fs.delete(st.getPath, true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(bak, FreshManifest), false)
+      fs.delete(bak, true)
+      ()
+    }
 
   /** [[fold]] for HIGH-cardinality rollups (per-user, per-document):
     * the flat fold rewrites the whole group-cardinality-sized state
@@ -282,10 +330,13 @@ object Rollup {
     * on the bootstrap fold, any new-key bucket later, the marker on the
     * first marked fold) are named in a fresh-item manifest written into
     * `.bak` before any rename, so recovery can delete their folded
-    * copies from the root — a crash anywhere thus leaves either the
-    * pre-fold state + pre-fold marker (batch replays, folds once) or
-    * the post-fold state + post-fold marker (replay detected,
-    * skipped). */
+    * copies from the root. The manifest header records this fold's
+    * batch id: recovery compares it with the root marker to tell a
+    * crash mid-swap (roll back, batch replays and folds once) from a
+    * crash mid-cleanup after the marker committed (resume the
+    * teardown, replay detected and skipped) — so a crash anywhere
+    * leaves either the pre-fold state + pre-fold marker or the
+    * post-fold state + post-fold marker, never a mix. */
   def foldBucketed(spark: org.apache.spark.sql.SparkSession,
                    statePath: String, retractionBatch: DataFrame,
                    groupKeys: Seq[String], metrics: Seq[String],
@@ -310,35 +361,52 @@ object Rollup {
     // exactly pre-fold; the unfinished batch never reached its
     // checkpoint and will replay.
     if (fs.exists(bak)) {
-      val freshPath = new org.apache.hadoop.fs.Path(bak, FreshManifest)
-      if (fs.exists(freshPath)) {
-        val in = fs.open(freshPath)
-        val fresh =
-          try new String(in.readAllBytes(), "UTF-8").split("\n")
-            .map(_.trim).filter(_.nonEmpty)
-          finally in.close()
-        fresh.foreach { name =>
-          val p = new org.apache.hadoop.fs.Path(root, name)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
+      // Did the interrupted fold reach its commit point (root marker
+      // written with ITS batch id, recorded in the manifest header)?
+      // If so only the .bak teardown crashed: resume the teardown —
+      // rolling back here would restore pre-fold state under a
+      // post-fold marker and the replayed batch would be skipped,
+      // silently losing it.
+      val manifest = readManifest(fs, bak)
+      val rootBatch =
+        if (fs.exists(marker))
+          scala.util.Try(readSmallFile(fs, marker).trim.toLong).toOption
+        else None
+      val committed = (manifest, rootBatch) match {
+        case (Some((b, _)), Some(rb)) => b >= 0 && b == rb
+        case _ => false
       }
-      fs.listStatus(bak).foreach { st =>
-        if (st.getPath.getName != FreshManifest) {
-          val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
-          if (fs.exists(dst)) fs.delete(dst, true)
-          fs.rename(st.getPath, dst)
-          ()
+      if (committed) deleteBakOrdered(fs, bak)
+      else {
+        manifest.foreach { case (_, fresh) =>
+          fresh.foreach { name =>
+            val p = new org.apache.hadoop.fs.Path(root, name)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
         }
+        fs.listStatus(bak).foreach { st =>
+          if (!st.getPath.getName.startsWith(FreshManifest)) {
+            val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+            if (fs.exists(dst)) fs.delete(dst, true)
+            fs.rename(st.getPath, dst)
+            ()
+          }
+        }
+        deleteBakOrdered(fs, bak)
       }
-      fs.delete(bak, true)
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // schema-only analysis of the batch delta (no job): lets the two
+    // internal reads below return a typed empty frame when a fold has
+    // retracted the entire state (marker present, no buckets)
+    val expectedSchema = Some(
+      delta(retractionBatch, groupKeys, metrics).schema)
     if (batchId >= 0 && fs.exists(marker)) {
-      val in = fs.open(marker)
       val folded =
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
-      if (folded == batchId) return readBucketed(spark, statePath)
+        scala.util.Try(readSmallFile(fs, marker).trim.toLong)
+          .getOrElse(-1L)
+      if (folded == batchId)
+        return readBucketed(spark, statePath, expectedSchema)
     }
 
     val d = delta(retractionBatch, groupKeys, metrics)
@@ -383,9 +451,17 @@ object Rollup {
       affected.map(i => s"$BucketCol=$i")
         .filterNot(n => fs.exists(new org.apache.hadoop.fs.Path(root, n))) ++
       (if (fs.exists(marker)) Nil else Seq(Marker))
-    val fo = fs.create(new org.apache.hadoop.fs.Path(bak, FreshManifest))
-    try fo.write(freshNames.mkString("\n").getBytes("UTF-8"))
+    // header carries THIS fold's batch id (recovery's commit check);
+    // temp-create + rename makes the manifest appear atomically, and
+    // the #end terminator guards stores whose rename is copy+delete
+    val manifestTmp =
+      new org.apache.hadoop.fs.Path(bak, FreshManifest + ".tmp")
+    val fo = fs.create(manifestTmp)
+    try fo.write((s"batch=$batchId" +: freshNames :+ ManifestEnd)
+      .mkString("\n").getBytes("UTF-8"))
     finally fo.close()
+    fs.rename(manifestTmp,
+      new org.apache.hadoop.fs.Path(bak, FreshManifest))
     affected.foreach { i =>
       val dst = new org.apache.hadoop.fs.Path(root, s"$BucketCol=$i")
       if (fs.exists(dst)) {
@@ -406,9 +482,9 @@ object Rollup {
       val o = fs.create(marker)
       try o.write(batchId.toString.getBytes("UTF-8")) finally o.close()
     }
-    fs.delete(bak, true)
+    deleteBakOrdered(fs, bak)
     fs.delete(tmp, true)
-    readBucketed(spark, statePath)
+    readBucketed(spark, statePath, expectedSchema)
   }
 
   /** Read a bucketed rollup state without its layout column. An absent

@@ -766,10 +766,16 @@ object DeltaLite {
     val metaId = rep.meta.map(_.id).filter(_.nonEmpty)
       .getOrElse(java.util.UUID.randomUUID().toString)
     val pcols = rep.meta.map(_.partitionColumns).getOrElse(Nil)
+    // the schema stamped into the checkpoint must be the one the log
+    // recorded AT `version` — a caller passing the HEAD schema after
+    // evolution would otherwise bake a future schema into a historical
+    // checkpoint and skew readAt(asOf) replays that start from it
+    val schemaAtVersion =
+      rep.meta.flatMap(_.schemaJson).getOrElse(schema.json)
     val rows: Seq[Row] =
       Row(Row(1, 2), null, null) +:
       Row(null, Row(metaId, Row("parquet"),
-        schema.json, pcols, now), null) +:
+        schemaAtVersion, pcols, now), null) +:
       rep.adds.map { f =>
         val len = fs.getFileStatus(
           new org.apache.hadoop.fs.Path(tablePath, f.path)).getLen

@@ -393,13 +393,72 @@ class RollupSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(statePath, "_graft_batch"), false)
     val mo = fs.create(new org.apache.hadoop.fs.Path(bak, "_graft_batch"))
     try mo.write("0".getBytes("UTF-8")) finally mo.close()
+    // manifest as the interrupted fold (batch 1) would have written it:
+    // its batch id in the header, the fresh bucket, the terminator. The
+    // root marker is gone (crash before the post-fold marker write), so
+    // recovery must take the rollback path, not the resume-teardown one.
     val fo = fs.create(new org.apache.hadoop.fs.Path(bak, "_graft_fresh"))
-    try fo.write(zBkt.getBytes("UTF-8")) finally fo.close()
+    try fo.write(s"batch=1\n$zBkt\n#end".getBytes("UTF-8"))
+    finally fo.close()
     // replay of batch 1: recovery must DELETE the folded fresh bucket
     // (it has no .bak counterpart) before restoring, then fold once
     val st = Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
       Seq("grp"), Seq("v"), numBuckets = n, batchId = 1L)
     assert(collectState(st) == Set(("a", 1L, 10L), (zKey, 1L, 5L)))
+  }
+
+  test("committed fold with a half-torn .bak resumes teardown instead " +
+      "of rolling back") {
+    // the data-loss window the manifest header closes: the post-fold
+    // marker committed, then the .bak teardown crashed after the bucket
+    // backups were gone but while the fresh manifest survived. A naive
+    // rollback would delete the committed fresh bucket (irrestorable)
+    // and keep the post-fold marker, so the replay is skipped and the
+    // fresh key's data silently lost.
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_bkt")
+    val statePath = root.toString + "/state"
+    val n = 4
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zKey = Iterator.from(0).map(i => s"z$i")
+      .find(k => jvmBucket(k, n) != jvmBucket("a", n)).get
+    val b1 = change(E.Insert, 1, nullImg, img(lit("a"), lit(10L)))
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b1),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 0L)
+    val b2 = change(E.Insert, 2, nullImg, img(lit(zKey), lit(5L)))
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 1L)
+    // root is fully post-fold (marker=1); .bak holds ONLY the live
+    // manifest of batch 1 — its backups already torn down
+    val bak = new org.apache.hadoop.fs.Path(statePath + ".bak")
+    fs.mkdirs(bak)
+    val zBkt = s"__bucket=${jvmBucket(zKey, n)}"
+    val fo = fs.create(new org.apache.hadoop.fs.Path(bak, "_graft_fresh"))
+    try fo.write(s"batch=1\n$zBkt\n#end".getBytes("UTF-8"))
+    finally fo.close()
+    val st = Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), numBuckets = n, batchId = 1L)
+    assert(collectState(st) == Set(("a", 1L, 10L), (zKey, 1L, 5L)))
+    assert(!fs.exists(bak), ".bak teardown resumed")
+  }
+
+  test("bucketed fold that retracts the whole state returns a typed " +
+      "empty frame") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_bke")
+    val statePath = root.toString + "/state"
+    val b1 = change(E.Insert, 1, nullImg, img(lit("a"), lit(10L)))
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b1),
+      Seq("grp"), Seq("v"), numBuckets = 4, batchId = 0L)
+    val b2 = change(E.Delete, 2, img(lit("a"), lit(10L)), nullImg)
+    val st = Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), numBuckets = 4, batchId = 1L)
+    assert(st.count() == 0)
+    assert(st.columns.toSeq == Seq("grp", "n_rows", "sum_v"))
+    // and the replay (same batch id) still short-circuits to empty
+    val replay = Rollup.foldBucketed(spark, statePath,
+      Rollup.retractions(b2), Seq("grp"), Seq("v"),
+      numBuckets = 4, batchId = 1L)
+    assert(replay.count() == 0)
   }
 
   test("readBucketed pre-bootstrap: empty with a schema, loud without") {
