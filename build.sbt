@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print one machine-parsed JSON line; sbt's
+// default forked-output logger would prefix it with "[info] " and trail
+// a "[success] Total time" line, both of which break a tail-line parse.
+// Route forked stdout through unchanged and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,6 +46,14 @@ object Queries {
     * path (~one split per file at openCostInBytes granularity). The
     * cache key folds in the source dir's file sizes, so regenerated
     * testdata invalidates it; formula edits must bump the key suffix. */
+  /** Queries whose fixture goes through [[wireCache]] — keep in sync
+    * with the call sites below. The bench warms exactly these before
+    * its timed loop: a regenerated sf dir invalidates the cache
+    * signature, and a cold rebuild inside the timed region charges the
+    * parse query ~10x its steady-state time. */
+  val wireCached: Seq[String] =
+    Seq("native_parse", "mysql_binlog_parse", "cdc_pipeline_mysql")
+
   private def wireCache(s: SparkSession, dir: String, key: String)
                        (build: => DataFrame): DataFrame = {
     val sig = {
