@@ -16,7 +16,8 @@ run / fork := true
 // a "[success] Total time" line, both of which break a tail-line parse.
 // Route forked stdout through unchanged and drop the success banner.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-showSuccess := false
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

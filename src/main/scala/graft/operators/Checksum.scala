@@ -94,19 +94,31 @@ object Checksum {
     val r = normalized(dst, "r")
     val joined = l.join(r, l("l_key") === r("r_key"), "full_outer")
 
-    val missed = joined.filter(col("r_key").isNull)
-      .select(lit("missed key").as("kind"), lit("").as("column"),
-        col("l_key").as("key"))
-    val extra = joined.filter(col("l_key").isNull)
-      .select(lit("extra key").as("kind"), lit("").as("column"),
-        col("r_key").as("key"))
-    val both = joined.filter(col("l_key").isNotNull && col("r_key").isNotNull)
-    val colErrs = common.map { c =>
-      both.filter(!(col(s"l_$c") <=> col(s"r_$c")))
-        .select(lit(s"column '$c' mismatch").as("kind"), lit(c).as("column"),
-          col("l_key").as("key"))
-    }
-    val rowErrs = (Seq(missed, extra) ++ colErrs).reduce(_ unionByName _)
+    // ALL error kinds detected in ONE codegen projection over the
+    // joined row (a per-kind/per-column filter branch would re-execute
+    // the join once per value column — O(columns) joins; exchange reuse
+    // saves the shuffles but not the probe): each row emits an array of
+    // (kind, column) structs — missed/extra key, then one entry per
+    // mismatching value column — nulls compacted away, then a single
+    // explode. The join executes exactly once regardless of width.
+    val errEntries =
+      Seq(
+        when(col("r_key").isNull,
+          struct(lit("missed key").as("kind"), lit("").as("column"))),
+        when(col("l_key").isNull,
+          struct(lit("extra key").as("kind"), lit("").as("column")))) ++
+      common.map(c =>
+        when(col("l_key").isNotNull && col("r_key").isNotNull &&
+            !(col(s"l_$c") <=> col(s"r_$c")),
+          struct(lit(s"column '$c' mismatch").as("kind"),
+            lit(c).as("column"))))
+    val rowErrs = joined
+      .select(coalesce(col("l_key"), col("r_key")).as("key"),
+        array_compact(array(errEntries: _*)).as("errs"))
+      .filter(size(col("errs")) > 0)
+      .select(col("key"), explode(col("errs")).as("e"))
+      .select(col("e.kind").as("kind"), col("e.column").as("column"),
+        col("key"))
 
     // cap samples BEFORE collecting, in two levels so no single window
     // partition holds a whole error class: 3 smallest per 64-way key

@@ -133,7 +133,19 @@ object ZOrderLake {
 
   /** The shared known-files diff + atomic swap behind all three index
     * updates. `freshStats(addedFiles)` must produce rows schema-equal
-    * to the full build's (one row per file, keyed `file`). */
+    * to the full build's (one row per file, keyed `file`).
+    *
+    * The manifest never rides through the driver: kept rows are a
+    * `left_semi` of the old manifest against the current file listing
+    * (dropping removed files' rows), fresh rows a distributed stats
+    * scan of the added files, and the union is written directly — at
+    * 1M+ indexed files the old collect-and-parallelize here was a
+    * driver OOM (bloom/trigram rows carry KB-sized position arrays).
+    * Only two driver-sized pieces remain, both inherent: the current
+    * file LISTING (the same list Spark's own FileIndex materializes to
+    * plan any scan of the lake) and the ADDED-file list (bounded by
+    * one maintenance interval's append volume, needed to open exactly
+    * those files). */
   private def incrementalUpdate(spark: SparkSession, path: String,
                                 manifestPath: String,
                                 rebuild: () => String,
@@ -146,23 +158,29 @@ object ZOrderLake {
     if (!fs.exists(hPath) && fs.exists(bak)) fs.rename(bak, hPath)
     if (!fs.exists(hPath)) return rebuild()
 
-    val current = spark.read.parquet(path).inputFiles.toSet
+    import spark.implicits._
+    val current = spark.read.parquet(path).inputFiles.toSeq.sorted
+    val currentDf = current.toDF("file")
     val old = spark.read.parquet(manifestPath)
-    val known = old.select("file").collect().map(_.getString(0)).toSet
-    val added = (current -- known).toSeq.sorted
-    val removed = known -- current
-    if (added.isEmpty && removed.isEmpty) return manifestPath
+    // added = listed but unknown — small (one interval's appends), and
+    // needed driver-side anyway to open exactly those files
+    val added = currentDf.join(old.select("file"), Seq("file"), "left_anti")
+      .as[String].collect().toSeq.sorted
+    val anyRemoved = !old.select("file")
+      .join(currentDf, Seq("file"), "left_anti").isEmpty
+    if (added.isEmpty && !anyRemoved) return manifestPath
 
-    val kept =
-      (if (removed.isEmpty) old
-       else old.filter(!col("file").isInCollection(removed))).collect()
-    val fresh =
-      if (added.isEmpty) Seq.empty else freshStats(added).collect().toSeq
-    val combined = spark.createDataFrame(
-      spark.sparkContext.parallelize(kept ++ fresh, 1), old.schema)
+    val kept = old.join(currentDf, Seq("file"), "left_semi")
+    val combined =
+      if (added.isEmpty) kept
+      else kept.unionByName(freshStats(added).select(old.columns.map(col): _*))
 
+    // size output files to the manifest's own row count (one row per
+    // lake file) — a single output file would bottleneck at millions
+    // of entries, 32 shuffle-sized ones litter small lakes
+    val parts = math.max(1, math.min(32, current.size / 50000))
     val tmp = new org.apache.hadoop.fs.Path(manifestPath + "_new")
-    combined.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    combined.coalesce(parts).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(bak, true)
     fs.rename(hPath, bak)
     fs.rename(tmp, hPath)

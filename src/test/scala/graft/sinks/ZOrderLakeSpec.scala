@@ -262,4 +262,46 @@ class ZOrderLakeSpec extends SparkSpec {
     val man = ZOrderLake.writeZOrdered(df, p, Seq("x", "y"), 1, 10)
     assert(ZOrderLake.prunedRead(spark, p, man, "y", 500, 600).count() == 0)
   }
+
+  test("manifest maintenance at 100k entries stays distributed and " +
+      "correct") {
+    // the 100-TB shape: a manifest with 100k rows for files that no
+    // longer exist (a lake after heavy compaction). The update must
+    // drop every one of them, keep the surviving row byte-identical,
+    // and index the appended file — all without paging manifest rows
+    // through the driver (the old collect-and-parallelize here was a
+    // driver OOM at 1M+ fat bloom/trigram rows).
+    val p = "/tmp/graft_zorder/stress"
+    val fsPath = new org.apache.hadoop.fs.Path(p)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fsPath, true)
+    fs.delete(new org.apache.hadoop.fs.Path(p + "_manifest"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(p + "_manifest_infl"), true)
+
+    Seq((1L, 1L)).toDF("x", "id").coalesce(1)
+      .write.mode("append").parquet(p)
+    val man = ZOrderLake.updateManifest(spark, p, Seq("x"))
+    val real = spark.read.parquet(man).collect()
+    assert(real.length == 1)
+
+    val fakes = spark.range(100000).select(
+      concat(lit(s"file:$p/gone-"), col("id"), lit(".parquet")).as("file"),
+      col("id").as("min_x"), col("id").as("max_x"))
+    spark.read.parquet(man)
+      .select("file", "min_x", "max_x").unionByName(fakes)
+      .write.mode("overwrite").parquet(p + "_manifest_infl")
+    fs.delete(new org.apache.hadoop.fs.Path(man), true)
+    fs.rename(new org.apache.hadoop.fs.Path(p + "_manifest_infl"),
+      new org.apache.hadoop.fs.Path(man))
+    assert(spark.read.parquet(man).count() == 100001L)
+
+    Seq((5L, 2L)).toDF("x", "id").coalesce(1)
+      .write.mode("append").parquet(p)
+    ZOrderLake.updateManifest(spark, p, Seq("x"))
+    val after = spark.read.parquet(man).collect()
+    assert(after.length == 2)
+    assert(after.map(_.toString).toSet.contains(real.head.toString))
+    val fresh = after.filter(_.toString != real.head.toString).head
+    assert(fresh.getLong(fresh.fieldIndex("min_x")) == 5L)
+  }
 }
