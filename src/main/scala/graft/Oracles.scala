@@ -460,6 +460,23 @@ object Oracles {
          |FROM orders WHERE o_orderkey % 10 <> 2
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
 
+    // recomputes per-customer count/sum/min/max of the post-changelog
+    // table from scratch; the Spark side ran two bucket-pruned extrema
+    // folds over hash-bucketed state with key-pruned min/max repair
+    "incremental_rollup_minmax_bucketed" ->
+      ("""WITH final AS (
+         |  SELECT o_custkey,
+         |    CASE WHEN o_orderkey % 10 = 1
+         |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+         |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+         |  FROM orders WHERE o_orderkey % 10 <> 2)
+         |SELECT o_custkey, count(*) AS n_rows,
+         |  CAST(sum(p) AS DOUBLE) AS total_price,
+         |  CAST(min(p) AS DOUBLE) AS min_price,
+         |  CAST(max(p) AS DOUBLE) AS max_price
+         |FROM final
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
     // recomputes count/sum/min/max of the post-changelog table from
     // scratch; the Spark side folded signed deltas and repaired only
     // the groups whose extremum was deleted

@@ -775,6 +775,64 @@ object Queries {
         .orderBy("o_custkey")
     }),
 
+    "incremental_rollup_minmax_bucketed" -> ((s, dir) => {
+      // extrema maintenance composed WITH the bucketed state layout
+      // (Rollup.foldBucketedWithExtrema): per-customer count/sum/min/max
+      // kept fresh across a bootstrap fold and a changelog fold, reading
+      // and rewriting ONLY touched buckets, with min/max repair pruned
+      // to the groups whose extremum was deleted. The oracle recomputes
+      // the final per-customer aggregate from scratch: green proves two
+      // bucket-pruned extrema folds == full recompute.
+      import graft.operators.Rollup
+      val keys = Seq("o_custkey")
+      val mets = Seq("o_totalprice")
+      val statePath = "/tmp/graft_rollup_mmbk/state"
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_rollup_mmbk"), true)
+      val o = t(s, dir, "orders").withColumn("o_totalprice",
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val img = struct(col("o_custkey"), col("o_totalprice"))
+      val nullImg = when(lit(false), img)
+      val boot = o.filter(col("o_orderkey") % 10 =!= 0).select(
+        nullImg.as("before"), img.as("after"), lit(E.Insert).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val inserts = o.filter(col("o_orderkey") % 10 === 0).select(
+        nullImg.as("before"), img.as("after"), lit(E.Insert).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val updates = o.filter(col("o_orderkey") % 10 === 1).select(
+        img.as("before"),
+        struct(col("o_custkey"),
+          (col("o_totalprice") + 100).cast(DecimalType(18, 2))
+            .as("o_totalprice")).as("after"),
+        lit(E.Update).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      val deletes = o.filter(col("o_orderkey") % 10 === 2).select(
+        img.as("before"), nullImg.as("after"), lit(E.Delete).as(E.Kind),
+        col("o_orderkey").as(E.Lsn), lit(0).as(E.Counter))
+      // base AFTER each batch applied — the repair contract
+      val base0 = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select("o_custkey", "o_totalprice")
+      val base1 = o.filter(col("o_orderkey") % 10 =!= 2)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 1,
+            (col("o_totalprice") + 100).cast(DecimalType(18, 2)))
+            .otherwise(col("o_totalprice")))
+        .select("o_custkey", "o_totalprice")
+      Rollup.foldBucketedWithExtrema(s, statePath, Rollup.retractions(boot),
+        base0, keys, mets, numBuckets = 16, batchId = 0L)
+      val changes = inserts.unionByName(updates).unionByName(deletes)
+      Rollup.foldBucketedWithExtrema(s, statePath,
+        Rollup.retractions(changes), base1, keys, mets,
+        numBuckets = 16, batchId = 1L)
+      Rollup.readBucketed(s, statePath)
+        .select(col("o_custkey"), col("n_rows"),
+          col("sum_o_totalprice").cast("double").as("total_price"),
+          col("min_o_totalprice").cast("double").as("min_price"),
+          col("max_o_totalprice").cast("double").as("max_price"))
+        .orderBy("o_custkey")
+    }),
+
     "incremental_rollup_minmax" -> ((s, dir) => {
       // extrema-carrying rollup maintenance (Rollup.foldWithExtrema):
       // count/sum fold as signed deltas, inserts extend min/max

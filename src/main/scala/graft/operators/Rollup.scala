@@ -341,6 +341,67 @@ object Rollup {
                    statePath: String, retractionBatch: DataFrame,
                    groupKeys: Seq[String], metrics: Seq[String],
                    numBuckets: Int = 64, batchId: Long = -1L): DataFrame = {
+    val d = delta(retractionBatch, groupKeys, metrics)
+      .withColumn(BucketCol,
+        graft.streaming.CdcStream.bucketOf(groupKeys, numBuckets))
+    foldBucketedCore(spark, statePath, groupKeys, numBuckets, batchId,
+      delta(retractionBatch, groupKeys, metrics).schema, d) {
+      case None =>
+        d.drop(BucketCol)
+          .withColumn("n_rows", when(col("n_rows") < 0, raise_error(
+              lit("rollup: batch retracts rows absent from the state")))
+            .otherwise(col("n_rows")))
+          .filter(col("n_rows") > 0)
+      case Some(existing) =>
+        merge(existing, d.drop(BucketCol), groupKeys, metrics)
+    }
+  }
+
+  /** [[foldBucketed]] with extrema maintenance — the bucketed-state
+    * composition of [[foldWithExtrema]]: count/sum fold as signed
+    * deltas, inserts extend min/max in-state, groups whose delete
+    * touched a current extremum re-aggregate min/max from `base` (the
+    * post-batch table) via a key-pruned semi join — and the state swap
+    * reads/rewrites ONLY the buckets the batch touches, so rewrite I/O
+    * follows the batch's key spread while repair I/O follows the
+    * deleted-extremum sliver. State schema: groupKeys, n_rows,
+    * sum_/min_/max_ per metric. */
+  def foldBucketedWithExtrema(spark: org.apache.spark.sql.SparkSession,
+                              statePath: String, retractionBatch: DataFrame,
+                              base: DataFrame,
+                              groupKeys: Seq[String], metrics: Seq[String],
+                              numBuckets: Int = 64,
+                              batchId: Long = -1L): DataFrame = {
+    // aggregation of a zero-row frame: schema-only empty state, the
+    // bootstrap stand-in (foldWithExtrema handles an empty state —
+    // created-and-retracted groups go through base repair)
+    val emptyState = initWithExtrema(base.limit(0), groupKeys, metrics)
+    val batchKeyed = retractionBatch.withColumn(BucketCol,
+      graft.streaming.CdcStream.bucketOf(groupKeys, numBuckets))
+    foldBucketedCore(spark, statePath, groupKeys, numBuckets, batchId,
+      emptyState.schema, batchKeyed) { existing =>
+      // batchKeyed (the core's persisted probe) minus the layout column
+      // IS the retraction batch — reuse the cache instead of rescanning
+      foldWithExtrema(existing.getOrElse(emptyState),
+        batchKeyed.drop(BucketCol), base, groupKeys, metrics)
+    }
+  }
+
+  /** The shared bucketed-state fold machinery: crash recovery, replay
+    * detection, touched-bucket discovery from `probe` (any frame
+    * carrying [[BucketCol]] for every touched group), the
+    * `next(existingAffectedState)` computation, and the two-phase
+    * bucket swap. `next` receives None on bootstrap (no affected
+    * bucket exists yet), otherwise the affected buckets' state without
+    * the layout column, and returns the replacement rows for exactly
+    * those buckets' groups. */
+  private def foldBucketedCore(spark: org.apache.spark.sql.SparkSession,
+                               statePath: String, groupKeys: Seq[String],
+                               numBuckets: Int, batchId: Long,
+                               stateSchema: org.apache.spark.sql.types.StructType,
+                               probe: DataFrame)
+                              (next: Option[DataFrame] => DataFrame)
+      : DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(conf)
@@ -396,11 +457,10 @@ object Rollup {
       }
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // schema-only analysis of the batch delta (no job): lets the two
-    // internal reads below return a typed empty frame when a fold has
-    // retracted the entire state (marker present, no buckets)
-    val expectedSchema = Some(
-      delta(retractionBatch, groupKeys, metrics).schema)
+    // stateSchema is analysis-only (no job): lets the two internal
+    // reads below return a typed empty frame when a fold has retracted
+    // the entire state (marker present, no buckets)
+    val expectedSchema = Some(stateSchema)
     if (batchId >= 0 && fs.exists(marker)) {
       val folded =
         scala.util.Try(readSmallFile(fs, marker).trim.toLong)
@@ -409,30 +469,20 @@ object Rollup {
         return readBucketed(spark, statePath, expectedSchema)
     }
 
-    val d = delta(retractionBatch, groupKeys, metrics)
-      .withColumn(BucketCol,
-        graft.streaming.CdcStream.bucketOf(groupKeys, numBuckets))
-      .persist()
+    val d = probe.persist()
     // the touched-bucket set is <= numBuckets rows — driver-cheap
     val affected = d.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val existingPaths = affected
       .map(i => new org.apache.hadoop.fs.Path(root, s"$BucketCol=$i"))
       .filter(fs.exists(_)).map(_.toString)
-    val next =
-      if (existingPaths.isEmpty)
-        d.drop(BucketCol)
-          .withColumn("n_rows", when(col("n_rows") < 0, raise_error(
-              lit("rollup: batch retracts rows absent from the state")))
-            .otherwise(col("n_rows")))
-          .filter(col("n_rows") > 0)
-      else merge(
-        spark.read.option("basePath", statePath)
-          .parquet(existingPaths: _*).drop(BucketCol),
-        d.drop(BucketCol), groupKeys, metrics)
+    val nextState = next(
+      if (existingPaths.isEmpty) None
+      else Some(spark.read.option("basePath", statePath)
+        .parquet(existingPaths: _*).drop(BucketCol)))
     // repartition on the bucket BEFORE partitionBy (tasks x buckets
     // small-file explosion otherwise), keys sorted within for stats
-    val out = next.withColumn(BucketCol,
+    val out = nextState.withColumn(BucketCol,
       graft.streaming.CdcStream.bucketOf(groupKeys, numBuckets))
     out.repartition(
         math.min(numBuckets,

@@ -556,10 +556,35 @@ object DeltaLite {
     }
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     val commit = commitPath(tablePath, version)
-    // create-exclusive: racing writers lose with FileAlreadyExistsException
-    val out = fs.create(commit, false)
-    try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    val payload = (actions.result().mkString("\n") + "\n").getBytes("UTF-8")
+    // Claim the version atomically WITH its content already complete.
+    // Hadoop's local create(overwrite=false) is a non-atomic
+    // exists-then-create (two racing writers can both pass and one
+    // commit is silently overwritten) and it exposes a partially
+    // written file to concurrent log readers; stage the payload under a
+    // dot-name and hard-link it into place — link(2) is atomic and
+    // exclusive, so racing writers lose with FileAlreadyExistsException
+    // (an IOException, which the retry loop maps to the next version).
+    // On cluster stores (HDFS/object) create-exclusive IS the store's
+    // atomic claim — keep it.
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val dir = java.nio.file.Paths.get(logDir.toUri.getPath)
+      val tmpP = java.nio.file.Files.createTempFile(dir, s".$version-", ".tmp")
+      try {
+        java.nio.file.Files.write(tmpP, payload)
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(commit.toUri.getPath), tmpP)
+        ()
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmpP)
+        ()
+      }
+    } else {
+      val out = fs.create(commit, false)
+      try out.write(payload) finally out.close()
+    }
     if (checkpointInterval > 0 && version > 0 &&
         version % checkpointInterval == 0)
       checkpoint(spark, tablePath, version, schema)

@@ -461,6 +461,62 @@ class RollupSpec extends SparkSpec {
     assert(replay.count() == 0)
   }
 
+  test("bucketed extrema fold: fold+repair == recompute, only touched " +
+      "buckets rewrite") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_bkm")
+    val statePath = root.toString + "/state"
+    val n = 8
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bootstrap: 40 rows over 4 groups
+    val base0 = (1L to 40L).map(i => (s"g${i % 4}", i)).toDF("grp", "v")
+    val boot = base0.select(
+      lit(null).cast("struct<grp:string,v:bigint>").as("before"),
+      struct(col("grp"), col("v")).as("after"),
+      lit(E.Insert).as(E.Kind), col("v").as(E.Lsn), lit(0).as(E.Counter))
+    Rollup.foldBucketedWithExtrema(spark, statePath,
+      Rollup.retractions(boot), base0, Seq("grp"), Seq("v"),
+      numBuckets = n, batchId = 0L)
+    val mtimes0 = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+      .filter(_.getPath.getName.startsWith("__bucket="))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+
+    // batch: delete g1's current max (v=37) and insert a new g1 row —
+    // exercises the repair path; only g1's bucket should rewrite
+    val b1 = change(E.Delete, 100, img(lit("g1"), lit(37L)), nullImg)
+      .union(change(E.Insert, 101, nullImg, img(lit("g1"), lit(2L))))
+    val base1 = base0.filter(!(col("grp") === "g1" && col("v") === 37L))
+      .unionByName(Seq(("g1", 2L)).toDF("grp", "v"))
+    Thread.sleep(1100) // local-FS mtime granularity
+    val st = Rollup.foldBucketedWithExtrema(spark, statePath,
+      Rollup.retractions(b1), base1, Seq("grp"), Seq("v"),
+      numBuckets = n, batchId = 1L)
+
+    val expect = Rollup.initWithExtrema(base1, Seq("grp"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = st.select("grp", "n_rows", "sum_v", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+
+    val g1Bucket = s"__bucket=${jvmBucket("g1", n)}"
+    val mtimes1 = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+      .filter(_.getPath.getName.startsWith("__bucket="))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    for ((dir, t0) <- mtimes0 if dir != g1Bucket)
+      assert(mtimes1(dir) == t0, s"untouched bucket $dir was rewritten")
+    assert(mtimes1(g1Bucket) != mtimes0(g1Bucket))
+
+    // replay of batch 1 is detected and skipped
+    val replay = Rollup.foldBucketedWithExtrema(spark, statePath,
+      Rollup.retractions(b1), base1, Seq("grp"), Seq("v"),
+      numBuckets = n, batchId = 1L)
+    assert(replay.select("grp", "n_rows", "sum_v", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet == expect)
+  }
+
   test("readBucketed pre-bootstrap: empty with a schema, loud without") {
     import org.apache.spark.sql.types._
     val p = java.nio.file.Files.createTempDirectory("graft_rollup_rb")

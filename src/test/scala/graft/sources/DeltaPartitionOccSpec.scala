@@ -146,7 +146,11 @@ class DeltaPartitionOccSpec extends SparkSpec {
       })
     }
     threads.foreach(_.start()); start.countDown()
-    threads.foreach(_.join(120000))
+    // generous bound: under full-suite parallel load each tiny write
+    // can take seconds; a silent join timeout here would cascade into
+    // misleading count assertions below
+    threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "appender thread timed out")
     assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
     // every append landed exactly once, versions are contiguous
     assert(DeltaLite.read(spark, table).count() == 13)
