@@ -1619,6 +1619,13 @@ object Oracles {
          |WHERE o_orderpriority = '1-URGENT'
          |ORDER BY o_orderkey""".stripMargin),
 
+    // pre-evolution rows surface NULL for the evolved-in column
+    "delta_evolve" ->
+      ("""SELECT o_orderkey, o_totalprice,
+         |  CASE WHEN o_orderkey % 4 = 0 THEN o_orderpriority
+         |       ELSE NULL END AS o_orderpriority
+         |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     // recomputes the post-upsert/post-delete table from the same
     // formulas; the Spark side reaches it through COW file rewrites
     "delta_merge" ->

@@ -2450,6 +2450,28 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "delta_evolve" -> ((s, dir) => {
+      // schema evolution on write (sources.DeltaLite.write mergeSchema):
+      // the first commit carries (key, price); a later append adds
+      // o_orderpriority, which extends the DECLARED schema in the log.
+      // The unified read-back serves the log's schema — pre-evolution
+      // files surface NULL for the new column — which the oracle
+      // reproduces with a CASE over the same key split.
+      val path = "/tmp/graft_delta_evolve/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_delta_evolve"), true)
+      val o = t(s, dir, "orders")
+      graft.sources.DeltaLite.write(
+        o.filter(col("o_orderkey") % 4 =!= 0)
+          .select("o_orderkey", "o_totalprice"), path)
+      graft.sources.DeltaLite.write(
+        o.filter(col("o_orderkey") % 4 === 0)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        path, mergeSchema = true)
+      graft.sources.DeltaLite.read(s, path).orderBy("o_orderkey")
+    }),
+
     "delta_merge" -> ((s, dir) => {
       // copy-on-write row-level ops over the public Delta protocol
       // (sources.DeltaLite.upsert/deleteWhere): two file-disjoint

@@ -86,18 +86,58 @@ object DeltaLite {
     rep.meta.flatMap(_.schemaJson)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
 
-  /** Scan a replayed file set. Unpartitioned tables merge-read the
-    * files directly. Partitioned tables read with the DECLARED schema +
-    * basePath: partition column values live in the directory names (the
-    * data files do not carry them, per the layout every Delta writer
-    * emits), and the explicit schema pins their types — no string/int
-    * inference drift — while output columns surface in declared order. */
+  /** Nullability erased recursively — schema comparison for write
+    * enforcement must not reject an append whose only drift is a
+    * non-null column landing in a nullable slot. */
+  private def normalizeNullability(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, normalizeNullability(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      ArrayType(normalizeNullability(a.elementType), containsNull = true)
+    case m: MapType => MapType(normalizeNullability(m.keyType),
+      normalizeNullability(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Table schema + the incoming frame's NEW columns, appended in
+    * their incoming order; a column present on both sides with a
+    * different type is a conflict (no silent cast widening). */
+  private[sources] def mergeSchemas(table: StructType,
+                                    incoming: StructType): StructType = {
+    val tTypes = table.fields
+      .map(f => f.name -> normalizeNullability(f.dataType)).toMap
+    incoming.fields.foreach { f =>
+      tTypes.get(f.name).foreach { t =>
+        require(t == normalizeNullability(f.dataType),
+          s"column '${f.name}' type ${f.dataType.simpleString} conflicts " +
+            s"with the table's declared type — schema evolution adds " +
+            "columns, it does not change them")
+      }
+    }
+    StructType(table.fields ++
+      incoming.fields.filterNot(f => tTypes.contains(f.name))
+        .map(f => f.copy(nullable = true)))
+  }
+
+  /** Scan a replayed file set with the log's DECLARED schema — the
+    * protocol contract: the log, not parquet footer inference, says
+    * what the table looks like. Files written before a schema
+    * evolution lack the newer columns and read back as NULL there;
+    * files carrying columns the declared schema dropped don't leak
+    * them. Partitioned tables add basePath: partition column values
+    * live in the directory names (the data files do not carry them,
+    * per the layout every Delta writer emits), and the explicit schema
+    * pins their types — no string/int inference drift. A log with no
+    * schemaString (external writer) falls back to a merge-read. */
   private def readFiles(spark: SparkSession, tablePath: String, rep: Replay,
                         files: Seq[AddFile]): DataFrame = {
     val paths = files.map(f => s"$tablePath/${f.path}")
     val pcols = rep.meta.map(_.partitionColumns).getOrElse(Nil)
     if (pcols.isEmpty)
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      declaredSchema(rep) match {
+        case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+        case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      }
     else {
       val schema = declaredSchema(rep).getOrElse(throw new IllegalStateException(
         s"partitioned table at $tablePath has no schemaString in its log"))
@@ -325,7 +365,8 @@ object DeltaLite {
   def write(df: DataFrame, tablePath: String,
             overwrite: Boolean = false,
             checkpointInterval: Int = 10,
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil,
+            mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val fs = tableFs(spark, tablePath)
     val base = nextVersion(fs, tablePath) - 1L
@@ -335,8 +376,27 @@ object DeltaLite {
       .getOrElse(partitionBy)
     require(partitionBy.isEmpty || pcols == partitionBy,
       s"table is partitioned by $pcols; cannot write with $partitionBy")
+    // Schema enforcement + evolution (the public writer contract): an
+    // append must match the table schema; with mergeSchema=true new
+    // columns extend it (old files read back as NULL there) while
+    // existing columns must keep their types. An overwrite replaces
+    // the schema outright — it replaces the data the schema describes.
+    val tableSchema = existing.flatMap(declaredSchema)
+    val commitSchema = tableSchema match {
+      case Some(ts) if !overwrite =>
+        def shape(s: StructType) =
+          s.fields.map(f => f.name -> normalizeNullability(f.dataType)).toMap
+        if (shape(ts) == shape(df.schema)) ts
+        else if (mergeSchema) mergeSchemas(ts, df.schema)
+        else throw new IllegalArgumentException(
+          s"append schema ${df.schema.simpleString} does not match table " +
+            s"schema ${ts.simpleString} at $tablePath; pass " +
+            "mergeSchema = true to evolve (new columns append, existing " +
+            "columns keep their types)")
+      case _ => df.schema
+    }
     val moved = stageIn(df, fs, tablePath, base + 1L, partitionBy = pcols)
-    commitRetrying(spark, tablePath, df.schema, moved,
+    commitRetrying(spark, tablePath, commitSchema, moved,
       removesThunk = () =>
         if (overwrite && existing.isDefined) activeFiles(spark, tablePath)
         else Nil,

@@ -163,8 +163,10 @@ class ExtensionsDeltaSpec extends SparkSpec {
       fs.create(new org.apache.hadoop.fs.Path(
         table, "_delta_log/00000000000000000002.json"), false).close()
     }
-    // schema evolution: append with an added column, read merges schemas
-    DeltaLite.write(Seq((10L, "q", 5.5)).toDF("id", "v", "score"), table)
+    // schema evolution: an added column is an explicit opt-in; the
+    // read serves the evolved log schema, not parquet inference
+    DeltaLite.write(Seq((10L, "q", 5.5)).toDF("id", "v", "score"), table,
+      mergeSchema = true)
     val evolved = DeltaLite.read(spark, table)
     assert(evolved.columns.toSet == Set("id", "v", "score"))
     val rows = evolved.select("id", "score")

@@ -70,6 +70,34 @@ class DeltaPartitionOccSpec extends SparkSpec {
     assert(DeltaLite.read(spark, table).count() == 31)
   }
 
+  test("schema enforcement rejects drifted appends; mergeSchema evolves") {
+    val table = tmp()
+    DeltaLite.write(Seq((1L, 10.0)).toDF("id", "v"), table)
+    // drifted append without opt-in: rejected
+    intercept[IllegalArgumentException] {
+      DeltaLite.write(Seq((2L, 20.0, "x")).toDF("id", "v", "tag"), table)
+    }
+    // type change is never evolution, even with the opt-in
+    intercept[IllegalArgumentException] {
+      DeltaLite.write(Seq((3L, "oops")).toDF("id", "v"), table,
+        mergeSchema = true)
+    }
+    // evolution: new column appends; the old file reads back NULL there
+    DeltaLite.write(Seq((2L, 20.0, "x")).toDF("id", "v", "tag"), table,
+      mergeSchema = true)
+    val out = DeltaLite.read(spark, table)
+    assert(out.columns.toSeq == Seq("id", "v", "tag"))
+    assert(out.as[(Long, Double, Option[String])].collect().sortBy(_._1)
+      .toSeq == Seq((1L, 10.0, None), (2L, 20.0, Some("x"))))
+    // a subsequent same-shape append needs no opt-in (column order and
+    // nullability do not count as drift)
+    DeltaLite.write(Seq(("y", 30.0, 3L)).toDF("tag", "v", "id"), table)
+    assert(DeltaLite.read(spark, table).count() == 3)
+    // time travel before the evolution still serves the OLD schema
+    assert(DeltaLite.readAt(spark, table, 0L).columns.toSeq ==
+      Seq("id", "v"))
+  }
+
   test("metaData id is the table's stable GUID across commits and ops") {
     val table = tmp()
     DeltaLite.write(Seq((1L, "a")).toDF("id", "v"), table)
