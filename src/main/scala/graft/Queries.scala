@@ -1806,22 +1806,26 @@ object Queries {
 
     "watermark_dedup" -> ((s, dir) => {
       // watermarked duplicate suppression through a real stream: replayed
-      // rows (identical key+ts) inside the watermark collapse to one
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = t(s, dir, "events")
-        .select(col("event_id"), col("ts"))
-        .as[(Long, java.sql.Timestamp)].collect()
-      // every third event is delivered twice
-      val feed = rows.toSeq ++ rows.toSeq.filter(_._1 % 3 == 0)
-      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      // rows (identical key+ts) inside the watermark collapse to one.
+      // The feed (every third event delivered twice) stages to parquet
+      // and rides a file-source stream — no driver-side collect, state
+      // and sink distributed.
+      val base = "/tmp/graft_wmdedup"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"))
+      ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+        .write.parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$base/in")
       val deduped = graft.streaming.CdcStream.watermarkDedup(
-        mem.toDF().toDF("event_id", "ts"), "ts", "1 hour", Seq("event_id"))
-      val q = deduped.writeStream.format("memory")
-        .queryName("graft_wm_out").outputMode("append").start()
-      try { mem.addData(feed); q.processAllAvailable() } finally q.stop()
-      s.table("graft_wm_out").orderBy("event_id")
+        stream, "ts", "1 hour", Seq("event_id"))
+      val q = deduped.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("event_id")
     }),
 
     "stream_join" -> ((s, dir) => {
@@ -2267,30 +2271,43 @@ object Queries {
       // per-key LSN monotonicity guard through a 2-batch stream: every
       // key's insert in batch 1, then per key ONE redelivery — stale for
       // even keys (same LSN, poison value -> suppressed), fresh for odd
-      // keys (higher LSN -> passes). Survivors land in a memory sink.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice").cast("double"))
-        .as[(Long, Double)].collect()
-      val b1 = rows.toSeq.map { case (k, p) => (k, p, k * 10L) }
-      val b2 = rows.toSeq.map { case (k, p) =>
-        if (k % 2 == 0) (k, p + 7777.0, k * 10L)       // stale replay
-        else (k, p + 100.0, k * 10L + 5)               // fresh update
+      // keys (higher LSN -> passes). Both batches ride a FILE-source
+      // stream with a shared checkpoint (run 1 sees the first file set,
+      // run 2 resumes and sees only the redelivery files), so the feed,
+      // the state, and the sink are all distributed — the earlier
+      // MemoryStream spelling collected the fixture to the driver and
+      // was the bench's worst superlinear query at sf1 (135s isolated;
+      // the operator itself is a few seconds).
+      val base = "/tmp/graft_guard"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val o = t(s, dir, "orders")
+      val b1 = o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("double").as("val"),
+        (col("o_orderkey") * 10).as(E.Lsn))
+      val b2 = o.select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 2 === 0, col("o_totalprice") + 7777.0)
+          .otherwise(col("o_totalprice") + 100.0)
+          .cast("double").as("val"),
+        when(col("o_orderkey") % 2 === 0, col("o_orderkey") * 10)
+          .otherwise(col("o_orderkey") * 10 + 5).as(E.Lsn))
+      b1.write.parquet(s"$base/in")
+      def run(): Unit = {
+        val stream = s.readStream.schema(b1.schema).parquet(s"$base/in")
+          .withColumn("__key", col("k").cast(StringType))
+        val guarded = graft.streaming.CdcStream
+          .monotonicGuard(stream, "__key").drop("__key")
+        val q = guarded.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
-      val mem = MemoryStream[(Long, Double, Long)]
-      val stream = mem.toDF().toDF("k", "val", E.Lsn)
-        .withColumn("__key", col("k").cast(StringType))
-      val guarded = graft.streaming.CdcStream
-        .monotonicGuard(stream, "__key").drop("__key")
-      val q = guarded.writeStream.format("memory")
-        .queryName("graft_guard_out").outputMode("append").start()
-      try {
-        mem.addData(b1); q.processAllAvailable()
-        mem.addData(b2); q.processAllAvailable()
-      } finally q.stop()
-      s.table("graft_guard_out")
+      run()
+      b2.write.mode("append").parquet(s"$base/in")
+      run()
+      s.read.parquet(s"$base/out")
         .select(col("k"), col("val"), col(E.Lsn).as("lsn"))
         .orderBy("k", "lsn")
     }),
