@@ -14,6 +14,18 @@ object TextAnalysis {
   /** Whitespace tokens of trimmed text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Evaluate `arr` ONCE per row and hand it to `f` as a bound lambda
+    * variable. Referencing a raw expression inside a higher-order
+    * function's lambda inlines that expression into the per-element
+    * loop — for a tokenization split that is a full re-split of the
+    * document PER ELEMENT, O(elements x chars) per row (the
+    * doc_repetition bench query paid exactly this). Wrapping the array
+    * in a one-element array and going through `transform` binds it as
+    * a NamedLambdaVariable instead: one evaluation, loop reads the
+    * bound value. */
+  private def bindOnce(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword-boundary count: word chunks plus standalone
@@ -139,19 +151,27 @@ object TextAnalysis {
     * — while the keyed join costs one balanced doc-id shuffle. */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val c = col(textCol)
-    val t = tokens(c)
-    val n = size(t)
-    val bigrams = when(n >= 2,
-        transform(sequence(lit(1), n - 1),
-          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array())
-    val scalars = df.select(col(idCol),
-      n.as("n_tokens"),
-      (size(array_distinct(t)).cast(DoubleType) / n).as("uniq_token_ratio"),
-      when(n > 1,
-          lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / (n - 1))
-        .otherwise(lit(0.0)).as("dup_bigram_ratio"))
-    val top = df.select(col(idCol), explode(t).as("__tok"))
+    // tokenize once per row (bindOnce): the bigram lambda would
+    // otherwise re-split the whole document per bigram index
+    val stats = bindOnce(tokens(c)) { t =>
+      val n = size(t)
+      val bigrams = when(n >= 2,
+          transform(sequence(lit(1), n - 1),
+            i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+        .otherwise(array())
+      struct(
+        n.as("n_tokens"),
+        (size(array_distinct(t)).cast(DoubleType) / n)
+          .as("uniq_token_ratio"),
+        when(n > 1,
+            lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / (n - 1))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+    }
+    val scalars = df.select(col(idCol), stats.as("__st"))
+      .select(col(idCol), col("__st.n_tokens").as("n_tokens"),
+        col("__st.uniq_token_ratio").as("uniq_token_ratio"),
+        col("__st.dup_bigram_ratio").as("dup_bigram_ratio"))
+    val top = df.select(col(idCol), explode(tokens(c)).as("__tok"))
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(max(col("__c")).as("__top"))
     scalars.join(top, Seq(idCol))
@@ -178,12 +198,13 @@ object TextAnalysis {
   def chunks(c: Column, chunkTokens: Int, overlap: Int): Column = {
     require(overlap < chunkTokens, "overlap must be smaller than the chunk")
     val stride = chunkTokens - overlap
-    val t = tokens(c)
-    val n = size(t)
-    val nChunks = greatest(lit(1),
-      floor((n - overlap + stride - 1) / lit(stride)).cast("int"))
-    transform(sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(t, i * stride + 1, lit(chunkTokens))))
+    bindOnce(tokens(c)) { t =>
+      val n = size(t)
+      val nChunks = greatest(lit(1),
+        floor((n - overlap + stride - 1) / lit(stride)).cast("int"))
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(t, i * stride + 1, lit(chunkTokens))))
+    }
   }
 
   /** GPT-style sequence-packing offsets: documents concatenate in id
@@ -370,11 +391,12 @@ object TextAnalysis {
     * out entirely — that is the dedup verdict, not data loss. */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
                 lineTokens: Int = 10): DataFrame = {
-    val t = tokens(col(textCol))
-    val nLines = greatest(lit(1),
-      ceil(size(t) / lit(lineTokens.toDouble))).cast("int")
-    val lines = transform(sequence(lit(0), nLines - 1),
-      i => concat_ws(" ", slice(t, i * lineTokens + 1, lit(lineTokens))))
+    val lines = bindOnce(tokens(col(textCol))) { t =>
+      val nLines = greatest(lit(1),
+        ceil(size(t) / lit(lineTokens.toDouble))).cast("int")
+      transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(t, i * lineTokens + 1, lit(lineTokens))))
+    }
     val ex = df.select(col(idCol), posexplode(lines))
       .withColumnRenamed("col", "line")
       .withColumn("fp", md5(col("line")))
