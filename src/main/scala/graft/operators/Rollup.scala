@@ -260,6 +260,7 @@ object Rollup {
   private val Marker = "_graft_batch"
   private val FreshManifest = "_graft_fresh"
   private val ManifestEnd = "#end"
+  private val CommitSentinel = "_graft_done"
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
                             p: org.apache.hadoop.fs.Path): String = {
@@ -289,21 +290,26 @@ object Rollup {
   }
 
   /** Tear down `.bak` in an order recovery can always interpret:
-    * bucket backups first, the manifest LAST, then the dir itself. A
-    * crash mid-teardown thus leaves either a live manifest with its
-    * backups still present (recovery re-checks the commit marker and
-    * resumes the teardown) or a manifest-less shell (recovery restores
-    * nothing and drops it) — never a live manifest over already-deleted
-    * backups, which would make rollback delete committed fresh buckets
-    * it can no longer restore. */
+    * bucket backups first, then the manifest, then the commit sentinel
+    * LAST, then the dir itself. The sentinel (written at the commit
+    * point, before any backup is deleted) outlives everything else, so
+    * a crash anywhere mid-teardown leaves a `.bak` recovery recognises
+    * as committed and resumes tearing down — never a live manifest over
+    * already-deleted backups that a rollback would misread, deleting
+    * committed fresh buckets it can no longer restore. The id-based
+    * commit check covers marked folds; the sentinel covers
+    * `batchId = -1` folds, whose manifest header can never match a
+    * root marker. */
   private def deleteBakOrdered(fs: org.apache.hadoop.fs.FileSystem,
                                bak: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(bak)) {
       fs.listStatus(bak).foreach { st =>
-        if (!st.getPath.getName.startsWith(FreshManifest))
+        val n = st.getPath.getName
+        if (!n.startsWith(FreshManifest) && n != CommitSentinel)
           fs.delete(st.getPath, true)
       }
       fs.delete(new org.apache.hadoop.fs.Path(bak, FreshManifest), false)
+      fs.delete(new org.apache.hadoop.fs.Path(bak, CommitSentinel), false)
       fs.delete(bak, true)
       ()
     }
@@ -433,10 +439,12 @@ object Rollup {
         if (fs.exists(marker))
           scala.util.Try(readSmallFile(fs, marker).trim.toLong).toOption
         else None
-      val committed = (manifest, rootBatch) match {
+      // committed = the id check (marked folds) OR the commit sentinel
+      // (covers batchId = -1, where the header can never match a marker)
+      val committed = ((manifest, rootBatch) match {
         case (Some((b, _)), Some(rb)) => b >= 0 && b == rb
         case _ => false
-      }
+      }) || fs.exists(new org.apache.hadoop.fs.Path(bak, CommitSentinel))
       if (committed) deleteBakOrdered(fs, bak)
       else {
         manifest.foreach { case (_, fresh) =>
@@ -532,6 +540,11 @@ object Rollup {
       val o = fs.create(marker)
       try o.write(batchId.toString.getBytes("UTF-8")) finally o.close()
     }
+    // commit point reached (post-fold buckets + marker live in root):
+    // stamp the sentinel BEFORE any backup is deleted, so a crash
+    // anywhere in the teardown below is recognised as committed and
+    // resumed, never rolled back over partially-deleted backups
+    fs.create(new org.apache.hadoop.fs.Path(bak, CommitSentinel)).close()
     deleteBakOrdered(fs, bak)
     fs.delete(tmp, true)
     readBucketed(spark, statePath, expectedSchema)

@@ -442,6 +442,45 @@ class RollupSpec extends SparkSpec {
     assert(!fs.exists(bak), ".bak teardown resumed")
   }
 
+  test("UNMARKED committed fold with a half-torn .bak resumes teardown " +
+      "via the commit sentinel") {
+    // with batchId = -1 the manifest header (batch=-1) can never match a
+    // root marker, so the id-based commit check alone would roll back a
+    // committed-but-half-torn .bak, deleting the committed fresh bucket
+    // it can no longer restore. The _graft_done sentinel (stamped at the
+    // commit point, deleted last) is what recovery must key on.
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_bks")
+    val statePath = root.toString + "/state"
+    val n = 4
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zKey = Iterator.from(0).map(i => s"z$i")
+      .find(k => jvmBucket(k, n) != jvmBucket("a", n)).get
+    val b1 = change(E.Insert, 1, nullImg, img(lit("a"), lit(10L)))
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b1),
+      Seq("grp"), Seq("v"), numBuckets = n)
+    val b2 = change(E.Insert, 2, nullImg, img(lit(zKey), lit(5L)))
+    Rollup.foldBucketed(spark, statePath, Rollup.retractions(b2),
+      Seq("grp"), Seq("v"), numBuckets = n)
+    // root is fully post-fold (no marker — unmarked folds write none);
+    // .bak holds the live manifest AND the commit sentinel, its bucket
+    // backups already torn down
+    val bak = new org.apache.hadoop.fs.Path(statePath + ".bak")
+    fs.mkdirs(bak)
+    val zBkt = s"__bucket=${jvmBucket(zKey, n)}"
+    val fo = fs.create(new org.apache.hadoop.fs.Path(bak, "_graft_fresh"))
+    try fo.write(s"batch=-1\n$zBkt\n#end".getBytes("UTF-8"))
+    finally fo.close()
+    fs.create(new org.apache.hadoop.fs.Path(bak, "_graft_done")).close()
+    // the next (unmarked) fold must NOT roll back: the committed zKey
+    // bucket has no backup, rollback would delete it permanently
+    val b3 = change(E.Insert, 3, nullImg, img(lit("a"), lit(1L)))
+    val st = Rollup.foldBucketed(spark, statePath, Rollup.retractions(b3),
+      Seq("grp"), Seq("v"), numBuckets = n)
+    assert(collectState(st) == Set(("a", 2L, 11L), (zKey, 1L, 5L)))
+    assert(!fs.exists(bak), ".bak teardown resumed")
+  }
+
   test("bucketed fold that retracts the whole state returns a typed " +
       "empty frame") {
     val root = java.nio.file.Files.createTempDirectory("graft_rollup_bke")
