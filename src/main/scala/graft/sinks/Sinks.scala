@@ -31,11 +31,36 @@ object Sinks {
     // every shuffle task writes a file into every value dir
     // (tasks x dirs small files — the cluster-scale write killer)
     val src =
-      if (partitionCols.isEmpty) df
+      if (partitionCols.isEmpty) rebalanced(df)
       else df.repartition(partitionCols.map(col): _*)
     val w = src.write.mode(mode(policy))
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
+  }
+
+  /** Widen a degenerate-parallelism source before a LARGE full-table
+    * write. The write inherits the scan's task count, and a snapshot
+    * source is often far narrower than the cluster — a single
+    * unsplittable file (one huge parquet row group, a gzip'd csv, one
+    * JDBC query) serializes the ENTIRE transfer through one encoder
+    * task while every other core idles. When the incoming plan has
+    * fewer than half the session's cores AND enough bytes per incoming
+    * partition that re-encoding dominates (≥ the 128 MB split size —
+    * below that the round-robin shuffle's row serialization costs more
+    * than the parallel encode saves; measured 1.5x SLOWER on an 11 MB
+    * single-file transfer), a round-robin shuffle buys a cores-wide
+    * parquet encode. Plain parquet files carry no ordering contract, so
+    * round-robin loses nothing; well-parallelized or small inputs pass
+    * through untouched, preserving their (possibly deliberate)
+    * partitioning. */
+  private def rebalanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // physical planning only — neither of these runs a job
+    val parts = math.max(1, df.rdd.getNumPartitions)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (parts * 2 <= target && bytes / parts >= (128L << 20))
+      df.repartition(target)
+    else df
   }
 
   /** Range-partitioned, internally-sorted parquet write: rows are
