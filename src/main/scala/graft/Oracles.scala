@@ -922,6 +922,37 @@ object Oracles {
          |  CAST(df AS BIGINT) AS df, score, CAST(rank AS INT) AS rank
          |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
 
+    // BM25 re-derived independently: same fixed query set, per-term
+    // contribution rounded then DECIMAL-accumulated (expression shapes
+    // mirror the Spark side token-for-token so IEEE arithmetic agrees)
+    "bm25_search" ->
+      (s"""WITH q(query_id, qtext) AS (VALUES
+         |  (0, 'spark window agg'), (1, 'hash join merge'),
+         |  (2, 'vector scan query'), (3, 'customer order line part')),
+         |qt AS (SELECT DISTINCT query_id,
+         |  unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS token FROM q),
+         |dt AS (SELECT doc_id, len($toks) AS dl, unnest($toks) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
+         |  FROM dt WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(len($toks)) AS total
+         |  FROM documents),
+         |c AS (SELECT qt.query_id, tf.doc_id,
+         |  CAST(round(ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+         |    (tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 +
+         |        0.75 * tf.dl * st.n_docs / CAST(st.total AS DOUBLE)))), 6)
+         |    AS DECIMAL(18,6)) AS c
+         |  FROM tf JOIN dfq USING (token) JOIN qt USING (token), st),
+         |s AS (SELECT query_id, doc_id,
+         |  CAST(sum(c) AS DECIMAL(18,6)) AS score FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM s)
+         |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score,
+         |  CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
     // the identical planted input and RE2 chain as the Spark side
     "url_normalize" ->
       ("""WITH planted AS (

@@ -1253,6 +1253,16 @@ object Queries {
         k = 3)
         .orderBy("doc_id", "rank")),
 
+    "bm25_search" -> ((s, dir) =>
+      // ranked full-text retrieval: four fixed queries over the corpus,
+      // BM25 top-10 each; the corpus token stream is pruned against the
+      // broadcast query vocabulary before the only corpus-sized shuffle
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), Seq(
+          0 -> "spark window agg", 1 -> "hash join merge",
+          2 -> "vector scan query", 3 -> "customer order line part"),
+        "text", "doc_id", k = 10)
+        .orderBy("query_id", "rank")),
+
     "url_normalize" -> ((s, dir) => {
       // the fixture corpus has no URL column, so plant deterministic
       // messy URLs (mixed-case authority, tracking params, fragments)

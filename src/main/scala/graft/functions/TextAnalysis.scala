@@ -270,6 +270,68 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Distributed BM25 top-k retrieval — full-text ranked search over
+    * the corpus (Robertson/Sparck-Jones BM25, the Lucene-default
+    * scoring): score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)) with idf(t) =
+    * ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale shape: the query set's vocabulary is broadcast and the
+    * corpus token stream is semi-joined against it BEFORE the tf
+    * aggregation, so the only shuffle over corpus-sized data carries
+    * just the rows matching query terms (at 100 TB the non-matching
+    * ~99% never leaves the map side). Document length rides along from
+    * the pre-explode `size()`, df/corpus stats are query-vocabulary- /
+    * one-row-sized broadcasts, and top-k resolves per query partition.
+    * Cross-engine determinism: per-term contributions are rounded then
+    * accumulated as DECIMAL(18,6) (order-independent sums — the
+    * [[bigramLmScore]] discipline) and ranking ties break on doc id. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)],
+               textCol: String, idCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("query_id", "qtext")
+    val qterms = q.select(col("query_id"),
+      explode(tokens(col("qtext"))).as("token")).distinct()
+    val vocab = qterms.select("token").distinct()
+    val docTok = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("dl"),
+        explode(col("__t")).as("token"))
+    // prune to the query vocabulary BEFORE the shuffle
+    val tf = docTok.join(broadcast(vocab), Seq("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol)))).as("total_tokens"))
+    // expression shapes mirror the oracle SQL token-for-token: IEEE
+    // +,·,/ are exactly rounded, so identical association ⇒ identical
+    // doubles; only ln is library-rounded (same 1-ulp exposure the
+    // corpus scoring family already accepts)
+    val contrib = tf.join(broadcast(dfreq), Seq("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * (lit(1.2) + lit(1.0)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * col("dl") * col("n_docs") /
+              col("total_tokens").cast("double")))), 6)
+        .cast("decimal(18,6)"))
+    val scores = contrib.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__c")).cast("decimal(18,6)").as("__score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__score").desc, col(idCol).asc)
+    // rank on the exact DECIMAL; report a double (decimal renderings
+    // disagree on trailing zeros across engines, doubles don't)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        col("__score").cast("double").as("score"), col("rank"))
+  }
+
   /** Corpus-trained bigram language-model score — the CCNet-style
     * perplexity quality filter from the public corpus-curation
     * literature (docs whose token transitions are improbable under a

@@ -283,6 +283,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out((2L, 2))._2 > 0.0)
   }
 
+  test("bm25 retrieval: term saturation, idf weighting, length norm") {
+    val docs = Seq(
+      (1L, "apple banana"),                      // short, one hit each
+      (2L, "apple apple apple apple apple"),     // tf saturation target
+      (3L, "cherry durian elderberry fig"),      // no query terms
+      (4L, "apple banana apple banana")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq(0 -> "apple banana"),
+        "text", "doc_id", k = 10)
+      .as[(Int, Long, Double, Int)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    // doc 3 matches nothing and must be absent, not scored 0
+    assert(!out.contains(3L) && out.size == 3)
+    // doc 4 (both terms, tf 2 each) outranks doc 1 (both terms, tf 1)
+    assert(out(4L)._2 == 1 && out(1L)._2 < out(2L)._2 ||
+      out(4L)._1 > out(1L)._1)
+    // saturation: five apples score < 5x one apple's contribution and
+    // a doc with BOTH terms beats one spamming a single term
+    assert(out(4L)._1 > out(2L)._1)
+    // every reported score is positive and ranks are 1..3
+    assert(out.values.forall(_._1 > 0.0))
+    assert(out.values.map(_._2).toSet == Set(1, 2, 3))
+  }
+
   test("url normalization: tracking/fragment/case/www stripped, host kept") {
     val urls = Seq(
       "HTTPS://WWW.News.Example.COM/Path/Art?page=2&utm_source=x&ref=7#top",
