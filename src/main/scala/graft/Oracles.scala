@@ -1178,6 +1178,30 @@ object Oracles {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.02
          |ORDER BY id_a, id_b""".stripMargin),
 
+    // substring spans re-derived: same 3-token rolling md5 windows,
+    // duplicate set by HAVING count>=2, gaps-and-islands interval merge
+    "substring_dedup" ->
+      (s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+         |wins AS (SELECT doc_id, unnest(range(1, len(tk)-1)) AS pos, tk
+         |  FROM d WHERE len(tk) >= 3),
+         |w AS (SELECT doc_id, pos,
+         |  md5(array_to_string(tk[pos:pos+2], ' ')) AS fp FROM wins),
+         |dup AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2),
+         |m AS (SELECT doc_id, pos, pos + 2 AS e FROM w
+         |  WHERE fp IN (SELECT fp FROM dup)),
+         |i AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |  AS pmax FROM m),
+         |j AS (SELECT doc_id, pos, e, CASE WHEN pmax IS NULL OR
+         |  pos > pmax + 1 THEN 1 ELSE 0 END AS nw FROM i),
+         |k AS (SELECT doc_id, pos, e,
+         |  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM j)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(e) AS BIGINT) AS span_end,
+         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+         |FROM k GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin),
+
     "ann_cosine_topk" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

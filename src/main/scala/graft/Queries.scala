@@ -1390,6 +1390,14 @@ object Queries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
+    "substring_dedup" -> ((s, dir) =>
+      // substring-granular exact dedup (Lee et al. 2022 shape): maximal
+      // per-doc spans of 3-token windows whose fingerprint repeats
+      // anywhere in the corpus — integer token positions only
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id",
+        w = 3)
+        .orderBy("doc_id", "span_start")),
+
     "ann_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(

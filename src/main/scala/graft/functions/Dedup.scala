@@ -56,6 +56,58 @@ object Dedup {
   // ---------------- MinHash + LSH ----------------
 
   /** Word shingles (n-grams) of the token stream. */
+  /** Exact duplicated-substring detection — the substring-granular
+    * dedup from the public training-data literature (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * substring repeated ANYWHERE in the corpus (across documents or
+    * within one) is located token-exactly so a curation pipeline can
+    * cut it while keeping the surrounding document. The suffix-array
+    * construction of the paper is replaced by the distributed
+    * equivalent at fixed granularity `w`: every w-token rolling window
+    * is fingerprinted (md5 — balanced shuffle keys), windows whose
+    * fingerprint occurs ≥2 times in the corpus are duplicated, and
+    * per-document runs of overlapping/adjacent duplicated windows merge
+    * into MAXIMAL spans (gaps-and-islands over token positions).
+    *
+    * Scale shape: windows ∝ corpus tokens, fingerprint groupBy is
+    * map-side combined on a 128-bit key; the duplicate set joins back
+    * fp-keyed with ONE row per fp on the build side, so even a
+    * boilerplate string appearing in millions of documents fans out
+    * 1:1; the island merge is a per-document window partitioned on doc
+    * id — no corpus-wide window, no driver state. Output: one row per
+    * maximal duplicated span (1-based token positions, inclusive). */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                      w: Int = 3, minOccurrences: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= w)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - (w - 1)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("__t"), i, lit(w)))).as("fp"))))
+        .as("__w"))
+      .select(col(idCol), col("__w.pos").as("pos"), col("__w.fp").as("fp"))
+    val dup = wins.groupBy("fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences).select("fp")
+    val marked = wins.join(dup, Seq("fp"))
+      .select(col(idCol), col("pos"), (col("pos") + (w - 1)).as("end"))
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val islands = marked
+      .withColumn("__pmax", max(col("end")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("pos") > col("__pmax") + 1, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+    islands.groupBy(col(idCol), col("__island"))
+      .agg(min("pos").as("span_start"), max("end").as("span_end"))
+      .select(col(idCol), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long")
+          .as("span_tokens"))
+  }
+
   def shingles(text: Column, n: Int): Column = {
     val t = TextAnalysis.tokens(text)
     when(size(t) >= n,

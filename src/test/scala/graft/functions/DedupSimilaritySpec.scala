@@ -90,6 +90,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("duplicated substring spans: cross-doc repeat located, merged " +
+      "maximally, unique text untouched") {
+    val corpus = Seq(
+      // docs 10/11 share the 4-token run "alpha beta gamma delta"
+      // (two overlapping 3-windows -> ONE merged span of 4 tokens)
+      (10L, "alpha beta gamma delta unique1 unique2"),
+      (11L, "pre1 pre2 alpha beta gamma delta post1"),
+      // doc 12 repeats a 3-window WITHIN itself, twice
+      (12L, "x y z mid x y z"),
+      // doc 13 shares nothing
+      (13L, "only words nobody else ever wrote down")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "text", "doc_id", w = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet)
+      .toMap
+    assert(spans(10L) == Set((1L, 4L, 4L)))  // maximal, not two 3-spans
+    assert(spans(11L) == Set((3L, 6L, 4L)))
+    assert(spans(12L) == Set((1L, 3L, 3L), (5L, 7L, 3L)))
+    assert(!spans.contains(13L))
+  }
+
   test("cosine similarity: orthogonal 0, parallel 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 0.0f)))
