@@ -1202,6 +1202,42 @@ object Oracles {
          |FROM k GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin),
 
+    // span surgery re-derived: same span pipeline, covered positions
+    // exploded, kept tokens re-aggregated in position order
+    "substring_cut" ->
+      (s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+         |wins AS (SELECT doc_id, unnest(range(1, len(tk)-1)) AS pos, tk
+         |  FROM d WHERE len(tk) >= 3),
+         |w AS (SELECT doc_id, pos,
+         |  md5(array_to_string(tk[pos:pos+2], ' ')) AS fp FROM wins),
+         |dup AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2),
+         |m AS (SELECT doc_id, pos, pos + 2 AS e FROM w
+         |  WHERE fp IN (SELECT fp FROM dup)),
+         |i AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |  AS pmax FROM m),
+         |j AS (SELECT doc_id, pos, e, CASE WHEN pmax IS NULL OR
+         |  pos > pmax + 1 THEN 1 ELSE 0 END AS nw FROM i),
+         |k AS (SELECT doc_id, pos, e,
+         |  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM j)
+         |, spans AS (SELECT doc_id, min(pos) AS s, max(e) AS e
+         |  FROM k GROUP BY doc_id, island),
+         |cov AS (SELECT DISTINCT doc_id,
+         |  unnest(range(s, e + 1)) AS pos FROM spans),
+         |tokpos AS (SELECT doc_id, unnest(tk) AS token,
+         |  unnest(range(1, len(tk) + 1)) AS pos FROM d),
+         |kept AS (SELECT t.doc_id, t.pos, t.token FROM tokpos t
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |agg AS (SELECT doc_id,
+         |  string_agg(token, ' ' ORDER BY pos) AS clean_text,
+         |  count(*) AS kept FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |  CAST(coalesce(agg.kept, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(len(d.tk) - coalesce(agg.kept, 0) AS BIGINT) AS cut_tokens
+         |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
     "ann_cosine_topk" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1398,6 +1398,13 @@ object Queries {
         w = 3)
         .orderBy("doc_id", "span_start")),
 
+    "substring_cut" -> ((s, dir) =>
+      // the curation action on those spans: cut them, keep the unique
+      // remainder; only the span table shuffles, the corpus stays put
+      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "text", "doc_id",
+        w = 3)
+        .orderBy("doc_id")),
+
     "ann_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(

@@ -108,6 +108,40 @@ object Dedup {
           .as("span_tokens"))
   }
 
+  /** The curation action on [[duplicatedSpans]]: CUT every duplicated
+    * span out of its document, keep the unique remainder — what a
+    * training-data pipeline actually does with located duplicate
+    * substrings (Lee et al. 2022 report perplexity gains from exactly
+    * this surgery vs dropping whole documents).
+    *
+    * Scale shape: the corpus itself is NEVER shuffled — only the span
+    * table (≪ corpus) aggregates per doc and joins back doc-keyed; the
+    * token filter then runs map-side as an indexed higher-order
+    * `filter` over the in-row token array (O(spans) per token, spans
+    * per doc are few by construction since they merged maximally).
+    * Docs without spans pass through with a NULL join and keep their
+    * text verbatim. */
+  def cutDuplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                         w: Int = 3,
+                         minOccurrences: Long = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, textCol, idCol, w, minOccurrences)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__sp"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__t", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__keep",
+        when(col("__sp").isNull, col("__t"))
+          .otherwise(filter(col("__t"), (_, i) =>
+            !exists(col("__sp"), sp =>
+              (i + 1).cast("long") >= sp.getField("span_start") &&
+              (i + 1).cast("long") <= sp.getField("span_end")))))
+      .select(col(idCol), concat_ws(" ", col("__keep")).as("clean_text"),
+        size(col("__keep")).cast("long").as("kept_tokens"),
+        (size(col("__t")) - size(col("__keep"))).cast("long")
+          .as("cut_tokens"))
+  }
+
   def shingles(text: Column, n: Int): Column = {
     val t = TextAnalysis.tokens(text)
     when(size(t) >= n,

@@ -112,6 +112,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!spans.contains(13L))
   }
 
+  test("substring cut removes exactly the duplicated spans, keeps the " +
+      "rest in order") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta unique1 unique2"),
+      (11L, "pre1 pre2 alpha beta gamma delta post1"),
+      (13L, "only words nobody else ever wrote down")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(corpus, "text", "doc_id", w = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(10L) == (("unique1 unique2", 2L, 4L)))
+    assert(out(11L) == (("pre1 pre2 post1", 3L, 4L)))
+    assert(out(13L) ==
+      (("only words nobody else ever wrote down", 7L, 0L)))
+  }
+
   test("cosine similarity: orthogonal 0, parallel 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 0.0f)))
