@@ -206,6 +206,12 @@ object Oracles {
     "read_jsonline" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
+    // the Spark side went through an ORC write/read cycle; a hash match
+    // against the parquet original proves the roundtrip lossless
+    "orc_roundtrip" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey"),
+
     "read_nginx" -> {
       val p = nginxPat.replace("'", "''")
       val cols = Seq("remote_addr", "remote_user", "time_local", "method",

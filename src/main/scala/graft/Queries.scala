@@ -348,6 +348,20 @@ object Queries {
         .orderBy("r_regionkey")
     }),
 
+    "orc_roundtrip" -> ((s, dir) => {
+      // columnar-format fidelity: orders through an ORC write/read
+      // cycle with a pushed-down filter; the oracle reads the parquet
+      // original, so a hash match proves the roundtrip is lossless
+      val path = "/tmp/graft_io/orc_orders"
+      graft.sinks.Sinks.orc(t(s, dir, "orders"), path,
+        policy = graft.sinks.Sinks.Drop)
+      Readers.orc(s, path)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     "read_jsonline" -> ((s, dir) => {
       val path = "/tmp/graft_io/json_nation"
       graft.sinks.Sinks.jsonLines(t(s, dir, "nation"), path,

@@ -91,6 +91,13 @@ object Sinks {
                 policy: CleanupPolicy = Disabled): Unit =
     df.write.mode(mode(policy)).json(path)
 
+  /** ORC sink — the other splittable columnar lake format (predicate
+    * pushdown + column pruning reach the stripe reader just like
+    * parquet; same under-parallelism rebalance applies). */
+  def orc(df: DataFrame, path: String,
+          policy: CleanupPolicy = Disabled): Unit =
+    rebalanced(df).write.mode(mode(policy)).orc(path)
+
   def console(df: DataFrame, rows: Int = 20): Unit = df.show(rows, false)
 
   /** Compaction outcome: file/byte counts either side of the rewrite. */

@@ -32,6 +32,12 @@ object Readers {
     schema.fold(r)(r.schema).json(path)
   }
 
+  /** ORC lake directory — splittable columnar scan with the same
+    * pushdown surface as parquet (filters and column pruning reach the
+    * stripe reader; `.explain` shows PushedFilters on the OrcScan). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Raw text lines, one row per line (reference: s3/reader/registry/line). */
   def lines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)

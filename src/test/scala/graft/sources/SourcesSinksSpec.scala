@@ -34,6 +34,21 @@ class SourcesSinksSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("orc round trip preserves content and pushes filters to the scan") {
+    val orders = graft.Tables.load(spark, sf(), "orders")
+    val path = tmp() + "/o"
+    Sinks.orc(orders, path, policy = Sinks.Drop)
+    val back = Readers.orc(spark, path)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      orders.orderBy("o_orderkey").collect().toSeq)
+    // pushdown surface: the filter must reach the OrcScan, not sit in
+    // a post-scan Filter over a full read
+    val plan = back.filter(col("o_orderkey") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), " +
+      "EqualTo(o_orderkey,7)]"), plan)
+  }
+
   test("regex log reader extracts nginx combined fields") {
     val path = tmp() + "/log"
     Seq("""1.2.3.4 - alice [01/Jan/2024:10:00:00 +0000] "GET /x?q=1 HTTP/1.1" 200 512""")
