@@ -406,8 +406,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, leftCol: String,
                           rightCol: String, maxIter: Int = 30): DataFrame = {
+    // materialize the symmetric edge list ONCE: the fixpoint loop joins
+    // against it every round, and `pairs` is typically the tail of an
+    // expensive candidate pipeline (MinHash banding, LSH buckets) that
+    // would otherwise re-execute per iteration
     val sym = pairs.select(col(leftCol).as("src"), col(rightCol).as("dst"))
       .union(pairs.select(col(rightCol).as("src"), col(leftCol).as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
