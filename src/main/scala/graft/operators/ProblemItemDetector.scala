@@ -21,22 +21,31 @@ object ProblemItemDetector {
   def detect(df: DataFrame, idCol: String,
              writeAttempt: DataFrame => Unit,
              maxProbes: Int = 64): Seq[(Long, Long)] = {
-    val bounds = df.agg(min(col(idCol)).cast("long"),
-      max(col(idCol)).cast("long")).collect()(0)
-    if (bounds.isNullAt(0)) return Nil
-    var probes = 0
-    def ok(lo: Long, hi: Long): Boolean = {
-      probes += 1
-      try { writeAttempt(df.filter(col(idCol) > lo && col(idCol) <= hi)); true }
-      catch { case _: Exception => false }
-    }
-    def search(lo: Long, hi: Long): Seq[(Long, Long)] = {
-      if (probes >= maxProbes) return Seq((lo, hi))
-      if (ok(lo, hi)) return Nil
-      if (hi - lo <= 1) return Seq((lo, hi)) // single item isolated
-      val mid = lo + (hi - lo) / 2
-      search(lo, mid) ++ search(mid, hi)
-    }
-    search(bounds.getLong(0) - 1, bounds.getLong(1))
+    // the bisection probes the SAME failing batch O(poison · log n)
+    // times; pin it for the triage so each probe filters cached rows
+    // instead of re-executing the batch's upstream pipeline (a failing
+    // batch is micro-batch-sized, so this holds at scale too)
+    val batch = df.persist()
+    try {
+      val bounds = batch.agg(min(col(idCol)).cast("long"),
+        max(col(idCol)).cast("long")).collect()(0)
+      if (bounds.isNullAt(0)) return Nil
+      var probes = 0
+      def ok(lo: Long, hi: Long): Boolean = {
+        probes += 1
+        try {
+          writeAttempt(batch.filter(col(idCol) > lo && col(idCol) <= hi))
+          true
+        } catch { case _: Exception => false }
+      }
+      def search(lo: Long, hi: Long): Seq[(Long, Long)] = {
+        if (probes >= maxProbes) return Seq((lo, hi))
+        if (ok(lo, hi)) return Nil
+        if (hi - lo <= 1) return Seq((lo, hi)) // single item isolated
+        val mid = lo + (hi - lo) / 2
+        search(lo, mid) ++ search(mid, hi)
+      }
+      search(bounds.getLong(0) - 1, bounds.getLong(1))
+    } finally { batch.unpersist(); () }
   }
 }
