@@ -1747,6 +1747,13 @@ object Oracles {
          |FROM orders WHERE o_orderkey % 4 <= 1
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
+    // the head after RESTORE TO v0 serves exactly the v0 slice
+    "delta_restore" ->
+      ("""SELECT o_orderstatus, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders WHERE o_orderkey % 4 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
     "merge_bucketed" ->
       ("""SELECT o_orderkey AS k,
          |  CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0

@@ -2462,6 +2462,26 @@ object Queries {
       graft.sources.DeltaLite.read(s, path).orderBy("o_orderkey")
     }),
 
+    "delta_restore" -> ((s, dir) => {
+      // RESTORE as a new head commit: append on top of v0, restore to
+      // v0 (log surgery only — no data movement), read the head. The
+      // pre-restore version stays time-travelable; the oracle sees only
+      // the v0 slice
+      val path = "/tmp/graft_delta_restore/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_delta_restore"), true)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.DeltaLite.write(o.filter(col("o_orderkey") % 4 === 0), path)
+      graft.sources.DeltaLite.write(o.filter(col("o_orderkey") % 4 === 1), path)
+      graft.sources.DeltaLite.restore(s, path, 0L)
+      graft.sources.DeltaLite.read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "delta_time_travel" -> ((s, dir) => {
       // versionAsOf over the same public protocol: three commits (two
       // appends, then an overwrite that logically removes them); reading

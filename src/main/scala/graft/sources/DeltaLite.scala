@@ -780,6 +780,45 @@ object DeltaLite {
       baseVersion = base)
   }
 
+  /** RESTORE TO VERSION AS OF — re-activate an earlier version's file
+    * set (and schema) as a NEW commit at the head, so the restore is
+    * itself versioned, auditable and time-travelable; history is never
+    * rewritten (the public protocol's RESTORE semantics). Files removed
+    * since the target version re-enter via add actions with their
+    * recorded partition values; files added since leave via removes —
+    * pure log surgery, no data movement. Fails loudly when a restored
+    * file was physically vacuumed; returns -1 without writing an empty
+    * commit when the head already matches the target. */
+  def restore(spark: SparkSession, tablePath: String, version: Long,
+              checkpointInterval: Int = 10): Long = {
+    val fs = tableFs(spark, tablePath)
+    val base = nextVersion(fs, tablePath) - 1L
+    require(base >= 0, s"not a Delta table at $tablePath")
+    val target = replayAt(spark, tablePath, Some(version))
+    val head = replayAt(spark, tablePath, None)
+    val headPaths = head.adds.map(_.path).toSet
+    val targetPaths = target.adds.map(_.path).toSet
+    val removes = head.adds.map(_.path).filterNot(targetPaths)
+    val readds = target.adds.filterNot(a => headPaths(a.path))
+    if (removes.isEmpty && readds.isEmpty) return -1L
+    val adds = readds.map { a =>
+      val p = new org.apache.hadoop.fs.Path(s"$tablePath/${a.path}")
+      require(fs.exists(p), s"cannot restore $tablePath to version " +
+        s"$version: data file ${a.path} was vacuumed")
+      (a.path, fs.getFileStatus(p).getLen, a.partitionValues)
+    }
+    val schema = target.meta.flatMap(_.schemaJson)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"version $version at $tablePath recorded no schemaString"))
+    val pcols = target.meta.map(_.partitionColumns).getOrElse(Nil)
+    commitRetrying(spark, tablePath, schema, adds, () => removes,
+      abortOnRemoveConflict = true, checkpointInterval, pcols,
+      mintedId = head.meta.map(_.id).filter(_.nonEmpty),
+      baseVersion = base)
+  }
+
   /** Change data feed by snapshot diff: the row-level changes between
     * two committed versions, keyed on `pks` — right-only keys emit as
     * inserts, left-only as deletes, changed payloads as updates with

@@ -234,6 +234,32 @@ class ExtensionsDeltaSpec extends SparkSpec {
     intercept[IllegalArgumentException](at(7))
   }
 
+  test("DeltaLite restore re-activates an old version as a NEW commit; " +
+      "history survives") {
+    val table = Files.createTempDirectory("graft_delta_rs").toString + "/t"
+    DeltaLite.write(Seq((1L, "a")).toDF("id", "v"), table)
+    DeltaLite.write(Seq((2L, "b")).toDF("id", "v"), table)
+    DeltaLite.write(Seq((9L, "z")).toDF("id", "v"), table, overwrite = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // restore to the pre-overwrite state: pure log surgery at v3
+    val v = DeltaLite.restore(spark, table, 1L)
+    assert(v == 3L)
+    assert(rows(DeltaLite.read(spark, table)) ==
+      Seq((1L, "a"), (2L, "b")))
+    // the rolled-back version is STILL time-travelable (history kept)
+    assert(rows(DeltaLite.readAt(spark, table, 2L)) == Seq((9L, "z")))
+    assert(rows(DeltaLite.readAt(spark, table, 3L)) ==
+      Seq((1L, "a"), (2L, "b")))
+    // restoring to the state the head already has writes no commit
+    assert(DeltaLite.restore(spark, table, 1L) == -1L)
+    // a vacuumed target fails loudly instead of committing dead paths
+    DeltaLite.restore(spark, table, 2L) // head back to (9,z), v4
+    DeltaLite.vacuum(spark, table, retainVersions = 1)
+    intercept[IllegalArgumentException](
+      DeltaLite.restore(spark, table, 1L))
+  }
+
   test("DeltaLite time travel ignores checkpoints newer than the target") {
     val table = Files.createTempDirectory("graft_delta_ttc").toString + "/t"
     for (i <- 0 until 15)
