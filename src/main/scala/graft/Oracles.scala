@@ -1747,6 +1747,13 @@ object Oracles {
          |FROM orders WHERE o_orderkey % 4 <= 1
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
+    // exactly-once: every order exactly once, the replayed batch's
+    // poison payload absent — a duplicate or leak breaks the hash
+    "delta_txn_sink" ->
+      ("""SELECT o_orderstatus, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
     // the head after RESTORE TO v0 serves exactly the v0 slice
     "delta_restore" ->
       ("""SELECT o_orderstatus, count(*) AS n,

@@ -2462,6 +2462,31 @@ object Queries {
       graft.sources.DeltaLite.read(s, path).orderBy("o_orderkey")
     }),
 
+    "delta_txn_sink" -> ((s, dir) => {
+      // exactly-once foreachBatch sink over the protocol's txn action:
+      // three micro-batches plus a crash-replay of batch 1 carrying a
+      // poison payload — the replayed (appId, version) pair must skip,
+      // so every order lands exactly once and the poison never commits
+      val path = "/tmp/graft_delta_txnq/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_delta_txnq"), true)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val app = "graft_replication"
+      val D = graft.sources.DeltaLite
+      D.writeTxn(o.filter(col("o_orderkey") % 3 === 0), path, app, 0L)
+      D.writeTxn(o.filter(col("o_orderkey") % 3 === 1), path, app, 1L)
+      D.writeTxn(o.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0e9),
+        path, app, 1L)
+      D.writeTxn(o.filter(col("o_orderkey") % 3 === 2), path, app, 2L)
+      D.read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     "delta_restore" -> ((s, dir) => {
       // RESTORE as a new head commit: append on top of v0, restore to
       // v0 (log surgery only — no data movement), read the head. The

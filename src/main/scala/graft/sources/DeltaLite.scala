@@ -28,7 +28,8 @@ object DeltaLite {
   final case class TableMeta(id: String, schemaJson: Option[String],
                              partitionColumns: Seq[String])
 
-  private final case class Replay(adds: Seq[AddFile], meta: Option[TableMeta])
+  private final case class Replay(adds: Seq[AddFile], meta: Option[TableMeta],
+                                  txns: Map[String, Long])
 
   // ---------------------------------------------------------------- read
 
@@ -201,6 +202,10 @@ object DeltaLite {
     }
     val adds = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
     var meta: Option[TableMeta] = None
+    // highest committed streaming-transaction version per appId (the
+    // protocol's txn actions — the exactly-once handshake for
+    // [[writeTxn]]); checkpoints persist them like adds
+    val txns = scala.collection.mutable.Map[String, Long]()
     ckptVersion.foreach { v =>
       val ckpt = new org.apache.hadoop.fs.Path(logDir, f"$v%020d.checkpoint.parquet")
       require(fs.exists(ckpt), s"_last_checkpoint points at missing $ckpt")
@@ -221,6 +226,11 @@ object DeltaLite {
             .map(_.toMap).getOrElse(Map.empty[String, String])
           adds(r.getString(0)) = pv
         }
+      // older checkpoints (pre-txn) have no txn column; guard on shape
+      if (df.columns.contains("txn"))
+        df.where(col("txn").isNotNull)
+          .select("txn.appId", "txn.version").collect()
+          .foreach(r => txns(r.getString(0)) = r.getLong(1))
     }
 
     val entries = fs.listStatus(logDir).map(_.getPath.getName)
@@ -242,11 +252,14 @@ object DeltaLite {
             meta = Some(TableMeta(
               if (id.nonEmpty) id else meta.map(_.id).getOrElse(""),
               schemaJson.orElse(meta.flatMap(_.schemaJson)), pcols))
+          case ActTxn(appId, v) =>
+            txns(appId) = math.max(v, txns.getOrElse(appId, Long.MinValue))
           case ActOther => ()
         }
       }
     }
-    Replay(adds.map { case (p, pv) => AddFile(p, pv) }.toSeq, meta)
+    Replay(adds.map { case (p, pv) => AddFile(p, pv) }.toSeq, meta,
+      txns.toMap)
   }
 
   // ------------------------------------------------------------- actions
@@ -256,6 +269,7 @@ object DeltaLite {
   private final case class ActRemove(path: String) extends Action
   private final case class ActMeta(id: String, schemaJson: Option[String],
                                    partitionColumns: Seq[String]) extends Action
+  private final case class ActTxn(appId: String, version: Long) extends Action
   private case object ActOther extends Action
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -281,6 +295,9 @@ object DeltaLite {
       ActAdd(a.get("path").asText(), pv)
     } else if (node.has("remove")) {
       ActRemove(node.get("remove").get("path").asText())
+    } else if (node.has("txn")) {
+      val t = node.get("txn")
+      ActTxn(t.get("appId").asText(), t.get("version").asLong())
     } else if (node.has("metaData")) {
       val m = node.get("metaData")
       Option(m.get("configuration")).foreach { c =>
@@ -366,7 +383,8 @@ object DeltaLite {
             overwrite: Boolean = false,
             checkpointInterval: Int = 10,
             partitionBy: Seq[String] = Nil,
-            mergeSchema: Boolean = false): Long = {
+            mergeSchema: Boolean = false,
+            txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val fs = tableFs(spark, tablePath)
     val base = nextVersion(fs, tablePath) - 1L
@@ -405,7 +423,7 @@ object DeltaLite {
       abortOnRemoveConflict = false,
       checkpointInterval, pcols,
       mintedId = existing.flatMap(_.meta).map(_.id).filter(_.nonEmpty),
-      baseVersion = base)
+      baseVersion = base, txn = txn)
   }
 
   private def tableFs(spark: SparkSession, tablePath: String) =
@@ -532,7 +550,8 @@ object DeltaLite {
                              partitionColumns: Seq[String],
                              mintedId: Option[String],
                              baseVersion: Long,
-                             maxAttempts: Int = 20): Long = {
+                             maxAttempts: Int = 20,
+                             txn: Option[(String, Long)] = None): Long = {
     val fs = tableFs(spark, tablePath)
     val freshId = java.util.UUID.randomUUID().toString
     var removes = removesThunk()
@@ -546,6 +565,15 @@ object DeltaLite {
           throw new java.util.ConcurrentModificationException(
             s"commit $v at $tablePath removed files this transaction " +
               s"also rewrites: ${winner.intersect(removes.toSet).take(3).mkString(", ")}")
+      }
+      // interleaved commits may include a racing writer of the SAME
+      // streaming app (restart overlap): re-check the txn watermark so
+      // the losing twin skips instead of double-committing its batch
+      if (txn.isDefined && version - 1 > checked) {
+        val committed = replayAt(spark, tablePath, None).txns
+        if (txn.exists { case (a, v) =>
+              committed.get(a).exists(_ >= v) })
+          return -1L
       }
       // overwrite semantics: re-target whatever the interleaved commits
       // left active, so the overwrite stays a true replace-all
@@ -563,7 +591,7 @@ object DeltaLite {
         .getOrElse(freshId)
       try {
         writeCommit(spark, tablePath, version, schema, adds, removes,
-          checkpointInterval, partitionColumns, tableId)
+          checkpointInterval, partitionColumns, tableId, txn)
         return version
       } catch {
         case e: java.io.IOException if fs.exists(commitPath(tablePath, version)) =>
@@ -583,7 +611,8 @@ object DeltaLite {
                           removes: Seq[String],
                           checkpointInterval: Int,
                           partitionColumns: Seq[String],
-                          tableId: String): Unit = {
+                          tableId: String,
+                          txn: Option[(String, Long)] = None): Unit = {
     val fs = tableFs(spark, tablePath)
     val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
     def js(s: String): String = "\"" + s.flatMap {
@@ -596,6 +625,12 @@ object DeltaLite {
     val actions = Seq.newBuilder[String]
     if (version == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // the txn action rides IN the same commit as its data files —
+    // that atomicity is the whole exactly-once guarantee
+    txn.foreach { case (appId, v) =>
+      actions +=
+        s"""{"txn":{"appId":${js(appId)},"version":$v,"lastUpdated":$now}}"""
+    }
     // metaData rides on every commit (protocol-legal replacement, so the
     // log stays self-describing across schema evolution) — with the
     // table's STABLE id, not a per-commit UUID
@@ -780,6 +815,37 @@ object DeltaLite {
       baseVersion = base)
   }
 
+  /** Highest committed streaming-transaction version for `appId`, or
+    * None if the app never committed — the replay-side half of the
+    * protocol's txn handshake. */
+  def lastTxnVersion(spark: SparkSession, tablePath: String,
+                     appId: String): Option[Long] = {
+    val fs = tableFs(spark, tablePath)
+    if (nextVersion(fs, tablePath) == 0L) None
+    else replayAt(spark, tablePath, None).txns.get(appId)
+  }
+
+  /** Exactly-once streaming append (the protocol's `txn` action — what
+    * a foreachBatch Delta sink needs for end-to-end exactly-once): the
+    * batch's data files and a `{appId, version}` txn action commit in
+    * ONE log entry, so a replayed micro-batch (crash after commit,
+    * before the streaming checkpoint recorded it) is detected by its
+    * watermark and skipped — never appended twice. Returns the
+    * committed log version, or -1 when the (appId, txnVersion) pair was
+    * already committed (the replay no-op). Racing same-app writers
+    * (restart overlap) are resolved inside the OCC retry loop: the
+    * loser sees the winner's watermark and skips. */
+  def writeTxn(df: DataFrame, tablePath: String, appId: String,
+               txnVersion: Long, checkpointInterval: Int = 10,
+               partitionBy: Seq[String] = Nil,
+               mergeSchema: Boolean = false): Long = {
+    val spark = df.sparkSession
+    if (lastTxnVersion(spark, tablePath, appId).exists(_ >= txnVersion))
+      return -1L
+    write(df, tablePath, overwrite = false, checkpointInterval,
+      partitionBy, mergeSchema, txn = Some((appId, txnVersion)))
+  }
+
   /** RESTORE TO VERSION AS OF — re-activate an earlier version's file
     * set (and schema) as a NEW commit at the head, so the restore is
     * itself versioned, auditable and time-travelable; history is never
@@ -867,7 +933,10 @@ object DeltaLite {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
 
   /** Write a protocol checkpoint at `version`: one parquet file
     * `_delta_log/<version>.checkpoint.parquet` holding the full replayed
@@ -897,13 +966,19 @@ object DeltaLite {
     val schemaAtVersion =
       rep.meta.flatMap(_.schemaJson).getOrElse(schema.json)
     val rows: Seq[Row] =
-      Row(Row(1, 2), null, null) +:
+      (Row(Row(1, 2), null, null, null) +:
       Row(null, Row(metaId, Row("parquet"),
-        schemaAtVersion, pcols, now), null) +:
+        schemaAtVersion, pcols, now), null, null) +:
       rep.adds.map { f =>
         val len = fs.getFileStatus(
           new org.apache.hadoop.fs.Path(tablePath, f.path)).getLen
-        Row(null, null, Row(f.path, f.partitionValues, len, now, true))
+        Row(null, null, Row(f.path, f.partitionValues, len, now, true), null)
+      }) ++
+      // streaming-transaction watermarks survive checkpointing, or the
+      // exactly-once replay check would forget committed batches once
+      // their JSON commits fall behind a checkpoint
+      rep.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
+        Row(null, null, null, Row(appId, v))
       }
     import scala.jdk.CollectionConverters._
     val staging = new org.apache.hadoop.fs.Path(s"$tablePath/.ckpt-$version")

@@ -260,6 +260,36 @@ class ExtensionsDeltaSpec extends SparkSpec {
       DeltaLite.restore(spark, table, 1L))
   }
 
+  test("DeltaLite writeTxn: replayed batches skip, watermark survives " +
+      "checkpoints, apps are independent") {
+    val table = Files.createTempDirectory("graft_delta_txn").toString + "/t"
+    assert(DeltaLite.writeTxn(Seq((1L, "a")).toDF("id", "v"), table,
+      "app1", 0L) == 0L)
+    assert(DeltaLite.writeTxn(Seq((2L, "b")).toDF("id", "v"), table,
+      "app1", 1L) == 1L)
+    // the replayed micro-batch (same appId+version, poison payload)
+    // must be a no-op, not a duplicate append
+    assert(DeltaLite.writeTxn(Seq((99L, "poison")).toDF("id", "v"), table,
+      "app1", 1L) == -1L)
+    assert(DeltaLite.lastTxnVersion(spark, table, "app1").contains(1L))
+    assert(DeltaLite.lastTxnVersion(spark, table, "app2").isEmpty)
+    // another app's stream interleaves freely
+    assert(DeltaLite.writeTxn(Seq((3L, "c")).toDF("id", "v"), table,
+      "app2", 0L) >= 0L)
+    def rows() = DeltaLite.read(spark, table)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(rows() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // roll enough commits that a checkpoint folds the txn history away
+    // from the JSON tail — the watermark must persist THROUGH it
+    for (i <- 2 to 12)
+      DeltaLite.writeTxn(Seq((10L + i, s"x$i")).toDF("id", "v"), table,
+        "app1", i.toLong, checkpointInterval = 5)
+    assert(DeltaLite.writeTxn(Seq((98L, "poison")).toDF("id", "v"), table,
+      "app1", 12L, checkpointInterval = 5) == -1L)
+    assert(DeltaLite.lastTxnVersion(spark, table, "app1").contains(12L))
+    assert(!rows().exists(_._2.startsWith("poison")))
+  }
+
   test("DeltaLite time travel ignores checkpoints newer than the target") {
     val table = Files.createTempDirectory("graft_delta_ttc").toString + "/t"
     for (i <- 0 until 15)
