@@ -1767,6 +1767,14 @@ object Oracles {
          |       THEN o_totalprice + 5000.0 ELSE o_totalprice END AS val
          |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY k""".stripMargin),
 
+    // same collapse as merge_bucketed, targeting the Delta lake merge;
+    // the replayed poison batch must leave no trace
+    "delta_cdc_merge" ->
+      ("""SELECT o_orderkey AS k,
+         |  CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+         |       THEN o_totalprice + 5000.0 ELSE o_totalprice END AS val
+         |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY k""".stripMargin),
+
     "rotator_tag" ->
       ("""SELECT event_id, strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS "__rotation" """ +
         "FROM events ORDER BY event_id"),

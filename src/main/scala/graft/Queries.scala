@@ -2632,6 +2632,32 @@ object Queries {
         .select(col("event_id"), col(graft.sinks.Rotator.RotationCol))
         .orderBy("event_id")),
 
+    "delta_cdc_merge" -> ((s, dir) => {
+      // CDC replication into a LAKE table: snapshot, then an update/
+      // delete batch merged copy-on-write under a txn watermark, then
+      // the same batch REPLAYED with a poison payload — exactly-once
+      // means the lake equals the collapse and the poison never lands
+      val path = "/tmp/graft_delta_cdc/orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_delta_cdc"), true)
+      val D = graft.sources.DeltaLite
+      val app = "graft_lake_repl"
+      val snap = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("val"))
+      D.mergeCdc(s, path, snap, Seq("k"), txn = Some((app, 0L)))
+      def changes(poison: Double) = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + 5000.0 + poison).as("val"),
+          when(col("o_orderkey") % 7 === 0, E.Delete).otherwise(E.Update)
+            .as(E.Kind),
+          lit(10L).as(E.Lsn), lit(0).as(E.Counter))
+      D.mergeCdc(s, path, changes(0.0), Seq("k"), txn = Some((app, 1L)))
+      D.mergeCdc(s, path, changes(1.0e9), Seq("k"), txn = Some((app, 1L)))
+      D.read(s, path).orderBy("k")
+    }),
+
     "pipeline_docs" -> ((s, dir) => {
       // composed training-data pipeline: quality gate -> exact dedup
       // survivors -> per-doc features

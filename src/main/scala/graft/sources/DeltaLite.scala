@@ -780,6 +780,61 @@ object DeltaLite {
       baseVersion = base)
   }
 
+  /** Exactly-once CDC merge into a Delta table — the replication
+    * loop's foreachBatch body when the target is a LAKE table rather
+    * than the engine's bucketed state dir: the enveloped batch
+    * collapses last-write-wins per key, surviving upserts replace
+    * their keys, deletes drop theirs, and the rewrite commits as ONE
+    * version optionally carrying the streaming txn watermark — a
+    * replayed micro-batch skips whole. Copy-on-write at file
+    * granularity: only files CONTAINING affected keys are rewritten
+    * (one input_file_name probe; driver state ≤ one string per touched
+    * file), so on a lake clustered by key locality a batch rewrites a
+    * sliver of the table, never the whole of it. */
+  def mergeCdc(spark: SparkSession, tablePath: String, batch0: DataFrame,
+               pks: Seq[String], txn: Option[(String, Long)] = None,
+               checkpointInterval: Int = 10): Long = {
+    import org.apache.spark.sql.functions._
+    require(pks.nonEmpty, "mergeCdc requires primary keys")
+    val E = graft.model.CdcEnvelope
+    if (txn.exists { case (a, v) =>
+          lastTxnVersion(spark, tablePath, a).exists(_ >= v) })
+      return -1L
+    val batch =
+      if (batch0.columns.contains(E.Kind)) batch0
+      else E.fromSnapshot(batch0, lit(0L))
+    val collapsed = graft.operators.Collapse.lastWriteWins(
+      batch.filter(E.isRowEvent(col(E.Kind))), pks)
+    val dataCols = E.dataCols(collapsed)
+    val upserts = collapsed.filter(col(E.Kind) =!= E.Delete)
+      .select(dataCols.map(col): _*)
+    val fs = tableFs(spark, tablePath)
+    val base = nextVersion(fs, tablePath) - 1L
+    if (base < 0L)
+      return write(upserts, tablePath,
+        checkpointInterval = checkpointInterval, txn = txn)
+    val rep = replayAt(spark, tablePath, None)
+    val pcols = rep.meta.map(_.partitionColumns).getOrElse(Nil)
+    val cur = readFiles(spark, tablePath, rep, rep.adds)
+    // affected keys = upserted AND deleted — both evict their old rows
+    val keyFrame = collapsed.select(pks.map(col): _*).distinct()
+    val touchedUris = cur.withColumn("__file", input_file_name())
+      .join(keyFrame, pks, "left_semi")
+      .select("__file").distinct().collect().map(_.getString(0)).toSeq
+    val touchedNames = touchedUris.map(relPath(fs, tablePath, _))
+    val survivors =
+      if (touchedUris.isEmpty) Nil
+      else stageIn(readUris(spark, tablePath, rep, touchedUris)
+        .join(keyFrame, pks, "left_anti"),
+        fs, tablePath, base + 1L, tag = "k", partitionBy = pcols)
+    val added = stageIn(upserts, fs, tablePath, base + 1L, tag = "u",
+      partitionBy = pcols)
+    commitRetrying(spark, tablePath, upserts.schema, survivors ++ added,
+      () => touchedNames, abortOnRemoveConflict = true,
+      checkpointInterval, pcols, mintedId = rep.meta.map(_.id),
+      baseVersion = base, txn = txn)
+  }
+
   /** Protocol-committed small-file compaction (the lakehouse OPTIMIZE):
     * bin-packs active files smaller than `targetBytes` into
     * ~target-sized rewrites and commits add+remove in one version — a

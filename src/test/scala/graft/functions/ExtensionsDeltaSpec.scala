@@ -290,6 +290,38 @@ class ExtensionsDeltaSpec extends SparkSpec {
     assert(!rows().exists(_._2.startsWith("poison")))
   }
 
+  test("DeltaLite mergeCdc: upserts replace, deletes drop, replay " +
+      "skips, untouched files survive") {
+    val table = Files.createTempDirectory("graft_delta_mc").toString + "/t"
+    import org.apache.spark.sql.functions.{col, lit}
+    val E = graft.model.CdcEnvelope
+    // snapshot lands as two files so key-locality is observable
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v").repartitionByRange(2, col("id"))
+    DeltaLite.mergeCdc(spark, table, snap, Seq("id"),
+      txn = Some(("app", 0L)))
+    val filesBefore = DeltaLite.activeFiles(spark, table).toSet
+    // batch: update id=1, delete id=2 — both in the low-key file
+    val batch = Seq((1L, "A", E.Update), (2L, "b", E.Delete))
+      .toDF("id", "v", E.Kind)
+      .withColumn(E.Lsn, lit(10L)).withColumn(E.Counter, lit(0))
+    DeltaLite.mergeCdc(spark, table, batch, Seq("id"),
+      txn = Some(("app", 1L)))
+    def rows() = DeltaLite.read(spark, table)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(rows() == Seq((1L, "A"), (3L, "c"), (4L, "d")))
+    // copy-on-write sliver: the file holding only ids 3,4 is untouched
+    val filesAfter = DeltaLite.activeFiles(spark, table).toSet
+    assert(filesBefore.intersect(filesAfter).nonEmpty,
+      s"every snapshot file was rewritten: $filesBefore -> $filesAfter")
+    // replay of batch 1 with poison payload: watermark skips it whole
+    val poison = Seq((3L, "POISON", E.Update)).toDF("id", "v", E.Kind)
+      .withColumn(E.Lsn, lit(10L)).withColumn(E.Counter, lit(0))
+    assert(DeltaLite.mergeCdc(spark, table, poison, Seq("id"),
+      txn = Some(("app", 1L))) == -1L)
+    assert(rows() == Seq((1L, "A"), (3L, "c"), (4L, "d")))
+  }
+
   test("DeltaLite time travel ignores checkpoints newer than the target") {
     val table = Files.createTempDirectory("graft_delta_ttc").toString + "/t"
     for (i <- 0 until 15)
