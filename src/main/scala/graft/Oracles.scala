@@ -212,6 +212,12 @@ object Oracles {
       ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
         "FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey"),
 
+    // the Spark side went through an Avro OCF write/read cycle; a hash
+    // match against the parquet original proves the roundtrip lossless
+    "avro_roundtrip" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate " +
+        "FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey"),
+
     "read_nginx" -> {
       val p = nginxPat.replace("'", "''")
       val cols = Seq("remote_addr", "remote_user", "time_local", "method",

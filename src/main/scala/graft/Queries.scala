@@ -362,6 +362,21 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    "avro_roundtrip" -> ((s, dir) => {
+      // Avro container-file fidelity: orders through an OCF write/read
+      // cycle (zstd blocks, sync-marker split protocol on the read).
+      // The oracle reads the parquet original, so a hash match proves
+      // the roundtrip lossless including the local-timestamp logical
+      // type carried by o_orderdate.
+      val path = "/tmp/graft_io/avro_orders"
+      graft.sources.AvroIO.write(t(s, dir, "orders"), path)
+      graft.sources.AvroIO.read(s, path)
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+        .orderBy("o_orderkey")
+    }),
+
     "read_jsonline" -> ((s, dir) => {
       val path = "/tmp/graft_io/json_nation"
       graft.sinks.Sinks.jsonLines(t(s, dir, "nation"), path,
