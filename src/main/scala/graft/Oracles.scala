@@ -879,6 +879,31 @@ object Oracles {
     // tau=1/2 temperature weights: sqrt is IEEE-exact, weights rounded
     // to 6dp then summed as DECIMAL, one fixed double-arithmetic shape
     // floored to basis points — engines agree operand-for-operand
+    // independent DSIR re-derivation: md5 bucket hashing, the same
+    // rounded-then-DECIMAL log-ratio accumulation, exact-decimal cast
+    "dsir_weights" ->
+      (s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |tok AS (SELECT doc_id, lang = 'en' AS is_t, unnest(tk) AS tok FROM t),
+         |b AS (SELECT doc_id, is_t,
+         |  CAST(('0x'||substr(md5(tok),1,4)) AS BIGINT) % 256 AS bk FROM tok),
+         |pd AS (SELECT doc_id, bk, count(*) AS k FROM b GROUP BY 1, 2),
+         |cr AS (SELECT bk, count(*) AS cr FROM b GROUP BY 1),
+         |ctg AS (SELECT bk, count(*) AS ct FROM b WHERE is_t GROUP BY 1),
+         |tot AS (SELECT count(*) AS tr,
+         |  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tt FROM b),
+         |w AS (
+         |  SELECT cr.bk,
+         |    CAST(round(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (tt + 256))
+         |      * (CAST(tr + 256 AS DOUBLE) / (cr + 1))), 6)
+         |      AS DECIMAL(18,6)) AS w
+         |  FROM cr LEFT JOIN ctg USING (bk) CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tok,
+         |  CAST(sum(w * k) AS DOUBLE) AS logw,
+         |  CAST(sum(w * k) AS DOUBLE) > 0 AS keep
+         |FROM pd JOIN w USING (bk)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     "temperature_sample" ->
       (s"""WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          |w AS (SELECT lang, n_docs,

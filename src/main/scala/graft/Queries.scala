@@ -1248,6 +1248,16 @@ object Queries {
         budgetNum = 3, budgetDen = 10)
         .withColumnRenamed("stratum", "lang").orderBy("lang")),
 
+    "dsir_weights" -> ((s, dir) =>
+      // DSIR importance weighting: hashed-token bucket distributions
+      // for the English slice (target) vs the whole corpus (raw);
+      // per-doc summed log importance ratio, threshold-at-zero gate.
+      // Both "models" are 256-row count tables; scoring is one
+      // broadcast join — no corpus-sized model state anywhere.
+      graft.functions.Sampling.dsirWeights(
+        t(s, dir, "documents"), "text", "doc_id", col("lang") === "en")
+        .orderBy("doc_id")),
+
     "temperature_sample" -> ((s, dir) =>
       // temperature-flattened mixture (tau=1/2 via IEEE-exact sqrt):
       // big langs sample down harder than proportional, small langs

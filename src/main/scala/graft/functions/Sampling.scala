@@ -148,4 +148,55 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** DSIR-style importance weighting (Data Selection with Importance
+    * Resampling, Xie et al. 2023): estimate hashed-token bucket
+    * distributions for a TARGET slice (`targetPred`) and the RAW
+    * corpus, then score every document by its summed log importance
+    * ratio log(p_target(b)/p_raw(b)) over its tokens. Documents whose
+    * token mix looks more target-like than corpus-average score > 0.
+    *
+    * Scale shape: the two "models" are `buckets`-row count tables
+    * (map-side-combined aggregations — domain-sized, never corpus-
+    * sized), the per-doc term is one (doc, bucket) aggregation, and
+    * scoring is a BROADCAST join of that against the tiny weight
+    * table: one corpus-sized shuffle total, no driver-side model.
+    * Determinism across engines: md5 bucket hashing, per-bucket log
+    * weights rounded to 6dp then accumulated as DECIMAL (exact,
+    * order-independent), final cast to double.
+    *
+    * Output: (id, n_tok, logw, keep) — `keep` is the fixed
+    * threshold-at-zero gate; at production scale resampling uses this
+    * weight with a per-shard quota rather than a global sort. */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+                  targetPred: Column, buckets: Int = 256): DataFrame = {
+    val tok = df.select(col(idCol), targetPred.as("__is_t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("__tok")), 1, 4), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val perDoc = tok.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__k"))
+    val rawC = tok.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tgtC = tok.filter(col("__is_t")).groupBy("__b")
+      .agg(count(lit(1)).as("__ct"))
+    // bucket weight table: `buckets` rows joined full-outer so empty
+    // target buckets still smooth to (0+1)/(Tt+B)
+    val totals = tok.agg(count(lit(1)).as("__tr"),
+      sum(col("__is_t").cast("long")).as("__tt"))
+    val weights = rawC.join(tgtC, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__w",
+        round(log(((coalesce(col("__ct"), lit(0L)) + lit(1)).cast("double") /
+            (col("__tt") + lit(buckets))) *
+          ((col("__tr") + lit(buckets)).cast("double") /
+            (col("__cr") + lit(1)))), 6)
+          .cast("decimal(18,6)"))
+      .select("__b", "__w")
+    perDoc.join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum("__k").cast("long").as("n_tok"),
+        sum(col("__w") * col("__k")).cast("double").as("logw"))
+      .withColumn("keep", col("logw") > 0d)
+  }
 }

@@ -39,6 +39,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(11L, 13L))
   }
 
+  test("DSIR weights rank target-like documents above corpus-average ones") {
+    // target slice speaks "alpha/beta" vocabulary, the rest "gamma/delta";
+    // a held-out doc written in target vocabulary must score positive,
+    // one in raw-only vocabulary negative
+    val corpus = (
+      (0 until 20).map(i => (i.toLong, "alpha beta alpha beta common", "en")) ++
+      (20 until 80).map(i => (i.toLong, "gamma delta gamma delta common", "xx")) ++
+      Seq((80L, "alpha beta alpha alpha beta", "xx"),   // target-like, not in slice
+          (81L, "gamma delta delta gamma gamma", "xx")) // raw-like
+    ).toDF("doc_id", "text", "lang")
+    val w = Sampling.dsirWeights(corpus, "text", "doc_id", col("lang") === "en")
+    val byId = w.select("doc_id", "logw", "keep")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(80L)._1 > 0 && byId(80L)._2, s"target-like doc scored ${byId(80L)}")
+    assert(byId(81L)._1 < 0 && !byId(81L)._2, s"raw-like doc scored ${byId(81L)}")
+    assert(byId(0L)._1 > byId(20L)._1)
+    // weights are reproducible run-to-run (pure hashing, no RNG)
+    val again = Sampling.dsirWeights(corpus, "text", "doc_id", col("lang") === "en")
+      .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    assert(byId.forall { case (id, (lw, _)) => again(id) == lw })
+  }
+
   test("temperature sampling flattens toward small strata; shard manifest partitions exactly") {
     // 80/16/4 split: tau=1/2 must give the small stratum a HIGHER keep
     // rate than the big one, and rates must decrease with stratum size
