@@ -284,6 +284,24 @@ object Oracles {
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
 
+    "agg_cube" ->
+      ("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // conditional-aggregation spelling of the same pivot (DuckDB PIVOT
+    // output column naming differs; the sums are what is under test)
+    "agg_pivot" ->
+      ("""SELECT l_linestatus,
+         |  CAST(sum(CASE WHEN l_returnflag = 'A'
+         |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS a_price,
+         |  CAST(sum(CASE WHEN l_returnflag = 'N'
+         |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS n_price,
+         |  CAST(sum(CASE WHEN l_returnflag = 'R'
+         |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS r_price
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
     "set_ops" ->
       ("""SELECT * FROM (
          |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -1394,6 +1412,14 @@ object Oracles {
     // the same correlation as plain SQL: CAST truncates ns -> µs exactly
     // like the Spark loader's `ts div 1000`, so boundary comparisons
     // agree; bounds are inclusive on both ends
+    // the Spark side enriched a real file-source stream against a
+    // broadcast dimension; batch SQL re-derives the same join + totals
+    "stream_enrich" ->
+      ("""SELECT n_name, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events JOIN nation ON n_nationkey = user_id % 25
+         |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
     "stream_join" ->
       ("""WITH e AS (
          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
@@ -1756,6 +1782,14 @@ object Oracles {
 
     // recomputes the post-upsert/post-delete table from the same
     // formulas; the Spark side reaches it through COW file rewrites
+    // the Spark side adopted a partitioned parquet dump via CONVERT TO
+    // DELTA and served this from a log-planned pruned read
+    "delta_convert" ->
+      ("""SELECT o_orderstatus, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
     "delta_merge" ->
       ("""WITH fin AS (
          |  SELECT CASE WHEN o_orderkey % 100 = 1

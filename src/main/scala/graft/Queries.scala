@@ -469,6 +469,32 @@ object Queries {
         .orderBy("o_custkey", "rnk")
     }),
 
+    "agg_cube" -> ((s, dir) =>
+      // multi-dimensional subtotal lattice (CUBE): partial aggregation
+      // handles every grouping set in ONE shuffle (Spark Expand +
+      // hash agg), not one pass per set; decimal-exact sums
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "agg_pivot" -> ((s, dir) =>
+      // wide-format pivot on a bounded category domain: one shuffle on
+      // the row key, pivot columns folded map-side (values enumerated,
+      // so the plan never needs a distinct-collect on the driver)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))))
+        .select(col("l_linestatus"),
+          col("A").cast(DoubleType).as("a_price"),
+          col("N").cast(DoubleType).as("n_price"),
+          col("R").cast(DoubleType).as("r_price"))
+        .orderBy("l_linestatus")),
+
     "sort_limit" -> ((s, dir) =>
       t(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")
@@ -1892,6 +1918,37 @@ object Queries {
       s.read.parquet(s"$base/out").orderBy("event_id")
     }),
 
+    "stream_enrich" -> ((s, dir) => {
+      // stream-static enrichment: the replication loop's dimension
+      // join. Events ride a file-source stream; the dimension table is
+      // BROADCAST per micro-batch (no shuffle on the stream side, no
+      // state store — stateless enrich scales with batch size only).
+      val base = "/tmp/graft_stream_enrich"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      ev.write.parquet(s"$base/in")
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("__k"), col("n_name"))
+      val stream = s.readStream.schema(ev.schema).parquet(s"$base/in")
+        .withColumn("__k", pmod(col("user_id"), lit(25L)))
+        .join(broadcast(dim), Seq("__k"))
+        .select("event_id", "n_name", "value")
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_value"))
+        .orderBy("n_name")
+    }),
+
     "stream_join" -> ((s, dir) => {
       // stream-stream interval join through real watermarked streams:
       // clicks correlate to views by user within 30 minutes; the fixture
@@ -2596,6 +2653,24 @@ object Queries {
           .select("o_orderkey", "o_totalprice", "o_orderpriority"),
         path, mergeSchema = true)
       graft.sources.DeltaLite.read(s, path).orderBy("o_orderkey")
+    }),
+
+    "delta_convert" -> ((s, dir) => {
+      // in-place lake adoption: a plain Hive-partitioned parquet dir
+      // (written by a non-Delta writer) becomes a Delta table by
+      // LISTING, not rewriting — then a partition-pruned transactional
+      // read serves one status from the log's partitionValues
+      val path = "/tmp/graft_io/delta_convert"
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(path)
+      graft.sources.DeltaLite.convert(s, path)
+      graft.sources.DeltaLite.readPruned(s, path,
+          pv => pv.get("o_orderstatus").contains("F"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy("o_orderstatus")
     }),
 
     "delta_merge" -> ((s, dir) => {

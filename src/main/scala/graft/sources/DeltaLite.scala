@@ -426,6 +426,61 @@ object DeltaLite {
       baseVersion = base, txn = txn)
   }
 
+  /** CONVERT TO DELTA (the public protocol's in-place adoption op):
+    * take an existing plain-parquet directory — optionally
+    * Hive-partitioned `col=value/` — and mint version 0 of a Delta log
+    * that records the files AS THEY ARE. No data is rewritten or
+    * moved: conversion cost is one directory listing plus one footer
+    * read for schema, independent of table size, which is the entire
+    * point of the migration path (a 100 TB lake converts in seconds).
+    * After conversion every DeltaLite op (append, merge, time travel,
+    * vacuum, optimize) works against the adopted files. */
+  def convert(spark: SparkSession, tablePath: String,
+              checkpointInterval: Int = 10): Long = {
+    val fs = tableFs(spark, tablePath)
+    val logDir = new org.apache.hadoop.fs.Path(s"$tablePath/_delta_log")
+    require(!fs.exists(logDir), s"$tablePath is already a Delta table")
+    val baseUri = fs.getFileStatus(new org.apache.hadoop.fs.Path(tablePath))
+      .getPath.toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(tablePath), true)
+    val adds = scala.collection.mutable.ArrayBuffer[(String, Long, Map[String, String])]()
+    while (it.hasNext) {
+      val st = it.next()
+      val relDir = st.getPath.getParent.toUri.getPath
+        .stripPrefix(baseUri).stripPrefix("/")
+      val segs = relDir.split("/").filter(_.nonEmpty).toSeq
+      val hidden = st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith(".") ||
+        segs.exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && st.getPath.getName.endsWith(".parquet")) {
+        val pv = segs.map { seg =>
+          val i = seg.indexOf('=')
+          require(i > 0, s"non-partition subdirectory '$seg' under " +
+            s"$tablePath — convert expects a flat or Hive-partitioned layout")
+          seg.substring(0, i) -> unescapePathValue(seg.substring(i + 1))
+        }
+        val rel = if (segs.isEmpty) st.getPath.getName
+          else segs.mkString("", "/", "/") + st.getPath.getName
+        adds += ((rel, st.getLen, pv.toMap))
+      }
+    }
+    require(adds.nonEmpty, s"no parquet files to convert under $tablePath")
+    // partition columns in directory order; every file must agree
+    val pcols = adds.head._1.split("/").dropRight(1).toSeq
+      .map(s => s.substring(0, s.indexOf('=')))
+    adds.foreach { case (rel, _, pv) =>
+      require(pv.keySet == pcols.toSet,
+        s"file $rel has partition keys ${pv.keySet}, expected $pcols")
+    }
+    // schema from footers + path inference (partition columns land as
+    // inferred types, pinned into the log so later reads don't re-infer)
+    val schema = spark.read.option("basePath", tablePath)
+      .parquet(tablePath).schema
+    commitRetrying(spark, tablePath, schema, adds.toSeq,
+      removesThunk = () => Nil, abortOnRemoveConflict = true,
+      checkpointInterval, pcols, mintedId = None, baseVersion = -1L)
+  }
+
   private def tableFs(spark: SparkSession, tablePath: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)

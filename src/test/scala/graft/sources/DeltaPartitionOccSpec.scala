@@ -45,6 +45,38 @@ class DeltaPartitionOccSpec extends SparkSpec {
     }
   }
 
+  test("convert adopts a plain partitioned parquet dir without rewriting files") {
+    val table = tmp()
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+      .toDF("id", "grp", "v")
+    df.write.partitionBy("grp").parquet(table)
+    // remember the physical files a non-Delta writer produced
+    val before = new java.io.File(table).listFiles().flatMap { d =>
+      if (d.isDirectory) d.listFiles().map(_.toString) else Array(d.toString)
+    }.filter(_.endsWith(".parquet")).toSet
+    val v0 = DeltaLite.convert(spark, table)
+    assert(v0 == 0L)
+    // conversion recorded, did not move or rewrite, the original files
+    val adds = DeltaLite.activeAdds(spark, table)
+    assert(adds.map { case (p, _) => s"$table/$p" }.toSet == before)
+    assert(adds.forall { case (p, pv) => p.startsWith(s"grp=${pv("grp")}/") })
+    val back = DeltaLite.read(spark, table)
+    assert(back.count() == 4 &&
+      back.filter(col("grp") === "a").agg(sum("v")).head().getDouble(0) == 30.0)
+    // the adopted table is fully transactional: append + time travel
+    DeltaLite.write(Seq((5L, "b", 50.0)).toDF("id", "grp", "v"), table,
+      partitionBy = Seq("grp"))
+    assert(DeltaLite.read(spark, table).count() == 5)
+    assert(DeltaLite.readAt(spark, table, v0).count() == 4)
+    // pruned read plans from the log, not the directory tree
+    val pruned = DeltaLite.readPruned(spark, table,
+      pv => pv.get("grp").contains("b"))
+    assert(pruned.select(sum("v")).head().getDouble(0) == 80.0)
+    // double conversion is rejected
+    intercept[IllegalArgumentException] { DeltaLite.convert(spark, table) }
+  }
+
   test("partitioned COW upsert/delete rewrite only their partitions' files") {
     val table = tmp()
     val df = (1L to 40L).map(i => (i, s"g${i % 4}", i * 1.0))
