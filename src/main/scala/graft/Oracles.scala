@@ -1355,6 +1355,63 @@ object Oracles {
          |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
          |ORDER BY doc_id""".stripMargin),
 
+    // regenerates the md5-derived PQ codebooks in SQL, re-encodes every
+    // vector per subspace (best rounded cosine, tie on code id) exactly
+    "ann_pq_codes" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cb AS (
+         |  SELECT s.s AS sub, c.c AS code,
+         |    list(CAST(CAST(('0x'||substr(md5('pq'||CAST(s.s AS VARCHAR)||'c'||CAST(c.c AS VARCHAR)||'_'||CAST(d.d AS VARCHAR)),1,8)) AS BIGINT) % 2000 AS DOUBLE)/1000.0 - 1.0 ORDER BY d.d) AS cv
+         |  FROM generate_series(0,7) s(s) CROSS JOIN generate_series(0,15) c(c)
+         |  CROSS JOIN generate_series(0,7) d(d) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT e.vec_id, cb.sub, cb.code,
+         |    round(list_dot_product(e.v[cb.sub*8+1 : cb.sub*8+8], cb.cv) /
+         |      (sqrt(list_dot_product(e.v[cb.sub*8+1 : cb.sub*8+8], e.v[cb.sub*8+1 : cb.sub*8+8]))
+         |       * sqrt(list_dot_product(cb.cv, cb.cv))), 6) AS score
+         |  FROM e CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY score DESC, code) AS rk FROM sc) WHERE rk = 1)
+         |SELECT vec_id,
+         |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes
+         |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
+    // same codebooks + encode, then asymmetric distance computation:
+    // per-query rounded sub-dot tables, DECIMAL-exact 8-term sums
+    "ann_pq_topk" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cb AS (
+         |  SELECT s.s AS sub, c.c AS code,
+         |    list(CAST(CAST(('0x'||substr(md5('pq'||CAST(s.s AS VARCHAR)||'c'||CAST(c.c AS VARCHAR)||'_'||CAST(d.d AS VARCHAR)),1,8)) AS BIGINT) % 2000 AS DOUBLE)/1000.0 - 1.0 ORDER BY d.d) AS cv
+         |  FROM generate_series(0,7) s(s) CROSS JOIN generate_series(0,15) c(c)
+         |  CROSS JOIN generate_series(0,7) d(d) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT e.vec_id, cb.sub, cb.code,
+         |    round(list_dot_product(e.v[cb.sub*8+1 : cb.sub*8+8], cb.cv) /
+         |      (sqrt(list_dot_product(e.v[cb.sub*8+1 : cb.sub*8+8], e.v[cb.sub*8+1 : cb.sub*8+8]))
+         |       * sqrt(list_dot_product(cb.cv, cb.cv))), 6) AS score
+         |  FROM e CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY score DESC, code) AS rk FROM sc) WHERE rk = 1),
+         |dt AS (
+         |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         |    CAST(round(list_dot_product(q.v[cb.sub*8+1 : cb.sub*8+8], cb.cv), 6)
+         |      AS DECIMAL(18,6)) AS contrib
+         |  FROM e q CROSS JOIN cb WHERE q.vec_id < 10),
+         |s2 AS (
+         |  SELECT dt.query_id, enc.vec_id AS neighbor_id,
+         |    CAST(sum(dt.contrib) AS DOUBLE) AS score
+         |  FROM enc JOIN dt USING (sub, code)
+         |  WHERE enc.vec_id <> dt.query_id GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY score DESC, neighbor_id) AS rank FROM s2)
+         |SELECT query_id, neighbor_id, score, rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     "ann_ivf" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |seeds AS (SELECT vec_id, v FROM e

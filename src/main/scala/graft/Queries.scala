@@ -1541,6 +1541,27 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    "ann_pq_codes" -> ((s, dir) =>
+      // spherical product quantization encode: 8 sub-codes per vector
+      // (32x smaller than the float vector), codebooks md5-derived so
+      // the oracle regenerates them exactly; encoding is a pure
+      // projection — zero joins, zero Exchange on the corpus path
+      Similarity.pqEncode(t(s, dir, "embeddings"), "embedding", "vec_id")
+        .select(col("vec_id"),
+          array_join(col("codes"), ",").as("codes"))
+        .orderBy("vec_id")),
+
+    "ann_pq_topk" -> ((s, dir) => {
+      // PQ search via asymmetric distance computation: per-query
+      // distance tables over the codebook grid (tiny, broadcast); the
+      // corpus contributes ONLY its codes — m lookups per vector, no
+      // float math over corpus vectors at all
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
+        "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "semantic_dedup" -> ((s, dir) => {
       // SemDeDup over the embedding corpus: IVF cells from seed
       // centroids (SQL-exact, like ann_ivf), within-cell cosine, drop

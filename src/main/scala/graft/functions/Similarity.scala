@@ -356,4 +356,89 @@ object Similarity {
       .select(col(idCol), col("__best.centroid_id").as("centroid_id"),
         col("__best.score").as("score"))
   }
+
+  // ------------------------------------------------------------ product
+  // quantization (the Faiss-family storage path: m sub-codes per vector)
+
+  /** Deterministic pseudo-random PQ codebook component in [-1, 1):
+    * md5-derived like [[centroidComponent]], `pq` namespace. SQL twin:
+    * `('0x'||substr(md5('pq<s>c<c>_<d>'),1,8))::BIGINT % 2000 / 1000.0 - 1`. */
+  def pqComponent(sub: Int, code: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pq${sub}c${code}_$dim".getBytes("UTF-8"))
+    val hex8 = d.take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex8, 16) % 2000L).toDouble / 1000.0 - 1.0
+  }
+
+  /** Per-subspace codebooks as driver literals (m * ksub * subDim
+    * doubles — a few KB; a production codebook is the same size, which
+    * is the entire point of PQ). */
+  private def pqCodebook(m: Int, ksub: Int, subDim: Int)
+      : Array[Array[(Int, Array[Double], Double)]] =
+    Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { c =>
+        val comps = Array.tabulate(subDim)(d => pqComponent(s, c, d))
+        (c, comps, math.sqrt(comps.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+    }
+
+  /** Spherical product quantization: split each vector into `m`
+    * contiguous subvectors and store only the best-cosine code per
+    * subspace — m bytes of codes instead of dims*4 bytes of floats
+    * (32x smaller at 64 dims / 8 subspaces, the layout that makes a
+    * 100 TB embedding corpus searchable from memory). Encoding is a
+    * PURE PROJECTION: codebooks are driver literals, each subspace
+    * assignment is ksub*subDim multiply-adds inside codegen
+    * (the [[assignStruct]] machinery), zero joins, zero Exchange. */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+               m: Int = 8, ksub: Int = 16, subDim: Int = 8,
+               roundTo: Int = 6): DataFrame = {
+    val cb = pqCodebook(m, ksub, subDim)
+    val v = toDouble(col(vecCol))
+    val codes = (0 until m).map { s =>
+      assignStruct(slice(v, s * subDim + 1, subDim), cb(s), roundTo)
+        .getField("centroid_id")
+    }
+    df.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** PQ search with asymmetric distance computation (ADC): the query
+    * stays full-precision; per query a distance table of m*ksub
+    * rounded sub-dot-products is built ONCE (a `queries x codebook`
+    * frame — tiny), and the corpus contributes only its CODES: explode
+    * to (id, sub, code), broadcast-join the table, sum m exact DECIMAL
+    * contributions per (query, doc). The corpus-side cost is m lookups
+    * per vector — no float math over corpus vectors at all, which is
+    * what lets a quantized corpus serve from a fraction of the I/O. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+             idCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             subDim: Int = 8, roundTo: Int = 6): DataFrame = {
+    val spark = df2session(corpus)
+    import spark.implicits._
+    val cb = pqCodebook(m, ksub, subDim)
+    val grid = cb.zipWithIndex.flatMap { case (codes, s) =>
+      codes.map { case (c, comps, _) => (s, c, comps) }
+    }.toSeq.toDF("sub", "code", "cbv")
+    val qv = toDouble(col(vecCol))
+    val dtab = queries.select(col(idCol).as("query_id"), qv.as("__qv"))
+      .crossJoin(broadcast(grid))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(dot(slice(col("__qv"), col("sub") * subDim + 1, lit(subDim)),
+            col("cbv")), roundTo)
+          .cast(DecimalType(18, 6)).as("contrib"))
+    val codesExp = pqEncode(corpus, vecCol, idCol, m, ksub, subDim, roundTo)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    codesExp.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).cast(DoubleType).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  private def df2session(df: DataFrame) = df.sparkSession
 }

@@ -39,6 +39,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(11L, 13L))
   }
 
+  test("PQ encode recovers exact codes on codebook-aligned vectors; ADC ranks the match first") {
+    // corpus vector i = concat of code-i centroids across all 8
+    // subspaces — its best-cosine code per subspace is i by construction
+    val m = 8; val ksub = 16; val subDim = 8
+    def vec(i: Int): Array[Float] =
+      (0 until m).flatMap(s => (0 until subDim)
+        .map(d => Similarity.pqComponent(s, i, d).toFloat)).toArray
+    val corpus = (0 until ksub).map(i => (i.toLong + 100L, vec(i)))
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(corpus, "embedding", "vec_id")
+      .as[(Long, Seq[Int])].collect().toMap
+    (0 until ksub).foreach { i =>
+      assert(enc(i + 100L) == Seq.fill(m)(i), s"codes of aligned vector $i")
+    }
+    // a query identical to corpus vector 3 must rank it first under ADC
+    val q = Seq((3L, vec(3))).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(q, corpus, "embedding", "vec_id", k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.head._2 == 103L, s"expected neighbor 103 first, got ${top.toSeq}")
+    // encode is reproducible (pure projection, no RNG)
+    val enc2 = Similarity.pqEncode(corpus, "embedding", "vec_id")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(enc == enc2)
+  }
+
   test("DSIR weights rank target-like documents above corpus-average ones") {
     // target slice speaks "alpha/beta" vocabulary, the rest "gamma/delta";
     // a held-out doc written in target vocabulary must score positive,
