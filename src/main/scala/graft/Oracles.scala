@@ -394,6 +394,12 @@ object Oracles {
 
     // re-derives the expected error report from the defect formulas
     // with plain SQL set ops (the planted defects are deterministic)
+    // the Spark side planted drift, computed the minimal repair batch
+    // and applied it — convergence means the result IS the source
+    "reconcile_repair" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
+
     "checksum_compare" ->
       ("""WITH missed AS (SELECT CAST(o_orderkey AS VARCHAR) AS key
          |                FROM orders WHERE o_orderkey % 97 = 0),

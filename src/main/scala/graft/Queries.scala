@@ -665,6 +665,31 @@ object Queries {
         src, perturbed.unionByName(extra), Seq("o_orderkey"))
     }),
 
+    "reconcile_repair" -> ((s, dir) => {
+      // the repair half of verification: same planted drift as
+      // checksum_compare, then the MINIMAL insert/update/delete batch
+      // (size ∝ drift, not table) applied back — the result must be
+      // row-identical to the source, which is exactly what the oracle
+      // checks by reading the source directly
+      val src = t(s, dir, "orders")
+      val drifted = src.filter(col("o_orderkey") % 97 =!= 0).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 0.5)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"),
+        when(col("o_orderkey") % 103 === 0,
+            concat(lit("X-"), col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+        .unionByName(src.filter(col("o_orderkey") % 499 === 0).select(
+          (col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")))
+      val repair = graft.operators.Checksum.repairBatch(
+        src, drifted, Seq("o_orderkey"))
+      graft.operators.Checksum.applyRepair(drifted, repair, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     "delta_cdf" -> ((s, dir) => {
       // change data feed by snapshot diff (sources.DeltaLite
       // .changesBetween): three commits (base, COW upsert, COW delete),

@@ -30,6 +30,27 @@ class ChecksumSpec extends SparkSpec {
     assert(byKind("column 's' mismatch")._4 == "55")
   }
 
+  test("repair batch is minimal and applying it converges the target") {
+    val src = (1 to 100).map(i => (i.toLong, s"s$i", i * 1.0)).toDF("id", "s", "v")
+    val dst = (11 to 100).map(i => (i.toLong, if (i == 55) "BAD" else s"s$i",
+        if (i % 2 == 0 && i <= 50) i * 2.0 else i * 1.0))
+      .toDF("id", "s", "v")
+      .unionByName(Seq((200L, "x", 1.0)).toDF("id", "s", "v"))
+    val repair = Checksum.repairBatch(src, dst, Seq("id"))
+    val byOp = repair.groupBy("op").count()
+      .as[(String, Long)].collect().toMap
+    // 10 dropped keys, 1 spurious key, 20 corrupted v + 1 corrupted s
+    assert(byOp == Map("insert" -> 10L, "delete" -> 1L, "update" -> 21L))
+    // batch is proportional to the drift: 32 rows, not 101
+    assert(repair.count() == 32)
+    val repaired = Checksum.applyRepair(dst, repair, Seq("id"))
+    assert(Checksum.compare(src, repaired, Seq("id")).count() == 0)
+    assert(repaired.count() == 100)
+    // update rows carry source ORIGINALS, not normalized renderings
+    val v55 = repaired.filter(col("id") === 55).select("s").as[String].head()
+    assert(v55 == "s55")
+  }
+
   test("schema drift is reported, matching columns still compared") {
     val src = Seq((1L, "a", 5)).toDF("id", "s", "n")
     val dst = Seq((1L, "a", "5", true)).toDF("id", "s", "n", "added")
