@@ -130,6 +130,13 @@ object Oracles {
       ("SELECT event_id, '{bad' AS unparsed_raw FROM events " +
         "WHERE event_id % 50 = 0 ORDER BY event_id"),
 
+    // every event comes back exactly once: corrupted ids via the
+    // replayed DLQ pass, the rest via the first pass
+    "quarantine_replay" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, " +
+        "CASE WHEN event_id % 50 = 0 THEN 'replayed' ELSE 'first_pass' END AS pass " +
+        "FROM events ORDER BY event_id"),
+
     "parse_tskv" ->
       "SELECT CAST(r_regionkey AS INTEGER) AS rkey, r_name AS rname FROM region ORDER BY rkey",
 
@@ -927,6 +934,40 @@ object Oracles {
          |  CAST(sum(w * k) AS DOUBLE) > 0 AS keep
          |FROM pd JOIN w USING (bk)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // same DSIR derivation, then the top-quartile threshold from a
+    // cumulative count histogram with integer cross-multiplied ranks
+    "dsir_select" ->
+      (s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         |tok AS (SELECT doc_id, lang = 'en' AS is_t, unnest(tk) AS tok FROM t),
+         |b AS (SELECT doc_id, is_t,
+         |  CAST(('0x'||substr(md5(tok),1,4)) AS BIGINT) % 256 AS bk FROM tok),
+         |pd AS (SELECT doc_id, bk, count(*) AS k FROM b GROUP BY 1, 2),
+         |cr AS (SELECT bk, count(*) AS cr FROM b GROUP BY 1),
+         |ctg AS (SELECT bk, count(*) AS ct FROM b WHERE is_t GROUP BY 1),
+         |tot AS (SELECT count(*) AS tr,
+         |  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tt FROM b),
+         |w AS (
+         |  SELECT cr.bk,
+         |    CAST(round(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (tt + 256))
+         |      * (CAST(tr + 256 AS DOUBLE) / (cr + 1))), 6)
+         |      AS DECIMAL(18,6)) AS w
+         |  FROM cr LEFT JOIN ctg USING (bk) CROSS JOIN tot
+         |),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tok,
+         |    CAST(sum(w * k) AS DOUBLE) AS logw
+         |  FROM pd JOIN w USING (bk) GROUP BY doc_id
+         |),
+         |sel AS (SELECT doc_id, n_tok, logw,
+         |  CAST(round(logw * 1000000) AS BIGINT) AS lm FROM sc),
+         |hist AS (SELECT lm AS v, count(*) AS c FROM sel GROUP BY 1),
+         |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+         |n AS (SELECT count(*) AS n FROM sel),
+         |lo AS (SELECT min(v) AS lo FROM cum CROSS JOIN n
+         |       WHERE cum * 1000 >= n * 750)
+         |SELECT doc_id, n_tok, logw FROM sel CROSS JOIN lo
+         |WHERE lm >= lo ORDER BY doc_id""".stripMargin),
 
     "temperature_sample" ->
       (s"""WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

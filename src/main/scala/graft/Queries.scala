@@ -243,6 +243,27 @@ object Queries {
         keep = Seq("event_id"))
         .orderBy("event_id")),
 
+    "quarantine_replay" -> ((s, dir) => {
+      // the DLQ loop CLOSED: first pass parses what it can and
+      // quarantines the rest with raw payloads; the producer re-emits
+      // the corrupted payloads complete, the quarantine replays through
+      // the SAME parser, and recovered rows union with the first-pass
+      // successes — the oracle proves nothing lost, nothing doubled
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      val ev = t(s, dir, "events").withColumn("props2",
+        when(col("event_id") % 50 === 0, "{bad").otherwise(col("props")))
+      val first = T.JsonParser("props2", schema).apply(ev)
+        .select(col("event_id"), col("k"), lit("first_pass").as("pass"))
+      val dlq = GenericParser.unparsed(ev, "props2", schema,
+        keep = Seq("event_id"))
+      val reEmitted = dlq.select(col("event_id")).join(
+        t(s, dir, "events").select(col("event_id"),
+          col("props").as("props2")), Seq("event_id"))
+      val replayed = T.JsonParser("props2", schema).apply(reEmitted)
+        .select(col("event_id"), col("k"), lit("replayed").as("pass"))
+      first.unionByName(replayed).orderBy("event_id")
+    }),
+
     "parse_tskv" -> ((s, dir) =>
       GenericParser.tskv(
         t(s, dir, "region").select(concat(
@@ -1308,6 +1329,21 @@ object Queries {
       graft.functions.Sampling.dsirWeights(
         t(s, dir, "documents"), "text", "doc_id", col("lang") === "en")
         .orderBy("doc_id")),
+
+    "dsir_select" -> ((s, dir) => {
+      // the selection half of DSIR at scale: keep the top quartile by
+      // importance weight WITHOUT a global sort — weights become exact
+      // integer micro-units, the threshold comes from the domain-sized
+      // count histogram (Quantiles.gate), and the corpus is filtered by
+      // one broadcast threshold row. No corpus-sized sort or window.
+      val w = graft.functions.Sampling.dsirWeights(
+          t(s, dir, "documents"), "text", "doc_id", col("lang") === "en")
+        .withColumn("logw_micro",
+          round(col("logw") * 1000000d, 0).cast("long"))
+      Quantiles.gate(w, "logw_micro", loPermille = 750, hiPermille = 1000)
+        .select("doc_id", "n_tok", "logw")
+        .orderBy("doc_id")
+    }),
 
     "temperature_sample" -> ((s, dir) =>
       // temperature-flattened mixture (tau=1/2 via IEEE-exact sqrt):

@@ -86,6 +86,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId.forall { case (id, (lw, _)) => again(id) == lw })
   }
 
+  test("DSIR quantile selection keeps exactly the heavy tail, no global sort") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val w = Sampling.dsirWeights(docs, "text", "doc_id", col("lang") === "en")
+      .withColumn("logw_micro", round(col("logw") * 1000000d, 0).cast("long"))
+    val kept = Quantiles.gate(w, "logw_micro", 750, 1000)
+    val total = w.count(); val k = kept.count()
+    // >= 25% (ties at the threshold can only widen the kept set)
+    assert(k * 1000 >= total * 250 && k < total,
+      s"kept $k of $total")
+    // separation: every kept weight >= every dropped weight
+    val minKept = kept.agg(min("logw_micro")).head().getLong(0)
+    val maxDropped = w.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(max("logw_micro")).head().getLong(0)
+    assert(minKept >= maxDropped, s"$minKept vs $maxDropped")
+  }
+
   test("temperature sampling flattens toward small strata; shard manifest partitions exactly") {
     // 80/16/4 split: tau=1/2 must give the small stratum a HIGHER keep
     // rate than the big one, and rates must decrease with stratum size
