@@ -431,6 +431,62 @@ object Stress {
     require(bkCount == 2000000L, s"group count off: $bkCount")
     println(s"[stress]   rewrote ${rewritten.size}/64 buckets for the 30-key batch")
 
+    // 12. product quantization at corpus scale: encode must stay a pure
+    // projection (like ivfAssign); ADC search touches only codes on the
+    // corpus side — 500k x 8 code lookups, zero corpus float math.
+    val pqPlan = functions.Similarity
+      .pqEncode(vecs, "embedding", "vec_id")
+      .queryExecution.executedPlan.toString
+    require(!pqPlan.contains("Exchange"),
+      "pqEncode must stay a pure projection")
+    timed("pqEncode 500k x 64d -> 8 sub-codes (pure projection)") {
+      functions.Similarity.pqEncode(vecs, "embedding", "vec_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    timed("pqTopK ADC: 100 queries vs 500k coded corpus, k=10") {
+      functions.Similarity.pqTopK(vecs.filter(col("vec_id") < 100), vecs,
+        "embedding", "vec_id", k = 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // 13. Avro OCF: 5M rows through executor-side container writers,
+    // read back over sync-marker byte-range splits; then one big
+    // coalesced file re-read with small splits to prove intra-file
+    // fan-out (the 100 TB shape: few huge files, many tasks).
+    val avroDir = "/tmp/graft_stress/avro5m"
+    val fiveM = spark.range(5000000).select(col("id"),
+      concat(lit("payload-"), col("id").cast("string")).as("s"))
+    timed("AvroIO.write 5M rows (32 container files, zstd)") {
+      sources.AvroIO.write(fiveM, avroDir)
+    }
+    timed("AvroIO.read 5M rows back (split-planned)") {
+      val back = sources.AvroIO.read(spark, avroDir)
+      require(back.count() == 5000000L, "row count drift")
+    }
+    val avroOne = "/tmp/graft_stress/avro_one"
+    timed("AvroIO single-file: write 2M rows as ONE container") {
+      sources.AvroIO.write(fiveM.limit(2000000).coalesce(1), avroOne,
+        codec = "null")
+    }
+    timed("AvroIO single-file read with 4MB splits (intra-file fan-out)") {
+      val back = sources.AvroIO.read(spark, avroOne,
+        maxSplitBytes = 4L * 1024 * 1024)
+      require(back.rdd.getNumPartitions > 4, "expected many splits")
+      require(back.count() == 2000000L, "split tiling dropped/doubled rows")
+    }
+
+    // 14. DSIR weights on 2M docs: the two "models" stay 256-row
+    // tables; one (doc, bucket) shuffle + broadcast weight join.
+    val dsirDocs = spark.range(2000000).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta token"),
+        (col("id") % 1000L).cast("string")).as("text"),
+      when(col("id") % 10 === 0, "en").otherwise("xx").as("lang"))
+    timed("dsirWeights 2M docs, 256 hashed buckets") {
+      functions.Sampling.dsirWeights(dsirDocs, "text", "doc_id",
+        col("lang") === "en")
+        .write.format("noop").mode("overwrite").save()
+    }
+
     spark.stop()
   }
 }
