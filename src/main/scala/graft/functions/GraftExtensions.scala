@@ -43,6 +43,20 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot takes two arguments")
         org.apache.spark.sql.graft.DotProductExpr(args(0), args(1))
+      }),
+    ("graft_topk",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.TopKExpr].getName,
+        "graft_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_topk(score, id, k) takes three arguments")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an integer literal, got $other")
+        }
+        org.apache.spark.sql.graft.TopKExpr(args(0), args(1), k)
+          .toAggregateExpression()
       }))
 
   /** Register on an existing session. */

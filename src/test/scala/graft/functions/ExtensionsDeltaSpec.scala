@@ -66,6 +66,37 @@ class ExtensionsDeltaSpec extends SparkSpec {
       .head().getDouble(0) == 11.0)
   }
 
+  test("graft_topk: bounded-heap aggregate equals the window spelling, SQL-callable") {
+    graft.functions.GraftFunctions.register(spark)
+    val n = 50000
+    val df = spark.range(n.toLong).select(
+      (col("id") % 7).as("query_id"), col("id").as("neighbor_id"),
+      // heavy ties: only 100 distinct scores, so tie-break order matters
+      ((col("id") % 100) / lit(10.0)).as("score"))
+    df.createOrReplaceTempView("cands")
+    val viaAgg = spark.sql(
+      """SELECT query_id, e.id AS neighbor_id, e.score AS score,
+        |  CAST(pos + 1 AS INT) AS rank
+        |FROM (SELECT query_id, graft_topk(score, neighbor_id, 5) AS top
+        |      FROM cands GROUP BY query_id)
+        |LATERAL VIEW posexplode(top) t AS pos, e""".stripMargin)
+    val viaWindow = spark.sql(
+      """SELECT * FROM (
+        |  SELECT query_id, neighbor_id, score, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM cands) WHERE rank <= 5""".stripMargin)
+    val a = viaAgg.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val b = viaWindow.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(a == b, s"agg=${a.take(3)} window=${b.take(3)}")
+    assert(a.size == 35) // 7 queries x 5
+    // partial aggregation: the plan must carry partial_graft_topk
+    // (map-side combine), not a sort of all candidates
+    val plan = spark.sql(
+      "SELECT query_id, graft_topk(score, neighbor_id, 5) FROM cands GROUP BY query_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), plan.take(800))
+  }
+
   test("DeltaLite reads a hand-built Delta log (add/remove replay)") {
     val table = Files.createTempDirectory("graft_delta").toString
     // two data files, second commit removes the first
