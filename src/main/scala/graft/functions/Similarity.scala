@@ -108,7 +108,7 @@ object Similarity {
     * projection dominates what remains). Ordering (score DESC,
     * neighbor ASC) is identical to the window spelling, so results
     * stay bit-identical under every oracle. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[functions] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.{bridge, TopKExpr}
     val agg = bridge.column(TopKExpr(
       bridge.expression(col("score")),

@@ -322,14 +322,17 @@ object TextAnalysis {
         .cast("decimal(18,6)"))
     val scores = contrib.groupBy(col("query_id"), col(idCol))
       .agg(sum(col("__c")).cast("decimal(18,6)").as("__score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__score").desc, col(idCol).asc)
-    // rank on the exact DECIMAL; report a double (decimal renderings
-    // disagree on trailing zeros across engines, doubles don't)
-    scores.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol),
-        col("__score").cast("double").as("score"), col("rank"))
+    // rank via the native bounded-heap top-k aggregate on the double
+    // rendering: DECIMAL(18,6)→double is order-preserving and
+    // injective at BM25 magnitudes (|v|·1e6 ≪ 2^53), so ranking and
+    // ties are identical to ordering on the exact decimal
+    Similarity.rankTopK(
+      scores.select(col("query_id"),
+        col(idCol).as("neighbor_id"),
+        col("__score").cast("double").as("score")),
+      k)
+      .select(col("query_id"), col("neighbor_id").as(idCol),
+        col("score"), col("rank"))
   }
 
   /** Corpus-trained bigram language-model score — the CCNet-style
