@@ -740,32 +740,41 @@ object Oracles {
     // independent NB re-derivation: count tables by GROUP BY, the same
     // rounded-log DECIMAL accumulation and (score desc, cls) argmax
     "nb_classify" ->
-      (s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
-         |tok AS (SELECT doc_id, unnest(tk) AS token FROM t),
-         |dtf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |pri AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY 1),
-         |tokc AS (SELECT lang AS cls, token, count(*) AS ct
-         |         FROM (SELECT lang, unnest(tk) AS token FROM t) GROUP BY 1, 2),
-         |ctot AS (SELECT cls, CAST(sum(ct) AS BIGINT) AS cls_tokens
-         |         FROM tokc GROUP BY 1),
-         |v AS (SELECT count(DISTINCT token) AS v FROM tok),
-         |n AS (SELECT count(*) AS n FROM documents),
-         |sc AS (
-         |  SELECT d.doc_id, c.cls,
-         |    round(round(ln(CAST(c.n_docs AS DOUBLE) / n.n), 6)
-         |      + CAST(sum(CAST(round(ln((coalesce(tc.ct, 0) + 1.0)
-         |          / (ct2.cls_tokens + v.v)), 6) AS DECIMAL(18,6)) * d.tf)
-         |        AS DOUBLE), 6) AS score
-         |  FROM dtf d CROSS JOIN pri c
-         |  LEFT JOIN tokc tc ON tc.cls = c.cls AND tc.token = d.token
-         |  JOIN ctot ct2 ON ct2.cls = c.cls
-         |  CROSS JOIN v CROSS JOIN n
-         |  GROUP BY d.doc_id, c.cls, c.n_docs, ct2.cls_tokens, v.v, n.n
-         |)
+      (s"""$nbScoreSql
          |SELECT doc_id, cls, score,
          |  CAST(row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, cls) AS INT) AS rank
          |FROM sc ORDER BY doc_id, rank""".stripMargin),
+
+    // NB predictions (rank-1 re-derivation from the shared scoring
+    // CTE) scored against the lang labels: exact integer confusion
+    // counts per class, ratios rounded to 6dp, F1 from the rounded p/r
+    "classifier_eval" ->
+      (s"""$nbScoreSql,
+         |rk AS (SELECT doc_id, cls, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, cls) AS rk FROM sc),
+         |pred AS (SELECT doc_id, cls AS pred FROM rk WHERE rk = 1),
+         |j AS (SELECT d.lang, p.pred FROM documents d JOIN pred p USING (doc_id)),
+         |cl AS (SELECT DISTINCT lang AS cls FROM documents),
+         |m AS (
+         |  SELECT c.cls,
+         |    CAST(sum(CASE WHEN j.lang = c.cls AND j.pred = c.cls THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN j.pred = c.cls AND j.lang <> c.cls THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN j.lang = c.cls AND j.pred <> c.cls THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM cl c CROSS JOIN j GROUP BY c.cls),
+         |r AS (
+         |  SELECT cls, tp, fp, fn,
+         |    CASE WHEN tp + fp = 0 THEN NULL
+         |      ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+         |    CASE WHEN tp + fn = 0 THEN NULL
+         |      ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+         |  FROM m)
+         |SELECT cls, tp, fp, fn, precision, recall,
+         |  CASE WHEN precision IS NULL OR recall IS NULL
+         |    OR precision + recall = 0 THEN NULL
+         |    ELSE round(2 * precision * recall / (precision + recall), 6)
+         |  END AS f1
+         |FROM r ORDER BY cls""".stripMargin),
 
     // the identical planted page and the same RE2-compatible chain:
     // per-tag block strips (no backreferences), comment/tag drop,
@@ -2034,6 +2043,32 @@ object Oracles {
   /** Shared MinHash band SQL (16 affine permutations of one md5-derived
     * base hash per shingle, 3-shingles, 4 bands) — mirrors
     * [[graft.functions.Dedup.permute]]: ((2j+1)*h + (j*B)%P) % P. */
+  /** Shared NB scoring CTE chain (ends at the `sc` score table) —
+    * used by both the classification and the evaluation oracles. */
+  private lazy val nbScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS token FROM t),
+       |dtf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |pri AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY 1),
+       |tokc AS (SELECT lang AS cls, token, count(*) AS ct
+       |         FROM (SELECT lang, unnest(tk) AS token FROM t) GROUP BY 1, 2),
+       |ctot AS (SELECT cls, CAST(sum(ct) AS BIGINT) AS cls_tokens
+       |         FROM tokc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT token) AS v FROM tok),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |sc AS (
+       |  SELECT d.doc_id, c.cls,
+       |    round(round(ln(CAST(c.n_docs AS DOUBLE) / n.n), 6)
+       |      + CAST(sum(CAST(round(ln((coalesce(tc.ct, 0) + 1.0)
+       |          / (ct2.cls_tokens + v.v)), 6) AS DECIMAL(18,6)) * d.tf)
+       |        AS DOUBLE), 6) AS score
+       |  FROM dtf d CROSS JOIN pri c
+       |  LEFT JOIN tokc tc ON tc.cls = c.cls AND tc.token = d.token
+       |  JOIN ctot ct2 ON ct2.cls = c.cls
+       |  CROSS JOIN v CROSS JOIN n
+       |  GROUP BY d.doc_id, c.cls, c.n_docs, ct2.cls_tokens, v.v, n.n
+       |)""".stripMargin
+
   private lazy val minhashBandsSql: String =
     s"""SELECT doc_id, CAST(j AS INTEGER) AS band,
        |  md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS band_hash

@@ -1290,6 +1290,21 @@ object Queries {
           "doc_id")
         .orderBy("doc_id", "rank")),
 
+    "classifier_eval" -> ((s, dir) => {
+      // the QA half of model-based labeling: NB predictions scored
+      // against the lang labels — exact integer confusion counts per
+      // class (classes broadcast, one conditional aggregation), then
+      // rounded precision/recall/F1
+      val docs = t(s, dir, "documents")
+      val pred = TextAnalysis.nbClassify(docs, "text", "lang", "doc_id")
+        .filter(col("rank") === 1)
+        .select(col("doc_id"), col("cls").as("pred"))
+      TextAnalysis.classifierEval(
+        docs.select(col("doc_id"), col("lang")).join(pred, Seq("doc_id")),
+        "lang", "pred")
+        .orderBy("cls")
+    }),
+
     "html_extract" -> ((s, dir) => {
       // the corpus has no markup column, so plant deterministic HTML
       // (title/style/script/nav blocks, comments, entities) around each

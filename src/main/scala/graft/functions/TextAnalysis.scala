@@ -477,4 +477,37 @@ object TextAnalysis {
         concat_ws(" ", transform(col("__ls"), x => x.getField("line")))
           .as("text_clean"))
   }
+
+  /** Per-class precision/recall/F1 from a (label, prediction) frame —
+    * the QA half of model-based labeling: after a classifier (NB,
+    * fastText-style, an LM gate) tags the corpus, this scores the
+    * tags against ground truth. One conditional aggregation over
+    * `rows x classes` (classes is a broadcast distinct — domain-sized,
+    * never corpus-sized); ratios rounded to 6dp AFTER exact integer
+    * counting, F1 derived from the ROUNDED p/r so engines agree
+    * bit-for-bit. Empty denominators yield NULL, not 0. */
+  def classifierEval(df: DataFrame, labelCol: String,
+                     predCol: String): DataFrame = {
+    val classes = df.select(col(labelCol).as("cls")).distinct()
+    val counts = df.crossJoin(broadcast(classes))
+      .groupBy("cls")
+      .agg(
+        sum(when(col(labelCol) === col("cls") &&
+          col(predCol) === col("cls"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col(predCol) === col("cls") &&
+          col(labelCol) =!= col("cls"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col(labelCol) === col("cls") &&
+          col(predCol) =!= col("cls"), 1L).otherwise(0L)).as("fn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null))
+        .otherwise(round(num.cast(DoubleType) / den, 6))
+    counts
+      .withColumn("precision", ratio(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall", ratio(col("tp"), col("tp") + col("fn")))
+      .withColumn("f1",
+        when(col("precision").isNull || col("recall").isNull ||
+          (col("precision") + col("recall")) === 0d, lit(null))
+          .otherwise(round(lit(2d) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)))
+  }
 }
