@@ -2001,6 +2001,26 @@ object Oracles {
          |  CAST(4*(b2+b5+b8+b11) AS BIGINT) AS r_sum_b
          |FROM x ORDER BY doc_id""".stripMargin),
 
+    // the Spark side inflated a real zlib IDAT and unfiltered PNG
+    // scanlines (filter cycling by doc); the oracle recomputes the
+    // channel sums straight from the md5 hex that built the pixels
+    "multimodal_png" ->
+      ("""WITH b AS (SELECT doc_id, md5(text) AS m FROM documents),
+         |x AS (SELECT doc_id,
+         |  CAST(('0x'||substr(m,1,2)) AS INT) AS b0, CAST(('0x'||substr(m,3,2)) AS INT) AS b1,
+         |  CAST(('0x'||substr(m,5,2)) AS INT) AS b2, CAST(('0x'||substr(m,7,2)) AS INT) AS b3,
+         |  CAST(('0x'||substr(m,9,2)) AS INT) AS b4, CAST(('0x'||substr(m,11,2)) AS INT) AS b5,
+         |  CAST(('0x'||substr(m,13,2)) AS INT) AS b6, CAST(('0x'||substr(m,15,2)) AS INT) AS b7,
+         |  CAST(('0x'||substr(m,17,2)) AS INT) AS b8, CAST(('0x'||substr(m,19,2)) AS INT) AS b9,
+         |  CAST(('0x'||substr(m,21,2)) AS INT) AS b10, CAST(('0x'||substr(m,23,2)) AS INT) AS b11
+         |FROM b)
+         |SELECT doc_id, 'image/png' AS mime,
+         |  CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+         |  CAST(b0+b3+b6+b9 AS BIGINT) AS sum_r,
+         |  CAST(b1+b4+b7+b10 AS BIGINT) AS sum_g,
+         |  CAST(b2+b5+b8+b11 AS BIGINT) AS sum_b
+         |FROM x ORDER BY doc_id""".stripMargin),
+
     // the Spark side walked RIFF chunks and decoded real int16 PCM;
     // the oracle reconstructs the same little-endian signed samples
     // from the md5 hex that built the data chunk

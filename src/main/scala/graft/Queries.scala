@@ -2900,6 +2900,36 @@ object Queries {
       decoded.join(resized, "doc_id").orderBy("doc_id")
     }),
 
+    "multimodal_png" -> ((s, dir) => {
+      // REAL PNG decode (MediaCodecs.decodePng — zlib ships with the
+      // JDK, so PNG is NOT a codec-library stand-in): the same 2x2
+      // md5-derived pixels as multimodal_decode, but encoded through a
+      // real zlib IDAT with a DIFFERENT scanline filter per doc
+      // (doc_id % 5 cycles None/Sub/Up/Average/Paeth, so every
+      // unfilter recurrence decodes some of the corpus); CRCs verified
+      // on every chunk. The oracle recomputes the channel sums from
+      // the md5 hex — a hash match proves filters+inflate are
+      // byte-exact, not just roundtrip-consistent.
+      val mkPng = udf { (hex: String, ft: Int) =>
+        val px = new Array[Byte](12)
+        var i = 0
+        while (i < 12) {
+          px(i) = Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte
+          i += 1
+        }
+        graft.functions.MediaCodecs.encodePng(
+          graft.functions.MediaCodecs.Raster(2, 2, px), ft)
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        mkPng(substring(md5(col("text")), 1, 24),
+          pmod(col("doc_id"), lit(5)).cast(IntegerType)).as("payload"))
+      Multimodal.decodeImageStats(docs)
+        .withColumn("mime", Multimodal.mimeSniff(col("payload")))
+        .select("doc_id", "mime", "width", "height",
+          "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    }),
+
     "multimodal_audio" -> ((s, dir) => {
       // REAL audio decode (MediaCodecs.decodeWav): every doc becomes a
       // 44-byte PCM WAV (mono, 8 kHz, 16-bit) whose 4 samples are the

@@ -1,12 +1,14 @@
 package graft.functions
 
 /** Pure-JVM decoders for the library-free public media formats: PPM
-  * (netpbm P6), BMP (Windows BITMAPINFOHEADER, 24bpp uncompressed) and
-  * WAV (RIFF PCM 16-bit). These are REAL decode kernels — byte-exact
-  * per their public specs — so the multimodal pipeline's decode stage
-  * is genuine for any corpus in these formats; compressed formats
-  * (JPEG/PNG/MP3…) still need a codec library this container lacks and
-  * keep the documented stand-in path in [[Multimodal]].
+  * (netpbm P6), BMP (Windows BITMAPINFOHEADER, 24bpp uncompressed),
+  * PNG (full zlib + scanline filters — zlib ships with the JDK, so
+  * "compressed" does not mean "needs a codec library" here) and WAV
+  * (RIFF PCM 16-bit). These are REAL decode kernels — byte-exact per
+  * their public specs — so the multimodal pipeline's decode stage is
+  * genuine for any corpus in these formats; JPEG/MP3-class formats
+  * still need an external codec library and keep the documented
+  * stand-in path in [[Multimodal]].
   *
   * Everything here is per-row/per-batch kernel code by design (the
   * mapPartitions contract): no Spark imports, no allocation beyond the
@@ -38,6 +40,7 @@ object MediaCodecs {
       b.length >= off + s.length &&
         s.indices.forall(i => (b(off + i) & 0xff) == s.charAt(i).toInt)
     if (b == null || b.length < 4) "application/octet-stream"
+    else if (b.length >= 8 && isPng(b)) "image/png"
     else if (has(0, "P6")) "image/x-portable-pixmap"
     else if (has(0, "BM")) "image/bmp"
     else if (has(0, "RIFF") && has(8, "WAVE")) "audio/wav"
@@ -119,10 +122,203 @@ object MediaCodecs {
     Raster(w, h, rgb)
   }
 
-  /** Dispatch PPM/BMP on magic bytes. */
+  // ------------------------------------------------------------------ PNG
+  // (W3C PNG spec / RFC 2083: zlib IS in the JDK, so PNG is NOT a
+  // codec-library format — full real decode, all five filter types)
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private val PngSig: Array[Int] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && PngSig.indices.forall(i => (b(i) & 0xff) == PngSig(i))
+
+  /** PNG decode: 8-bit depth, colorType 0 (gray), 2 (RGB) or 6 (RGBA,
+    * alpha dropped), non-interlaced. Walks the chunk list (length +
+    * type + data + CRC), inflates the concatenated IDAT zlib stream,
+    * then unfilters every scanline — None/Sub/Up/Average/Paeth per the
+    * spec's byte-exact recurrences. CRCs are VERIFIED (a flipped bit
+    * in transit must fail decode, not produce silent wrong pixels). */
+  def decodePng(b: Array[Byte]): Raster = {
+    require(isPng(b), "not a png")
+    var pos = 8
+    var w = 0; var h = 0; var colorType = -1; var bpp = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 8 <= b.length) {
+      val len = be32(b, pos)
+      require(len >= 0 && pos + 12L + len <= b.length,
+        s"png chunk at $pos overruns payload")
+      val ctype = new String(b, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, pos + 4, 4 + len)
+      require(crc.getValue == (be32(b, pos + 8 + len) & 0xffffffffL),
+        s"png $ctype chunk crc mismatch")
+      ctype match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          w = be32(b, pos + 8); h = be32(b, pos + 12)
+          val depth = b(pos + 16) & 0xff
+          colorType = b(pos + 17) & 0xff
+          val (comp, filt, inter) =
+            (b(pos + 18) & 0xff, b(pos + 19) & 0xff, b(pos + 20) & 0xff)
+          require(depth == 8, s"png bit depth $depth unsupported (need 8)")
+          require(colorType == 0 || colorType == 2 || colorType == 6,
+            s"png colorType $colorType unsupported (need gray/RGB/RGBA)")
+          require(comp == 0 && filt == 0 && inter == 0,
+            "png compression/filter/interlace method unsupported")
+          bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos += 12 + len
+    }
+    require(sawEnd && w > 0 && h > 0, "truncated png (no IEND/IHDR)")
+    // inflate the scanline stream: h rows of (1 filter byte + w*bpp)
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    while (!inf.finished() && off < raw.length) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      require(n > 0 || inf.finished() || !inf.needsInput(),
+        "png idat stream truncated")
+      off += n
+    }
+    inf.end()
+    require(off == raw.length, s"png raster $off != expected ${raw.length}")
+    // unfilter in place into `img` (per-row filter byte dispatch)
+    val img = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(rowIn + i) & 0xff
+        val a = if (i >= bpp) img(rowOut + i - bpp) & 0xff else 0 // left
+        val up = if (y > 0) img(rowOut - stride + i) & 0xff else 0 // above
+        val c = if (y > 0 && i >= bpp) img(rowOut - stride + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + ((a + up) >> 1)
+          case 4 => // Paeth predictor, spec-exact tie order a, b, c
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case other =>
+            throw new IllegalArgumentException(s"png filter $other invalid")
+        }
+        img(rowOut + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    // normalize to interleaved RGB
+    val rgb = colorType match {
+      case 2 => img
+      case 0 =>
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          out(i * 3) = img(i); out(i * 3 + 1) = img(i); out(i * 3 + 2) = img(i)
+          i += 1
+        }
+        out
+      case _ => // RGBA: alpha dropped
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          out(i * 3) = img(i * 4); out(i * 3 + 1) = img(i * 4 + 1)
+          out(i * 3 + 2) = img(i * 4 + 2)
+          i += 1
+        }
+        out
+    }
+    Raster(w, h, rgb)
+  }
+
+  /** PNG encode (colorType 2, 8-bit, non-interlaced). `filterType`
+    * applies one spec filter to every scanline (-1 = cycle 0..4 by
+    * row, exercising every unfilter recurrence on decode). Output is
+    * byte-valid PNG: real CRCs, one zlib IDAT. */
+  def encodePng(r: Raster, filterType: Int = -1): Array[Byte] = {
+    val stride = r.width * 3
+    val raw = new Array[Byte](r.height * (1 + stride))
+    var y = 0
+    while (y < r.height) {
+      val ft = if (filterType >= 0) filterType else y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = r.rgb(y * stride + i) & 0xff
+        val a = if (i >= 3) r.rgb(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) r.rgb((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) r.rgb((y - 1) * stride + i - 3) & 0xff else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - up
+          case 3 => x - ((a + up) >> 1)
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        raw(y * (1 + stride) + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      def put32(o: Int, v: Long): Unit = {
+        out(o) = ((v >> 24) & 0xff).toByte; out(o + 1) = ((v >> 16) & 0xff).toByte
+        out(o + 2) = ((v >> 8) & 0xff).toByte; out(o + 3) = (v & 0xff).toByte
+      }
+      put32(0, data.length.toLong)
+      System.arraycopy(ctype.getBytes("US-ASCII"), 0, out, 4, 4)
+      System.arraycopy(data, 0, out, 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      put32(8 + data.length, crc.getValue)
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((r.width >> 24) & 0xff).toByte; ihdr(1) = ((r.width >> 16) & 0xff).toByte
+    ihdr(2) = ((r.width >> 8) & 0xff).toByte; ihdr(3) = (r.width & 0xff).toByte
+    ihdr(4) = ((r.height >> 24) & 0xff).toByte; ihdr(5) = ((r.height >> 16) & 0xff).toByte
+    ihdr(6) = ((r.height >> 8) & 0xff).toByte; ihdr(7) = (r.height & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    val bos = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(bos.write)
+    bos.write(chunk("IHDR", ihdr))
+    bos.write(chunk("IDAT", zbuf.toByteArray))
+    bos.write(chunk("IEND", Array.emptyByteArray))
+    bos.toByteArray
+  }
+
+  /** Dispatch PPM/BMP/PNG on magic bytes. */
   def decodeImage(b: Array[Byte]): Raster = sniff(b) match {
     case "image/x-portable-pixmap" => decodePpm(b)
     case "image/bmp"               => decodeBmp(b)
+    case "image/png"               => decodePng(b)
     case m => throw new IllegalArgumentException(
       s"no library-free decoder for $m")
   }

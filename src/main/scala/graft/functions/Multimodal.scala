@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
   * decode/feature/resize stages over `mapPartitions`.
   *
   * Decode kernels are REAL for the library-free public formats —
-  * PPM/BMP images (decode + nearest-neighbor resize) and RIFF/WAV PCM
-  * audio, all in [[MediaCodecs]] — and oracle-gated
-  * (`multimodal_decode`, `multimodal_audio`). Compressed formats
-  * (JPEG/PNG/MP3…) need codec libraries this container lacks, so
-  * their feature path falls back to a clearly-marked deterministic
-  * stand-in; the Spark-side contract (schema, batch iteration,
-  * partitioning, metadata-first filtering before any decode) is
-  * identical either way.
+  * PPM/BMP/PNG images (decode + nearest-neighbor resize; PNG is full
+  * zlib+filters per the W3C spec — the JDK ships zlib) and RIFF/WAV
+  * PCM audio, all in [[MediaCodecs]] — and oracle-gated
+  * (`multimodal_decode`, `multimodal_png`, `multimodal_audio`).
+  * Formats that genuinely need external codec libraries (JPEG/MP3…)
+  * fall back to a clearly-marked deterministic stand-in; the
+  * Spark-side contract (schema, batch iteration, partitioning,
+  * metadata-first filtering before any decode) is identical either
+  * way.
   */
 object Multimodal {
 
@@ -124,7 +125,7 @@ object Multimodal {
         out(5) = p.channels.toFloat
         out
       case _ =>
-        // STAND-IN for codec-library formats (JPEG/PNG/MP3…)
+        // STAND-IN for codec-library formats (JPEG/MP3…)
         var i = 0
         while (i < payload.length) {
           out(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
