@@ -2930,6 +2930,31 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "multimodal_gif" -> ((s, dir) => {
+      // REAL GIF decode (MediaCodecs.decodeGif): a 16x16 indexed image
+      // per doc whose 256 pixel indices cycle the doc's first 4 md5
+      // bytes — periodic input, so the LZW dictionary genuinely builds
+      // and multi-symbol codes decode; palette channel formulas are
+      // SQL-computable, so the oracle re-derives exact channel sums
+      // from the md5 hex without touching bytes.
+      val mkGif = udf { (hex: String) =>
+        val b = Array.tabulate(4)(i =>
+          Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16))
+        val idx = Array.tabulate[Byte](256)(p => b(p % 4).toByte)
+        val pal = Array.tabulate[Byte](768) { j =>
+          val e = j / 3; val c = j % 3; ((e + c * 85) % 256).toByte
+        }
+        graft.functions.MediaCodecs.encodeGif(16, 16, idx, pal)
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        mkGif(substring(md5(col("text")), 1, 8)).as("payload"))
+      Multimodal.decodeImageStats(docs)
+        .withColumn("mime", Multimodal.mimeSniff(col("payload")))
+        .select("doc_id", "mime", "width", "height",
+          "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    }),
+
     "multimodal_audio" -> ((s, dir) => {
       // REAL audio decode (MediaCodecs.decodeWav): every doc becomes a
       // 44-byte PCM WAV (mono, 8 kHz, 16-bit) whose 4 samples are the

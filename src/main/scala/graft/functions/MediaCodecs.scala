@@ -41,6 +41,7 @@ object MediaCodecs {
         s.indices.forall(i => (b(off + i) & 0xff) == s.charAt(i).toInt)
     if (b == null || b.length < 4) "application/octet-stream"
     else if (b.length >= 8 && isPng(b)) "image/png"
+    else if (has(0, "GIF8")) "image/gif"
     else if (has(0, "P6")) "image/x-portable-pixmap"
     else if (has(0, "BM")) "image/bmp"
     else if (has(0, "RIFF") && has(8, "WAVE")) "audio/wav"
@@ -314,11 +315,213 @@ object MediaCodecs {
     bos.toByteArray
   }
 
-  /** Dispatch PPM/BMP/PNG on magic bytes. */
+  // ------------------------------------------------------------------ GIF
+  // (GIF87a spec, public: LZW is fully documented and pure-JVM)
+
+  /** GIF decode: single non-interlaced image, global or local color
+    * table, REAL variable-width LZW decompression (dictionary build,
+    * width growth 3→12 bits, clear-code resets, the deferred-clear
+    * 4095 cap). Extensions are skipped per the block grammar. */
+  def decodeGif(b: Array[Byte]): Raster = {
+    require(b.length >= 13 &&
+      new String(b, 0, 3, "US-ASCII") == "GIF", "not a gif")
+    var pos = 6
+    val sw = u16(b, pos); val sh = u16(b, pos + 2)
+    val packed = b(pos + 4) & 0xff
+    pos += 7
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      palette = java.util.Arrays.copyOfRange(b, pos, pos + n * 3)
+      pos += n * 3
+    }
+    var w = sw; var h = sh
+    var indices: Array[Byte] = null
+    var done = false
+    while (!done) {
+      require(pos < b.length, "truncated gif (no trailer)")
+      (b(pos) & 0xff) match {
+        case 0x3b => done = true // trailer
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          while ((b(pos) & 0xff) != 0) pos += 1 + (b(pos) & 0xff)
+          pos += 1
+        case 0x2c => // image descriptor
+          w = u16(b, pos + 5); h = u16(b, pos + 7)
+          val ip = b(pos + 9) & 0xff
+          require((ip & 0x40) == 0, "interlaced gif unsupported")
+          pos += 10
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            palette = java.util.Arrays.copyOfRange(b, pos, pos + n * 3)
+            pos += n * 3
+          }
+          require(palette != null, "gif image has no color table")
+          val minCode = b(pos) & 0xff; pos += 1
+          // concatenate sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while ((b(pos) & 0xff) != 0) {
+            val len = b(pos) & 0xff
+            data.write(b, pos + 1, len); pos += 1 + len
+          }
+          pos += 1
+          indices = lzwDecode(data.toByteArray, minCode, w * h)
+        case other =>
+          throw new IllegalArgumentException(f"gif block 0x$other%02x invalid")
+      }
+    }
+    require(indices != null, "gif has no image data")
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val ix = (indices(i) & 0xff) * 3
+      require(ix + 2 < palette.length, s"gif index ${indices(i)} outside palette")
+      rgb(i * 3) = palette(ix); rgb(i * 3 + 1) = palette(ix + 1)
+      rgb(i * 3 + 2) = palette(ix + 2)
+      i += 1
+    }
+    Raster(w, h, rgb)
+  }
+
+  /** GIF LZW decode: codes read LSB-first, width minCode+1 .. 12. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Array[Byte] = {
+    val clear = 1 << minCode; val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new java.io.ByteArrayOutputStream(expected)
+    var width = minCode + 1
+    var next = end + 1
+    var prev = -1
+    var bitPos = 0
+    def emit(code: Int): Byte = { // writes the code's expansion, returns its first byte
+      var stack = List.empty[Byte]
+      var c = code
+      while (c >= clear) { stack = suffix(c) :: stack; c = prefix(c) }
+      val first = c.toByte
+      out.write(first & 0xff)
+      stack.foreach(s => out.write(s & 0xff))
+      first
+    }
+    var stop = false
+    while (!stop && bitPos + width <= data.length * 8) {
+      var code = 0; var i = 0
+      while (i < width) {
+        val bit = bitPos + i
+        if ((data(bit >> 3) & (1 << (bit & 7))) != 0) code |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      if (code == clear) { width = minCode + 1; next = end + 1; prev = -1 }
+      else if (code == end) stop = true
+      else {
+        require(code < next || (code == next && prev >= 0),
+          s"lzw code $code out of sequence (next=$next)")
+        if (prev < 0) { emit(code); prev = code }
+        else {
+          val first =
+            if (code < next) emit(code)
+            else { // KwKwK case: cur = prev expansion + its first byte
+              val f = firstByte(prefix, suffix, clear, prev)
+              prefix(next) = prev; suffix(next) = f
+              emit(code)
+            }
+          if (code < next && next < 4096) {
+            prefix(next) = prev; suffix(next) = first
+          }
+          if (next < 4096) {
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+    }
+    require(out.size == expected,
+      s"gif raster ${out.size} != expected $expected")
+    out.toByteArray
+  }
+
+  private def firstByte(prefix: Array[Int], suffix: Array[Byte],
+                        clear: Int, code: Int): Byte = {
+    var c = code
+    while (c >= clear) c = prefix(c)
+    c.toByte
+  }
+
+  /** GIF87a encode: 256-entry global color table, REAL LZW compression
+    * (string-table build, width growth, clear-code reset at 4096). */
+  def encodeGif(width: Int, height: Int, indices: Array[Byte],
+                palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height, "index buffer size")
+    require(palette.length == 768, "need a 256-entry palette")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GIF87a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    le16(width); le16(height)
+    bos.write(0xf7) // GCT present, 8-bit, 256 entries
+    bos.write(0); bos.write(0)
+    bos.write(palette)
+    bos.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(width); le16(height); bos.write(0)
+    val minCode = 8
+    bos.write(minCode)
+    // LZW compress
+    val clear = 1 << minCode; val end = clear + 1
+    val codes = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    var width0 = minCode + 1
+    def put(code: Int, w: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += w
+      while (accBits >= 8) { codes.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8 }
+    }
+    val table = new java.util.HashMap[String, Integer]()
+    def reset(): Int = {
+      table.clear()
+      (0 until clear).foreach(i => table.put(String.valueOf(i.toChar), i))
+      width0 = minCode + 1
+      end + 1
+    }
+    put(clear, width0)
+    var next = reset()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < indices.length) {
+      val k = (indices(i) & 0xff).toChar
+      sb.append(k)
+      if (!table.containsKey(sb.toString)) {
+        val prefixStr = sb.substring(0, sb.length - 1)
+        put(table.get(prefixStr), width0)
+        if (next < 4096) {
+          table.put(sb.toString, next)
+          if (next == (1 << width0) && width0 < 12) width0 += 1
+          next += 1
+        } else { put(clear, width0); next = reset() }
+        sb.setLength(0); sb.append(k)
+      }
+      i += 1
+    }
+    put(table.get(sb.toString), width0)
+    put(end, width0)
+    if (accBits > 0) codes.write((acc & 0xff).toInt)
+    // sub-block the code stream
+    val cd = codes.toByteArray
+    var off = 0
+    while (off < cd.length) {
+      val n = math.min(255, cd.length - off)
+      bos.write(n); bos.write(cd, off, n); off += n
+    }
+    bos.write(0)
+    bos.write(0x3b)
+    bos.toByteArray
+  }
+
+  /** Dispatch PPM/BMP/PNG/GIF on magic bytes. */
   def decodeImage(b: Array[Byte]): Raster = sniff(b) match {
     case "image/x-portable-pixmap" => decodePpm(b)
     case "image/bmp"               => decodeBmp(b)
     case "image/png"               => decodePng(b)
+    case "image/gif"               => decodeGif(b)
     case m => throw new IllegalArgumentException(
       s"no library-free decoder for $m")
   }

@@ -397,6 +397,37 @@ class TextMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { MediaCodecs.decodePng(bytes) }
   }
 
+  test("gif codec: LZW roundtrips through width growth; palette mapping exact") {
+    import graft.functions.MediaCodecs
+    val pal = Array.tabulate[Byte](768) { j =>
+      val e = j / 3; val c = j % 3; ((e + c * 85) % 256).toByte
+    }
+    // low-repetition 64x64 index plane: ~2k dictionary entries, so
+    // code width grows 9 -> 11 bits and the growth rule is exercised
+    val w = 64; val h = 64
+    val idx = Array.tabulate[Byte](w * h)(i => ((i * 37 + (i / w) * 91) % 256).toByte)
+    val gif = MediaCodecs.encodeGif(w, h, idx, pal)
+    assert(MediaCodecs.sniff(gif) == "image/gif")
+    val r = MediaCodecs.decodeGif(gif)
+    assert(r.width == w && r.height == h)
+    idx.zipWithIndex.foreach { case (e, i) =>
+      val v = e & 0xff
+      assert((r.rgb(i * 3) & 0xff) == v &&
+        (r.rgb(i * 3 + 1) & 0xff) == (v + 85) % 256 &&
+        (r.rgb(i * 3 + 2) & 0xff) == (v + 170) % 256,
+        s"pixel $i palette mapping")
+    }
+    // highly repetitive plane: deep dictionary strings + KwKwK cases
+    val rep = Array.tabulate[Byte](w * h)(i => (i % 4).toByte)
+    val r2 = MediaCodecs.decodeGif(MediaCodecs.encodeGif(w, h, rep, pal))
+    assert(rep.indices.forall(i => (r2.rgb(i * 3) & 0xff) == (rep(i) & 0xff)))
+    // table-full path: > 4096 distinct-ish strings forces a mid-stream
+    // clear-code reset the decoder must honor
+    val big = Array.tabulate[Byte](128 * 128)(i => ((i * 131 + (i >> 7) * 17) % 256).toByte)
+    val r3 = MediaCodecs.decodeGif(MediaCodecs.encodeGif(128, 128, big, pal))
+    assert(big.indices.forall(i => (r3.rgb(i * 3) & 0xff) == (big(i) & 0xff)))
+  }
+
   test("bigram lm score: add-one counts, tf weighting, short docs drop") {
     val corpus = Seq(
       (0L, "a b a b"),  // bigrams ab ab ba -> tf ab=2 ba=1
