@@ -351,6 +351,19 @@ object Oracles {
          |  ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY l.event_id""".stripMargin),
 
+    // identical oracle to asof_join: the custom merge operator is a
+    // plan choice, not a semantics choice
+    "asof_join_native" ->
+      ("""WITH l AS (SELECT user_id, ts, event_id FROM events
+         |           WHERE event_id % 5 <> 0),
+         |     r AS (SELECT user_id, ts, max(value) AS state FROM events
+         |           WHERE event_id % 5 = 0 GROUP BY user_id, ts)
+         |SELECT l.event_id, l.user_id, l.ts,
+         |       r.state AS r_state, r.ts AS r_ts
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+         |ORDER BY l.event_id""".stripMargin),
+
     // identical oracle to asof_join: broadcast vs shuffle is a plan
     // choice, not a semantics choice
     "asof_join_broadcast" ->

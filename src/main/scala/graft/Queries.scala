@@ -610,6 +610,24 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    "asof_join_native" -> ((s, dir) => {
+      // same semantics through the engine's custom physical operator
+      // (AsOfJoinPlan/Strategy/Exec): co-partitioned + sorted children,
+      // then ONE streaming merge pass with a single candidate row of
+      // state — no union, no window buffer. Oracle is DuckDB's native
+      // ASOF LEFT JOIN, like the other two spellings.
+      val ev = t(s, dir, "events")
+      val left = ev.filter(col("event_id") % 5 =!= 0)
+        .select("user_id", "ts", "event_id")
+      val right = ev.filter(col("event_id") % 5 === 0)
+        .groupBy("user_id", "ts").agg(max(col("value")).as("state"))
+      graft.operators.AsofJoinNative.join(
+          left, right, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("r_state"), col("r_ts"))
+        .orderBy("event_id")
+    }),
+
     "asof_join_broadcast" -> ((s, dir) => {
       // same semantics as asof_join via the broadcast spelling
       // (operators.AsofJoinBroadcast): the small state side collapses

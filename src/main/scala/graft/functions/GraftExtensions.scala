@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan-level extension: transparent range-join bucketization for
     // the SQL surface (gated on spark.graft.rangejoin.bucketWidth)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // whole-operator extension: the native as-of merge join
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }
 

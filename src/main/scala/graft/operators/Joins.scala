@@ -195,6 +195,47 @@ object AsofJoinBroadcast {
   }
 }
 
+object AsofJoinNative {
+
+  /** Backward as-of join through the engine's CUSTOM PHYSICAL OPERATOR
+    * ([[org.apache.spark.sql.graft.AsOfJoinExec]]): logical node +
+    * planner strategy + a streaming merge exec that holds ONE candidate
+    * row of state per partition. Same semantics and same shuffle count
+    * as [[AsofJoin.join]]'s union+window spelling, but each input row
+    * is touched once — no padded-schema union, no window frame buffer,
+    * no struct boxing. The composed spellings remain for the forward /
+    * tolerance variants.
+    *
+    * The strategy self-registers on the DataFrame's session (idempotent)
+    * so any session can call this; SQL-configured sessions get it from
+    * GraftExtensions. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           rightPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.graft.{bridge, AsOfJoinPlan, AsOfJoinStrategy}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // re-alias the right side so a self-join (both frames derived from
+    // one scan) cannot carry colliding expression ids into the plan
+    val r2 = right.select(right.columns.toIndexedSeq.map(c => right(c).as(c)): _*)
+    val plan = AsOfJoinPlan(
+      bridge.logicalPlan(left), bridge.logicalPlan(r2),
+      keys.map(k => bridge.expression(left(k))),
+      keys.map(k => bridge.expression(r2(k))),
+      bridge.expression(left(leftTime)),
+      bridge.expression(r2(rightTime)))
+    val joined = bridge.ofRows(spark, plan)
+      .toDF((left.columns.toSeq ++ right.columns.map(rightPrefix + _)): _*)
+    val rightVals = right.columns.filterNot(keys.contains).toSeq
+    val leftVals = left.columns
+      .filterNot(c => keys.contains(c) || c == leftTime).toSeq
+    joined.select((keys ++ Seq(leftTime) ++ leftVals ++
+      rightVals.map(rightPrefix + _)).map(col): _*)
+  }
+}
+
 /** Range (interval-containment) join: points to the intervals that
   * contain them, `lo <= p < hi`, optionally within equi-key groups.
   * Spark's planner turns a bare inequality join into a nested-loop over

@@ -149,6 +149,47 @@ class JoinsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native asof merge operator matches the window spelling exactly") {
+    val left = graft.Tables.load(spark, sf(), "events")
+      .filter(col("event_id") % 5 =!= 0)
+      .select("user_id", "ts", "event_id")
+    val right = graft.Tables.load(spark, sf(), "events")
+      .filter(col("event_id") % 5 === 0)
+      .groupBy("user_id", "ts").agg(max(col("value")).as("state"))
+    val native = AsofJoinNative.join(left, right, Seq("user_id"), "ts", "ts")
+    // the physical plan must carry the custom exec, co-partitioned
+    // (Exchange inserted by EnsureRequirements) and per-key sorted
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(600))
+    assert(plan.contains("Exchange hashpartitioning(user_id"), plan.take(1200))
+    val a = native.select("event_id", "r_state", "r_ts").collect()
+      .map(_.toString).sorted.toSeq
+    val b = AsofJoin.join(left, right, Seq("user_id"), "ts", "ts")
+      .select("event_id", "r_state", "r_ts").collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("native asof merge operator: null keys/times and empty-side behavior") {
+    val left = Seq(
+      (Some(1L), Some(10L), "a"), (Some(1L), Some(30L), "b"),
+      (None: Option[Long], Some(10L), "nk"), (Some(1L), None: Option[Long], "nt"),
+      (Some(9L), Some(10L), "nomatch"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(10L), 1.0), (Some(1L), Some(20L), 2.0),
+      (None: Option[Long], Some(5L), 99.0), (Some(1L), None: Option[Long], 98.0))
+      .toDF("k", "t", "v")
+    val out = AsofJoinNative.join(left, right, Seq("k"), "t", "t")
+      .select(col("tag"), col("r_v")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a") == Some(1.0))   // equal time matches (inclusive)
+    assert(out("b") == Some(2.0))   // latest at-or-before
+    assert(out("nk").isEmpty)       // NULL left key never matches
+    assert(out("nt").isEmpty)       // NULL left time never matches
+    assert(out("nomatch").isEmpty)  // key with no right rows
+  }
+
   test("broadcast asof join matches the shuffle spelling exactly") {
     val left = graft.Tables.load(spark, sf(), "events")
       .filter(col("event_id") % 5 =!= 0)
