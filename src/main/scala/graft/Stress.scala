@@ -333,6 +333,13 @@ object Stress {
         .count()
     }
     require(bN == 5000000L, s"broadcast as-of must keep every left row, got $bN")
+    // same inputs through the CUSTOM merge operator: co-partition +
+    // sort, then one streaming pass with one candidate row of state
+    val bNn = timed("AsOfJoinExec native merge 5M x 50k (single pass)") {
+      operators.AsofJoinNative.join(bevts, bstates, Seq("k"), "t", "t")
+        .count()
+    }
+    require(bNn == 5000000L, s"native as-of must keep every left row, got $bNn")
 
     // 20. Incremental rollup: fold a 1M-row update changelog into a
     // 100k-group state built from 5M rows — the fold's cost is
