@@ -137,6 +137,17 @@ object Oracles {
         "CASE WHEN event_id % 50 = 0 THEN 'replayed' ELSE 'first_pass' END AS pass " +
         "FROM events ORDER BY event_id"),
 
+    // the Spark side parsed real XML documents (with quarantine); the
+    // oracle re-derives both routes from the source rows directly
+    "parse_xml" ->
+      ("""SELECT s_suppkey AS sk,
+         |  CASE WHEN s_suppkey % 37 = 0 THEN NULL ELSE s_name END AS name,
+         |  CASE WHEN s_suppkey % 37 = 0 THEN NULL
+         |    ELSE CAST(s_nationkey AS INTEGER) END AS nation,
+         |  CASE WHEN s_suppkey % 37 = 0 THEN NULL ELSE s_acctbal END AS bal,
+         |  CASE WHEN s_suppkey % 37 = 0 THEN 'quarantined' ELSE 'ok' END AS status
+         |FROM supplier ORDER BY sk""".stripMargin),
+
     "parse_tskv" ->
       "SELECT CAST(r_regionkey AS INTEGER) AS rkey, r_name AS rname FROM region ORDER BY rkey",
 

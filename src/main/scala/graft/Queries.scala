@@ -264,6 +264,34 @@ object Queries {
       first.unionByName(replayed).orderBy("event_id")
     }),
 
+    "parse_xml" -> ((s, dir) => {
+      // XML ingestion with quarantine: supplier rows rendered as XML
+      // documents (attribute + child elements), every 37th corrupted;
+      // the parser types the good rows and the quarantine keeps the
+      // rest — the oracle re-derives both sets from the source table
+      val xml = concat(
+        lit("<supplier id=\""), col("s_suppkey").cast(StringType),
+        lit("\"><name>"), col("s_name"),
+        lit("</name><nation>"), col("s_nationkey").cast(StringType),
+        lit("</nation><bal>"), col("s_acctbal").cast(StringType),
+        lit("</bal></supplier>"))
+      val feed = t(s, dir, "supplier").select(col("s_suppkey"),
+        when(col("s_suppkey") % 37 === 0, lit("<supplier><broken"))
+          .otherwise(xml).as("raw"))
+      val good = graft.parsers.XmlParser.parse(feed, "raw", Seq(
+        ("sk", "@id", LongType), ("name", "name", StringType),
+        ("nation", "nation", IntegerType), ("bal", "bal", DoubleType)))
+        .withColumn("status", lit("ok"))
+      val bad = graft.parsers.XmlParser.unparsed(feed, "raw",
+          Seq(("sk", "@id", LongType)), keep = Seq("s_suppkey"))
+        .select(col("s_suppkey").as("sk"),
+          lit(null).cast(StringType).as("name"),
+          lit(null).cast(IntegerType).as("nation"),
+          lit(null).cast(DoubleType).as("bal"),
+          lit("quarantined").as("status"))
+      good.unionByName(bad).orderBy("sk")
+    }),
+
     "parse_tskv" -> ((s, dir) =>
       GenericParser.tskv(
         t(s, dir, "region").select(concat(

@@ -52,6 +52,70 @@ object GenericParser {
   }
 }
 
+/** XML payload parser: one XML document per row → typed columns, with
+  * the same quarantine contract as [[GenericParser]] (unparsable rows
+  * surface with their raw payload, never poison the batch).
+  *
+  * Field paths: `"child"` (text of the first child element with that
+  * name, searched recursively) or `"@attr"` (root-element attribute).
+  * Parsing is hardened per the public XXE guidance: DTDs disallowed,
+  * external entities disabled — a payload cannot reach the filesystem
+  * or network through entity expansion.
+  */
+object XmlParser {
+
+  private def secureFactory(): javax.xml.parsers.SAXParserFactory = {
+    val f = javax.xml.parsers.SAXParserFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.setXIncludeAware(false)
+    f.setNamespaceAware(false)
+    f
+  }
+
+  private def extract(root: scala.xml.Elem, path: String): String =
+    if (path.startsWith("@"))
+      root.attribute(path.substring(1)).map(_.text).orNull
+    else {
+      val hits = root \\ path
+      if (hits.isEmpty) null else hits.head.text
+    }
+
+  private def parsedCol(df: DataFrame, rawCol: String,
+                        paths: Seq[String]): DataFrame = {
+    val extractAll = udf { (s: String) =>
+      if (s == null) null
+      else try {
+        val loader = scala.xml.XML.withSAXParser(secureFactory().newSAXParser())
+        val root = loader.loadString(s)
+        paths.map(p => extract(root, p))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+    df.withColumn("__x", extractAll(col(rawCol)))
+  }
+
+  /** Parsed rows only, with typed columns per `(name, path, type)`. */
+  def parse(df: DataFrame, rawCol: String,
+            fields: Seq[(String, String, DataType)],
+            keep: Seq[String] = Nil): DataFrame = {
+    val p = parsedCol(df, rawCol, fields.map(_._2))
+    p.filter(col("__x").isNotNull)
+      .select((keep.map(col) ++ fields.zipWithIndex.map {
+        case ((name, _, t), i) =>
+          element_at(col("__x"), i + 1).cast(t).as(name)
+      }).toIndexedSeq: _*)
+  }
+
+  /** The quarantine route: rows whose payload failed to parse. */
+  def unparsed(df: DataFrame, rawCol: String,
+               fields: Seq[(String, String, DataType)],
+               keep: Seq[String] = Nil): DataFrame =
+    parsedCol(df, rawCol, fields.map(_._2))
+      .filter(col(rawCol).isNotNull && col("__x").isNull)
+      .select((keep.map(col) :+ col(rawCol).as("unparsed_raw")).toIndexedSeq: _*)
+}
+
 /** wal2json (PostgreSQL logical-decoding JSON) parser (reference:
   * pkg/providers/postgres/wal2json_parser.go + change_processor.go; the
   * format is the public wal2json plugin output: one JSON document per

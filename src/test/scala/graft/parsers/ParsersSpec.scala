@@ -22,6 +22,26 @@ class ParsersSpec extends SparkSpec {
     assert(bad == Seq((2L, "nope")))
   }
 
+  test("xml parser: attributes, nested elements, quarantine, XXE rejected") {
+    val df = Seq(
+      (1L, """<r id="7"><a><b>deep</b></a><n>42</n></r>"""),
+      (2L, "<r><unclosed"),
+      (3L, """<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/passwd">]><r id="9"><n>&x;</n></r>"""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "raw")
+    val fields = Seq(("rid", "@id", LongType), ("b", "b", StringType),
+      ("n", "n", IntegerType))
+    val good = XmlParser.parse(df, "raw", fields, keep = Seq("id"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    // recursive child search finds <b> under <a>; attribute typed long
+    assert(good == Map(1L -> ((7L, "deep", 42))))
+    // malformed AND entity-bearing payloads both quarantine — the
+    // doctype is rejected outright (XXE hardening), never resolved
+    val bad = XmlParser.unparsed(df, "raw", fields, keep = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(bad == Set(2L, 3L))
+  }
+
   test("tskv parser extracts typed fields") {
     val df = Seq("k=5\tname=web\tscore=1.5").toDF("raw")
     val out = GenericParser.tskv(df, "raw", Seq(
