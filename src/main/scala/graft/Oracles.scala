@@ -1549,6 +1549,37 @@ object Oracles {
     // the same correlation as plain SQL: CAST truncates ns -> µs exactly
     // like the Spark loader's `ts div 1000`, so boundary comparisons
     // agree; bounds are inclusive on both ends
+    // the same lag + gap-flag + running-sum recipe in DuckDB SQL,
+    // microsecond-exact gap arithmetic on both engines
+    "sessionize_batch" ->
+      ("""WITH x AS (
+         |  SELECT user_id, ts, event_id,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |z AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(CASE WHEN prev IS NULL
+         |        OR epoch_us(ts) - epoch_us(prev) > 1800000000
+         |      THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+         |  FROM x)
+         |SELECT user_id, session_n, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end
+         |FROM z GROUP BY user_id, session_n
+         |ORDER BY user_id, session_n""".stripMargin),
+
+    // cohort = first active day; cells count distinct users per offset
+    "retention_cohorts" ->
+      ("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+         |x AS (SELECT DISTINCT e.user_id, f.cohort_day,
+         |  date_diff('day', f.cohort_day, e.d) AS day_offset
+         |  FROM e JOIN f USING (user_id))
+         |SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+         |  count(*) AS n_users
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // the Spark side enriched a real file-source stream against a
     // broadcast dimension; batch SQL re-derives the same join + totals
     "stream_enrich" ->

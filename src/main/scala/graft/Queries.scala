@@ -1707,6 +1707,45 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "sessionize_batch" -> ((s, dir) => {
+      // batch sessionization by gap rule (the lag+cumsum recipe): a new
+      // session starts where the gap from the previous event exceeds 30
+      // minutes. One shuffle on user_id; both windows share that
+      // partitioning, so the plan sorts once per user partition.
+      val W = org.apache.spark.sql.expressions.Window
+      val byUser = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = t(s, dir, "events").select("user_id", "ts", "event_id")
+      ev.withColumn("__prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("__new",
+          when(col("__prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800000000L,
+            1L).otherwise(0L))
+        .withColumn("session_n", sum(col("__new")).over(
+          byUser.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy(col("user_id"), col("session_n"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_n")
+    }),
+
+    "retention_cohorts" -> ((s, dir) => {
+      // cohort retention triangle: users grouped by first-activity day
+      // (cohort), counted by distinct active day offset. Two shuffles
+      // (first-day per user, then cohort cells) — both on bounded key
+      // domains, the classic product-analytics rollup at any scale.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val firstDay = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+      ev.join(firstDay, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).as("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     "session_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
