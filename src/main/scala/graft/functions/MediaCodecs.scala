@@ -41,6 +41,8 @@ object MediaCodecs {
         s.indices.forall(i => (b(off + i) & 0xff) == s.charAt(i).toInt)
     if (b == null || b.length < 4) "application/octet-stream"
     else if (b.length >= 8 && isPng(b)) "image/png"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+             (b(2) & 0xff) == 0xff) "image/jpeg"
     else if (has(0, "GIF8")) "image/gif"
     else if (has(0, "P6")) "image/x-portable-pixmap"
     else if (has(0, "BM")) "image/bmp"
@@ -516,12 +518,13 @@ object MediaCodecs {
     bos.toByteArray
   }
 
-  /** Dispatch PPM/BMP/PNG/GIF on magic bytes. */
+  /** Dispatch PPM/BMP/PNG/GIF/JPEG on magic bytes. */
   def decodeImage(b: Array[Byte]): Raster = sniff(b) match {
     case "image/x-portable-pixmap" => decodePpm(b)
     case "image/bmp"               => decodeBmp(b)
     case "image/png"               => decodePng(b)
     case "image/gif"               => decodeGif(b)
+    case "image/jpeg"              => Jpeg.decode(b)
     case m => throw new IllegalArgumentException(
       s"no library-free decoder for $m")
   }

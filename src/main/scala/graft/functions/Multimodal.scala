@@ -8,16 +8,17 @@ import org.apache.spark.sql.types._
   * columns plus a typed metadata struct, with batch-shaped
   * decode/feature/resize stages over `mapPartitions`.
   *
-  * Decode kernels are REAL for the library-free public formats —
-  * PPM/BMP/PNG images (decode + nearest-neighbor resize; PNG is full
-  * zlib+filters per the W3C spec — the JDK ships zlib) and RIFF/WAV
-  * PCM audio, all in [[MediaCodecs]] — and oracle-gated
-  * (`multimodal_decode`, `multimodal_png`, `multimodal_audio`).
-  * Formats that genuinely need external codec libraries (JPEG/MP3…)
-  * fall back to a clearly-marked deterministic stand-in; the
-  * Spark-side contract (schema, batch iteration, partitioning,
-  * metadata-first filtering before any decode) is identical either
-  * way.
+  * Decode kernels are REAL for every image format the pipeline sniffs
+  * — PPM/BMP (raw), PNG (full zlib + scanline filters), GIF (real
+  * variable-width LZW), baseline JPEG (stream-defined Huffman tables,
+  * zigzag/dequant/IDCT, YCbCr) — plus RIFF/WAV PCM audio, all in
+  * [[MediaCodecs]]/[[Jpeg]] and oracle-gated (`multimodal_decode`,
+  * `multimodal_png`, `multimodal_gif`, `multimodal_jpeg`,
+  * `multimodal_audio`). Formats that genuinely need external codec
+  * libraries (MP3/H.264-class audio/video) fall back to a
+  * clearly-marked deterministic stand-in; the Spark-side contract
+  * (schema, batch iteration, partitioning, metadata-first filtering
+  * before any decode) is identical either way.
   */
 object Multimodal {
 
@@ -125,7 +126,7 @@ object Multimodal {
         out(5) = p.channels.toFloat
         out
       case _ =>
-        // STAND-IN for codec-library formats (JPEG/MP3…)
+        // STAND-IN for codec-library formats (MP3/video…)
         var i = 0
         while (i < payload.length) {
           out(i % FeatureDim) += (payload(i) & 0xff) / 255.0f

@@ -397,6 +397,38 @@ class TextMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { MediaCodecs.decodePng(bytes) }
   }
 
+  test("jpeg codec: constant blocks bit-exact; general images within DCT tolerance") {
+    import graft.functions.{Jpeg, MediaCodecs}
+    // constant 8x8 blocks: DC-only, flat quant 8 → LOSSLESS roundtrip
+    val vals = Array(0, 1, 17, 128, 200, 254, 255, 77)
+    val w = 16; val h = 32 // 2x4 blocks
+    val gray = new Array[Byte](w * h)
+    for (by <- 0 until h / 8; bx <- 0 until w / 8; y <- 0 until 8; x <- 0 until 8)
+      gray((by * 8 + y) * w + bx * 8 + x) = vals((by * (w / 8) + bx) % vals.length).toByte
+    val jp = Jpeg.encodeGray(w, h, gray)
+    assert(MediaCodecs.sniff(jp) == "image/jpeg")
+    val dec = Jpeg.decode(jp)
+    assert(dec.width == w && dec.height == h)
+    gray.indices.foreach { i =>
+      assert((dec.rgb(i * 3) & 0xff) == (gray(i) & 0xff), s"pixel $i drifted")
+    }
+    // a structured gradient image: lossy but bounded — every pixel
+    // within a small DCT/quant tolerance of the source
+    val g2 = Array.tabulate[Byte](64 * 64)(i => ((i % 64) * 3 + (i / 64) % 17).toByte)
+    val d2 = Jpeg.decode(Jpeg.encodeGray(64, 64, g2))
+    val maxErr = g2.indices.map(i =>
+      math.abs((d2.rgb(i * 3) & 0xff) - (g2(i) & 0xff))).max
+    assert(maxErr <= 8, s"gray max pixel error $maxErr")
+    // 3-component color path: YCbCr forward+inverse + interleaved MCUs
+    val rgb = Array.tabulate[Byte](16 * 16 * 3)(i => ((i * 11 + 7) % 256).toByte)
+    val c = Jpeg.decode(Jpeg.encodeRgb(MediaCodecs.Raster(16, 16, rgb)))
+    val maxCErr = rgb.indices.map(i =>
+      math.abs((c.rgb(i) & 0xff) - (rgb(i) & 0xff))).max
+    assert(maxCErr <= 24, s"color max channel error $maxCErr")
+    // decodeImage dispatch reaches the jpeg kernel
+    assert(MediaCodecs.decodeImage(jp).width == w)
+  }
+
   test("gif codec: LZW roundtrips through width growth; palette mapping exact") {
     import graft.functions.MediaCodecs
     val pal = Array.tabulate[Byte](768) { j =>
