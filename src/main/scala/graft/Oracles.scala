@@ -2092,6 +2092,23 @@ object Oracles {
          |  CAST(64*(b0+b1+b2+b3) AS BIGINT) AS sum_b
          |FROM x ORDER BY doc_id""".stripMargin),
 
+    // the Spark side walked a real AVI container and JPEG-decoded the
+    // SAMPLED frames (0 and 2 of 4); the oracle predicts each sampled
+    // frame's constant-gray sums from its generating md5 byte
+    "multimodal_video" ->
+      ("""WITH b AS (SELECT doc_id, md5(text) AS m FROM documents),
+         |f AS (
+         |  SELECT doc_id, 0 AS frame_idx,
+         |    CAST(('0x'||substr(m,1,2)) AS BIGINT) AS v FROM b
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS frame_idx,
+         |    CAST(('0x'||substr(m,5,2)) AS BIGINT) AS v FROM b)
+         |SELECT doc_id, 'video/avi' AS mime,
+         |  CAST(frame_idx AS INTEGER) AS frame_idx,
+         |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+         |  256*v AS sum_r, 256*v AS sum_g, 256*v AS sum_b
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
+
     // the Spark side LZW-decoded a real GIF; the oracle recomputes the
     // palette-mapped channel sums from the md5 hex that built the
     // indices (each of the 4 bytes colors exactly 64 of 256 pixels)

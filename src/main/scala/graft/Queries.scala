@@ -3068,6 +3068,30 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "multimodal_video" -> ((s, dir) => {
+      // REAL video frame sampling: each doc becomes a 4-frame
+      // AVI/MJPEG container (RIFF movi chunks of true baseline JPEGs,
+      // frame i constant at md5 byte b_i); the stage walks the real
+      // container, samples every 2nd frame, and Huffman+IDCT-decodes
+      // the sampled frames only — decode cost ∝ sampled frames. The
+      // oracle predicts the exact per-frame sums from the md5 hex.
+      val mkAvi = udf { (hex: String) =>
+        val frames = (0 until 4).map { i =>
+          val v = Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16)
+          val gray = Array.fill[Byte](256)(v.toByte)
+          graft.functions.Jpeg.encodeGray(16, 16, gray)
+        }
+        graft.functions.MediaCodecs.encodeAviMjpeg(frames, 16, 16)
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        mkAvi(substring(md5(col("text")), 1, 8)).as("payload"))
+      Multimodal.frameSampleStats(docs, every = 2)
+        .withColumn("mime", Multimodal.mimeSniff(col("payload")))
+        .select("doc_id", "mime", "frame_idx", "width", "height",
+          "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "multimodal_audio" -> ((s, dir) => {
       // REAL audio decode (MediaCodecs.decodeWav): every doc becomes a
       // 44-byte PCM WAV (mono, 8 kHz, 16-bit) whose 4 samples are the

@@ -47,6 +47,7 @@ object MediaCodecs {
     else if (has(0, "P6")) "image/x-portable-pixmap"
     else if (has(0, "BM")) "image/bmp"
     else if (has(0, "RIFF") && has(8, "WAVE")) "audio/wav"
+    else if (has(0, "RIFF") && has(8, "AVI ")) "video/avi"
     else "application/octet-stream"
   }
 
@@ -516,6 +517,100 @@ object MediaCodecs {
     bos.write(0)
     bos.write(0x3b)
     bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------ AVI
+  // (RIFF AVI container, public spec; frames are MJPEG = whole JPEGs)
+
+  /** Minimal spec-valid AVI/MJPEG container around pre-encoded JPEG
+    * frames: RIFF('AVI ') → LIST hdrl (avih + strl(strh 'vids'/'MJPG'
+    * + strf BITMAPINFOHEADER)) → LIST movi ('00dc' chunks, RIFF
+    * even-byte padding). Enough structure that standard tools index
+    * the stream; enough reality that the decoder must walk a real
+    * container. */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+                     fps: Int = 25): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def chunkBody(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val m = new java.io.ByteArrayOutputStream()
+      frames.foreach { f =>
+        m.write("00dc".getBytes("US-ASCII"))
+        m.write(f.length & 0xff); m.write((f.length >> 8) & 0xff)
+        m.write((f.length >> 16) & 0xff); m.write((f.length >> 24) & 0xff)
+        m.write(f)
+        if (f.length % 2 == 1) m.write(0) // RIFF even padding
+      }
+      m.toByteArray
+    }
+    val movi = chunkBody(frames)
+    // strl: strh (56) + strf (40)
+    val strl = new java.io.ByteArrayOutputStream()
+    def sl32(v: Int): Unit = {
+      strl.write(v & 0xff); strl.write((v >> 8) & 0xff)
+      strl.write((v >> 16) & 0xff); strl.write((v >> 24) & 0xff)
+    }
+    strl.write("strh".getBytes("US-ASCII")); sl32(56)
+    strl.write("vids".getBytes("US-ASCII"))
+    strl.write("MJPG".getBytes("US-ASCII"))
+    sl32(0); sl32(0); sl32(0) // flags, prio+lang, initialFrames
+    sl32(1); sl32(fps)        // scale, rate
+    sl32(0); sl32(frames.length) // start, length
+    sl32(0); sl32(-1); sl32(0)   // bufSize, quality, sampleSize
+    sl32(0); sl32((height << 16) | width) // rcFrame
+    strl.write("strf".getBytes("US-ASCII")); sl32(40)
+    sl32(40); sl32(width); sl32(height); sl32((24 << 16) | 1)
+    strl.write("MJPG".getBytes("US-ASCII"))
+    sl32(width * height * 3); sl32(0); sl32(0); sl32(0); sl32(0)
+    val strlB = strl.toByteArray
+    // hdrl: avih (56) + LIST strl
+    val hdrlLen = 4 + 8 + 56 + 8 + 4 + strlB.length
+    val riffLen = 4 + 8 + hdrlLen + 8 + 4 + movi.length
+    ascii("RIFF"); le32(riffLen); ascii("AVI ")
+    ascii("LIST"); le32(hdrlLen); ascii("hdrl")
+    ascii("avih"); le32(56)
+    le32(1000000 / fps); le32(0); le32(0); le32(0x10) // hasIndex-less, AVIF_WASCAPTUREFILE? plain flags
+    le32(frames.length); le32(0); le32(1); le32(0)
+    le32(width); le32(height)
+    le32(0); le32(0); le32(0); le32(0)
+    ascii("LIST"); le32(4 + strlB.length); ascii("strl")
+    bos.write(strlB)
+    ascii("LIST"); le32(4 + movi.length); ascii("movi")
+    bos.write(movi)
+    bos.toByteArray
+  }
+
+  /** Walk a RIFF AVI container and return the video frames ('00dc' /
+    * '00db' chunk payloads) in stream order. Tolerant of any header
+    * layout: only the RIFF grammar is assumed — find the movi LIST,
+    * iterate its even-padded subchunks. */
+  def decodeAviFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "AVI ", "not a riff/avi")
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walkList(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = new String(b, p, 4, "US-ASCII")
+        val size = i32(b, p + 4)
+        require(size >= 0 && p + 8L + size <= b.length,
+          s"avi chunk '$id' overruns payload")
+        if (id == "LIST") {
+          val listType = new String(b, p + 8, 4, "US-ASCII")
+          if (listType == "movi" || listType == "hdrl" || listType == "rec ")
+            walkList(p + 12, p + 8 + size)
+        } else if (id == "00dc" || id == "00db") {
+          frames += java.util.Arrays.copyOfRange(b, p + 8, p + 8 + size)
+        }
+        p += 8 + size + (size % 2) // RIFF even padding
+      }
+    }
+    walkList(12, math.min(b.length, 8 + i32(b, 4)))
+    frames.toSeq
   }
 
   /** Dispatch PPM/BMP/PNG/GIF/JPEG on magic bytes. */

@@ -176,6 +176,52 @@ object Multimodal {
     }(enc)
   }
 
+  /** Video frame sampling over an AVI/MJPEG binary column: walk the
+    * REAL container (RIFF movi chunks), take every `every`-th frame,
+    * decode each through the real JPEG kernel, emit one row per
+    * sampled frame with integer-exact raster stats. This is the
+    * training-pipeline video stage — sample-then-decode, so the
+    * decode cost scales with the SAMPLED frame count, not the video
+    * length; undecodable payloads yield a single null-stats row for
+    * quarantine routing. */
+  def frameSampleStats(df: DataFrame, every: Int,
+                       payloadCol: String = "payload"): DataFrame = {
+    require(every > 0, "sampling stride must be positive")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        try {
+          val frames = MediaCodecs.decodeAviFrames(payload)
+          frames.indices.collect {
+            case i if i % every == 0 =>
+              val img = Jpeg.decode(frames(i))
+              var cr = 0L; var cg = 0L; var cb = 0L
+              var p = 0
+              while (p < img.rgb.length) {
+                cr += img.rgb(p) & 0xff; cg += img.rgb(p + 1) & 0xff
+                cb += img.rgb(p + 2) & 0xff
+                p += 3
+              }
+              Row.fromSeq(r.toSeq ++
+                Seq[Any](i, img.width, img.height, cr, cg, cb))
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(Row.fromSeq(r.toSeq ++
+              Seq[Any](null, null, null, null, null, null)))
+        }
+      }
+    }(enc)
+  }
+
   /** Real resize stage: decode PPM/BMP, nearest-neighbor resample to
     * `w x h`, re-encode as PPM into `resizedCol`. Null for
     * undecodable payloads. */

@@ -429,6 +429,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decodeImage(jp).width == w)
   }
 
+  test("avi/mjpeg container: frames roundtrip in order; sampling decodes only its stride") {
+    import graft.functions.{Jpeg, MediaCodecs}
+    val frames = (0 until 5).map { i =>
+      Jpeg.encodeGray(16, 16, Array.fill[Byte](256)((i * 40 + 10).toByte))
+    }
+    val avi = MediaCodecs.encodeAviMjpeg(frames, 16, 16)
+    assert(MediaCodecs.sniff(avi) == "video/avi")
+    val back = MediaCodecs.decodeAviFrames(avi)
+    assert(back.size == 5)
+    back.zipWithIndex.foreach { case (f, i) =>
+      val img = Jpeg.decode(f)
+      assert((img.rgb(0) & 0xff) == i * 40 + 10, s"frame $i")
+    }
+    // odd-sized frames exercise RIFF even-padding
+    val odd = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](8))
+    val aviOdd = MediaCodecs.encodeAviMjpeg(odd, 1, 1)
+    assert(MediaCodecs.decodeAviFrames(aviOdd).map(_.toSeq) == odd.map(_.toSeq))
+    // the Spark stage: every 2nd frame, one row per sampled frame
+    val df = Seq((1L, avi)).toDF("id", "payload")
+    val out = graft.functions.Multimodal.frameSampleStats(df, every = 2)
+      .select("frame_idx", "sum_r").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0, 2, 4))
+    assert(out(2) == 256L * 90)
+  }
+
   test("gif codec: LZW roundtrips through width growth; palette mapping exact") {
     import graft.functions.MediaCodecs
     val pal = Array.tabulate[Byte](768) { j =>
