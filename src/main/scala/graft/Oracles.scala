@@ -2125,6 +2125,14 @@ object Oracles {
          |  CAST(64*((b0+170)%256+(b1+170)%256+(b2+170)%256+(b3+170)%256) AS BIGINT) AS sum_b
          |FROM x ORDER BY doc_id""".stripMargin),
 
+    // the Spark side FFT'd a real decoded tone; the oracle predicts
+    // the dominant bin straight from the planted frequency
+    "multimodal_spectral" ->
+      ("""SELECT doc_id, CAST(64 AS INTEGER) AS n_samples,
+         |  CAST(CAST(('0x'||substr(md5(text),1,2)) AS INT) % 31 + 1
+         |    AS INTEGER) AS dominant_bin
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
     // the Spark side walked RIFF chunks and decoded real int16 PCM;
     // the oracle reconstructs the same little-endian signed samples
     // from the md5 hex that built the data chunk

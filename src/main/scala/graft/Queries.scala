@@ -3109,6 +3109,35 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "multimodal_spectral" -> ((s, dir) => {
+      // REAL frequency-domain audio analysis: each doc gets a 64-sample
+      // PCM WAV carrying a pure tone whose bin index derives from its
+      // md5 (integer cycles → all energy in exactly one FFT bin); the
+      // stage decodes the WAV and runs a real radix-2 FFT (Dsp.fft) —
+      // the oracle predicts the dominant bin from the generating
+      // formula without running any transform.
+      val mkWav = udf { (hex: String) =>
+        val b0 = Integer.parseInt(hex.substring(0, 2), 16)
+        val samples = graft.functions.Dsp.sine(b0 % 31 + 1, 64, 20000)
+        val bos = new java.io.ByteArrayOutputStream()
+        def ascii(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+        def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+          bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+        def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+        ascii("RIFF"); le32(36 + 128); ascii("WAVE")
+        ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
+        le16(2); le16(16)
+        ascii("data"); le32(128)
+        samples.foreach(v => le16(v & 0xffff))
+        bos.toByteArray
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        mkWav(substring(md5(col("text")), 1, 2)).as("payload"))
+      Multimodal.audioSpectral(docs)
+        .select("doc_id", "n_samples", "dominant_bin")
+        .orderBy("doc_id")
+    }),
+
     "mime_sniff" -> ((s, dir) => {
       // magic-byte content-type detection over planted payloads: each
       // doc gets a real file signature (or none) prefixed to its text

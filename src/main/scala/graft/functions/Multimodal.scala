@@ -248,6 +248,34 @@ object Multimodal {
   /** Real audio-decode stage: integer-exact PCM stats
     * (`n_samples sample_rate sum_abs peak`) from an actual WAV decode.
     * Null stats for undecodable payloads. */
+  /** Frequency-domain audio features: decode the WAV, FFT the first
+    * `fftSize` samples ([[Dsp.fft]] — real radix-2, deterministic
+    * butterfly order), report the dominant non-DC bin. Null stats for
+    * undecodable or too-short payloads (quarantine routing). */
+  def audioSpectral(df: DataFrame, fftSize: Int = 64,
+                    payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_samples", IntegerType),
+      StructField("dominant_bin", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats =
+          try {
+            val pcm = MediaCodecs.decodeWav(payload)
+            Seq[Any](pcm.samples.length,
+              Dsp.dominantBin(pcm.samples, fftSize))
+          } catch {
+            case scala.util.control.NonFatal(_) => Seq[Any](null, null)
+          }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
+  }
+
   def decodeAudioStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("n_samples", IntegerType),

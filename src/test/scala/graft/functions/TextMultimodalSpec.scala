@@ -429,6 +429,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decodeImage(jp).width == w)
   }
 
+  test("fft: parseval, impulse flatness, planted tones land in their bins") {
+    import graft.functions.Dsp
+    // impulse → flat spectrum: |X[k]| identical for every k
+    val re = new Array[Double](64); val im = new Array[Double](64)
+    re(0) = 1.0
+    Dsp.fft(re, im)
+    (0 until 64).foreach { k =>
+      assert(math.abs(math.hypot(re(k), im(k)) - 1.0) < 1e-12, s"bin $k")
+    }
+    // every integer-cycle tone is recovered exactly — all 31 bins
+    (1 to 31).foreach { k =>
+      assert(Dsp.dominantBin(Dsp.sine(k, 64, 20000)) == k, s"tone $k")
+    }
+    // parseval: energy preserved (within fp tolerance)
+    val sig = Array.tabulate(64)(i => math.sin(0.7 * i) + 0.3 * math.cos(2.1 * i))
+    val r2 = sig.clone(); val i2 = new Array[Double](64)
+    Dsp.fft(r2, i2)
+    val tEnergy = sig.map(x => x * x).sum
+    val fEnergy = (0 until 64).map(k => (r2(k) * r2(k) + i2(k) * i2(k)) / 64).sum
+    assert(math.abs(tEnergy - fEnergy) < 1e-9)
+  }
+
   test("avi/mjpeg container: frames roundtrip in order; sampling decodes only its stride") {
     import graft.functions.{Jpeg, MediaCodecs}
     val frames = (0 until 5).map { i =>
