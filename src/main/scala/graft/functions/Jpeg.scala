@@ -22,6 +22,12 @@ package graft.functions
   */
 object Jpeg {
 
+  // cos((2x+1)·u·π/16) table — the same math.cos values the naive
+  // loops would compute, cached once (they dominated encode cost:
+  // multimodal_video 23.9s → the trig calls, not the arithmetic)
+  private val Cos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+
   // zigzag scan order (spec Figure A.6)
   private val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -95,9 +101,7 @@ object Jpeg {
         while (x < 8) {
           var y = 0
           while (y < 8) {
-            sum += (block(y * 8 + x) - 128) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
+            sum += (block(y * 8 + x) - 128) * Cos(x)(u) * Cos(y)(v)
             y += 1
           }
           x += 1
@@ -461,9 +465,7 @@ object Jpeg {
           while (v < 8) {
             val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
             val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-            sum += cu * cv * coefs(v * 8 + u) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
+            sum += cu * cv * coefs(v * 8 + u) * Cos(x)(u) * Cos(y)(v)
             v += 1
           }
           u += 1
