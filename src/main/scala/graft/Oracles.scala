@@ -1088,6 +1088,57 @@ object Oracles {
          |  CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
+    // hybrid RRF: the bm25_search CTE chain (query texts = the four
+    // query docs' own text, k=20), the ann_cosine CTE chain (same
+    // query ids, k=20), self-hits dropped after ranking, then the
+    // 1/(60+rank) fusion — contributions rounded and DECIMAL-summed
+    // exactly like the Spark side
+    "hybrid_rrf" ->
+      (s"""WITH q AS (SELECT doc_id AS query_id, text AS qtext
+         |  FROM documents WHERE doc_id < 4),
+         |qt AS (SELECT DISTINCT query_id,
+         |  unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS token FROM q),
+         |dt AS (SELECT doc_id, len($toks) AS dl, unnest($toks) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
+         |  FROM dt WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, sum(len($toks)) AS total
+         |  FROM documents),
+         |lc AS (SELECT qt.query_id, tf.doc_id,
+         |  CAST(round(ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+         |    (tf.tf * (1.2 + 1.0) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 +
+         |        0.75 * tf.dl * st.n_docs / CAST(st.total AS DOUBLE)))), 6)
+         |    AS DECIMAL(18,6)) AS c
+         |  FROM tf JOIN dfq USING (token) JOIN qt USING (token), st),
+         |ls AS (SELECT query_id, doc_id,
+         |  CAST(sum(c) AS DECIMAL(18,6)) AS score FROM lc GROUP BY 1, 2),
+         |r_lex AS (SELECT query_id, doc_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM ls),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sv AS (SELECT q2.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |  round(list_dot_product(q2.v, c2.v) /
+         |    (sqrt(list_dot_product(q2.v, q2.v)) * sqrt(list_dot_product(c2.v, c2.v))), 6) AS score
+         |  FROM e q2, e c2 WHERE q2.vec_id < 4 AND q2.vec_id <> c2.vec_id),
+         |r_vec AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM sv),
+         |fin AS (SELECT query_id, doc_id AS id, rank FROM r_lex
+         |    WHERE rank <= 20 AND doc_id <> query_id
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, rank FROM r_vec WHERE rank <= 20),
+         |fc AS (SELECT query_id, id,
+         |  CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS c FROM fin),
+         |f AS (SELECT query_id, id,
+         |  CAST(sum(c) AS DECIMAL(18,6)) AS score FROM fc GROUP BY 1, 2),
+         |rr AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM f)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(id AS BIGINT) AS doc_id, CAST(score AS DOUBLE) AS score,
+         |  CAST(rank AS INT) AS rank
+         |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
     // the identical planted input and RE2 chain as the Spark side
     "url_normalize" ->
       ("""WITH planted AS (
@@ -1284,6 +1335,15 @@ object Oracles {
     "dedup_minhash_bands" -> (minhashBandsSql + " ORDER BY doc_id, band"),
 
     "dedup_minhash_pairs" ->
+      (s"""WITH bands AS ($minhashBandsSql)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // incremental band-index updates must union to the full recompute,
+    // so the oracle IS the full recompute
+    "dedup_lsh_incremental" ->
       (s"""WITH bands AS ($minhashBandsSql)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
@@ -2170,7 +2230,60 @@ object Oracles {
          |    WHEN 4 THEN 6 WHEN 5 THEN 4 ELSE 0 END
          |    + octet_length(encode(text)) AS BIGINT) AS byte_len
          |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // perceptual dHash: the oracle replays every pipeline bit from the
+    // md5 hex — pixel synthesis (+1 perturbation), integer grayscale
+    // (= the pixel value, since r=g=b so the 77/150/29 luma is
+    // identity), horizontal-gradient bits, 16-bit bands
+    "image_dhash_bands" ->
+      (s"""$dhashBandsSql
+         |SELECT doc_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id""".stripMargin),
+
+    // ... and the LSH stage too: hot-bucket cap, band-collision
+    // candidate generation, exact Hamming gate
+    "image_dhash_neardup" ->
+      (s"""$dhashBandsSql,
+         |bx AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM bands
+         |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+         |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+         |ok AS (SELECT bi, bv FROM bx GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+         |  FROM bx l JOIN ok ON ok.bi = l.bi AND ok.bv = l.bv
+         |  JOIN bx r ON r.bi = l.bi AND r.bv = l.bv AND l.doc_id < r.doc_id),
+         |ham AS (SELECT c.left_id, c.right_id,
+         |    CAST(bit_count(xor(lb.b0, rb.b0)) + bit_count(xor(lb.b1, rb.b1)) +
+         |         bit_count(xor(lb.b2, rb.b2)) + bit_count(xor(lb.b3, rb.b3))
+         |      AS INT) AS hamming
+         |  FROM cand c JOIN bands lb ON lb.doc_id = c.left_id
+         |  JOIN bands rb ON rb.doc_id = c.right_id)
+         |SELECT left_id, right_id, hamming FROM ham
+         |WHERE hamming <= 6 ORDER BY left_id, right_id""".stripMargin),
   )
+
+  /** Shared dHash CTE chain (ends at the `bands` table): rebuilds the
+    * planted 9×8 grayscale images from their md5 chains and derives
+    * the four 16-bit dHash bands with pure integer SQL — mirrors
+    * [[graft.functions.ImageDedup.dhashBands]] bit for bit. */
+  private lazy val dhashBandsSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    'img:' || CAST(doc_id // 4 AS VARCHAR) AS seed FROM documents),
+      |ch AS (SELECT doc_id, i, md5(seed || ':' || CAST(i AS VARCHAR)) AS m
+      |  FROM d, (SELECT unnest(range(0, 5)) AS i) ii),
+      |px AS (SELECT doc_id, p,
+      |    (CAST(('0x' || substr(m, 1 + 2 * (p % 16), 2)) AS INT)
+      |      + CASE WHEN p = doc_id % 72 THEN 128 ELSE 0 END) % 256 AS v
+      |  FROM ch, (SELECT unnest(range(0, 72)) AS p) pp WHERE p // 16 = i),
+      |bits AS (SELECT a.doc_id, ((a.p // 9) * 8 + (a.p % 9)) AS idx,
+      |    CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      |  WHERE a.p % 9 < 8),
+      |bands AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN idx // 16 = 0 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b0,
+      |  CAST(sum(CASE WHEN idx // 16 = 1 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b1,
+      |  CAST(sum(CASE WHEN idx // 16 = 2 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b2,
+      |  CAST(sum(CASE WHEN idx // 16 = 3 THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b3
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Shared MinHash band SQL (16 affine permutations of one md5-derived
     * base hash per shingle, 3-shingles, 4 bands) — mirrors

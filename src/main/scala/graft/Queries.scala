@@ -1319,6 +1319,26 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "dedup_lsh_incremental" -> ((s, dir) => {
+      // continuous-crawl near-dup dedup: the corpus arrives in two
+      // batches (even doc_ids, then odd); each update probes the
+      // persisted band index by broadcasting ITS band rows into a
+      // map-side join (the index never shuffles, cost per update is
+      // O(index scan + batch)) and then appends its own rows. The
+      // union of discovered pairs must equal a one-shot full
+      // recompute — which is exactly what the oracle does in SQL.
+      val base = "/tmp/graft_bandindex"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = t(s, dir, "documents")
+      val u1 = Dedup.bandIndexUpdate(s"$base/idx",
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      val u2 = Dedup.bandIndexUpdate(s"$base/idx",
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      u1.unionByName(u2).orderBy("id_a", "id_b")
+    }),
+
     "lm_score" -> ((s, dir) =>
       // CCNet-style quality gate: corpus-trained add-one bigram LM,
       // per-doc tf-weighted mean log-prob; training is two counting
@@ -1449,6 +1469,30 @@ object Queries {
           2 -> "vector scan query", 3 -> "customer order line part"),
         "text", "doc_id", k = 10)
         .orderBy("query_id", "rank")),
+
+    "hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: a lexical BM25 list and a dense-cosine list
+      // over the same query ids (doc_id and vec_id share a domain in
+      // the fixtures), fused by reciprocal-rank fusion. Self-hits are
+      // dropped AFTER ranking, so surviving ranks are the true
+      // per-list positions — the oracle mirrors that order exactly.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qs = docs.filter(col("doc_id") < 4).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+        .sortBy(_._1).toSeq // 4 query rows — metadata-scale collect
+      val lex = TextAnalysis.bm25TopK(docs, qs, "text", "doc_id", k = 20)
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id").cast("long").as("query_id"),
+          col("doc_id").as("id"), col("rank"))
+      val vec = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 4), emb, "embedding", "vec_id", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("score"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
 
     "url_normalize" -> ((s, dir) => {
       // the fixture corpus has no URL column, so plant deterministic
@@ -3135,6 +3179,67 @@ object Queries {
         mkWav(substring(md5(col("text")), 1, 2)).as("payload"))
       Multimodal.audioSpectral(docs)
         .select("doc_id", "n_samples", "dominant_bin")
+        .orderBy("doc_id")
+    }),
+
+    "image_dhash_neardup" -> ((s, dir) => {
+      // perceptual image near-dup detection end to end: docs in the
+      // same doc_id-div-4 cluster share an md5-derived 9x8 grayscale
+      // image except for ONE +128-perturbed pixel (flips at most 2
+      // gradient bits), so within-cluster pairs sit at Hamming <= 4
+      // while cross-cluster hashes are random 64-bit. The stage runs
+      // the REAL pipeline — PPM encode, codec decode, integer-luma
+      // dHash, 16-bit band LSH with the hot-bucket cap, exact Hamming
+      // gate — and the oracle replays every bit from the md5 hex.
+      val mkPpm = udf { (hexes: Seq[String], perturb: Int) =>
+        val px = new Array[Int](72)
+        var p = 0
+        while (p < 72) {
+          val h = hexes(p / 16)
+          px(p) = Integer.parseInt(h.substring(2 * (p % 16), 2 * (p % 16) + 2), 16)
+          p += 1
+        }
+        px(perturb) = (px(perturb) + 128) % 256
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write("P6\n9 8\n255\n".getBytes("US-ASCII"))
+        px.foreach { v => bos.write(v); bos.write(v); bos.write(v) }
+        bos.toByteArray
+      }
+      val seed = concat(lit("img:"), expr("CAST(doc_id AS BIGINT) div 4").cast("string"))
+      val chains = array((0 until 5).map(i =>
+        md5(concat(seed, lit(s":$i")))): _*)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        mkPpm(chains, (col("doc_id") % 72).cast("int")).as("payload"))
+      val hashed = graft.functions.ImageDedup.dhashFrame(docs)
+      graft.functions.ImageDedup.nearDupPairs(hashed, maxHamming = 6)
+        .orderBy("left_id", "right_id")
+    }),
+
+    "image_dhash_bands" -> ((s, dir) => {
+      // the hash stage alone, every doc: proves the decode → luma →
+      // gradient bit path bit-for-bit (the near-dup row above only
+      // samples hashes that collide into candidate pairs)
+      val mkPpm = udf { (hexes: Seq[String], perturb: Int) =>
+        val px = new Array[Int](72)
+        var p = 0
+        while (p < 72) {
+          val h = hexes(p / 16)
+          px(p) = Integer.parseInt(h.substring(2 * (p % 16), 2 * (p % 16) + 2), 16)
+          p += 1
+        }
+        px(perturb) = (px(perturb) + 128) % 256
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write("P6\n9 8\n255\n".getBytes("US-ASCII"))
+        px.foreach { v => bos.write(v); bos.write(v); bos.write(v) }
+        bos.toByteArray
+      }
+      val seed = concat(lit("img:"), expr("CAST(doc_id AS BIGINT) div 4").cast("string"))
+      val chains = array((0 until 5).map(i =>
+        md5(concat(seed, lit(s":$i")))): _*)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        mkPpm(chains, (col("doc_id") % 72).cast("int")).as("payload"))
+      graft.functions.ImageDedup.dhashFrame(docs)
+        .select("doc_id", "b0", "b1", "b2", "b3")
         .orderBy("doc_id")
     }),
 

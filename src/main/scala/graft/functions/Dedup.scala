@@ -230,7 +230,15 @@ object Dedup {
     // (boilerplate, empty docs — measured 131M pairs from a 4200-doc
     // bucket at 100k docs) can dwarf the workload. Oversized buckets
     // are better served by an exact-hash pre-pass or finer banding.
-    val b = lshBands(df, textCol, idCol, k, shingleN, bands)
+    bucketPairs(lshBands(df, textCol, idCol, k, shingleN, bands),
+      idCol, maxBucketSize)
+  }
+
+  /** In-bucket pair expansion shared by [[minhashCandidates]] and
+    * [[bandIndexUpdate]]: one shuffle keyed on (band, band_hash), each
+    * surviving bucket's sorted id array expands to its combinations. */
+  private def bucketPairs(b: DataFrame, idCol: String,
+                          maxBucketSize: Int): DataFrame = {
     val grouped = b.groupBy("band", "band_hash")
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
@@ -241,6 +249,73 @@ object Dedup {
     grouped.select(explode(pairs).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
+  }
+
+  /** Incremental near-dup detection against a PERSISTED LSH band
+    * index — the 100 TB shape of continuous-crawl dedup: the corpus's
+    * band rows live in a parquet lake and each new batch (a) finds its
+    * candidate pairs against the index WITHOUT the index ever
+    * shuffling — the batch's band rows broadcast into a map-side join
+    * over the index scan — and (b) appends its own band rows, so
+    * per-update cost is O(index scan + batch), never O(corpus²) or a
+    * corpus re-hash (reference semantics: the cross-snapshot half of
+    * pkg dataplane dedup, banded instead of exact).
+    *
+    * Returns the pairs DISCOVERED by this update: index↔batch plus
+    * within-batch, both (least, greatest)-normalized. The cumulative
+    * union over updates equals [[minhashCandidates]] over the full
+    * corpus whenever no bucket ever exceeds `maxBucketSize` (a bucket
+    * that grows past the cap mid-stream keeps its early pairs — the
+    * inherent incremental-cap semantics; full recompute would drop
+    * the whole bucket).
+    *
+    * The returned frame is MATERIALIZED before the index append (the
+    * join must not see the batch's own rows), so the write has
+    * happened by the time this returns. */
+  def bandIndexUpdate(indexPath: String, newDocs: DataFrame,
+                      textCol: String, idCol: String,
+                      k: Int = 16, shingleN: Int = 3, bands: Int = 4,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val keys = Seq("band", "band_hash")
+    val newBands = lshBands(newDocs, textCol, idCol, k, shingleN, bands)
+      .withColumnRenamed(idCol, "id").persist()
+    try {
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasIdx = fs.exists(root)
+      // matching index rows only: the batch's distinct band keys
+      // broadcast into a map-side semi-filter, so everything after
+      // this line is candidate-scale, never index-scale
+      val matchedIdx =
+        if (hasIdx)
+          spark.read.parquet(indexPath)
+            .join(broadcast(newBands.select(keys.map(col): _*).distinct()), keys)
+            .persist()
+        else newBands.limit(0)
+      // the hot-bucket cap counts the TOTAL bucket (index + batch) —
+      // the same population a full recompute would cap on
+      val batchSizes = newBands.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bn"))
+      val idxSizes = matchedIdx.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__in"))
+      val okKeys = batchSizes.join(idxSizes, keys, "left")
+        .filter(coalesce(col("__in"), lit(0L)) + col("__bn") <= maxBucketSize)
+        .select(keys.map(col): _*)
+      val prunedNew = newBands.join(broadcast(okKeys), keys)
+      val cross = matchedIdx
+        .join(broadcast(prunedNew.withColumnRenamed("id", "__new_id")), keys)
+        .filter(col("id") =!= col("__new_id"))
+        .select(least(col("id"), col("__new_id")).as("id_a"),
+          greatest(col("id"), col("__new_id")).as("id_b"))
+      val within = bucketPairs(prunedNew, "id", maxBucketSize)
+      // materialize BEFORE the append so the lazily-evaluated join
+      // cannot rescan an index that already contains this batch
+      val found = cross.unionByName(within).distinct().localCheckpoint(true)
+      newBands.write.mode("append").parquet(indexPath)
+      matchedIdx.unpersist()
+      found
+    } finally newBands.unpersist()
   }
 
   // ---------------- SimHash ----------------

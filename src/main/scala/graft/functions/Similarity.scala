@@ -122,6 +122,27 @@ object Similarity {
         (col("__pos") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** Reciprocal-rank fusion of ranked retrieval lists (the standard
+    * sparse+dense hybrid from the public IR literature): fused score =
+    * Σ_lists 1/(c+rank), re-ranked top-k. Each input frame carries
+    * (query_id, id, rank). Per-list contributions are rounded then
+    * DECIMAL-summed (the BM25 discipline) so any engine reproduces the
+    * fusion bit-for-bit; ranking ties break on ascending id. The
+    * inputs are already top-k-sized (queries × k rows), so the fusion
+    * aggregate is query-list-scale, never corpus-scale. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    val u = lists.map(_.select(col("query_id"), col("id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = u.withColumn("__c",
+        round(lit(1.0) / (lit(c) + col("rank")), 6).cast("decimal(18,6)"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("__c")).cast("decimal(18,6)").as("__s"))
+    // DECIMAL(18,6)→double is order-preserving and injective at RRF
+    // magnitudes, so the heap ranks exactly as the decimal would
+    rankTopK(fused.select(col("query_id"), col("id").as("neighbor_id"),
+      col("__s").cast("double").as("score")), k)
+  }
+
   /** Exact top-k neighbors of each query row (excluding self). Scores are
     * rounded to `roundTo` decimals before ranking so ordering is stable
     * to last-ulp float noise; ties break on neighbor id. */

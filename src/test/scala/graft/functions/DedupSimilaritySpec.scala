@@ -520,4 +520,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.filter(_._1 == "x").map(_._2).toSet == Set("x5", "x4", "x3"))
     assert(out.forall(r => r._3 >= 1 && r._3 <= 3))
   }
+
+  test("incremental band index: update union equals full recompute; " +
+      "batch broadcasts, index side never shuffles") {
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    val idx = s"$dir/idx"
+    val corpus = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text")
+    val full = Dedup.minhashCandidates(corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val u1 = Dedup.bandIndexUpdate(idx,
+      corpus.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    val u2 = Dedup.bandIndexUpdate(idx,
+      corpus.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+    val incr = (u1.collect() ++ u2.collect())
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == full)
+    // pairs never duplicate across updates
+    assert(u1.count() + u2.count() == incr.size)
+    // the probe plan broadcasts the batch side: no Exchange may sit
+    // between the index scan and the cross join
+    val probe = spark.read.parquet(idx).join(
+      broadcast(Dedup.lshBands(corpus.limit(10), "text", "doc_id")),
+      Seq("band", "band_hash"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("incremental band index caps hot buckets on the TOTAL bucket size") {
+    val dir = java.nio.file.Files.createTempDirectory("bandidxcap").toString
+    val idx = s"$dir/idx"
+    // 8 exact copies arriving 4 + 4: a cap of 6 must kill the bucket
+    // in the second update (4 indexed + 4 new > 6) but keep the first
+    // (4 ≤ 6 → C(4,2)=6 within-batch pairs)
+    val copies = (0L until 8L).map(i => (i, "same text repeated " * 5))
+      .toDF("doc_id", "text")
+    val u1 = Dedup.bandIndexUpdate(idx,
+      copies.filter(col("doc_id") < 4), "text", "doc_id", maxBucketSize = 6)
+    val u2 = Dedup.bandIndexUpdate(idx,
+      copies.filter(col("doc_id") >= 4), "text", "doc_id", maxBucketSize = 6)
+    assert(u1.count() == 6)
+    assert(u2.count() == 0)
+  }
 }
