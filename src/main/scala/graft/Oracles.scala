@@ -2231,8 +2231,21 @@ object Oracles {
          |    + octet_length(encode(text)) AS BIGINT) AS byte_len
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // planted integer-cycle tones put all energy in one FFT bin per
+    // frame, so the oracle derives each fingerprint analytically from
+    // the md5 that chose the bins — no transform on the oracle side
+    "audio_fingerprint_match" ->
+      ("""WITH d AS (SELECT doc_id,
+         |    md5('aud:' || CAST(doc_id // 4 AS VARCHAR)) AS m FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST(('0x' || substr(m, 1, 2)) AS INT) % 31 + 1 AS b0,
+         |    CAST(('0x' || substr(m, 3, 2)) AS INT) % 31 + 1 AS b1 FROM d)
+         |SELECT CAST(b0 AS INT) AS b0, CAST(b1 AS INT) AS b1,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM b GROUP BY 1, 2 ORDER BY keep_id""".stripMargin),
+
     // perceptual dHash: the oracle replays every pipeline bit from the
-    // md5 hex — pixel synthesis (+1 perturbation), integer grayscale
+    // md5 hex — pixel synthesis (+128 perturbation), integer grayscale
     // (= the pixel value, since r=g=b so the 77/150/29 luma is
     // identity), horizontal-gradient bits, 16-bit bands
     "image_dhash_bands" ->

@@ -3243,6 +3243,46 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "audio_fingerprint_match" -> ((s, dir) => {
+      // audio content-dup detection: docs in the same doc_id-div-4
+      // cluster carry the same two planted tones (integer-cycle sines
+      // — all energy in one FFT bin per frame) at per-doc DIFFERENT
+      // amplitudes; the fingerprint (dominant bin per 64-sample frame)
+      // is gain-invariant, so clusters group exactly — including
+      // cross-cluster merges when two clusters draw the same bin pair
+      // (961 combinations). The stage decodes real WAVs and runs the
+      // real radix-2 FFT; the oracle predicts every bin analytically.
+      val mkWav = udf { (hex: String, amp: Int) =>
+        val b0 = Integer.parseInt(hex.substring(0, 2), 16) % 31 + 1
+        val b1 = Integer.parseInt(hex.substring(2, 4), 16) % 31 + 1
+        val samples = graft.functions.Dsp.sine(b0, 64, amp) ++
+          graft.functions.Dsp.sine(b1, 64, amp)
+        val bos = new java.io.ByteArrayOutputStream()
+        def ascii(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+        def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+          bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+        def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+        ascii("RIFF"); le32(36 + 256); ascii("WAVE")
+        ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
+        le16(2); le16(16)
+        ascii("data"); le32(256)
+        samples.foreach(v => le16(v & 0xffff))
+        bos.toByteArray
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        mkWav(md5(concat(lit("aud:"),
+            expr("CAST(doc_id AS BIGINT) div 4").cast("string"))),
+          (lit(15000) + col("doc_id") % 7 * 500).cast("int")).as("payload"))
+      Multimodal.audioFingerprint(docs)
+        .groupBy("fp")
+        .agg(min(element_at(col("bins"), 1)).as("b0"),
+          min(element_at(col("bins"), 2)).as("b1"),
+          min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select("b0", "b1", "keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
     "mime_sniff" -> ((s, dir) => {
       // magic-byte content-type detection over planted payloads: each
       // doc gets a real file signature (or none) prefixed to its text

@@ -276,6 +276,48 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-frame spectral fingerprint over a WAV binary column — the
+    * audio analogue of [[graft.functions.ImageDedup.dhashFrame]]:
+    * decode through the real RIFF walker, split the PCM into
+    * `fftSize`-sample frames, take each frame's dominant FFT bin, and
+    * hash the bin sequence (md5 of the comma-joined bins, so any
+    * engine that knows the bins reproduces the fingerprint). Docs
+    * sharing a fingerprint are content-dup candidates robust to
+    * amplitude/level changes (argmax is gain-invariant). A pure map
+    * stage; matching is an exact hash groupBy downstream. */
+  def audioFingerprint(df: DataFrame, fftSize: Int = 64,
+                       payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("bins", ArrayType(IntegerType)),
+      StructField("fp", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val out =
+          try {
+            val pcm = MediaCodecs.decodeWav(payload)
+            val nFrames = pcm.samples.length / fftSize
+            require(nFrames > 0, s"need $fftSize samples for one frame")
+            val bins = Array.tabulate(nFrames) { f =>
+              Dsp.dominantBin(
+                pcm.samples.slice(f * fftSize, (f + 1) * fftSize), fftSize)
+            }
+            md.reset()
+            val fp = md.digest(bins.mkString(",").getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            Seq[Any](bins.toSeq, fp)
+          } catch {
+            case scala.util.control.NonFatal(_) => Seq[Any](null, null)
+          }
+        Row.fromSeq(r.toSeq ++ out)
+      }
+    }(enc)
+  }
+
   def decodeAudioStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("n_samples", IntegerType),

@@ -584,4 +584,45 @@ class TextMultimodalSpec extends SparkSpec {
       .as[(Long, Long, String)].head()
     assert(so == ((7L, 1L, lineA)))
   }
+
+  test("audio fingerprint: per-frame dominant bins, gain-invariant, " +
+      "quarantines garbage") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+      val n = samples.length * 2
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + n) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(n) ++
+        samples.flatMap(s => le16(s & 0xffff))
+    }
+    def twoTone(b0: Int, b1: Int, amp: Int): Array[Byte] =
+      wav(Dsp.sine(b0, 64, amp) ++ Dsp.sine(b1, 64, amp))
+    val df = Seq(
+      (1L, twoTone(5, 12, 20000)),
+      (2L, twoTone(5, 12, 3000)),   // same tones, very different gain
+      (3L, twoTone(7, 12, 20000)),  // first frame differs
+      (4L, "garbage".getBytes("US-ASCII")),
+    ).toDF("doc_id", "payload")
+    val fps = Multimodal.audioFingerprint(df)
+      .select("doc_id", "bins", "fp").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq),
+          r.getString(2)))
+      .toMap
+    assert(fps(1L)._1.get == Seq(5, 12))
+    assert(fps(3L)._1.get == Seq(7, 12))
+    assert(fps(4L)._1.isEmpty && fps(4L)._2 == null)
+    // gain invariance: 1 and 2 share the fingerprint, 3 does not
+    assert(fps(1L)._2 == fps(2L)._2)
+    assert(fps(1L)._2 != fps(3L)._2)
+    // the hash is the md5 any SQL engine computes over the joined bins
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("5,12".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(fps(1L)._2 == expected)
+  }
 }
