@@ -69,18 +69,23 @@ object Bench {
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nErr = results.count(_._2.isLeft)
     // The reference's primary KPI is transfer rows/sec (docs/benchmarks.md:
-    // 26-36): measure an end-to-end snapshot transfer of lineitem through
-    // the engine (read -> envelope -> sink write). Run 3x and take the
-    // median — a single run is within-session noise (r3 588k vs r4 529k).
+    // 26-36): an end-to-end snapshot transfer of lineitem through the
+    // engine (read -> envelope -> sink write). Measured after the loop
+    // (the JIT-warmed steady state a long-running transfer actually sees
+    // — a cold-JVM measurement reads 2x low), but QUIESCED first: drop
+    // the loop's GC debt, then one discarded warm-up transfer, then
+    // median of 3 timed runs (a single run is within-session noise —
+    // r3 588k vs r4 529k).
     val rowsPerSec = try {
+      System.gc()
       val li = Tables.load(spark, sfDir, "lineitem")
       val n = li.count()
-      val runs = (1 to 3).map { _ =>
+      val runs = (0 to 3).map { _ =>
         val t0 = System.nanoTime()
         graft.sinks.Sinks.parquet(li, "/tmp/graft_bench_transfer",
           graft.sinks.Sinks.Drop)
         n / ((System.nanoTime() - t0) / 1e9)
-      }.sorted
+      }.drop(1).sorted
       runs(runs.length / 2)
     } catch { case _: Throwable => -1.0 }
     def r3(v: Double): String = BigDecimal(v)
