@@ -2255,24 +2255,64 @@ object Oracles {
     // ... and the LSH stage too: hot-bucket cap, band-collision
     // candidate generation, exact Hamming gate
     "image_dhash_neardup" ->
-      (s"""$dhashBandsSql,
-         |bx AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM bands
-         |  UNION ALL SELECT doc_id, 1, b1 FROM bands
-         |  UNION ALL SELECT doc_id, 2, b2 FROM bands
-         |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
-         |ok AS (SELECT bi, bv FROM bx GROUP BY 1, 2 HAVING count(*) <= 1000),
-         |cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
-         |  FROM bx l JOIN ok ON ok.bi = l.bi AND ok.bv = l.bv
-         |  JOIN bx r ON r.bi = l.bi AND r.bv = l.bv AND l.doc_id < r.doc_id),
-         |ham AS (SELECT c.left_id, c.right_id,
-         |    CAST(bit_count(xor(lb.b0, rb.b0)) + bit_count(xor(lb.b1, rb.b1)) +
-         |         bit_count(xor(lb.b2, rb.b2)) + bit_count(xor(lb.b3, rb.b3))
-         |      AS INT) AS hamming
-         |  FROM cand c JOIN bands lb ON lb.doc_id = c.left_id
-         |  JOIN bands rb ON rb.doc_id = c.right_id)
+      (s"""$dhashPairsSql
          |SELECT left_id, right_id, hamming FROM ham
          |WHERE hamming <= 6 ORDER BY left_id, right_id""".stripMargin),
+
+    // cross-modal closure: image dHash pairs + audio fingerprint stars
+    // + exact-text stars union into one edge set; the recursive CTE
+    // replays the min-label propagation the engine runs iteratively
+    "dedup_multimodal_canonical" ->
+      (s"""${("WITH RECURSIVE " + dhashPairsSql.stripPrefix("WITH ")).trim},
+         |aud AS (SELECT doc_id,
+         |    CAST(('0x' || substr(am, 1, 2)) AS INT) % 31 + 1 AS ab0,
+         |    CAST(('0x' || substr(am, 3, 2)) AS INT) % 31 + 1 AS ab1
+         |  FROM (SELECT doc_id,
+         |    md5('aud:' || CAST(doc_id // 4 AS VARCHAR)) AS am FROM documents)),
+         |aroots AS (SELECT ab0, ab1, min(doc_id) AS root FROM aud GROUP BY 1, 2),
+         |aedges AS (SELECT r.root AS src, a.doc_id AS dst FROM aud a
+         |  JOIN aroots r ON r.ab0 = a.ab0 AND r.ab1 = a.ab1
+         |  WHERE a.doc_id <> r.root),
+         |tf2 AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS tfp
+         |  FROM documents),
+         |troots AS (SELECT tfp, min(doc_id) AS root FROM tf2 GROUP BY 1),
+         |tedges AS (SELECT r.root AS src, t2.doc_id AS dst FROM tf2 t2
+         |  JOIN troots r ON r.tfp = t2.tfp WHERE t2.doc_id <> r.root),
+         |e AS (SELECT left_id AS src, right_id AS dst FROM ham
+         |    WHERE hamming <= 6
+         |  UNION ALL SELECT src, dst FROM aedges
+         |  UNION ALL SELECT src, dst FROM tedges),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |ns AS (SELECT DISTINCT src AS node FROM sym),
+         |rr(node, lbl) AS (
+         |  SELECT node, node FROM ns
+         |  UNION
+         |  SELECT s.dst, rr.lbl FROM rr JOIN sym s ON s.src = rr.node
+         |), cc AS (SELECT node, min(lbl) AS cluster_id FROM rr GROUP BY node)
+         |SELECT node AS doc_id, cluster_id, node = cluster_id AS is_canonical
+         |FROM cc ORDER BY doc_id""".stripMargin),
   )
+
+  /** [[dhashBandsSql]] extended through the LSH stage: band explode,
+    * hot-bucket cap, in-bucket candidates, exact Hamming — ends at the
+    * un-gated `ham(left_id, right_id, hamming)` table. */
+  private lazy val dhashPairsSql: String =
+    s"""$dhashBandsSql,
+       |bx AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM bands
+       |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+       |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+       |ok AS (SELECT bi, bv FROM bx GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+       |  FROM bx l JOIN ok ON ok.bi = l.bi AND ok.bv = l.bv
+       |  JOIN bx r ON r.bi = l.bi AND r.bv = l.bv AND l.doc_id < r.doc_id),
+       |ham AS (SELECT c.left_id, c.right_id,
+       |    CAST(bit_count(xor(lb.b0, rb.b0)) + bit_count(xor(lb.b1, rb.b1)) +
+       |         bit_count(xor(lb.b2, rb.b2)) + bit_count(xor(lb.b3, rb.b3))
+       |      AS INT) AS hamming
+       |  FROM cand c JOIN bands lb ON lb.doc_id = c.left_id
+       |  JOIN bands rb ON rb.doc_id = c.right_id)""".stripMargin
 
   /** Shared dHash CTE chain (ends at the `bands` table): rebuilds the
     * planted 9×8 grayscale images from their md5 chains and derives

@@ -21,6 +21,57 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Planted 9×8 grayscale PPM payload for the image-dedup rows:
+    * md5-chain pixels shared per doc_id-div-4 cluster, ONE
+    * +128-perturbed pixel per doc (flips ≤2 dHash gradient bits). The
+    * oracle rebuilds the same pixels from the md5 hex. */
+  private lazy val mkPpmUdf = udf { (hexes: Seq[String], perturb: Int) =>
+    val px = new Array[Int](72)
+    var p = 0
+    while (p < 72) {
+      val h = hexes(p / 16)
+      px(p) = Integer.parseInt(h.substring(2 * (p % 16), 2 * (p % 16) + 2), 16)
+      p += 1
+    }
+    px(perturb) = (px(perturb) + 128) % 256
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("P6\n9 8\n255\n".getBytes("US-ASCII"))
+    px.foreach { v => bos.write(v); bos.write(v); bos.write(v) }
+    bos.toByteArray
+  }
+  private def plantedImage: org.apache.spark.sql.Column = {
+    val seed = concat(lit("img:"),
+      expr("CAST(doc_id AS BIGINT) div 4").cast("string"))
+    val chains = array((0 until 5).map(i =>
+      md5(concat(seed, lit(s":$i")))): _*)
+    mkPpmUdf(chains, (col("doc_id") % 72).cast("int"))
+  }
+
+  /** Planted two-tone WAV for the audio-dedup rows: integer-cycle
+    * sines whose bins derive from the doc_id-div-4 cluster md5, at a
+    * per-doc amplitude (argmax-invariant). */
+  private lazy val mkWavUdf = udf { (hex: String, amp: Int) =>
+    val b0 = Integer.parseInt(hex.substring(0, 2), 16) % 31 + 1
+    val b1 = Integer.parseInt(hex.substring(2, 4), 16) % 31 + 1
+    val samples = graft.functions.Dsp.sine(b0, 64, amp) ++
+      graft.functions.Dsp.sine(b1, 64, amp)
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    ascii("RIFF"); le32(36 + 256); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
+    le16(2); le16(16)
+    ascii("data"); le32(256)
+    samples.foreach(v => le16(v & 0xffff))
+    bos.toByteArray
+  }
+  private def plantedAudio: org.apache.spark.sql.Column =
+    mkWavUdf(md5(concat(lit("aud:"),
+        expr("CAST(doc_id AS BIGINT) div 4").cast("string"))),
+      (lit(15000) + col("doc_id") % 7 * 500).cast("int"))
+
   /** Base frame for a synthetic queue-wire fixture. A single small
     * parquet file yields ONE input split, which would serialize the
     * whole downstream parse chain on one core — but a real queue source
@@ -3191,25 +3242,8 @@ object Queries {
       // the REAL pipeline — PPM encode, codec decode, integer-luma
       // dHash, 16-bit band LSH with the hot-bucket cap, exact Hamming
       // gate — and the oracle replays every bit from the md5 hex.
-      val mkPpm = udf { (hexes: Seq[String], perturb: Int) =>
-        val px = new Array[Int](72)
-        var p = 0
-        while (p < 72) {
-          val h = hexes(p / 16)
-          px(p) = Integer.parseInt(h.substring(2 * (p % 16), 2 * (p % 16) + 2), 16)
-          p += 1
-        }
-        px(perturb) = (px(perturb) + 128) % 256
-        val bos = new java.io.ByteArrayOutputStream()
-        bos.write("P6\n9 8\n255\n".getBytes("US-ASCII"))
-        px.foreach { v => bos.write(v); bos.write(v); bos.write(v) }
-        bos.toByteArray
-      }
-      val seed = concat(lit("img:"), expr("CAST(doc_id AS BIGINT) div 4").cast("string"))
-      val chains = array((0 until 5).map(i =>
-        md5(concat(seed, lit(s":$i")))): _*)
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        mkPpm(chains, (col("doc_id") % 72).cast("int")).as("payload"))
+        plantedImage.as("payload"))
       val hashed = graft.functions.ImageDedup.dhashFrame(docs)
       graft.functions.ImageDedup.nearDupPairs(hashed, maxHamming = 6)
         .orderBy("left_id", "right_id")
@@ -3219,25 +3253,8 @@ object Queries {
       // the hash stage alone, every doc: proves the decode → luma →
       // gradient bit path bit-for-bit (the near-dup row above only
       // samples hashes that collide into candidate pairs)
-      val mkPpm = udf { (hexes: Seq[String], perturb: Int) =>
-        val px = new Array[Int](72)
-        var p = 0
-        while (p < 72) {
-          val h = hexes(p / 16)
-          px(p) = Integer.parseInt(h.substring(2 * (p % 16), 2 * (p % 16) + 2), 16)
-          p += 1
-        }
-        px(perturb) = (px(perturb) + 128) % 256
-        val bos = new java.io.ByteArrayOutputStream()
-        bos.write("P6\n9 8\n255\n".getBytes("US-ASCII"))
-        px.foreach { v => bos.write(v); bos.write(v); bos.write(v) }
-        bos.toByteArray
-      }
-      val seed = concat(lit("img:"), expr("CAST(doc_id AS BIGINT) div 4").cast("string"))
-      val chains = array((0 until 5).map(i =>
-        md5(concat(seed, lit(s":$i")))): _*)
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        mkPpm(chains, (col("doc_id") % 72).cast("int")).as("payload"))
+        plantedImage.as("payload"))
       graft.functions.ImageDedup.dhashFrame(docs)
         .select("doc_id", "b0", "b1", "b2", "b3")
         .orderBy("doc_id")
@@ -3252,27 +3269,8 @@ object Queries {
       // cross-cluster merges when two clusters draw the same bin pair
       // (961 combinations). The stage decodes real WAVs and runs the
       // real radix-2 FFT; the oracle predicts every bin analytically.
-      val mkWav = udf { (hex: String, amp: Int) =>
-        val b0 = Integer.parseInt(hex.substring(0, 2), 16) % 31 + 1
-        val b1 = Integer.parseInt(hex.substring(2, 4), 16) % 31 + 1
-        val samples = graft.functions.Dsp.sine(b0, 64, amp) ++
-          graft.functions.Dsp.sine(b1, 64, amp)
-        val bos = new java.io.ByteArrayOutputStream()
-        def ascii(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
-        def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
-          bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
-        def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
-        ascii("RIFF"); le32(36 + 256); ascii("WAVE")
-        ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
-        le16(2); le16(16)
-        ascii("data"); le32(256)
-        samples.foreach(v => le16(v & 0xffff))
-        bos.toByteArray
-      }
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        mkWav(md5(concat(lit("aud:"),
-            expr("CAST(doc_id AS BIGINT) div 4").cast("string"))),
-          (lit(15000) + col("doc_id") % 7 * 500).cast("int")).as("payload"))
+        plantedAudio.as("payload"))
       Multimodal.audioFingerprint(docs)
         .groupBy("fp")
         .agg(min(element_at(col("bins"), 1)).as("b0"),
@@ -3281,6 +3279,39 @@ object Queries {
           count(lit(1)).as("n_copies"))
         .select("b0", "b1", "keep_id", "n_copies")
         .orderBy("keep_id")
+    }),
+
+    "dedup_multimodal_canonical" -> ((s, dir) => {
+      // the multi-detector media-dedup pass end to end: duplicates
+      // surfaced through ANY modality — image dHash pairs, audio
+      // fingerprint groups, exact text fingerprints — union into one
+      // edge set; connected components resolve the transitive closure
+      // (an audio bin-pair collision fuses whole image clusters), and
+      // canonical = min id per component. The oracle replays the three
+      // edge derivations and the closure with a recursive CTE.
+      val base = t(s, dir, "documents")
+      val imgPairs = graft.functions.ImageDedup.nearDupPairs(
+          graft.functions.ImageDedup.dhashFrame(
+            base.select(col("doc_id"), plantedImage.as("payload"))),
+          maxHamming = 6)
+        .select(col("left_id").as("src"), col("right_id").as("dst"))
+      val afp = Multimodal.audioFingerprint(
+          base.select(col("doc_id"), plantedAudio.as("payload")))
+        .select("doc_id", "fp")
+      val aroots = afp.groupBy("fp").agg(min("doc_id").as("root"))
+      val audEdges = afp.join(aroots, "fp")
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("root").as("src"), col("doc_id").as("dst"))
+      val tfp = base.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("tfp"))
+      val troots = tfp.groupBy("tfp").agg(min("doc_id").as("root"))
+      val txtEdges = tfp.join(troots, "tfp")
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("root").as("src"), col("doc_id").as("dst"))
+      Dedup.resolveClusters(
+          imgPairs.unionByName(audEdges).unionByName(txtEdges),
+          "src", "dst")
+        .orderBy("doc_id")
     }),
 
     "mime_sniff" -> ((s, dir) => {
