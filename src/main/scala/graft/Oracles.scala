@@ -1341,6 +1341,52 @@ object Oracles {
          |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin),
 
+    // iteration-zero BPE statistic: adjacent char pairs in the
+    // space-joined symbol form the trainer uses ("a b")
+    "bpe_pair_stats" ->
+      ("""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |p AS (SELECT substr(w, CAST(i AS INT), 1) || ' ' ||
+         |    substr(w, CAST(i AS INT) + 1, 1) AS pair
+         |  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w))
+         |SELECT pair, count(*) AS cnt FROM p
+         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin),
+
+    // three greedy merge rounds replayed exactly: per-round top pair
+    // (count desc, pair asc) fused via the same left-to-right
+    // non-overlapping replace the engine applies
+    "bpe_train" ->
+      ("""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |s0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
+         |    j -> substr(w, CAST(j AS INT), 1)), ' ') AS sym FROM w
+         |  WHERE length(w) >= 1),
+         |p1 AS (SELECT list_extract(l, CAST(i AS INT)) || ' ' ||
+         |    list_extract(l, CAST(i AS INT) + 1) AS pair
+         |  FROM (SELECT string_split(sym, ' ') AS l,
+         |    unnest(range(1, len(string_split(sym, ' ')))) AS i FROM s0)),
+         |t1 AS (SELECT pair, count(*) AS cnt FROM p1 GROUP BY 1
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |s1 AS (SELECT replace(sym, (SELECT pair FROM t1),
+         |    replace((SELECT pair FROM t1), ' ', '')) AS sym FROM s0),
+         |p2 AS (SELECT list_extract(l, CAST(i AS INT)) || ' ' ||
+         |    list_extract(l, CAST(i AS INT) + 1) AS pair
+         |  FROM (SELECT string_split(sym, ' ') AS l,
+         |    unnest(range(1, len(string_split(sym, ' ')))) AS i FROM s1)),
+         |t2 AS (SELECT pair, count(*) AS cnt FROM p2 GROUP BY 1
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |s2 AS (SELECT replace(sym, (SELECT pair FROM t2),
+         |    replace((SELECT pair FROM t2), ' ', '')) AS sym FROM s1),
+         |p3 AS (SELECT list_extract(l, CAST(i AS INT)) || ' ' ||
+         |    list_extract(l, CAST(i AS INT) + 1) AS pair
+         |  FROM (SELECT string_split(sym, ' ') AS l,
+         |    unnest(range(1, len(string_split(sym, ' ')))) AS i FROM s2)),
+         |t3 AS (SELECT pair, count(*) AS cnt FROM p3 GROUP BY 1
+         |  ORDER BY cnt DESC, pair LIMIT 1)
+         |SELECT 1 AS round, pair, cnt FROM t1
+         |UNION ALL SELECT 2, pair, cnt FROM t2
+         |UNION ALL SELECT 3, pair, cnt FROM t3 ORDER BY round""".stripMargin),
+
     // incremental band-index updates must union to the full recompute,
     // so the oracle IS the full recompute
     "dedup_lsh_incremental" ->

@@ -1390,6 +1390,20 @@ object Queries {
       u1.unionByName(u2).orderBy("id_a", "id_b")
     }),
 
+    "bpe_pair_stats" -> ((s, dir) =>
+      // BPE iteration zero: corpus-wide adjacent character-pair counts,
+      // top 50 — a map-side-combined count whose aggregate is
+      // alphabet²-sized; ties rank lexicographically in both engines
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", k = 50)),
+
+    "bpe_train" -> ((s, dir) =>
+      // greedy BPE merges: three rounds of corpus-wide
+      // most-frequent-pair fusion; each round's winner is a one-row
+      // driver literal broadcast into the next round's rewrite, and
+      // the oracle replays the identical three rounds in SQL
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", merges = 3)
+        .orderBy("round")),
+
     "lm_score" -> ((s, dir) =>
       // CCNet-style quality gate: corpus-trained add-one bigram LM,
       // per-doc tf-weighted mean log-prob; training is two counting

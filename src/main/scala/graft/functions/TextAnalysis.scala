@@ -354,6 +354,71 @@ object TextAnalysis {
     * summation order is the classic cross-engine mismatch trap —
     * compare the DECIMAL discipline in the join oracles). Only the
     * one-row vocabulary size crosses stages, as a broadcast. */
+  // ---------------- BPE tokenizer training ----------------
+
+  /** A corpus as BPE symbol strings: one row per word occurrence, the
+    * word's characters joined by single spaces (the classic BPE
+    * working form — a merge rewrites `a b` → `ab` in place). */
+  private def symbolFrame(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 1)
+      .select(concat_ws(" ", split(col("__w"), "")).as("sym"))
+
+  /** Adjacent-symbol-pair counts of a symbol frame — the statistic a
+    * BPE trainer maximizes each round. Pure explode → map-side-combined
+    * count; the aggregate is pair-vocabulary-sized, never corpus-sized. */
+  private def pairCounts(syms: DataFrame): DataFrame = {
+    val parts = split(col("sym"), " ")
+    val pairs = bindOnce(parts)(a =>
+      when(size(a) >= 2,
+        transform(sequence(lit(0), size(a) - 2),
+          i => concat_ws(" ", element_at(a, i + 1), element_at(a, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    syms.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Top-k adjacent character-pair counts over the corpus — BPE
+    * iteration zero, and the statistic behind vocabulary sizing. Tie
+    * ranks break on the pair string so engines agree. The sort runs on
+    * the aggregated pair table (≤ |alphabet|² rows). */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int = 50): DataFrame =
+    pairCounts(symbolFrame(df, textCol))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+
+  /** Greedy BPE training (Sennrich et al. 2016): `merges` rounds, each
+    * taking the corpus-wide most-frequent adjacent symbol pair (ties →
+    * lexicographic) and fusing it everywhere. Returns one row per
+    * round: (round, pair, cnt).
+    *
+    * Scale shape: each round is one pair-count aggregation (map-side
+    * combined, pair-vocabulary-sized result) + a pure-projection
+    * rewrite; only the single winning pair crosses the driver, as a
+    * broadcast literal for the next round's `replace`. The symbol
+    * frame is cached between rounds — rounds are inherently sequential
+    * (round n+1's counts depend on round n's merge), exactly like the
+    * connected-components fixpoint. Production trainers run on a
+    * corpus SAMPLE (the statistic converges long before 100 TB);
+    * sample upstream with [[graft.functions.Sampling]]. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var syms = symbolFrame(df, textCol).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (round <- 1 to merges) {
+      val top = pairCounts(syms)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        out += ((round, pair, cnt))
+        syms = syms.select(replace(col("sym"), lit(pair),
+          lit(pair.replace(" ", ""))).as("sym")).localCheckpoint()
+      }
+    }
+    out.toSeq.toDF("round", "pair", "cnt")
+  }
+
   def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val docBi = df.select(col(idCol), t.as("__t"))

@@ -585,6 +585,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(so == ((7L, 1L, lineA)))
   }
 
+  test("bpe: pair stats count adjacent chars; greedy merges fuse " +
+      "left-to-right with lexicographic ties") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab aaa")).toDF("doc_id", "text")
+    val stats = TextAnalysis.bpePairStats(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "abab"x3: pairs a-b x2, b-a x1 each; "cd": c-d; "aaa": a-a x2
+    assert(stats.head == (("a b", 6)))
+    assert(stats.toMap == Map("a b" -> 6L, "b a" -> 3L, "a a" -> 2L, "c d" -> 1L))
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // round 1 fuses "a b" (6); "abab" becomes "ab ab", "aaa" stays
+    // "a a a"; round 2 counts ab-ab x3, a-a x2, c-d x1 → "ab ab";
+    // round 3: remaining pairs a-a x2 > c-d → "a a" (left-to-right on
+    // "a a a" fuses the FIRST two, leaving "aa a")
+    assert(merges.toSeq == Seq((1, "a b", 6L), (2, "ab ab", 3L), (3, "a a", 2L)))
+  }
+
   test("audio fingerprint: per-frame dominant bins, gain-invariant, " +
       "quarantines garbage") {
     def wav(samples: Array[Short]): Array[Byte] = {
