@@ -1396,6 +1396,15 @@ object Oracles {
          |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin),
 
+    // same invariant through the streaming loop: checkpointed batches
+    // into the band index must leave the full-recompute pair set
+    "stream_dedup_lsh" ->
+      (s"""WITH bands AS ($minhashBandsSql)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin),
+
     "dedup_simhash" -> {
       val bits = (0 until 16).map { j =>
         s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"

@@ -494,6 +494,50 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // 15. Image dHash near-dup at 2M hashes: band buckets are 16-bit
+    // random, so candidates stay ~pair-scale; a planted 100k-copy
+    // degenerate image must die at the bucket cap, not explode into
+    // 5e9 pairs. Hashes are synthesized directly (the decode kernel is
+    // per-row constant work — the LSH join is the scale surface).
+    val imgHashes = spark.range(1000000).select(col("id").as("doc_id"),
+      // ~95k 10-doc clusters share a hash; 50k rows share ONE value
+      when(col("id") < 50000, lit(7))
+        .otherwise(pmod(expr("id div 10") * 2654435761L, lit(65536L)))
+        .cast("int").as("b0"),
+      when(col("id") < 50000, lit(7))
+        .otherwise(pmod(expr("id div 10") * 40503L, lit(65536L)))
+        .cast("int").as("b1"),
+      when(col("id") < 50000, lit(7))
+        .otherwise(pmod(expr("id div 10") * 2654435761L + 13L, lit(65536L)))
+        .cast("int").as("b2"),
+      when(col("id") < 50000, lit(7))
+        .otherwise(pmod(expr("id div 10") * 40503L + 29L, lit(65536L)))
+        .cast("int").as("b3"))
+    val imgPairs = timed("ImageDedup.nearDupPairs 1M hashes + 50k-copy hot image (cap=1000)") {
+      functions.ImageDedup.nearDupPairs(imgHashes, maxHamming = 6).count()
+    }
+    println(s"[stress]   pairs=$imgPairs (hot bucket capped; uncapped would be ~1.2e9)")
+
+    // 16. Incremental band index: 1M-doc corpus arriving as a 900k
+    // bootstrap + 100k increment. The increment's probe must broadcast
+    // (index side never shuffles) and cost ~batch-scale, not
+    // corpus-scale.
+    val idxRoot = "/tmp/graft_stress/bandidx"
+    new java.io.File(idxRoot).getParentFile.mkdirs()
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(idxRoot), true)
+    val corpus1m = spark.range(1000000).select(col("id").as("doc_id"),
+      concat(lit("document body token "), (col("id") / 3L).cast("string"),
+        lit(" trailing words vary "), col("id").cast("string")).as("text"))
+    timed("bandIndexUpdate bootstrap 900k docs") {
+      functions.Dedup.bandIndexUpdate(idxRoot,
+        corpus1m.filter(col("doc_id") < 900000), "text", "doc_id").count()
+    }
+    timed("bandIndexUpdate increment 100k docs vs 900k-doc index") {
+      functions.Dedup.bandIndexUpdate(idxRoot,
+        corpus1m.filter(col("doc_id") >= 900000), "text", "doc_id").count()
+    }
+
     spark.stop()
   }
 }
