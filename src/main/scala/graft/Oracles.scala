@@ -1356,36 +1356,20 @@ object Oracles {
     // (count desc, pair asc) fused via the same left-to-right
     // non-overlapping replace the engine applies
     "bpe_train" ->
-      ("""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-         |  FROM documents),
-         |s0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
-         |    j -> substr(w, CAST(j AS INT), 1)), ' ') AS sym FROM w
-         |  WHERE length(w) >= 1),
-         |p1 AS (SELECT list_extract(l, CAST(i AS INT)) || ' ' ||
-         |    list_extract(l, CAST(i AS INT) + 1) AS pair
-         |  FROM (SELECT string_split(sym, ' ') AS l,
-         |    unnest(range(1, len(string_split(sym, ' ')))) AS i FROM s0)),
-         |t1 AS (SELECT pair, count(*) AS cnt FROM p1 GROUP BY 1
-         |  ORDER BY cnt DESC, pair LIMIT 1),
-         |s1 AS (SELECT replace(sym, (SELECT pair FROM t1),
-         |    replace((SELECT pair FROM t1), ' ', '')) AS sym FROM s0),
-         |p2 AS (SELECT list_extract(l, CAST(i AS INT)) || ' ' ||
-         |    list_extract(l, CAST(i AS INT) + 1) AS pair
-         |  FROM (SELECT string_split(sym, ' ') AS l,
-         |    unnest(range(1, len(string_split(sym, ' ')))) AS i FROM s1)),
-         |t2 AS (SELECT pair, count(*) AS cnt FROM p2 GROUP BY 1
-         |  ORDER BY cnt DESC, pair LIMIT 1),
-         |s2 AS (SELECT replace(sym, (SELECT pair FROM t2),
-         |    replace((SELECT pair FROM t2), ' ', '')) AS sym FROM s1),
-         |p3 AS (SELECT list_extract(l, CAST(i AS INT)) || ' ' ||
-         |    list_extract(l, CAST(i AS INT) + 1) AS pair
-         |  FROM (SELECT string_split(sym, ' ') AS l,
-         |    unnest(range(1, len(string_split(sym, ' ')))) AS i FROM s2)),
-         |t3 AS (SELECT pair, count(*) AS cnt FROM p3 GROUP BY 1
-         |  ORDER BY cnt DESC, pair LIMIT 1)
+      (s"""$bpeRoundsSql
          |SELECT 1 AS round, pair, cnt FROM t1
          |UNION ALL SELECT 2, pair, cnt FROM t2
          |UNION ALL SELECT 3, pair, cnt FROM t3 ORDER BY round""".stripMargin),
+
+    // train + tokenize: the same three replayed merges applied in
+    // order, then the resulting token vocabulary's top 20
+    "bpe_apply" ->
+      (s"""$bpeRoundsSql,
+         |s3 AS (SELECT replace(sym, (SELECT pair FROM t3),
+         |    replace((SELECT pair FROM t3), ' ', '')) AS sym FROM s2),
+         |tok AS (SELECT unnest(string_split(sym, ' ')) AS token FROM s3)
+         |SELECT token, count(*) AS cnt FROM tok
+         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin),
 
     // incremental band-index updates must union to the full recompute,
     // so the oracle IS the full recompute
@@ -2368,6 +2352,39 @@ object Oracles {
        |      AS INT) AS hamming
        |  FROM cand c JOIN bands lb ON lb.doc_id = c.left_id
        |  JOIN bands rb ON rb.doc_id = c.right_id)""".stripMargin
+
+  /** Shared greedy-BPE CTE chain (ends at `t3`, with `s2` live):
+    * char-symbol corpus, then three rounds of top-pair count (count
+    * desc, pair asc) and left-to-right non-overlapping fusion —
+    * mirrors [[graft.functions.TextAnalysis.bpeTrain]] exactly. */
+  private lazy val bpeRoundsSql: String =
+    """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |s0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
+      |    j -> substr(w, CAST(j AS INT), 1)), ' ') AS sym FROM w
+      |  WHERE length(w) >= 1),
+      |p1 AS (SELECT list_extract(l, CAST(i AS INT)) || ' ' ||
+      |    list_extract(l, CAST(i AS INT) + 1) AS pair
+      |  FROM (SELECT string_split(sym, ' ') AS l,
+      |    unnest(range(1, len(string_split(sym, ' ')))) AS i FROM s0)),
+      |t1 AS (SELECT pair, count(*) AS cnt FROM p1 GROUP BY 1
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |s1 AS (SELECT replace(sym, (SELECT pair FROM t1),
+      |    replace((SELECT pair FROM t1), ' ', '')) AS sym FROM s0),
+      |p2 AS (SELECT list_extract(l, CAST(i AS INT)) || ' ' ||
+      |    list_extract(l, CAST(i AS INT) + 1) AS pair
+      |  FROM (SELECT string_split(sym, ' ') AS l,
+      |    unnest(range(1, len(string_split(sym, ' ')))) AS i FROM s1)),
+      |t2 AS (SELECT pair, count(*) AS cnt FROM p2 GROUP BY 1
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |s2 AS (SELECT replace(sym, (SELECT pair FROM t2),
+      |    replace((SELECT pair FROM t2), ' ', '')) AS sym FROM s1),
+      |p3 AS (SELECT list_extract(l, CAST(i AS INT)) || ' ' ||
+      |    list_extract(l, CAST(i AS INT) + 1) AS pair
+      |  FROM (SELECT string_split(sym, ' ') AS l,
+      |    unnest(range(1, len(string_split(sym, ' ')))) AS i FROM s2)),
+      |t3 AS (SELECT pair, count(*) AS cnt FROM p3 GROUP BY 1
+      |  ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
 
   /** Shared dHash CTE chain (ends at the `bands` table): rebuilds the
     * planted 9×8 grayscale images from their md5 chains and derives

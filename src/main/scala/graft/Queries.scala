@@ -1441,6 +1441,18 @@ object Queries {
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", merges = 3)
         .orderBy("round")),
 
+    "bpe_apply" -> ((s, dir) => {
+      // tokenizer end-to-end: train 3 merges, then tokenize the corpus
+      // with them and report the top-20 vocabulary — the learned
+      // multi-char tokens must appear with exactly the counts the
+      // oracle's replayed merge chain produces
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+        .orderBy("round").collect().map(_.getString(1)).toSeq
+      TextAnalysis.bpeApply(docs, "text", merges)
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+    }),
+
     "lm_score" -> ((s, dir) =>
       // CCNet-style quality gate: corpus-trained add-one bigram LM,
       // per-doc tf-weighted mean log-prob; training is two counting

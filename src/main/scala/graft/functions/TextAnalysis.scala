@@ -419,6 +419,20 @@ object TextAnalysis {
     out.toSeq.toDF("round", "pair", "cnt")
   }
 
+  /** Apply a learned merge list: fuse each pair corpus-wide in
+    * training order (order matters — later merges build on earlier
+    * fusions), then explode the symbol stream to tokens with counts.
+    * Pure projections per merge; the count is the only shuffle. */
+  def bpeApply(df: DataFrame, textCol: String,
+               merges: Seq[String]): DataFrame = {
+    val syms = merges.foldLeft(symbolFrame(df, textCol)) { (acc, pair) =>
+      acc.select(replace(col("sym"), lit(pair),
+        lit(pair.replace(" ", ""))).as("sym"))
+    }
+    syms.select(explode(split(col("sym"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+  }
+
   def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val docBi = df.select(col(idCol), t.as("__t"))
