@@ -1393,37 +1393,36 @@ object Queries {
     "stream_dedup_lsh" -> ((s, dir) => {
       // the continuous-crawl dedup loop under the real streaming
       // machinery: document batches arrive through a checkpointed
-      // foreachBatch, each probing THEN appending the persisted band
-      // index (Dedup.bandIndexUpdate — the index never shuffles);
-      // discovered pairs append to a pairs lake, distinct-read for
-      // replay idempotency. Two micro-batches must leave exactly the
+      // FILE-source stream (feed, state, and sink all distributed —
+      // the MemoryStream spelling would collect the corpus to the
+      // driver, the known sf1 superlinear trap), each foreachBatch
+      // probing THEN appending the persisted band index
+      // (Dedup.bandIndexUpdate — the index never shuffles); discovered
+      // pairs append to a pairs lake, distinct-read for replay
+      // idempotency. Two micro-batches must leave exactly the
       // full-recompute pair set — dedup_lsh_incremental's oracle.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val base = "/tmp/graft_streamlsh"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      // MemoryStream is driver-fed by contract: harness feed, not an
-      // operator collect
-      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect()
-      val mem = MemoryStream[(Long, String)]
-      val q = mem.toDF().toDF("doc_id", "text").writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          Dedup.bandIndexUpdate(s"$base/idx", batch.toDF(), "text", "doc_id")
-            .write.mode("append").parquet(s"$base/pairs")
-        }
-        .start()
-      try {
-        mem.addData(rows.toSeq.filter(_._1 % 2 == 0))
-        q.processAllAvailable()
-        mem.addData(rows.toSeq.filter(_._1 % 2 != 0))
-        q.processAllAvailable()
-      } finally q.stop()
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$base/in")
+      def run(): Unit = {
+        val q = s.readStream.schema(docs.schema).parquet(s"$base/in")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            Dedup.bandIndexUpdate(s"$base/idx", batch.toDF(), "text", "doc_id")
+              .write.mode("append").parquet(s"$base/pairs")
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      docs.filter(col("doc_id") % 2 =!= 0).write.mode("append")
+        .parquet(s"$base/in")
+      run()
       s.read.parquet(s"$base/pairs").distinct().orderBy("id_a", "id_b")
     }),
 
