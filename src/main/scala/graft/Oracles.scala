@@ -1496,6 +1496,55 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    // coarse pass on the 16-dim prefix (rounded scores, id tie-break —
+    // identical shortlist boundary), exact rescore on the full vector
+    "ann_matryoshka" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |se AS (SELECT vec_id, v[1:16] AS v FROM e),
+         |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |  FROM se q, se c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |cr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM cs),
+         |short AS (SELECT query_id, neighbor_id FROM cr WHERE rank <= 20),
+         |f2 AS (SELECT s.query_id, s.neighbor_id,
+         |  round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |  FROM short s JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e c ON c.vec_id = s.neighbor_id),
+         |fr AS (SELECT query_id, neighbor_id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM f2)
+         |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+         |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // positives = top-3 rounded cosine; negatives = top-5 by the md5
+    // hash of (query:candidate), positives and self excluded first
+    "contrastive_pairs" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |ps AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |  FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |pr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM ps),
+         |pos AS (SELECT query_id, neighbor_id, rank FROM pr WHERE rank <= 3),
+         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(('0x' || substr(md5(CAST(q.vec_id AS VARCHAR) || ':' ||
+         |      CAST(c.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q,
+         |    embeddings c
+         |  WHERE c.vec_id <> q.vec_id AND NOT EXISTS (SELECT 1 FROM pos p
+         |    WHERE p.query_id = q.vec_id AND p.neighbor_id = c.vec_id)),
+         |nr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY h DESC, neighbor_id) AS rank FROM cand),
+         |neg AS (SELECT query_id, neighbor_id, rank FROM nr WHERE rank <= 5)
+         |SELECT query_id, neighbor_id, 'pos' AS role, CAST(rank AS INT) AS rank
+         |FROM pos
+         |UNION ALL
+         |SELECT query_id, neighbor_id, 'neg', CAST(rank AS INT) FROM neg
+         |ORDER BY query_id, role, rank""".stripMargin),
+
     "ann_lsh_bucket" -> (lshBucketSql("embeddings") + " ORDER BY vec_id"),
 
     "ann_lsh_topk" ->

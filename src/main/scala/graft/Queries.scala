@@ -1789,6 +1789,27 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_matryoshka" -> ((s, dir) => {
+      // Matryoshka coarse-to-fine: rank with the first 16 of 64 dims
+      // (4x fewer bytes on the coarse pass), exact-rescore only the
+      // 20-deep shortlist with full vectors
+      val e = t(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(e.filter(col("vec_id") < 10), e,
+          "embedding", "vec_id", shortDims = 16, kCoarse = 20, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "contrastive_pairs" -> ((s, dir) => {
+      // contrastive training-pair mining: top-3 cosine positives plus
+      // 5 hash-sampled negatives per query — the negative draw is a
+      // deterministic bounded-heap top-k on md5(query:candidate), with
+      // positives and self excluded BEFORE sampling
+      val e = t(s, dir, "embeddings")
+      Similarity.contrastivePairs(e.filter(col("vec_id") < 8), e,
+          "embedding", "vec_id", kPos = 3, kNeg = 5)
+        .orderBy("query_id", "role", "rank")
+    }),
+
     "stratified_sample" -> ((s, dir) =>
       graft.functions.Sampling.stratified(
         t(s, dir, "documents"), "doc_id", "lang",

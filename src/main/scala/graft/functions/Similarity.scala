@@ -122,6 +122,58 @@ object Similarity {
         (col("__pos") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** Matryoshka coarse-to-fine retrieval (Kusupati et al. 2022): rank
+    * with the embedding's FIRST `shortDims` dimensions (a prefix of an
+    * MRL-trained vector is itself a valid embedding — at lake scale
+    * the prefix lives in its own column/file, so the coarse pass reads
+    * shortDims/d of the bytes), keep `kCoarse` per query, then
+    * exact-rescore only that shortlist with the full vector. The
+    * full-dimension work drops from |corpus| to kCoarse rows per
+    * query. */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame,
+                     vecCol: String, idCol: String, shortDims: Int,
+                     kCoarse: Int, k: Int): DataFrame = {
+    val sq = queries.select(col(idCol), slice(col(vecCol), 1, shortDims).as(vecCol))
+    val sc = corpus.select(col(idCol), slice(col(vecCol), 1, shortDims).as(vecCol))
+    val coarse = bruteForceTopK(sq, sc, vecCol, idCol, kCoarse)
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val rescored = coarse.select("query_id", "neighbor_id")
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
+    rankTopK(rescored.select(col("query_id"), col("neighbor_id"),
+      col("score")), k)
+  }
+
+  /** Contrastive training pairs: per query, the top-`kPos` cosine
+    * neighbors as positives and `kNeg` DETERMINISTIC hash-sampled
+    * negatives (md5 of the (query, candidate) pair ranks the corpus;
+    * positives and self are excluded before sampling, so a negative is
+    * never secretly a positive). The negative draw is a bounded-heap
+    * top-k on the hash — no corpus sort, reproducible across runs and
+    * engines. */
+  def contrastivePairs(queries: DataFrame, corpus: DataFrame,
+                       vecCol: String, idCol: String,
+                       kPos: Int = 3, kNeg: Int = 5): DataFrame = {
+    val pos = bruteForceTopK(queries, corpus, vecCol, idCol, kPos)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(pos.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("score",
+        Hashing.hex8ToLong(concat(col("query_id").cast(StringType),
+          lit(":"), col("neighbor_id").cast(StringType))).cast("double"))
+    val neg = rankTopK(cand.select(col("query_id"), col("neighbor_id"),
+      col("score")), kNeg)
+    pos.withColumn("role", lit("pos"))
+      .unionByName(neg.select(col("query_id"), col("neighbor_id"),
+        col("rank")).withColumn("role", lit("neg")))
+      .select("query_id", "neighbor_id", "role", "rank")
+  }
+
   /** Reciprocal-rank fusion of ranked retrieval lists (the standard
     * sparse+dense hybrid from the public IR literature): fused score =
     * Σ_lists 1/(c+rank), re-ranked top-k. Each input frame carries
