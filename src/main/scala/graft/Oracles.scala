@@ -1496,6 +1496,33 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    // three unrolled rank iterations, contributions rounded then
+    // DECIMAL-summed exactly like the engine; (1 - 0.85) evaluated at
+    // runtime so both engines hold the identical IEEE double
+    "pagerank" -> {
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT e.dst AS node,
+           |  CAST(sum(CAST(round(r.rank / od.outdeg, 9) AS DECIMAL(18,9)))
+           |    AS DECIMAL(18,9)) AS cin
+           |  FROM e JOIN r${i - 1} r ON r.node = e.src
+           |  JOIN od ON od.src = e.src GROUP BY 1),
+           |r$i AS (SELECT nx.node, round((1 - 0.85) / nn.n +
+           |    0.85 * CAST(coalesce(c$i.cin, 0) AS DOUBLE), 9) AS rank
+           |  FROM nodes nx LEFT JOIN c$i ON c$i.node = nx.node, nn)""".stripMargin
+      s"""WITH e AS (SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+         |  UNION ALL SELECT doc_id, doc_id // 3 FROM documents),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, round(1.0 / nn.n, 9) AS rank FROM nodes, nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node AS doc_id, rank FROM r3
+         |ORDER BY rank DESC, node LIMIT 30""".stripMargin
+    },
+
     // coarse pass on the 16-dim prefix (rounded scores, id tie-break —
     // identical shortlist boundary), exact rescore on the full vector
     "ann_matryoshka" ->

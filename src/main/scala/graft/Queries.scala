@@ -1789,6 +1789,22 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "pagerank" -> ((s, dir) => {
+      // corpus-quality weighting via link rank (the harvest-rank
+      // recipe): a planted two-outlink graph (i -> i div 2 and
+      // i -> i div 3, a funnel toward low ids), three iterations with
+      // per-edge contributions rounded then DECIMAL-summed so the
+      // oracle replays every double exactly
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          expr("CAST(doc_id AS BIGINT) div 2").as("dst"))
+        .unionAll(d.select(col("doc_id").as("src"),
+          expr("CAST(doc_id AS BIGINT) div 3").as("dst")))
+      graft.functions.Graph.pagerank(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(30)
+        .select(col("node").as("doc_id"), col("rank"))
+    }),
+
     "ann_matryoshka" -> ((s, dir) => {
       // Matryoshka coarse-to-fine: rank with the first 16 of 64 dims
       // (4x fewer bytes on the coarse pass), exact-rescore only the

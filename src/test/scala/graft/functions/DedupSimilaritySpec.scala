@@ -547,6 +547,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("pagerank: hub outranks leaves, fixed rounds are deterministic") {
+    // star: 1..4 all link to 0; 0 links to itself
+    val edges = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+      .toDF("src", "dst")
+    val r = graft.functions.Graph.pagerank(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) > r(1L))
+    // leaves have identical in-structure -> identical rank
+    assert(Set(r(1L), r(2L), r(3L), r(4L)).size == 1)
+    // leaf rank = (1-d)/N exactly (no inlinks)
+    assert(math.abs(r(1L) - 0.15 / 5) < 1e-9)
+    // two runs produce bit-identical ranks (rounded decimal discipline)
+    val r2 = graft.functions.Graph.pagerank(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == r2)
+  }
+
   test("incremental band index caps hot buckets on the TOTAL bucket size") {
     val dir = java.nio.file.Files.createTempDirectory("bandidxcap").toString
     val idx = s"$dir/idx"
