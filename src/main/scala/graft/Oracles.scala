@@ -2346,6 +2346,19 @@ object Oracles {
          |    + octet_length(encode(text)) AS BIGINT) AS byte_len
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // constant JPEG frames roundtrip value-exactly (DC-only), and the
+    // /8 quantizer absorbs the planted ±3 jitter — so the oracle
+    // derives every quantized frame mean straight from the md5 hex
+    "video_fingerprint_match" ->
+      ("""WITH d AS (SELECT doc_id,
+         |    md5('vid:' || CAST(doc_id // 4 AS VARCHAR)) AS m FROM documents),
+         |q AS (SELECT doc_id,
+         |    CAST(CAST(('0x' || substr(m, 1, 2)) AS INT) // 8 AS INT) AS q0,
+         |    CAST(CAST(('0x' || substr(m, 5, 2)) AS INT) // 8 AS INT) AS q1
+         |  FROM d)
+         |SELECT q0, q1, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM q GROUP BY 1, 2 ORDER BY keep_id""".stripMargin),
+
     // planted integer-cycle tones put all energy in one FFT bin per
     // frame, so the oracle derives each fingerprint analytically from
     // the md5 that chose the bins — no transform on the oracle side

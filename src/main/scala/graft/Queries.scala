@@ -3359,6 +3359,38 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    "video_fingerprint_match" -> ((s, dir) => {
+      // video content-dup detection: docs in the same doc_id-div-4
+      // cluster carry 4-frame MJPEG videos whose frame values differ
+      // only by a per-doc ±3 jitter; the temporal signature (each
+      // sampled frame's mean luma quantized /8) absorbs the jitter, so
+      // clusters group exactly — the real AVI walk + JPEG decode runs
+      // on every sampled frame, and the oracle derives each quantized
+      // mean analytically (constant frames are DC-only, so the JPEG
+      // roundtrip is value-exact).
+      val mkAvi = udf { (hex: String, jitter: Int) =>
+        val frames = (0 until 4).map { i =>
+          val b = Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16)
+          val v = (b / 8) * 8 + 4 + jitter
+          val gray = Array.fill[Byte](256)(v.toByte)
+          graft.functions.Jpeg.encodeGray(16, 16, gray)
+        }
+        graft.functions.MediaCodecs.encodeAviMjpeg(frames, 16, 16)
+      }
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        mkAvi(substring(md5(concat(lit("vid:"),
+            expr("CAST(doc_id AS BIGINT) div 4").cast("string"))), 1, 8),
+          (col("doc_id") % 7 - 3).cast("int")).as("payload"))
+      Multimodal.videoFingerprint(docs, every = 2, quant = 8)
+        .groupBy("fp")
+        .agg(min(element_at(col("qmeans"), 1)).as("q0"),
+          min(element_at(col("qmeans"), 2)).as("q1"),
+          min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select("q0", "q1", "keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
     "audio_fingerprint_match" -> ((s, dir) => {
       // audio content-dup detection: docs in the same doc_id-div-4
       // cluster carry the same two planted tones (integer-cycle sines

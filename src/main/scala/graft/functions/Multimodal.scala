@@ -318,6 +318,55 @@ object Multimodal {
     }(enc)
   }
 
+  /** Temporal-signature video fingerprint — the video analogue of
+    * [[audioFingerprint]]: walk the real AVI container, decode every
+    * `every`-th frame through the real JPEG kernel, take each sampled
+    * frame's mean luma quantized to `quant`-wide buckets (small
+    * re-encode jitter lands in the same bucket), and hash the bucket
+    * sequence. Decode cost ∝ sampled frames; matching is an exact
+    * hash groupBy downstream. */
+  def videoFingerprint(df: DataFrame, every: Int = 2, quant: Int = 8,
+                       payloadCol: String = "payload"): DataFrame = {
+    require(every > 0 && quant > 0, "stride and quantizer must be positive")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("qmeans", ArrayType(IntegerType)),
+      StructField("fp", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val out =
+          try {
+            val frames = MediaCodecs.decodeAviFrames(payload)
+            require(frames.nonEmpty, "no frames in container")
+            val qs = frames.indices.collect {
+              case i if i % every == 0 =>
+                val img = MediaCodecs.decodeImage(frames(i))
+                var sum = 0L
+                var p = 0
+                while (p < img.rgb.length) {
+                  sum += (77 * (img.rgb(p) & 0xff) +
+                    150 * (img.rgb(p + 1) & 0xff) +
+                    29 * (img.rgb(p + 2) & 0xff)) >> 8
+                  p += 3
+                }
+                ((sum / (img.width * img.height)) / quant).toInt
+            }
+            md.reset()
+            val fp = md.digest(qs.mkString(",").getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            Seq[Any](qs, fp)
+          } catch {
+            case scala.util.control.NonFatal(_) => Seq[Any](null, null)
+          }
+        Row.fromSeq(r.toSeq ++ out)
+      }
+    }(enc)
+  }
+
   def decodeAudioStats(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("n_samples", IntegerType),

@@ -603,6 +603,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(merges.toSeq == Seq((1, "a b", 6L), (2, "ab ab", 3L), (3, "a a", 2L)))
   }
 
+  test("video fingerprint: quantized frame means absorb jitter, " +
+      "stride samples, garbage quarantines") {
+    def avi(values: Int*): Array[Byte] =
+      MediaCodecs.encodeAviMjpeg(values.map { v =>
+        Jpeg.encodeGray(16, 16, Array.fill[Byte](256)(v.toByte))
+      }, 16, 16)
+    // sampled values sit at bucket centers (8k+4), so ±3 stays inside
+    val df = Seq(
+      (1L, avi(100, 50, 204, 30)),  // sampled frames 0 and 2
+      (2L, avi(103, 99, 201, 99)),  // ±3 on sampled frames → same buckets
+      (3L, avi(120, 50, 204, 30)),  // first sampled frame differs
+      (4L, "not a video".getBytes("US-ASCII")),
+    ).toDF("doc_id", "payload")
+    val fps = Multimodal.videoFingerprint(df, every = 2, quant = 8)
+      .select("doc_id", "qmeans", "fp").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq),
+          r.getString(2)))
+      .toMap
+    assert(fps(1L)._1.get == Seq(100 / 8, 204 / 8))
+    assert(fps(1L)._2 == fps(2L)._2) // jitter absorbed by the quantizer
+    assert(fps(1L)._2 != fps(3L)._2)
+    assert(fps(4L)._1.isEmpty && fps(4L)._2 == null)
+  }
+
   test("audio fingerprint: per-frame dominant bins, gain-invariant, " +
       "quarantines garbage") {
     def wav(samples: Array[Short]): Array[Byte] = {
