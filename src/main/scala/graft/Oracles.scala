@@ -1496,6 +1496,36 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    "skew_profile" ->
+      ("""WITH c AS (SELECT o_custkey AS key, count(*) AS cnt
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT count(*) AS total FROM orders)
+         |SELECT key, cnt, (cnt * 10000) // t.total AS share_bp
+         |FROM c, t ORDER BY cnt DESC, key LIMIT 20""".stripMargin),
+
+    // six stat blocks (before/after x two columns), means summed as
+    // DECIMAL like the engine so every double matches
+    "drift_report" -> {
+      def block(snap: String, src: String, c: String): String =
+        s"""SELECT '$snap' AS snapshot, '$c' AS "column",
+           |  count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(min(CAST($c AS DOUBLE)), 6) AS vmin,
+           |  round(max(CAST($c AS DOUBLE)), 6) AS vmax,
+           |  round(CAST(sum(CAST(round(CAST($c AS DOUBLE), 6) AS DECIMAL(18,6)))
+           |    AS DOUBLE) / count($c), 6) AS vmean
+           |FROM $src""".stripMargin
+      s"""WITH aft AS (SELECT o_custkey, CASE WHEN o_orderstatus = 'O'
+         |    THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+         |    AS o_totalprice FROM orders)
+         |${block("before", "orders", "o_totalprice")}
+         |UNION ALL ${block("before", "orders", "o_custkey")}
+         |UNION ALL ${block("after", "aft", "o_totalprice")}
+         |UNION ALL ${block("after", "aft", "o_custkey")}
+         |ORDER BY snapshot, "column"""".stripMargin
+    },
+
     // three unrolled rank iterations, contributions rounded then
     // DECIMAL-summed exactly like the engine; (1 - 0.85) evaluated at
     // runtime so both engines hold the identical IEEE double

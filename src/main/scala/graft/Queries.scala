@@ -1789,6 +1789,27 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "skew_profile" -> ((s, dir) =>
+      // the pre-upload key-distribution probe: top-20 heaviest join
+      // keys with integer-exact basis-point shares — the numbers a
+      // planner uses to pick salting/bucketing before a big join
+      graft.functions.Profiling.skewProfile(
+        t(s, dir, "orders"), "o_custkey", k = 20)),
+
+    "drift_report" -> ((s, dir) => {
+      // post-load monitoring: per-column stats for two snapshots side
+      // by side — the "after" snapshot plants a 10% price raise on
+      // open orders, which must move mean/max but not counts
+      val o = t(s, dir, "orders")
+      val after = o.withColumn("o_totalprice",
+        when(col("o_orderstatus") === "O",
+          round(col("o_totalprice") * 1.1, 2))
+          .otherwise(col("o_totalprice")))
+      graft.functions.Profiling.driftReport(o, after,
+          Seq("o_totalprice", "o_custkey"))
+        .orderBy("snapshot", "column")
+    }),
+
     "pagerank" -> ((s, dir) => {
       // corpus-quality weighting via link rank (the harvest-rank
       // recipe): a planted two-outlink graph (i -> i div 2 and
