@@ -1517,7 +1517,7 @@ object Oracles {
            |    AS DOUBLE) / count($c), 6) AS vmean
            |FROM $src""".stripMargin
       s"""WITH aft AS (SELECT o_custkey, CASE WHEN o_orderstatus = 'O'
-         |    THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+         |    THEN o_totalprice + 750.0 ELSE o_totalprice END
          |    AS o_totalprice FROM orders)
          |${block("before", "orders", "o_totalprice")}
          |UNION ALL ${block("before", "orders", "o_custkey")}

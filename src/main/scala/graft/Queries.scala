@@ -1798,12 +1798,15 @@ object Queries {
 
     "drift_report" -> ((s, dir) => {
       // post-load monitoring: per-column stats for two snapshots side
-      // by side — the "after" snapshot plants a 10% price raise on
-      // open orders, which must move mean/max but not counts
+      // by side — the "after" snapshot plants a flat surcharge on open
+      // orders, which must move mean/max but not counts. An exact IEEE
+      // sum, deliberately NOT round(x*1.1, 2): rounding a computed
+      // double at 2 decimals is the classic cross-engine trap (Spark
+      // rounds the shortest decimal rendering, DuckDB the binary
+      // value — they split on near-half products).
       val o = t(s, dir, "orders")
       val after = o.withColumn("o_totalprice",
-        when(col("o_orderstatus") === "O",
-          round(col("o_totalprice") * 1.1, 2))
+        when(col("o_orderstatus") === "O", col("o_totalprice") + 750.0)
           .otherwise(col("o_totalprice")))
       graft.functions.Profiling.driftReport(o, after,
           Seq("o_totalprice", "o_custkey"))
