@@ -1496,7 +1496,34 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
-    "skew_profile" ->
+    // the snippet literal is generated from the SAME Scala constant
+    // the query plants, newlines spliced as chr(10)
+    "code_detect" -> {
+      val snippetSql = "'" + graft.functions.TextAnalysis.CodeSnippet
+        .replace("\n", "' || chr(10) || '") + "'"
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |    THEN text || $snippetSql ELSE text END AS t FROM documents),
+         |s AS (SELECT doc_id,
+         |    GREATEST(length(t), 1) AS len,
+         |    length(regexp_replace(t, '[^{}\\[\\]();=<>]', '', 'g')) AS sym,
+         |    len(string_split(t, chr(10))) AS n_lines,
+         |    len(list_filter(string_split(t, chr(10)),
+         |      l -> regexp_matches(l, '^(  |\\t)'))) AS ind,
+         |    len(regexp_extract_all(t,
+         |      '\\b(def|class|return|import|const|function|public|void|struct|fn)\\b')) AS kw
+         |  FROM d),
+         |g AS (SELECT doc_id,
+         |    (sym * 10000) // len AS symbol_bp,
+         |    (ind * 10000) // n_lines AS indent_bp,
+         |    CAST(kw AS BIGINT) AS kw_hits
+         |  FROM s)
+         |SELECT doc_id, symbol_bp, indent_bp, kw_hits,
+         |  (symbol_bp >= 400 OR (kw_hits >= 3 AND symbol_bp >= 150)
+         |    OR indent_bp >= 3000) AS is_code
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "key_share_topk" ->
       ("""WITH c AS (SELECT o_custkey AS key, count(*) AS cnt
          |  FROM orders GROUP BY 1),
          |t AS (SELECT count(*) AS total FROM orders)

@@ -1789,10 +1789,24 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
-    "skew_profile" -> ((s, dir) =>
+    "code_detect" -> ((s, dir) => {
+      // code-vs-prose routing: every 5th doc gets a code snippet
+      // appended; the integer-exact signals (symbol/indent basis
+      // points, keyword hits) and the gate must match the oracle's
+      // identical regex arithmetic
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(TextAnalysis.CodeSnippet)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.codeSignals(docs, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    "key_share_topk" -> ((s, dir) =>
       // the pre-upload key-distribution probe: top-20 heaviest join
       // keys with integer-exact basis-point shares — the numbers a
       // planner uses to pick salting/bucketing before a big join
+      // (complements skew_profile's magnitude histogram and
+      // heavy_keys' salt factors with the exact head of the key mass)
       graft.functions.Profiling.skewProfile(
         t(s, dir, "orders"), "o_custkey", k = 20)),
 

@@ -354,6 +354,38 @@ object TextAnalysis {
     * summation order is the classic cross-engine mismatch trap —
     * compare the DECIMAL discipline in the join oracles). Only the
     * one-row vocabulary size crosses stages, as a broadcast. */
+  /** Code-vs-prose detection — the corpus-separation heuristic from
+    * the public curation pipelines (route code to a code subset, keep
+    * prose clean): structural-symbol density, indented-line share, and
+    * programming-keyword hits. ALL-INTEGER outputs (basis points and
+    * counts), so any engine reproduces the gate exactly; pure
+    * scan-speed expressions, no shuffle. */
+  /** Planted snippet for the code-detection oracle row (shared so the
+    * SQL literal is generated from the same string). */
+  val CodeSnippet: String =
+    "\ndef f(x):\n  return g(x);\nclass A {\n  public void h() { int y = (1<2); }\n}"
+
+  def codeSignals(df: DataFrame, textCol: String,
+                  idCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__len", greatest(length(col("__t")), lit(1)).cast("long"))
+      .withColumn("__sym",
+        length(regexp_replace(col("__t"), "[^{}\\[\\]();=<>]", ""))
+          .cast("long"))
+      .withColumn("__lines", split(col("__t"), "\n"))
+      .withColumn("__ind",
+        size(filter(col("__lines"), l => l.rlike("^(  |\\t)"))).cast("long"))
+      .withColumn("symbol_bp", expr("(__sym * 10000) div __len"))
+      .withColumn("indent_bp", expr("(__ind * 10000) div size(__lines)"))
+      .withColumn("kw_hits", size(regexp_extract_all(col("__t"),
+        lit("\\b(def|class|return|import|const|function|public|void|struct|fn)\\b"),
+        lit(0))).cast("long"))
+      .withColumn("is_code",
+        col("symbol_bp") >= 400 ||
+          (col("kw_hits") >= 3 && col("symbol_bp") >= 150) ||
+          col("indent_bp") >= 3000)
+      .select(idCol, "symbol_bp", "indent_bp", "kw_hits", "is_code")
+
   // ---------------- BPE tokenizer training ----------------
 
   /** A corpus as BPE symbol strings: one row per word occurrence, the
