@@ -1496,6 +1496,23 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    // same block-then-gate shape: 3-char-suffix blocks, builtin
+    // integer Levenshtein in both engines
+    "entity_match" ->
+      ("""WITH c AS (SELECT c_custkey, c_name FROM customer),
+         |d AS (SELECT c_custkey + 1000000 AS d_key,
+         |    substr(c_name, 1, 3) || 'X' || substr(c_name, 5, 100) AS d_name
+         |  FROM c),
+         |db AS (SELECT d_key, d_name,
+         |    substr(d_name, length(d_name) - 2, 3) AS block FROM d),
+         |mb AS (SELECT c_custkey, c_name,
+         |    substr(c_name, length(c_name) - 2, 3) AS block FROM c)
+         |SELECT db.d_key, mb.c_custkey AS master_key,
+         |  CAST(levenshtein(db.d_name, mb.c_name) AS INT) AS dist
+         |FROM db JOIN mb ON mb.block = db.block
+         |WHERE levenshtein(db.d_name, mb.c_name) <= 1
+         |ORDER BY d_key, master_key""".stripMargin),
+
     // the snippet literal is generated from the SAME Scala constant
     // the query plants, newlines spliced as chr(10)
     "code_detect" -> {
