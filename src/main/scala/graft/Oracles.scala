@@ -1496,6 +1496,27 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    // same hash split, same band pairs, same precedence
+    // (eval > quarantine > train)
+    "leakage_split" ->
+      (s"""WITH bands AS ($minhashBandsSql),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |tagged AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10 = 0 AS is_eval
+         |  FROM documents),
+         |ev AS (SELECT doc_id AS eid FROM tagged WHERE is_eval),
+         |leaky AS (SELECT id_b AS doc_id FROM pairs JOIN ev ON ev.eid = id_a
+         |  UNION SELECT id_a FROM pairs JOIN ev ON ev.eid = id_b)
+         |SELECT t.doc_id, CASE WHEN t.is_eval THEN 'eval'
+         |    WHEN l.doc_id IS NOT NULL THEN 'quarantine'
+         |    ELSE 'train' END AS split
+         |FROM tagged t LEFT JOIN leaky l ON l.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
+
     // same block-then-gate shape: 3-char-suffix blocks, builtin
     // integer Levenshtein in both engines
     "entity_match" ->

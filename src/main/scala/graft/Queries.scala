@@ -1789,6 +1789,34 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "leakage_split" -> ((s, dir) => {
+      // leakage-free train/eval split: a deterministic 10% hash split,
+      // then any TRAIN doc that near-duplicates an EVAL doc (banded
+      // MinHash candidates — never all-pairs) is quarantined from
+      // train. This is the decontamination discipline applied at split
+      // time: without it, eval twins leak into training and inflate
+      // benchmark scores.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tagged = docs.withColumn("is_eval",
+        pmod(graft.functions.Hashing.hex8ToLong(
+          concat(lit("split:"), col("doc_id").cast(StringType))),
+          lit(10L)) === 0)
+      val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      val evalIds = tagged.filter(col("is_eval"))
+        .select(col("doc_id").as("eid"))
+      val leaky = pairs.join(evalIds, col("id_a") === col("eid"))
+        .select(col("id_b").as("doc_id"))
+        .unionByName(pairs.join(evalIds, col("id_b") === col("eid"))
+          .select(col("id_a").as("doc_id")))
+        .distinct().withColumn("leaky", lit(true))
+      tagged.join(leaky, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_eval"), "eval")
+            .when(coalesce(col("leaky"), lit(false)), "quarantine")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")
+    }),
+
     "entity_match" -> ((s, dir) => {
       // record linkage for data integration: a dirty re-import of
       // customers (one character corrupted per name) must link back to

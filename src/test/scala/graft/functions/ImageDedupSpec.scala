@@ -86,6 +86,23 @@ class ImageDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1), (1L, 3L, 3), (2L, 3L, 4)))
   }
 
+  test("banding recall is total for Hamming <= 3 (pigeonhole property)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 50).flatMap { i =>
+      val base = Array.fill(4)(rnd.nextInt(65536))
+      val l = toLong(base)
+      val flips = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(4))
+      val mut = flips.foldLeft(l)((acc, b) => acc ^ (1L << b))
+      val mutB = Array.tabulate(4)(j => ((mut >> (16 * j)) & 0xffff).toInt)
+      Seq((i * 2L, base), (i * 2L + 1, mutB))
+    }
+    val out = ImageDedup.nearDupPairs(hashedDf(rows), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // <= 3 flipped bits across 4 bands leave >= 1 band untouched, so
+    // every planted twin MUST collide into a candidate bucket
+    (0 until 50).foreach { i => assert(out.contains((i * 2L, i * 2L + 1))) }
+  }
+
   test("hot-bucket cap drops degenerate buckets whole") {
     val const = ImageDedup.dhashBands(gray9x8(_ => 128)) // all-equal image
     val rows = (1L to 20L).map(_ -> const)
