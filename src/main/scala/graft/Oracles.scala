@@ -1496,6 +1496,21 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    // same count-histogram quartile thresholds and band routing
+    "curriculum_shards" ->
+      ("""WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+         |th AS (SELECT min(CASE WHEN cum*1000 >= n*250 THEN v END) AS t0,
+         |              min(CASE WHEN cum*1000 >= n*500 THEN v END) AS t1,
+         |              min(CASE WHEN cum*1000 >= n*750 THEN v END) AS t2
+         |       FROM cum, tot)
+         |SELECT doc_id, n_chars,
+         |  CAST(CASE WHEN n_chars <= t0 THEN 0 WHEN n_chars <= t1 THEN 1
+         |    WHEN n_chars <= t2 THEN 2 ELSE 3 END AS INT) AS shard
+         |FROM documents, th ORDER BY doc_id""".stripMargin),
+
     // same hash split, same band pairs, same precedence
     // (eval > quarantine > train)
     "leakage_split" ->

@@ -1789,6 +1789,16 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "curriculum_shards" -> ((s, dir) =>
+      // quality-curriculum sharding: exact quartile cuts on doc length
+      // via the count-histogram thresholds (domain-sized, never a
+      // corpus sort), each doc routed to its quartile shard
+      graft.functions.Quantiles.shardByQuantiles(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", Seq(250, 500, 750))
+        .select("doc_id", "n_chars", "shard")
+        .orderBy("doc_id")),
+
     "leakage_split" -> ((s, dir) => {
       // leakage-free train/eval split: a deterministic 10% hash split,
       // then any TRAIN doc that near-duplicates an EVAL doc (banded

@@ -48,6 +48,29 @@ object Quantiles {
       .as(Seq("permille", "threshold")))
   }
 
+  /** Curriculum sharding: route each row to the quantile band its
+    * integer metric falls in (cuts are sorted per-milles; shard i =
+    * value ≤ cut_i's threshold, last shard = above all cuts). Same
+    * scale shape as [[gate]]: one domain-sized histogram, one
+    * broadcast threshold row, zero corpus shuffles — never a corpus
+    * sort. The dataloader consumes shards in order (short/clean
+    * first, long-tail last). */
+  def shardByQuantiles(df: DataFrame, valueCol: String,
+                       cuts: Seq[Int]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted,
+      "cuts must be sorted per-milles")
+    val aggs = cuts.zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") * 1000 >= col("n") * p, col("v"))).as(s"__t$i")
+    }
+    val th = cumHist(df, valueCol).agg(aggs.head, aggs.tail: _*)
+    val shard = cuts.indices.foldRight(
+        lit(cuts.size): org.apache.spark.sql.Column) { (i, acc) =>
+      when(col(valueCol) <= col(s"__t$i"), i).otherwise(acc)
+    }
+    df.crossJoin(broadcast(th)).withColumn("shard", shard.cast("int"))
+      .drop(cuts.indices.map(i => s"__t$i"): _*)
+  }
+
   /** Keep rows whose integer metric lies within the [lo, hi] per-mille
     * quantile band — the outlier gate from corpus curation (drop the
     * degenerate tails: empty/truncated docs below, concatenation
