@@ -1532,7 +1532,7 @@ object Oracles {
          |FROM tagged t LEFT JOIN leaky l ON l.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin),
 
-    // same block-then-gate shape: 3-char-suffix blocks, builtin
+    // same block-then-gate shape: 5-char-suffix blocks, builtin
     // integer Levenshtein in both engines
     "entity_match" ->
       ("""WITH c AS (SELECT c_custkey, c_name FROM customer),
@@ -1540,9 +1540,9 @@ object Oracles {
          |    substr(c_name, 1, 3) || 'X' || substr(c_name, 5, 100) AS d_name
          |  FROM c),
          |db AS (SELECT d_key, d_name,
-         |    substr(d_name, length(d_name) - 2, 3) AS block FROM d),
+         |    substr(d_name, length(d_name) - 4, 5) AS block FROM d),
          |mb AS (SELECT c_custkey, c_name,
-         |    substr(c_name, length(c_name) - 2, 3) AS block FROM c)
+         |    substr(c_name, length(c_name) - 4, 5) AS block FROM c)
          |SELECT db.d_key, mb.c_custkey AS master_key,
          |  CAST(levenshtein(db.d_name, mb.c_name) AS INT) AS dist
          |FROM db JOIN mb ON mb.block = db.block

@@ -1830,17 +1830,21 @@ object Queries {
     "entity_match" -> ((s, dir) => {
       // record linkage for data integration: a dirty re-import of
       // customers (one character corrupted per name) must link back to
-      // its master row. Blocking on the name's 3-char suffix keeps the
-      // candidate join bucket-local (never all-pairs); integer-exact
+      // its master row. Blocking on the name's 5-char suffix keeps the
+      // candidate join bucket-local (never all-pairs) — and block
+      // CARDINALITY grows with the corpus, so occupancy stays ~1 at
+      // any scale (a fixed block count would go quadratic: measured
+      // 15s at derived sf1 with 3-char blocks, 150 rows/block);
+      // integer-exact
       // Levenshtein gates the block pairs, threshold 1 — the corrupted
       // char — links exactly the true master.
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
       val dirty = c.select((col("c_custkey") + 1000000L).as("d_key"),
         concat(substring(col("c_name"), 1, 3), lit("X"),
           substring(col("c_name"), 5, 100)).as("d_name"))
-        .withColumn("block", expr("substring(d_name, length(d_name)-2, 3)"))
+        .withColumn("block", expr("substring(d_name, length(d_name)-4, 5)"))
       val master = c
-        .withColumn("block", expr("substring(c_name, length(c_name)-2, 3)"))
+        .withColumn("block", expr("substring(c_name, length(c_name)-4, 5)"))
       dirty.join(master, "block")
         .filter(levenshtein(col("d_name"), col("c_name")) <= 1)
         .select(col("d_key"), col("c_custkey").as("master_key"),
