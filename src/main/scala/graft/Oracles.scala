@@ -1496,6 +1496,36 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    // identical planted change stream, identical lead() closure
+    "scd2_build" ->
+      ("""WITH c AS (
+         |  SELECT o_orderkey AS k, o_totalprice + 100.0 AS v,
+         |    CAST(10 AS BIGINT) AS lsn FROM orders
+         |  UNION ALL SELECT o_orderkey, o_totalprice + 200.0, 20
+         |    FROM orders WHERE o_orderkey % 3 <> 0
+         |  UNION ALL SELECT o_orderkey, o_totalprice + 300.0, 30 FROM orders)
+         |SELECT k, v, lsn AS valid_from,
+         |  lead(lsn) OVER (PARTITION BY k ORDER BY lsn) - 1 AS valid_to
+         |FROM c ORDER BY k, valid_from""".stripMargin),
+
+    // same dimension, same interval residual over the k-equi join
+    "scd2_lookup" ->
+      ("""WITH c AS (
+         |  SELECT o_orderkey AS k, o_totalprice + 100.0 AS v,
+         |    CAST(10 AS BIGINT) AS lsn FROM orders
+         |  UNION ALL SELECT o_orderkey, o_totalprice + 200.0, 20
+         |    FROM orders WHERE o_orderkey % 3 <> 0
+         |  UNION ALL SELECT o_orderkey, o_totalprice + 300.0, 30 FROM orders),
+         |dim AS (SELECT k, v, lsn AS valid_from,
+         |    lead(lsn) OVER (PARTITION BY k ORDER BY lsn) - 1 AS valid_to
+         |  FROM c),
+         |p AS (SELECT o_orderkey AS k, o_orderkey % 35 AS at_lsn FROM orders)
+         |SELECT p.k, p.at_lsn, d.v, d.valid_from
+         |FROM p JOIN dim d ON d.k = p.k
+         |WHERE p.at_lsn >= d.valid_from
+         |  AND (d.valid_to IS NULL OR p.at_lsn <= d.valid_to)
+         |ORDER BY p.k""".stripMargin),
+
     // same count-histogram quartile thresholds and band routing
     "curriculum_shards" ->
       ("""WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c

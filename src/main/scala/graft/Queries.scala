@@ -1789,6 +1789,57 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "scd2_build" -> ((s, dir) => {
+      // slowly-changing-dimension (type 2) build: a keyed change
+      // stream becomes validity intervals — lead() over (key, lsn)
+      // closes each version at the next change, the open head carries
+      // NULL valid_to. Three planted versions per order key, with
+      // version 2 dropped for every 3rd key (uneven histories). One
+      // key-partitioned window — the warehouse-dimension shuffle
+      // shape, balanced on the dimension key at any scale.
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v0"))
+      val changes = Seq(1, 2, 3).map(i =>
+          o.select(col("k"), (col("v0") + lit(i * 100.0)).as("v"),
+            lit(i.toLong * 10).as("lsn")))
+        .reduce(_ unionByName _)
+        .filter(!(col("lsn") === 20 && col("k") % 3 === 0))
+      val w = Window.partitionBy("k").orderBy("lsn")
+      changes
+        .withColumn("valid_to", lead(col("lsn"), 1).over(w) - 1)
+        .select(col("k"), col("v"), col("lsn").as("valid_from"),
+          col("valid_to"))
+        .orderBy("k", "valid_from")
+    }),
+
+    "scd2_lookup" -> ((s, dir) => {
+      // point-in-time dimension lookup: each probe (key, at_lsn)
+      // resolves to the version whose validity interval covers it —
+      // equi-join on the dimension key with the interval residual, so
+      // the shuffle stays balanced on k; probes before any version
+      // (at_lsn < 10) drop out
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v0"))
+      val changes = Seq(1, 2, 3).map(i =>
+          o.select(col("k"), (col("v0") + lit(i * 100.0)).as("v"),
+            lit(i.toLong * 10).as("lsn")))
+        .reduce(_ unionByName _)
+        .filter(!(col("lsn") === 20 && col("k") % 3 === 0))
+      val w = Window.partitionBy("k").orderBy("lsn")
+      val dim = changes
+        .withColumn("valid_to", lead(col("lsn"), 1).over(w) - 1)
+        .select(col("k"), col("v"), col("lsn").as("valid_from"),
+          col("valid_to"))
+      val probes = o.select(col("k"), (col("k") % 35).as("at_lsn"))
+      probes.join(dim, Seq("k"))
+        .filter(col("at_lsn") >= col("valid_from") &&
+          (col("valid_to").isNull || col("at_lsn") <= col("valid_to")))
+        .select(col("k"), col("at_lsn"), col("v"), col("valid_from"))
+        .orderBy("k")
+    }),
+
     "curriculum_shards" -> ((s, dir) =>
       // quality-curriculum sharding: exact quartile cuts on doc length
       // via the count-histogram thresholds (domain-sized, never a
