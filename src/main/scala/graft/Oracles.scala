@@ -1496,6 +1496,16 @@ object Oracles {
          |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin),
 
+    "grouped_quantiles" ->
+      ("""WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT lang, v,
+         |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM h)
+         |SELECT lang, min(CASE WHEN cum*1000 >= n*500 THEN v END) AS threshold
+         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin),
+
     // identical planted change stream, identical lead() closure
     "scd2_build" ->
       ("""WITH c AS (

@@ -1789,6 +1789,14 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "grouped_quantiles" -> ((s, dir) =>
+      // per-language median doc length: the count-histogram quantile
+      // discipline partitioned by group — (group × domain)-sized
+      // state, never a per-row sort
+      graft.functions.Quantiles.groupedThreshold(
+          t(s, dir, "documents"), "lang", "n_chars", permille = 500)
+        .orderBy("lang")),
+
     "scd2_build" -> ((s, dir) => {
       // slowly-changing-dimension (type 2) build: a keyed change
       // stream becomes validity intervals — lead() over (key, lsn)

@@ -48,6 +48,24 @@ object Quantiles {
       .as(Seq("permille", "threshold")))
   }
 
+  /** Per-group exact quantile threshold (e.g., median length per
+    * language): the same count-histogram discipline, partitioned — the
+    * histogram is (group × value-domain)-sized, never row-sized, and
+    * the windows run inside each group's partition. */
+  def groupedThreshold(df: DataFrame, groupCol: String, valueCol: String,
+                       permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000)
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy(groupCol).orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
+    cum.groupBy(groupCol)
+      .agg(min(when(col("cum") * 1000 >= col("n") * permille, col("v")))
+        .as("threshold"))
+  }
+
   /** Curriculum sharding: route each row to the quantile band its
     * integer metric falls in (cuts are sorted per-milles; shard i =
     * value ≤ cut_i's threshold, last shard = above all cuts). Same
