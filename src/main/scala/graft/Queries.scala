@@ -3627,5 +3627,186 @@ object Queries {
           octet_length(col("payload")).cast("long").as("byte_len"))
         .orderBy("doc_id")
     }),
+
+    "snapshot_diff" -> ((s, dir) => {
+      // incremental-run planning: classify every doc across two corpus
+      // snapshots (B = A minus id%7 deletions, with id%5 edits and
+      // id%11 additions) as added/removed/changed — the join compares
+      // 16-byte content digests computed in the scan stage, never text
+      val a = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = a.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(lit("v2 "), col("text"))).otherwise(col("text")))
+        .unionAll(a.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      graft.operators.SnapshotDiff.diff(a, b, "doc_id", Seq("text"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
+    }),
+
+    "quality_rule_stats" -> ((s, dir) =>
+      // per-rule rejection accounting for the Gopher/C4-style intake
+      // gate: WHICH rule is eating the corpus, in one scan (rule
+      // vector exploded into a |rules|-sized aggregate)
+      graft.functions.QualityRules
+        .ruleStats(t(s, dir, "documents"), "text")
+        .orderBy("rule")),
+
+    "feature_hash" -> ((s, dir) =>
+      // hashing-trick featurizer: sparse (doc, bucket, tf) rows over a
+      // fixed 64-bucket space, no vocabulary pass — stable md5 buckets
+      // so features reproduce across engines
+      graft.functions.QualityRules.featureHash(
+          t(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", dims = 64)
+        .orderBy("doc_id", "bucket")),
+
+    "train_order" -> ((s, dir) =>
+      // deterministic two-level training shuffle: hash shard + in-shard
+      // hash rank; the window sorts per shard so no global sort exists
+      // at any corpus size
+      Sampling.trainOrder(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          shards = 16, seed = 7)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+        .orderBy("doc_id")),
+
+    "group_reservoir" -> ((s, dir) =>
+      // fixed-k deterministic per-group sample through the bounded-heap
+      // aggregate: k rows per group ship per map task, never a window
+      // sort of the group
+      Sampling.reservoirPerGroup(t(s, dir, "documents"),
+          Seq("lang"), "doc_id", k = 5, seed = 42)
+        .orderBy("lang", "draw_rank")),
+
+    "cluster_balanced_sample" -> ((s, dir) => {
+      // topic-balanced corpus sampling: embedding-space cells via
+      // 4-plane sign-LSH, then an equal fixed-k draw per cell — the
+      // cheap stand-in for cluster-balanced data curation (cells and
+      // draws both deterministic, so the curated set is reproducible)
+      val cells = t(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.hyperplaneBucket(col("embedding"), planes = 4)
+          .as("cell"))
+      Sampling.reservoirPerGroup(cells, Seq("cell"), "vec_id",
+          k = 8, seed = 3)
+        .orderBy("cell", "draw_rank")
+    }),
+
+    "url_dedup_latest" -> ((s, dir) => {
+      // crawl dedup: canonicalize messy URLs (same planted corpus as
+      // url_normalize) and keep the LATEST crawl per canonical URL via
+      // a max-struct aggregate — map-side combinable, no window sort
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM/"), col("lang"), lit("/p/"),
+          (col("doc_id") % 97).cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?page="), (col("doc_id") % 5).cast("string"),
+              lit("&utm_source=feed&ref="), col("doc_id").cast("string")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?href=h"), (col("doc_id") % 7).cast("string"),
+                lit("&utm_medium=m&pref=1&xutm_source=1")))
+            .otherwise(lit("?utm_source=feed")),
+          lit("#sec")).as("url"))
+        .withColumn("crawl_seq", col("doc_id") % 13)
+      planted
+        .select(UrlOps.normalize(col("url")).as("url_norm"),
+          col("crawl_seq"), col("doc_id"))
+        .groupBy("url_norm")
+        .agg(max(struct(col("crawl_seq"), col("doc_id"))).as("__w"),
+          count(lit(1)).as("n_crawls"))
+        .select(col("url_norm"), col("__w.doc_id").as("doc_id"),
+          col("__w.crawl_seq").as("crawl_seq"), col("n_crawls"))
+        .orderBy("url_norm")
+    }),
+
+    "bitext_mine" -> ((s, dir) => {
+      // margin-based bitext mining between the even- and odd-label
+      // halves of the embedding corpus: mutual top-1 pairs whose ratio
+      // margin clears 1.0
+      val e = t(s, dir, "embeddings")
+      Similarity.bitextMine(
+          e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+          "embedding", "vec_id", marginFloor = 1.0)
+        .orderBy("id_a")
+    }),
+
+    "scalar_subquery" -> ((s, dir) => {
+      // correlated scalar subquery (TPC-H q17 shape): Catalyst
+      // decorrelates the per-part average into one aggregate + join,
+      // not a per-row re-scan
+      Tables.registerAll(s, dir)
+      // l_quantity is integer-valued, so sum/count/0.2* are each one
+      // exact-or-single-rounding double op — identical in any engine;
+      // the revenue total accumulates as DECIMAL (order-independent)
+      s.sql("""
+        SELECT count(*) AS n_small,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS lost_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    "exists_subquery" -> ((s, dir) => {
+      // correlated EXISTS (TPC-H q4 shape) -> left-semi join after
+      // decorrelation: late-shipping orders counted per priority
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
+    "not_in_subquery" -> ((s, dir) => {
+      // NOT IN + uncorrelated scalar subquery (TPC-H q22 shape) ->
+      // null-aware anti join: rich customers who never ordered
+      Tables.registerAll(s, dir)
+      // the above-average test is spelled bal*n > sum so both sides of
+      // the comparison stay exact DECIMAL — engines disagree on the
+      // result type of avg(DECIMAL) (Spark: decimal; DuckDB: double),
+      // and a threshold in doubles could flip boundary customers
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS total_bal
+        FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+                (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+              > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM customer WHERE c_acctbal > 0.0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }),
+
+    "rolling_sum_range" -> ((s, dir) => {
+      // time-RANGE window frame: per-user 7-day rolling event count and
+      // value sum — the frame is value-based (interval), not row-based,
+      // and partitions by user so no global sort; DECIMAL accumulation
+      // keeps the rolling sum order-independent
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_sec"))
+        .rangeBetween(-6L * 86400L, 0L)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("sum_7d",
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("decimal(18,6)"))
+        .groupBy("user_id", "ts_sec")
+        .agg(max("n_7d").as("n_7d"), max("sum_7d").as("sum_7d"))
+        .orderBy("user_id", "ts_sec")
+    }),
   )
 }

@@ -199,4 +199,56 @@ object Sampling {
         sum(col("__w") * col("__k")).cast("double").as("logw"))
       .withColumn("keep", col("logw") > 0d)
   }
+
+  /** Deterministic fixed-k per-group sample — the distributed stand-in
+    * for per-group reservoir sampling. Each row draws a stable
+    * md5-derived priority from `(seed, id)` and the k BEST priorities
+    * per group win, via the native bounded-heap aggregate
+    * ([[org.apache.spark.sql.graft.TopKExpr]]): k entries per group
+    * per map task is all that ships, so a group with a billion rows
+    * costs the shuffle k rows, not a window sort of the billion
+    * (classic reservoir semantics — fixed memory, single pass — with
+    * the determinism a rerun/backfill needs: the same rows win on
+    * every engine and every layout). Output:
+    * `(groupCols..., id, draw_rank)` with draw_rank 1..k in priority
+    * order. */
+  def reservoirPerGroup(df: DataFrame, groupCols: Seq[String],
+                        idCol: String, k: Int, seed: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{bridge, TopKExpr}
+    val priority = Hashing.seeded(col(idCol).cast("string"), seed)
+      .cast("double")
+    val agg = bridge.column(TopKExpr(
+      bridge.expression(priority),
+      bridge.expression(col(idCol).cast("long")),
+      k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("__top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__e.id").as(idCol),
+        (col("__pos") + 1).cast("int").as("draw_rank")): _*)
+  }
+
+  /** Deterministic global training order: every row gets a
+    * `(shard, pos)` — shard by stable hash of the id, position by
+    * rank of a second independent hash WITHIN the shard. The standard
+    * two-level shuffle for training-data serving: inter-shard order is
+    * free (shards are independent files), intra-shard order is a
+    * hash-rank — statistically a uniform shuffle, yet fully
+    * reproducible and resumable (a restarted job regenerates byte-
+    * identical shards; an epoch boundary re-seeds). The window sorts
+    * PER SHARD, so parallelism = shard count and no global sort ever
+    * happens — size shards so each is executor-memory-sized (e.g.
+    * 100k shards at 100 TB ≈ 1 GB each). */
+  def trainOrder(df: DataFrame, idCol: String, shards: Int,
+                 seed: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__p"), col(idCol))
+    df.withColumn("shard",
+        pmod(Hashing.seeded(col(idCol).cast("string"), seed),
+          lit(shards.toLong)))
+      .withColumn("__p", Hashing.seeded(col(idCol).cast("string"), seed + 1))
+      .withColumn("pos", row_number().over(w))
+      .drop("__p")
+  }
 }

@@ -524,4 +524,45 @@ object Similarity {
         .withColumn("score", score.cast(DoubleType)),
       k)
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix recipe): find translation pairs between two
+    * monolingual embedding corpora as MUTUAL nearest neighbors whose
+    * ratio margin — cos(x,y) over the mean of each side's second-best
+    * cosine — clears `marginFloor`. Mutuality plus the margin kills
+    * the hub problem (a vector that is everyone's neighbor wins no
+    * pairs, because its own second-best is just as high).
+    *
+    * Both directions run top-2 retrieval through the bounded-heap
+    * aggregate (shuffle carries 2 entries per query per task); the
+    * mutual join and margin arithmetic are id-keyed row-scale work.
+    * This spelling scores A x B exactly (the oracle-checkable
+    * baseline); at web scale swap the scorer for [[lshTopK]] /
+    * [[ivfTopK]] candidates — the margin/mutuality logic is unchanged.
+    * All scores round to `roundTo` before the margin division, so the
+    * margin is bit-identical across engines. */
+  def bitextMine(a: DataFrame, b: DataFrame, vecCol: String,
+                 idCol: String, marginFloor: Double = 1.0,
+                 roundTo: Int = 6): DataFrame = {
+    def top2(qs: DataFrame, corpus: DataFrame) =
+      bruteForceTopK(qs, corpus, vecCol, idCol, k = 2, roundTo)
+    val ab = top2(a, b)
+    val ba = top2(b, a)
+    def second(t: DataFrame, qn: String, sn: String) =
+      t.filter(col("rank") === 2)
+        .select(col("query_id").as(qn), col("score").as(sn))
+    val bestAb = ab.filter(col("rank") === 1)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("score").as("cos"))
+    val bestBa = ba.filter(col("rank") === 1)
+      .select(col("query_id").as("id_b"), col("neighbor_id").as("id_a"))
+    bestAb.join(bestBa, Seq("id_a", "id_b")) // mutual top-1 only
+      .join(second(ab, "id_a", "__s2a"), Seq("id_a"), "left")
+      .join(second(ba, "id_b", "__s2b"), Seq("id_b"), "left")
+      .withColumn("margin", round(col("cos") /
+        ((coalesce(col("__s2a"), col("cos")) +
+          coalesce(col("__s2b"), col("cos"))) / 2d), roundTo))
+      .filter(col("margin") >= marginFloor)
+      .select("id_a", "id_b", "cos", "margin")
+  }
 }
