@@ -2570,6 +2570,221 @@ object Oracles {
          |), cc AS (SELECT node, min(lbl) AS cluster_id FROM rr GROUP BY node)
          |SELECT node AS doc_id, cluster_id, node = cluster_id AS is_canonical
          |FROM cc ORDER BY doc_id""".stripMargin),
+
+    // the planted edit/delete/add pattern is pure modular arithmetic,
+    // so the classification re-derives from set logic — no fingerprints
+    // needed: removed = id%7 deletions, changed = surviving id%5 edits
+    // ('v2 ' prefix always changes the text), added = the +1000000
+    // copies of id%11 docs (ids never collide: max doc_id << 1000000)
+    "snapshot_diff" ->
+      ("""SELECT doc_id, status FROM (
+         |  SELECT doc_id, 'removed' AS status FROM documents
+         |    WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 'changed' FROM documents
+         |    WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'added' FROM documents
+         |    WHERE doc_id % 11 = 0)
+         |ORDER BY doc_id""".stripMargin),
+
+    // each rule re-derived over the same token metrics; n_docs is the
+    // corpus size for every rule (the explode replicates each doc into
+    // every rule row)
+    "quality_rule_stats" ->
+      (s"""WITH m AS (SELECT length(text) AS n_chars,
+         |    len($toks) AS words,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / len($toks) AS mean_wl,
+         |    len(list_filter($toks, t -> list_contains(
+         |      ['the', 'a', 'an', 'of', 'to', 'in', 'and'], lower(t))))
+         |      AS stop_hits
+         |  FROM documents),
+         |r AS (
+         |  SELECT 'min_chars' AS rule,
+         |    CAST(n_chars < 100 AS INT) AS fail FROM m
+         |  UNION ALL SELECT 'max_chars', CAST(n_chars > 450 AS INT) FROM m
+         |  UNION ALL SELECT 'min_words', CAST(words < 20 AS INT) FROM m
+         |  UNION ALL SELECT 'mean_word_len',
+         |    CAST(mean_wl < 3.4 OR mean_wl > 8.0 AS INT) FROM m
+         |  UNION ALL SELECT 'stopword_floor',
+         |    CAST(CAST(stop_hits AS DOUBLE) / words < 0.05 AS INT) FROM m)
+         |SELECT rule, CAST(sum(fail) AS BIGINT) AS n_fail,
+         |  round(CAST(sum(fail) AS DOUBLE) / count(*), 6) AS fail_pct
+         |FROM r GROUP BY rule ORDER BY rule""".stripMargin),
+
+    // same md5 bucket arithmetic as the engine's hashing trick
+    "feature_hash" ->
+      ("""WITH tok AS (
+         |  SELECT doc_id, unnest(
+         |    regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT doc_id,
+         |  CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) % 64 AS bucket,
+         |  count(*) AS tf
+         |FROM tok WHERE tok <> ''
+         |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin),
+
+    // shard + position re-derived from the same seeded md5 hashes; the
+    // rank runs over ALL docs (the engine filters after ordering)
+    "train_order" ->
+      (s"""WITH h AS (SELECT doc_id,
+         |    ${hex8("'7:'||CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |    ${hex8("'8:'||CAST(doc_id AS VARCHAR)")} AS p
+         |  FROM documents),
+         |r AS (SELECT doc_id, shard,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY p, doc_id)
+         |      AS BIGINT) AS pos
+         |  FROM h)
+         |SELECT doc_id, shard, pos FROM r WHERE doc_id < 300
+         |ORDER BY doc_id""".stripMargin),
+
+    // the bounded-heap draw = top-k by seeded md5 priority (desc, id
+    // asc tie), replayed as a per-group window rank
+    "group_reservoir" ->
+      (s"""WITH h AS (SELECT lang, doc_id,
+         |    CAST(${hex8("'42:'||CAST(doc_id AS VARCHAR)")} AS DOUBLE) AS pr
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id)
+         |      AS INT) AS draw_rank
+         |  FROM h)
+         |SELECT lang, doc_id, draw_rank FROM r WHERE draw_rank <= 5
+         |ORDER BY lang, draw_rank""".stripMargin),
+
+    // 4-plane sign-LSH cells exactly as ann_lsh_bucket (fewer planes),
+    // then the same seeded-priority fixed-k draw per cell
+    "cluster_balanced_sample" ->
+      (s"""WITH b AS (${lshBucketSql("embeddings", nPlanes = 4)}),
+         |h AS (SELECT bucket AS cell, vec_id,
+         |    CAST(${hex8("'3:'||CAST(vec_id AS VARCHAR)")} AS DOUBLE) AS pr
+         |  FROM b),
+         |r AS (SELECT cell, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY pr DESC, vec_id)
+         |      AS INT) AS draw_rank
+         |  FROM h)
+         |SELECT cell, vec_id, draw_rank FROM r WHERE draw_rank <= 8
+         |ORDER BY cell, draw_rank""".stripMargin),
+
+    // same planted-URL corpus and normalize chain as url_normalize,
+    // then latest-crawl-wins replayed as a (crawl_seq, doc_id) window
+    "url_dedup_latest" ->
+      ("""WITH planted AS (
+         |  SELECT doc_id, doc_id % 13 AS crawl_seq,
+         |    'HTTPS://WWW.' || upper(source) || '.Example.COM/'
+         |    || lang || '/p/' || CAST(doc_id % 97 AS VARCHAR) ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN '?page=' || CAST(doc_id % 5 AS VARCHAR)
+         |        || '&utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+         |      WHEN doc_id % 3 = 1
+         |      THEN '?href=h' || CAST(doc_id % 7 AS VARCHAR)
+         |        || '&utm_medium=m&pref=1&xutm_source=1'
+         |      ELSE '?utm_source=feed' END || '#sec' AS url
+         |  FROM documents
+         |), n1 AS (SELECT doc_id, crawl_seq, regexp_replace(url, '#.*$', '') AS u FROM planted),
+         |n2 AS (SELECT doc_id, crawl_seq, regexp_replace(u,
+         |  '([?&])((utm_[A-Za-z0-9_]*|ref)=[^&#]*(&|$))+', '\1', 'g') AS u FROM n1),
+         |n3 AS (SELECT doc_id, crawl_seq, regexp_replace(u, '[?&]+$', '') AS u FROM n2),
+         |n4 AS (SELECT doc_id, crawl_seq,
+         |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+         |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS u FROM n3),
+         |n5 AS (SELECT doc_id, crawl_seq, regexp_replace(
+         |  regexp_replace(u, '://www\.', '://'), '/+$', '') AS u FROM n4),
+         |r AS (SELECT u AS url_norm, doc_id, crawl_seq,
+         |  row_number() OVER (PARTITION BY u
+         |    ORDER BY crawl_seq DESC, doc_id DESC) AS rn,
+         |  count(*) OVER (PARTITION BY u) AS n_crawls
+         |  FROM n5)
+         |SELECT url_norm, doc_id, crawl_seq, n_crawls FROM r WHERE rn = 1
+         |ORDER BY url_norm""".stripMargin),
+
+    // both retrieval directions replayed exactly (rounded cosine,
+    // rank desc/id-asc ties), then mutual top-1 + ratio margin
+    "bitext_mine" ->
+      ("""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |a AS (SELECT vec_id, v FROM e WHERE label % 2 = 0),
+         |b AS (SELECT vec_id, v FROM e WHERE label % 2 = 1),
+         |rab AS (SELECT *, row_number() OVER
+         |    (PARTITION BY qa ORDER BY score DESC, nb) AS rank
+         |  FROM (SELECT a.vec_id AS qa, b.vec_id AS nb,
+         |    round(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v))
+         |       * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+         |    FROM a, b)),
+         |rba AS (SELECT *, row_number() OVER
+         |    (PARTITION BY qb ORDER BY score DESC, na) AS rank
+         |  FROM (SELECT b.vec_id AS qb, a.vec_id AS na,
+         |    round(list_dot_product(b.v, a.v) /
+         |      (sqrt(list_dot_product(b.v, b.v))
+         |       * sqrt(list_dot_product(a.v, a.v))), 6) AS score
+         |    FROM b, a)),
+         |best_ab AS (SELECT qa AS id_a, nb AS id_b, score AS cos
+         |  FROM rab WHERE rank = 1),
+         |best_ba AS (SELECT qb AS id_b, na AS id_a FROM rba WHERE rank = 1),
+         |s2a AS (SELECT qa AS id_a, score AS s2 FROM rab WHERE rank = 2),
+         |s2b AS (SELECT qb AS id_b, score AS s2 FROM rba WHERE rank = 2),
+         |m AS (SELECT p.id_a, p.id_b, p.cos,
+         |    round(p.cos / ((coalesce(s2a.s2, p.cos)
+         |      + coalesce(s2b.s2, p.cos)) / 2), 6) AS margin
+         |  FROM best_ab p
+         |  JOIN best_ba USING (id_a, id_b)
+         |  LEFT JOIN s2a ON s2a.id_a = p.id_a
+         |  LEFT JOIN s2b ON s2b.id_b = p.id_b)
+         |SELECT id_a, id_b, cos, margin FROM m WHERE margin >= 1.0
+         |ORDER BY id_a""".stripMargin),
+
+    // DuckDB decorrelates the same way; DECIMAL sum is engine-exact
+    "scalar_subquery" ->
+      ("""SELECT count(*) AS n_small,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+         |    AS DECIMAL(18,2)) AS lost_revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#1'
+         |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+         |                    FROM lineitem l2
+         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin),
+
+    "exists_subquery" ->
+      ("""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey
+         |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin),
+
+    "not_in_subquery" ->
+      ("""SELECT c_mktsegment, count(*) AS n_cust,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         |    AS total_bal
+         |FROM customer
+         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+         |        (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+         |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+         |         FROM customer WHERE c_acctbal > 0.0)
+         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin),
+
+    // epoch-second RANGE frame (peers included in both engines);
+    // DECIMAL(18,6) accumulation is order-independent and exact
+    "rolling_sum_range" ->
+      ("""WITH e AS (SELECT user_id,
+         |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec,
+         |    CAST(value AS DECIMAL(18,6)) AS v
+         |  FROM events WHERE user_id < 20),
+         |w AS (SELECT user_id, ts_sec,
+         |    count(*) OVER win AS n_7d,
+         |    CAST(sum(v) OVER win AS DECIMAL(18,6)) AS sum_7d
+         |  FROM e
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec
+         |    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, ts_sec, max(n_7d) AS n_7d,
+         |  CAST(max(sum_7d) AS DOUBLE) AS sum_7d
+         |FROM w GROUP BY user_id, ts_sec
+         |ORDER BY user_id, ts_sec""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,
@@ -2694,9 +2909,9 @@ object Oracles {
        |  )
        |), (SELECT unnest(range(0,4)) AS j)""".stripMargin
 
-  /** Sign-LSH bucket from 8 md5-seeded hyperplanes over 64 dims. */
-  private def lshBucketSql(table: String): String = {
-    val planes = (0 until 8).map { j =>
+  /** Sign-LSH bucket from `nPlanes` md5-seeded hyperplanes over 64 dims. */
+  private def lshBucketSql(table: String, nPlanes: Int = 8): String = {
+    val planes = (0 until nPlanes).map { j =>
       val comp = s"list_transform(range(0,64), d -> " +
         s"(CAST(('0x'||substr(md5('hp'||CAST($j AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,8)) AS BIGINT) % 2000) / 1000.0 - 1.0)"
       s"(CASE WHEN list_dot_product(v, $comp) >= 0 THEN ${1L << j} ELSE 0 END)"

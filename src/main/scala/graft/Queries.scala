@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Hashing, Multimodal, Quantiles, Similarity, TextAnalysis, UrlOps}
+import graft.functions.{Dedup, Hashing, Multimodal, Quantiles, Sampling, Similarity, TextAnalysis, UrlOps}
 import graft.model.{CdcEnvelope => E}
 import graft.operators.{Collapse, Transformers => T}
 import graft.parsers.{Debezium, GenericParser}
@@ -3806,6 +3806,10 @@ object Queries {
             .cast("decimal(18,6)"))
         .groupBy("user_id", "ts_sec")
         .agg(max("n_7d").as("n_7d"), max("sum_7d").as("sum_7d"))
+        // DECIMAL in the accumulation (order-independent), DOUBLE at
+        // the boundary (same decimal -> same nearest double in any
+        // engine — decimal output formats differ across engines)
+        .withColumn("sum_7d", col("sum_7d").cast("double"))
         .orderBy("user_id", "ts_sec")
     }),
   )

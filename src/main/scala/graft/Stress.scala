@@ -538,6 +538,28 @@ object Stress {
         corpus1m.filter(col("doc_id") >= 900000), "text", "doc_id").count()
     }
 
+    // 17. Bitext mining at corpus x corpus scale: 200k x 200k sides.
+    // Exact scoring would be 4e10 pairs; the LSH spelling must (a)
+    // never materialize A x B — no nested-loop/cartesian join in the
+    // plan — and (b) join bucket-to-bucket WITHOUT broadcasting either
+    // corpus-scale side.
+    val side = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => (pmod(col("id") * (i + 17L) * 2654435761L, lit(997L))
+            - 498).cast("float")).as("embedding"))
+    val mined = functions.Similarity.bitextMineLsh(
+      side(0L, 200000L), side(1000000L, 1200000L),
+      "embedding", "vec_id", marginFloor = 1.0, planes = 14)
+    val minedPlan = mined.queryExecution.executedPlan.toString
+    require(!minedPlan.contains("CartesianProduct") &&
+      !minedPlan.contains("BroadcastNestedLoopJoin"),
+      "bitextMineLsh must never materialize A x B")
+    val nMined = timed("bitextMineLsh 200k x 200k (14-plane multiprobe, no broadcast)") {
+      mined.count()
+    }
+    println(s"[stress]   pairs=$nMined (exact spelling would score 4e10 pairs)")
+
     spark.stop()
   }
 }

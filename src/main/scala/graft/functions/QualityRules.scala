@@ -35,7 +35,7 @@ object QualityRules {
     val meanWl = length(regexp_replace(text, "\\s+", ""))
       .cast("double") / words
     val stopHits = size(filter(toks(text),
-      t => t.isin("the", "a", "an", "of", "to", "in", "and")))
+      t => lower(t).isin("the", "a", "an", "of", "to", "in", "and")))
     Seq(
       "min_chars" -> (nChars < 100),
       "max_chars" -> (nChars > 450),

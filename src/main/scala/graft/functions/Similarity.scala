@@ -195,16 +195,23 @@ object Similarity {
       col("__s").cast("double").as("score")), k)
   }
 
-  /** Exact top-k neighbors of each query row (excluding self). Scores are
-    * rounded to `roundTo` decimals before ranking so ordering is stable
-    * to last-ulp float noise; ties break on neighbor id. */
+  /** Exact top-k neighbors of each query row. Scores are rounded to
+    * `roundTo` decimals before ranking so ordering is stable to
+    * last-ulp float noise; ties break on neighbor id. `excludeSelf`
+    * (default) drops same-id pairs — right for self-retrieval within
+    * one corpus, wrong for two INDEPENDENT corpora whose id spaces may
+    * overlap (a cross-corpus pair with coincidentally equal ids is a
+    * real pair); cross-corpus callers pass `excludeSelf = false`. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      vecCol: String, idCol: String, k: Int,
-                     roundTo: Int = 6): DataFrame = {
+                     roundTo: Int = 6,
+                     excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val paired = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf)
+        paired.filter(col("query_id") =!= col("neighbor_id"))
+      else paired)
       .withColumn("score", round(cosine(col("qv"), col("cv")), roundTo))
     rankTopK(scored, k)
   }
@@ -214,13 +221,18 @@ object Similarity {
     * bit) can raise recall without widening the join. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              planes: Int = 8, roundTo: Int = 6): DataFrame = {
+              planes: Int = 8, roundTo: Int = 6,
+              excludeSelf: Boolean = true,
+              broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val paired = c.join(if (broadcastQueries) broadcast(q) else q,
+      Seq("bucket"))
+    val scored = (if (excludeSelf)
+        paired.filter(col("query_id") =!= col("neighbor_id"))
+      else paired)
       .withColumn("score", round(cosine(col("qv"), col("cv")), roundTo))
     rankTopK(scored, k)
   }
@@ -231,9 +243,16 @@ object Similarity {
     * probe count scales the (small) query side only, the corpus is still
     * bucketed once and joined once. Probe buckets are distinct (XOR
     * masks), so no pair dedup is needed before ranking. */
+  /** `broadcastQueries = false` switches the bucket join from a
+    * broadcast of the (assumed small) query side to a shuffled
+    * co-partitioned join on the bucket key — required when BOTH sides
+    * are corpus-scale (bitext mining), where a broadcast would ship
+    * the whole probe-exploded query corpus to every task. */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
                         vecCol: String, idCol: String, k: Int,
-                        planes: Int = 8, roundTo: Int = 6): DataFrame = {
+                        planes: Int = 8, roundTo: Int = 6,
+                        excludeSelf: Boolean = true,
+                        broadcastQueries: Boolean = true): DataFrame = {
     val masks = array((lit(0L) +: (0 until planes).map(j => lit(1L << j))): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         hyperplaneBucket(col(vecCol), planes).as("__b0"))
@@ -242,8 +261,11 @@ object Similarity {
           .as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val paired = c.join(if (broadcastQueries) broadcast(q) else q,
+      Seq("bucket"))
+    val scored = (if (excludeSelf)
+        paired.filter(col("query_id") =!= col("neighbor_id"))
+      else paired)
       .withColumn("score", round(cosine(col("qv"), col("cv")), roundTo))
     rankTopK(scored, k)
   }
@@ -536,18 +558,27 @@ object Similarity {
     * Both directions run top-2 retrieval through the bounded-heap
     * aggregate (shuffle carries 2 entries per query per task); the
     * mutual join and margin arithmetic are id-keyed row-scale work.
-    * This spelling scores A x B exactly (the oracle-checkable
-    * baseline); at web scale swap the scorer for [[lshTopK]] /
-    * [[ivfTopK]] candidates — the margin/mutuality logic is unchanged.
-    * All scores round to `roundTo` before the margin division, so the
-    * margin is bit-identical across engines. */
+    * The retrieval itself is pluggable via `top2`: a scorer taking
+    * `(queries, corpus)` and returning per-query ranked rows
+    * `(query_id, neighbor_id, score, rank)` with ranks 1..2. The
+    * default scores A x B exactly (the oracle-checkable baseline,
+    * with NO same-id filter — the two sides are independent corpora,
+    * so equal ids are real pairs, not self-matches); at web scale pass
+    * [[lshTopK]]/[[lshTopKMultiProbe]]/[[ivfTopK]] candidates (see
+    * [[bitextMineLsh]]) — the margin/mutuality logic is unchanged and
+    * A x B is never materialized. All scores round to `roundTo` before
+    * the margin division, so the margin is bit-identical across
+    * engines. */
   def bitextMine(a: DataFrame, b: DataFrame, vecCol: String,
                  idCol: String, marginFloor: Double = 1.0,
-                 roundTo: Int = 6): DataFrame = {
-    def top2(qs: DataFrame, corpus: DataFrame) =
-      bruteForceTopK(qs, corpus, vecCol, idCol, k = 2, roundTo)
-    val ab = top2(a, b)
-    val ba = top2(b, a)
+                 roundTo: Int = 6,
+                 top2: Option[(DataFrame, DataFrame) => DataFrame] = None)
+      : DataFrame = {
+    val scorer = top2.getOrElse((qs: DataFrame, corpus: DataFrame) =>
+      bruteForceTopK(qs, corpus, vecCol, idCol, k = 2, roundTo,
+        excludeSelf = false))
+    val ab = scorer(a, b)
+    val ba = scorer(b, a)
     def second(t: DataFrame, qn: String, sn: String) =
       t.filter(col("rank") === 2)
         .select(col("query_id").as(qn), col("score").as(sn))
@@ -565,4 +596,20 @@ object Similarity {
       .filter(col("margin") >= marginFloor)
       .select("id_a", "id_b", "cos", "margin")
   }
+
+  /** [[bitextMine]] with sign-LSH bucketed retrieval — the spelling
+    * that is real at corpus scale: each direction scores only pairs
+    * sharing a hyperplane bucket (multi-probe on the query side for
+    * recall), so the work is Σ_bucket |A_b|x|B_b| instead of |A|x|B|
+    * and the exact cross product never exists in the plan. Margin and
+    * mutuality semantics are identical to the exact spelling; recall
+    * is the LSH trade (raise `planes` probes via multi-probe for more).
+    */
+  def bitextMineLsh(a: DataFrame, b: DataFrame, vecCol: String,
+                    idCol: String, marginFloor: Double = 1.0,
+                    planes: Int = 8, roundTo: Int = 6): DataFrame =
+    bitextMine(a, b, vecCol, idCol, marginFloor, roundTo,
+      top2 = Some((qs, corpus) =>
+        lshTopKMultiProbe(qs, corpus, vecCol, idCol, k = 2, planes,
+          roundTo, excludeSelf = false, broadcastQueries = false)))
 }

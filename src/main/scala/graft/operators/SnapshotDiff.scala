@@ -25,13 +25,19 @@ object SnapshotDiff {
 
   /** Per-key classification. `payloadCols` define content identity;
     * columns are length-prefixed before hashing so ("ab","c") never
-    * collides with ("a","bc"). */
+    * collides with ("a","bc"), and each cell is null-coalesced to a
+    * marker no length-prefixed value can produce (a bare space — real
+    * cells always start with a length digit) so
+    * a NULL cell never nulls the whole fingerprint — without the
+    * coalesce, any NULL payload column makes `concat` NULL and a key
+    * present in both snapshots would be misclassified as `added`. */
   def diff(a: DataFrame, b: DataFrame, keyCol: String,
            payloadCols: Seq[String]): DataFrame = {
     def fp(df: DataFrame) = df.select(col(keyCol),
       md5(concat(payloadCols.flatMap(c =>
-        Seq(length(col(c).cast("string")).cast("string"), lit(":"),
-          col(c).cast("string"), lit("|"))): _*)).as("__fp"))
+        Seq(coalesce(
+          concat(length(col(c).cast("string")).cast("string"), lit(":"),
+            col(c).cast("string")), lit(" ")), lit("|"))): _*)).as("__fp"))
     val fa = fp(a).withColumnRenamed("__fp", "__fp_a")
     val fb = fp(b).withColumnRenamed("__fp", "__fp_b")
     fa.join(fb, Seq(keyCol), "full_outer")
