@@ -2785,6 +2785,16 @@ object Oracles {
          |  CAST(max(sum_7d) AS DOUBLE) AS sum_7d
          |FROM w GROUP BY user_id, ts_sec
          |ORDER BY user_id, ts_sec""".stripMargin),
+
+    // the planted payloads round-trip doubles through JSON (shortest
+    // decimal rendering parses back to the identical double), so the
+    // oracle re-derives the decoded rows straight from orders
+    "jsonschema_registry_parse" ->
+      ("""SELECT o_orderkey AS id, o_orderstatus AS status,
+         |  CAST(o_totalprice AS DOUBLE) AS price,
+         |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         |       ELSE 'n' || CAST(o_orderkey AS VARCHAR) END AS note
+         |FROM orders ORDER BY id""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -3812,5 +3812,34 @@ object Queries {
         .withColumn("sum_7d", col("sum_7d").cast("double"))
         .orderBy("user_id", "ts_sec")
     }),
+
+    "jsonschema_registry_parse" -> ((s, dir) => {
+      // registry-declared JSON topic: the target row schema is emitted
+      // in BOTH registry dialects (Confluent JSON-Schema and the
+      // Kafka-Connect envelope), the two documents must derive the
+      // same Spark schema, and decoding is one codegen'd from_json
+      // under the Confluent document
+      import graft.parsers.JsonSchemaFormat
+      val target = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("status", StringType, nullable = false),
+        StructField("price", DoubleType, nullable = false),
+        StructField("note", StringType, nullable = true)))
+      val confDoc = JsonSchemaFormat.structToConfluent(target, title = "order")
+      val kafkaDoc = JsonSchemaFormat.structToKafkaConnect(target, name = "order")
+      require(JsonSchemaFormat.toStruct(confDoc) ==
+        JsonSchemaFormat.toStruct(kafkaDoc), "registry dialects disagree")
+      val payloads = t(s, dir, "orders").select(
+        to_json(struct(
+          col("o_orderkey").as("id"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("n"), col("o_orderkey").cast("string")))
+            .as("note"))).as("payload"))
+      JsonSchemaFormat.parse(payloads, "payload", confDoc)
+        .select("id", "status", "price", "note")
+        .orderBy("id")
+    }),
   )
 }
