@@ -2795,6 +2795,41 @@ object Oracles {
          |  CASE WHEN o_orderkey % 5 = 0 THEN NULL
          |       ELSE 'n' || CAST(o_orderkey AS VARCHAR) END AS note
          |FROM orders ORDER BY id""".stripMargin),
+
+    // the final relation states after the planted batches: orders with
+    // key%3=0 re-inserted and the key%5 slice of the old state deleted
+    // (= keep %3=0 OR %5<>0), lineitem complete; the maintained view
+    // must equal the from-scratch join in BAG semantics — projected
+    // rows that collide carry their multiplicity in __mult
+    "incremental_join_view" ->
+      ("""SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity,
+         |  CAST(count(*) AS BIGINT) AS "__mult"
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0
+         |GROUP BY o_orderkey, l_linenumber, o_orderstatus, l_quantity
+         |ORDER BY o_orderkey, l_linenumber, l_quantity""".stripMargin),
+
+    // quotas/strides replayed as literals: largest-remainder shares of
+    // 97 over (.45,.25,.2,.1) are 44/24/19/10, lcm 25080, strides
+    // 25080/quota; draw and interleave re-derived from the same md5
+    // priorities and integer stride keys
+    "mixture_schedule" ->
+      (s"""WITH q(lang, quota, stride) AS (VALUES
+         |    ('en', 44, 570), ('de', 24, 1045),
+         |    ('fr', 19, 1320), ('zh', 10, 2508)),
+         |h AS (SELECT d.lang, doc_id,
+         |    CAST(${hex8("'11:'||CAST(doc_id AS VARCHAR)")} AS DOUBLE) AS pr
+         |  FROM documents d JOIN q USING (lang)),
+         |r AS (SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id)
+         |      AS INT) AS draw_rank
+         |  FROM h),
+         |sel AS (SELECT r.lang, doc_id, draw_rank,
+         |    CAST((2 * draw_rank - 1) * stride AS BIGINT) AS sched_key
+         |  FROM r JOIN q ON q.lang = r.lang WHERE draw_rank <= quota)
+         |SELECT lang, doc_id, draw_rank, sched_key,
+         |  CAST(row_number() OVER (ORDER BY sched_key, lang) AS INT) AS pos
+         |FROM sel ORDER BY pos""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -3841,5 +3841,48 @@ object Queries {
         .select("id", "status", "price", "note")
         .orderBy("id")
     }),
+
+    "incremental_join_view" -> ((s, dir) => {
+      // incremental maintenance of a materialized orders x lineitem
+      // join: start from a partial state on both sides, apply signed
+      // insert/delete batches through the delta expansion (dA x B +
+      // A x dB + dA x dB — prev x prev never re-joined), and return
+      // the maintained view; the oracle recomputes the final join
+      // from scratch
+      import graft.operators.IncrementalJoin
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+      val aPrev = o.filter(col("o_orderkey") % 3 =!= 0)
+      val bPrev = l.filter(col("l_linenumber") <= 4)
+      val dA = IncrementalJoin.delta(
+        o.filter(col("o_orderkey") % 3 === 0),
+        aPrev.filter(col("o_orderkey") % 5 === 0))
+      val dB = IncrementalJoin.delta(
+        l.filter(col("l_linenumber") > 4),
+        l.limit(0))
+      val view = IncrementalJoin.step(
+        IncrementalJoin.joinRel(IncrementalJoin.lift(aPrev),
+          IncrementalJoin.lift(bPrev), Seq("o_orderkey")),
+        IncrementalJoin.lift(aPrev), dA,
+        IncrementalJoin.lift(bPrev), dB, Seq("o_orderkey"))
+      view.select(col("o_orderkey"), col("l_linenumber"),
+          col("o_orderstatus"), col("l_quantity"),
+          col(IncrementalJoin.MultCol))
+        .orderBy("o_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    "mixture_schedule" -> ((s, dir) =>
+      // domain-weighted training mixture: largest-remainder quotas
+      // (en 44 / de 24 / fr 19 / zh 10 of a 97-doc budget), seeded
+      // reservoir draw per domain, exact-integer stride interleave —
+      // the epoch reads domains proportionally, not in blocks
+      Sampling.mixture(t(s, dir, "documents"), "lang", "doc_id",
+          weights = Map("en" -> 0.45, "de" -> 0.25,
+            "fr" -> 0.2, "zh" -> 0.1),
+          total = 97L, seed = 11)
+        .orderBy("pos")),
   )
 }

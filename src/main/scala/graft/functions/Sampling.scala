@@ -229,6 +229,68 @@ object Sampling {
         (col("__pos") + 1).cast("int").as("draw_rank")): _*)
   }
 
+  /** Largest-remainder apportionment of `total` slots across weighted
+    * domains (driver-side, |domains| entries): floor the exact shares,
+    * then hand the leftover slots to the largest fractional remainders
+    * (ties on domain name). The standard seat-allocation rule — the
+    * per-domain counts are the closest integers to the exact mixture. */
+  def apportion(weights: Map[String, Double], total: Long): Map[String, Long] = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0)
+      && weights.values.sum > 0, "weights must be non-negative, not all 0")
+    val wSum = weights.values.sum
+    val exact = weights.toSeq.sortBy(_._1)
+      .map { case (d, w) => (d, w * total / wSum) }
+    val floors = exact.map { case (d, e) => (d, e.toLong) }
+    val leftover = (total - floors.map(_._2).sum).toInt
+    val bump = exact.zip(floors)
+      .map { case ((d, e), (_, f)) => (d, e - f) }
+      .sortBy { case (d, r) => (-r, d) }
+      .take(leftover).map(_._1).toSet
+    floors.map { case (d, f) => d -> (f + (if (bump(d)) 1L else 0L)) }.toMap
+  }
+
+  /** Deterministic domain-weighted training mixture (the data-mixing
+    * recipe of the public Pile/DoReMi literature): apportion a `total`
+    * budget across domains by weight, draw each domain's quota with
+    * the seeded bounded-heap reservoir, and interleave the draws by
+    * STRIDE SCHEDULING — item r of domain d schedules at fractional
+    * position (2r-1)/(2*quota_d), so domains appear proportionally
+    * throughout the epoch instead of in blocks. The schedule key is
+    * kept as an EXACT integer ((2r-1) * lcm/quota_d), so the order is
+    * engine-reproducible with no float anywhere.
+    *
+    * Scale shape: the corpus-side work is one bounded-heap draw
+    * (k rows per domain per task); the `pos` window runs over the
+    * SELECTED budget only (budget-sized by definition — at
+    * billion-row budgets compose with [[trainOrder]] and sort each
+    * shard by sched_key instead of asking for a global pos). A domain
+    * with fewer rows than its quota contributes what it has. */
+  def mixture(df: DataFrame, domainCol: String, idCol: String,
+              weights: Map[String, Double], total: Long,
+              seed: Int): DataFrame = {
+    val quota = apportion(weights, total).filter(_._2 > 0)
+    val l = quota.values.reduce(lcm)
+    val quotaExpr = quota.foldLeft(lit(0L)) { case (acc, (d, q)) =>
+      when(col(domainCol) === d, lit(q)).otherwise(acc) }
+    val strideExpr = quota.foldLeft(lit(0L)) { case (acc, (d, q)) =>
+      when(col(domainCol) === d, lit(l / q)).otherwise(acc) }
+    val maxK = quota.values.max.toInt
+    reservoirPerGroup(
+        df.filter(col(domainCol).isin(quota.keys.toSeq: _*)),
+        Seq(domainCol), idCol, maxK, seed)
+      .filter(col("draw_rank") <= quotaExpr)
+      .withColumn("sched_key",
+        (lit(2L) * col("draw_rank") - 1L) * strideExpr)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("sched_key"), col(domainCol))))
+  }
+
+  private def lcm(a: Long, b: Long): Long = {
+    @annotation.tailrec def gcd(x: Long, y: Long): Long =
+      if (y == 0) x else gcd(y, x % y)
+    a / gcd(a, b) * b
+  }
+
   /** Deterministic global training order: every row gets a
     * `(shard, pos)` — shard by stable hash of the id, position by
     * rank of a second independent hash WITHIN the shard. The standard

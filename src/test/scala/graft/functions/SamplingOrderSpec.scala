@@ -70,4 +70,56 @@ class SamplingOrderSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
     assert(order() == order())
   }
+
+  test("apportion: floors + largest remainders, deterministic ties") {
+    assert(Sampling.apportion(Map("a" -> 0.5, "b" -> 0.5), 10) ==
+      Map("a" -> 5L, "b" -> 5L))
+    // 97 * (.45,.25,.2,.1) = 43.65/24.25/19.4/9.7 -> bump zh then en
+    assert(Sampling.apportion(Map("en" -> 0.45, "de" -> 0.25,
+      "fr" -> 0.2, "zh" -> 0.1), 97) ==
+      Map("en" -> 44L, "de" -> 24L, "fr" -> 19L, "zh" -> 10L))
+    // equal remainders break on domain name ascending
+    assert(Sampling.apportion(Map("x" -> 1.0, "y" -> 1.0, "z" -> 1.0), 4) ==
+      Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
+    // weights need not be normalized
+    assert(Sampling.apportion(Map("a" -> 3.0, "b" -> 1.0), 8) ==
+      Map("a" -> 6L, "b" -> 2L))
+  }
+
+  test("mixture: quotas met, dense positions, proportional interleave") {
+    val m = Sampling.mixture(docs.withColumn("dom",
+        concat(lit("d"), (col("doc_id") % 3).cast("string")))
+        .select(col("doc_id"), col("dom")),
+      "dom", "doc_id",
+      weights = Map("d0" -> 0.5, "d1" -> 0.3, "d2" -> 0.2),
+      total = 20L, seed = 5).cache()
+    val byDom = m.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom == Map("d0" -> 10L, "d1" -> 6L, "d2" -> 4L))
+    val pos = m.select("pos").as[Int].collect().sorted
+    assert(pos.toSeq == (1 to 20))
+    // stride scheduling: the first half of the schedule already holds
+    // about half of each domain's quota (no domain-block ordering)
+    val firstHalf = m.filter(col("pos") <= 10).groupBy("dom").count()
+      .as[(String, Long)].collect().toMap
+    assert(firstHalf.getOrElse("d0", 0L) >= 4 &&
+      firstHalf.getOrElse("d1", 0L) >= 2 &&
+      firstHalf.getOrElse("d2", 0L) >= 1)
+    // deterministic across reruns
+    val again = Sampling.mixture(docs.withColumn("dom",
+        concat(lit("d"), (col("doc_id") % 3).cast("string")))
+        .select(col("doc_id"), col("dom")),
+      "dom", "doc_id",
+      weights = Map("d0" -> 0.5, "d1" -> 0.3, "d2" -> 0.2),
+      total = 20L, seed = 5)
+    assert(m.collect().toSeq.sortBy(_.getAs[Int]("pos")) ==
+      again.collect().toSeq.sortBy(_.getAs[Int]("pos")))
+  }
+
+  test("mixture: a domain smaller than its quota contributes all it has") {
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "dom")
+    val m = Sampling.mixture(tiny, "dom", "doc_id",
+      weights = Map("a" -> 0.5, "b" -> 0.5), total = 6L, seed = 1)
+    val byDom = m.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom == Map("a" -> 2L, "b" -> 1L))
+  }
 }
