@@ -2830,6 +2830,34 @@ object Oracles {
          |SELECT lang, doc_id, draw_rank, sched_key,
          |  CAST(row_number() OVER (ORDER BY sched_key, lang) AS INT) AS pos
          |FROM sel ORDER BY pos""".stripMargin),
+
+    // same count-histogram thresholds as quantile_gate, applied as a
+    // clip instead of a filter
+    "winsorize_chars" ->
+      ("""WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+         |  FROM h),
+         |th AS (SELECT min(CASE WHEN cum*1000 >= n*50 THEN v END) AS lo,
+         |              min(CASE WHEN cum*1000 >= n*950 THEN v END) AS hi
+         |       FROM cum, tot)
+         |SELECT doc_id, greatest(lo, least(hi, n_chars)) AS n_chars
+         |FROM documents, th ORDER BY doc_id""".stripMargin),
+
+    // exact decimal second-moment sums reproduce bit-for-bit in any
+    // engine; the double products are identical (float x float), the
+    // DECIMAL(27,12) cast is deterministic, and decimal addition is
+    // order-free
+    "embedding_gram" ->
+      ("""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |idx AS (SELECT unnest(range(1, 65)) AS i),
+         |p AS (SELECT CAST(i.i - 1 AS INT) AS i, CAST(j.i - 1 AS INT) AS j,
+         |    CAST(e.v[i.i] * e.v[j.i] AS DECIMAL(27,12)) AS p
+         |  FROM e, idx i, idx j WHERE j.i >= i.i)
+         |SELECT i, j, CAST(CAST(sum(p) AS DECIMAL(27,12)) AS DOUBLE) AS m2
+         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

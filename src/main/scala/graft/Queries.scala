@@ -3884,5 +3884,22 @@ object Queries {
             "fr" -> 0.2, "zh" -> 0.1),
           total = 97L, seed = 11)
         .orderBy("pos")),
+
+    "winsorize_chars" -> ((s, dir) =>
+      // tail-taming for metrics that feed downstream arithmetic: clip
+      // doc length into the exact [p05, p95] band (count-histogram
+      // thresholds, no corpus sort, rows preserved)
+      Quantiles.winsorize(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "n_chars", loPermille = 50, hiPermille = 950)
+        .orderBy("doc_id")),
+
+    "embedding_gram" -> ((s, dir) =>
+      // the corpus side of PCA/whitening: exact upper-triangle
+      // second-moment matrix — (i, j, product) explode with map-side
+      // partial aggregation (the shuffle carries ~d^2 rows per task at
+      // any corpus size), DECIMAL sums for order-independence
+      graft.functions.Pca.gram(t(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j")),
   )
 }

@@ -107,4 +107,24 @@ object Quantiles {
       .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /** Winsorize: CLIP the integer metric into the [lo, hi] per-mille
+    * band instead of dropping rows — the tail-taming variant of
+    * [[gate]] for metrics that feed downstream arithmetic (loss
+    * weighting, length normalization) where row loss would bias the
+    * corpus. Identical scale shape: histogram pass + broadcast
+    * threshold row + pure projection, zero corpus shuffles. */
+  def winsorize(df: DataFrame, valueCol: String, loPermille: Int,
+                hiPermille: Int): DataFrame = {
+    require(loPermille <= hiPermille)
+    val th = cumHist(df, valueCol).agg(
+      min(when(col("cum") * 1000 >= col("n") * loPermille, col("v")))
+        .as("__lo"),
+      min(when(col("cum") * 1000 >= col("n") * hiPermille, col("v")))
+        .as("__hi"))
+    df.crossJoin(broadcast(th))
+      .withColumn(valueCol,
+        greatest(col("__lo"), least(col("__hi"), col(valueCol))))
+      .drop("__lo", "__hi")
+  }
 }
