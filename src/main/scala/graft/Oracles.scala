@@ -2796,16 +2796,17 @@ object Oracles {
          |       ELSE 'n' || CAST(o_orderkey AS VARCHAR) END AS note
          |FROM orders ORDER BY id""".stripMargin),
 
-    // the final relation states after the planted batches: orders with
-    // key%3=0 re-inserted and the key%5 slice of the old state deleted
-    // (= keep %3=0 OR %5<>0), lineitem complete; the maintained view
-    // must equal the from-scratch join in BAG semantics — projected
-    // rows that collide carry their multiplicity in __mult
+    // the final relation states after the planted BATCH-SIZED deltas:
+    // orders with key%31=0 inserted and the key%37 slice of the old
+    // state deleted (= keep %31=0 OR %37<>0), lineitem complete; the
+    // maintained view must equal the from-scratch join in BAG
+    // semantics — projected rows that collide carry their
+    // multiplicity in __mult
     "incremental_join_view" ->
       ("""SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity,
          |  CAST(count(*) AS BIGINT) AS "__mult"
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-         |WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0
+         |WHERE o_orderkey % 31 = 0 OR o_orderkey % 37 <> 0
          |GROUP BY o_orderkey, l_linenumber, o_orderstatus, l_quantity
          |ORDER BY o_orderkey, l_linenumber, l_quantity""".stripMargin),
 

@@ -3855,19 +3855,25 @@ object Queries {
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
           col("l_quantity"))
-      val aPrev = o.filter(col("o_orderkey") % 3 =!= 0)
-      val bPrev = l.filter(col("l_linenumber") <= 4)
+      val aPrev = o.filter(col("o_orderkey") % 31 =!= 0)
+      val bPrev = l.filter(col("l_linenumber") =!= 7)
       val dA = IncrementalJoin.delta(
-        o.filter(col("o_orderkey") % 3 === 0),
-        aPrev.filter(col("o_orderkey") % 5 === 0))
+        o.filter(col("o_orderkey") % 31 === 0),
+        aPrev.filter(col("o_orderkey") % 37 === 0))
       val dB = IncrementalJoin.delta(
-        l.filter(col("l_linenumber") > 4),
+        l.filter(col("l_linenumber") === 7),
         l.limit(0))
-      val view = IncrementalJoin.step(
-        IncrementalJoin.joinRel(IncrementalJoin.lift(aPrev),
-          IncrementalJoin.lift(bPrev), Seq("o_orderkey")),
-        IncrementalJoin.lift(aPrev), dA,
-        IncrementalJoin.lift(bPrev), dB, Seq("o_orderkey"))
+      // orders is PK-keyed (duplicate-free) -> asRel, zero shuffle;
+      // the projected lineitem slice is NOT unique -> lift
+      // consolidates it. The prev view is materialized once, as a
+      // real maintenance step reads it from storage rather than
+      // recomputing the join per consumer branch.
+      val aRel = IncrementalJoin.asRel(aPrev)
+      val bRel = IncrementalJoin.lift(bPrev).localCheckpoint()
+      val viewPrev = IncrementalJoin
+        .joinRel(aRel, bRel, Seq("o_orderkey")).localCheckpoint()
+      val view = IncrementalJoin.step(viewPrev, aRel, dA, bRel, dB,
+        Seq("o_orderkey"))
       view.select(col("o_orderkey"), col("l_linenumber"),
           col("o_orderstatus"), col("l_quantity"),
           col(IncrementalJoin.MultCol))

@@ -33,10 +33,19 @@ object IncrementalJoin {
   val MultCol = "__mult"
 
   /** Lift a plain frame to a consolidated signed relation (duplicate
-    * rows become one row with multiplicity k). */
+    * rows become one row with multiplicity k). Costs one full shuffle
+    * of the frame — for bases KNOWN duplicate-free (a CDC state keyed
+    * by primary key, a deduplicated snapshot) use [[asRel]], which is
+    * a pure projection. */
   def lift(df: DataFrame): DataFrame =
     df.groupBy(df.columns.map(col): _*)
       .agg(count(lit(1)).cast("long").as(MultCol))
+
+  /** Attach multiplicity 1 WITHOUT consolidating — zero shuffle.
+    * Correct only when the frame has no duplicate full rows (the
+    * invariant of any PK-keyed state). */
+  def asRel(df: DataFrame): DataFrame =
+    df.withColumn(MultCol, lit(1L))
 
   /** Build a signed delta batch from insert and delete row sets. */
   def delta(inserts: DataFrame, deletes: DataFrame): DataFrame =
@@ -67,9 +76,20 @@ object IncrementalJoin {
       .unionByName(joinRel(aPrev, bDelta, keys))
       .unionByName(joinRel(aDelta, bDelta, keys)))
 
-  /** Fold a view delta into the materialized view. */
-  def applyDelta(view: DataFrame, d: DataFrame): DataFrame =
-    consolidate(view.unionByName(d))
+  /** Fold a view delta into the materialized view — delta-KEYED, not
+    * view-sized: rows whose join key the delta never touches pass
+    * through untouched (an anti-join against the broadcast-small set
+    * of delta keys — no shuffle of the view), and only the touched
+    * slice unions with the delta and re-consolidates. With the view
+    * stored key-bucketed (the [[Rollup.foldBucketed]] layout) the
+    * pass-through is also scan-pruned to the delta's buckets. */
+  def applyDelta(view: DataFrame, d: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    val hot = d.select(keys.map(col): _*).distinct()
+    view.join(broadcast(hot), keys, "left_anti")
+      .unionByName(consolidate(
+        view.join(broadcast(hot), keys, "left_semi").unionByName(d)))
+  }
 
   /** One full maintenance step: `(A_prev ⋈ B_prev) + ΔV` — the view
     * after applying both side's batches, built ONLY from the previous
@@ -77,5 +97,5 @@ object IncrementalJoin {
   def step(view: DataFrame, aPrev: DataFrame, aDelta: DataFrame,
            bPrev: DataFrame, bDelta: DataFrame,
            keys: Seq[String]): DataFrame =
-    applyDelta(view, viewDelta(aPrev, aDelta, bPrev, bDelta, keys))
+    applyDelta(view, viewDelta(aPrev, aDelta, bPrev, bDelta, keys), keys)
 }
