@@ -2859,6 +2859,22 @@ object Oracles {
          |  FROM e, idx i, idx j WHERE j.i >= i.i)
          |SELECT i, j, CAST(CAST(sum(p) AS DECIMAL(27,12)) AS DOUBLE) AS m2
          |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin),
+
+    // replay of the planted phases: pub.orders = even keys, %7 updated
+    // to X1, %11 deleted; pub.custs = snapshot at full current content
+    // (the phase-2 MUST_NOT_APPEAR inserts were outside the table set
+    // and dropped), %5 updated to Y2
+    "add_tables_lifecycle" ->
+      ("""SELECT 'pub.orders' AS tbl, o_orderkey AS k,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN 'X1'
+         |       ELSE o_orderstatus END AS status
+         |FROM orders
+         |WHERE o_orderkey % 2 = 0 AND o_orderkey % 11 <> 0
+         |UNION ALL
+         |SELECT 'pub.custs', c_custkey,
+         |  CASE WHEN c_custkey % 5 = 0 THEN 'Y2' ELSE c_mktsegment END
+         |FROM customer
+         |ORDER BY tbl, k""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

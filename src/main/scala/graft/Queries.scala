@@ -3907,5 +3907,51 @@ object Queries {
       // any corpus size), DECIMAL sums for order-independence
       graft.functions.Pca.gram(t(s, dir, "embeddings"), "embedding")
         .orderBy("i", "j")),
+
+    "add_tables_lifecycle" -> ((s, dir) => {
+      // table-set surgery on a live transfer: replicate pub.orders
+      // only (a batch touching a not-yet-added pub.custs must DROP its
+      // rows), then addTables snapshots pub.custs at current content
+      // and replication resumes over both; remove/reupload semantics
+      // are spec-tested. The read-back of both states must equal the
+      // oracle's replay of exactly these phases.
+      import graft.operators.{Lifecycle, TableFilter}
+      val base = "/tmp/graft_lifecycle"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val pks = Seq("k")
+      val ordersNow = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"))
+      val custsNow = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("status"))
+      // phase 1: transfer starts on pub.orders only
+      var f = Lifecycle.addTables(base, pks, TableFilter(),
+        Seq("pub.orders" -> ordersNow))
+      // phase 2: a mixed batch — pub.custs rows must not leak
+      def env(df: org.apache.spark.sql.DataFrame, table: String,
+              kind: String, lsn: Long) =
+        df.withColumn(E.Table, lit(table)).withColumn(E.Kind, lit(kind))
+          .withColumn(E.Lsn, lit(lsn)).withColumn(E.Counter, lit(0))
+      val batch1 = env(ordersNow.filter(col("k") % 7 === 0)
+          .withColumn("status", lit("X1")), "pub.orders", E.Update, 10L)
+        .unionByName(env(custsNow.filter(col("k") % 3 === 0)
+          .withColumn("status", lit("MUST_NOT_APPEAR")),
+          "pub.custs", E.Insert, 10L))
+      Lifecycle.applyBatch(batch1, base, pks, f)
+      // phase 3: widen to pub.custs (snapshot at its current content)
+      f = Lifecycle.addTables(base, pks, f, Seq("pub.custs" -> custsNow))
+      // phase 4: both tables replicate now
+      val batch2 = env(ordersNow.filter(col("k") % 11 === 0),
+          "pub.orders", E.Delete, 20L)
+        .unionByName(env(custsNow.filter(col("k") % 5 === 0)
+          .withColumn("status", lit("Y2")), "pub.custs", E.Update, 20L))
+      Lifecycle.applyBatch(batch2, base, pks, f)
+      Lifecycle.readAll(s, base, Seq("pub.orders", "pub.custs"))
+        .select(col(E.Table).as("tbl"), col("k"), col("status"))
+        .orderBy("tbl", "k")
+    }),
   )
 }

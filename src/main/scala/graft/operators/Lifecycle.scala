@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.model.{CdcEnvelope => E}
+import graft.streaming.CdcStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-set surgery on a live multi-table transfer — the reference's
+  * transfer-lifecycle tasks re-expressed over the per-table merge
+  * state (cf. worker/tasks/add_tables.go:25, remove_tables.go,
+  * reupload.go):
+  *
+  *   - while a transfer runs, replication events route per `__table`
+  *     and tables outside the filter are DROPPED (not parked);
+  *   - `addTables` widens the set: the added tables are snapshot-
+  *     loaded at their CURRENT source content into fresh per-table
+  *     state, already-replicated tables are not reloaded, and
+  *     replication resumes under the widened filter (so the added
+  *     table's history before the snapshot is represented by the
+  *     snapshot itself — the reference stops the job, loads, resumes);
+  *   - `removeTables` shrinks the filter only; existing state dirs
+  *     stay in place (the reference leaves target data; cleanup is a
+  *     separate policy);
+  *   - `reupload` drops every included table's state and snapshots
+  *     fresh — the from-scratch recovery task.
+  *
+  * Scale shape: all data movement is per-table distributed merges
+  * ([[CdcStream.mergeBatch]]'s bucketed, batch-pruned fold); the
+  * table LIST is planning metadata (tables, not rows).
+  */
+object Lifecycle {
+
+  private def safe(t: String) = t.replaceAll("[^A-Za-z0-9_.-]", "_")
+
+  /** Apply one enveloped multi-table batch under the current filter:
+    * out-of-set tables drop, in-set tables merge into their state. */
+  def applyBatch(batch: DataFrame, base: String, pks: Seq[String],
+                 filter: TableFilter): Seq[String] = {
+    val tables = batch.select(E.Table).distinct()
+      .collect().map(_.getString(0)).filter(filter.matches).sorted.toSeq
+    if (tables.isEmpty) Nil
+    else CdcStream.mergeMultiTable(
+      batch.filter(col(E.Table).isin(tables: _*)), base, pks)
+  }
+
+  /** Widen the table set: snapshot-load each added table's current
+    * content into its own state dir, return the widened filter. */
+  def addTables(base: String, pks: Seq[String], filter: TableFilter,
+                added: Seq[(String, DataFrame)]): TableFilter = {
+    added.foreach { case (table, snapshot) =>
+      CdcStream.mergeBatch(E.fromSnapshot(snapshot, lit(0L)),
+        s"$base/${safe(table)}", pks)
+    }
+    filter.copy(include =
+      (filter.include.filter(_.nonEmpty) ++ added.map(_._1)).distinct)
+  }
+
+  /** Shrink the table set; state dirs are left untouched. */
+  def removeTables(filter: TableFilter, removed: Seq[String]): TableFilter =
+    filter.copy(exclude = (filter.exclude ++ removed).distinct)
+
+  /** Drop every listed table's state and snapshot it fresh. */
+  def reupload(spark: SparkSession, base: String, pks: Seq[String],
+               tables: Seq[(String, DataFrame)]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    tables.foreach { case (table, snapshot) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/${safe(table)}"), true)
+      CdcStream.mergeBatch(E.fromSnapshot(snapshot, lit(0L)),
+        s"$base/${safe(table)}", pks)
+    }
+  }
+
+  /** Read the assembled multi-table state back: one frame per listed
+    * table, tagged with `__table`. */
+  def readAll(spark: SparkSession, base: String,
+              tables: Seq[String]): DataFrame =
+    tables.map { t =>
+      CdcStream.readState(spark, s"$base/${safe(t)}")
+        .withColumn(E.Table, lit(t))
+    }.reduce(_.unionByName(_))
+}

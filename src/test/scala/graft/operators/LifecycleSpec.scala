@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.{CdcEnvelope => E}
+import org.apache.spark.sql.functions._
+
+/** [[Lifecycle]]: add/remove/reupload table-set surgery semantics. */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "/tmp/graft_lifecycle_spec"
+  private def clean(): Unit =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+
+  private def env(rows: Seq[(Long, String)], table: String, kind: String,
+                  lsn: Long) =
+    rows.toDF("k", "v").withColumn(E.Table, lit(table))
+      .withColumn(E.Kind, lit(kind)).withColumn(E.Lsn, lit(lsn))
+      .withColumn(E.Counter, lit(0))
+
+  private def state(table: String) =
+    graft.streaming.CdcStream.readState(spark, s"$base/$table")
+      .as[(Long, String)].collect().toSet
+
+  test("out-of-set tables drop; addTables snapshots without touching " +
+    "existing state; removeTables re-drops") {
+    clean()
+    var f = Lifecycle.addTables(base, Seq("k"), TableFilter(),
+      Seq("a" -> Seq((1L, "a1"), (2L, "a2")).toDF("k", "v")))
+    // batch for b BEFORE b is added: must drop
+    val applied1 = Lifecycle.applyBatch(
+      env(Seq((9L, "LEAK")), "b", E.Insert, 5L), base, Seq("k"), f)
+    assert(applied1.isEmpty)
+    f = Lifecycle.addTables(base, Seq("k"), f,
+      Seq("b" -> Seq((10L, "b1")).toDF("k", "v")))
+    assert(f.matches("a") && f.matches("b") && !f.matches("c"))
+    assert(state("b") == Set((10L, "b1"))) // no LEAK row
+    assert(state("a") == Set((1L, "a1"), (2L, "a2"))) // untouched
+    // after removeTables("b"), b batches drop again but state stays
+    f = Lifecycle.removeTables(f, Seq("b"))
+    assert(!f.matches("b"))
+    val applied2 = Lifecycle.applyBatch(
+      env(Seq((11L, "late")), "b", E.Insert, 6L), base, Seq("k"), f)
+    assert(applied2.isEmpty)
+    assert(state("b") == Set((10L, "b1")))
+  }
+
+  test("applyBatch merges per table under the filter; reupload " +
+    "rebuilds from scratch") {
+    clean()
+    var f = Lifecycle.addTables(base, Seq("k"), TableFilter(),
+      Seq("a" -> Seq((1L, "a1"), (2L, "a2")).toDF("k", "v")))
+    Lifecycle.applyBatch(
+      env(Seq((2L, "a2x")), "a", E.Update, 7L)
+        .unionByName(env(Seq((3L, "a3")), "a", E.Insert, 7L)),
+      base, Seq("k"), f)
+    assert(state("a") == Set((1L, "a1"), (2L, "a2x"), (3L, "a3")))
+    Lifecycle.reupload(spark, base, Seq("k"),
+      Seq("a" -> Seq((5L, "fresh")).toDF("k", "v")))
+    assert(state("a") == Set((5L, "fresh")))
+  }
+}
