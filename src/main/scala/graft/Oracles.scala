@@ -2875,6 +2875,21 @@ object Oracles {
          |  CASE WHEN c_custkey % 5 = 0 THEN 'Y2' ELSE c_mktsegment END
          |FROM customer
          |ORDER BY tbl, k""".stripMargin),
+
+    // same exact-literal components; sequential fold == sequential
+    // list_dot_product (the cosine-row precedent)
+    "pca_project" ->
+      ("""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT
+         |    list_transform(range(0, 64), i -> 0.125) AS c1,
+         |    list_transform(range(0, 64),
+         |      i -> CASE WHEN i % 2 = 0 THEN 0.125 ELSE -0.125 END) AS c2)
+         |SELECT vec_id,
+         |  round(list_dot_product(v, c1), 6) AS p1,
+         |  round(list_dot_product(v, c2), 6) AS p2
+         |FROM e, c ORDER BY vec_id""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -3953,5 +3953,23 @@ object Queries {
         .select(col(E.Table).as("tbl"), col("k"), col("status"))
         .orderBy("tbl", "k")
     }),
+
+    "pca_project" -> ((s, dir) => {
+      // the projection half of PCA under a FIXED orthonormal model
+      // (components as exact literals, so the oracle can replay the
+      // dot products): k codegen'd fold-dot-products per row, zero
+      // shuffle; the FITTED path (gram -> Jacobi -> project) is
+      // law-tested in PcaSpec
+      import graft.functions.Pca
+      val c1 = Array.fill(64)(0.125)
+      val c2 = Array.tabulate(64)(i => if (i % 2 == 0) 0.125 else -0.125)
+      val model = Pca.Model(Array(c1, c2), Array(1.0, 1.0),
+        Array.fill(64)(0.0))
+      Pca.project(t(s, dir, "embeddings"), "embedding", model)
+        .select(col("vec_id"),
+          element_at(col("proj"), 1).as("p1"),
+          element_at(col("proj"), 2).as("p2"))
+        .orderBy("vec_id")
+    }),
   )
 }
