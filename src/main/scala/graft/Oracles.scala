@@ -2890,6 +2890,43 @@ object Oracles {
          |  round(list_dot_product(v, c1), 6) AS p1,
          |  round(list_dot_product(v, c2), 6) AS p2
          |FROM e, c ORDER BY vec_id""".stripMargin),
+
+    // the ridge normal equations replayed exactly: HUGEINT moment
+    // sums, the same three Cramer expansions, one double division
+    // per weight, then the same left-to-right IEEE scoring order
+    "quality_regression" ->
+      (s"""WITH f AS (SELECT doc_id,
+         |    CAST(length(text) AS HUGEINT) AS x1,
+         |    CAST(len($toks) AS HUGEINT) AS x2,
+         |    CAST(len(list_filter($toks, t -> list_contains(
+         |      ['the', 'a', 'an', 'of', 'to', 'in', 'and'], lower(t))))
+         |      AS HUGEINT) AS y
+         |  FROM documents),
+         |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2,
+         |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         |    sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+         |  FROM f),
+         |d AS (SELECT
+         |    s11 + 2500 AS d11, s22 + 2500 AS d22, * FROM g),
+         |w AS (SELECT
+         |  CAST(sy*(d11*d22 - s12*s12) - s1*(s1y*d22 - s12*s2y)
+         |    + s2*(s1y*s12 - d11*s2y) AS DOUBLE)
+         |  / CAST(n*(d11*d22 - s12*s12) - s1*(s1*d22 - s2*s12)
+         |    + s2*(s1*s12 - d11*s2) AS DOUBLE) AS w0,
+         |  CAST(n*(s1y*d22 - s12*s2y) - sy*(s1*d22 - s2*s12)
+         |    + s2*(s1*s2y - s1y*s2) AS DOUBLE)
+         |  / CAST(n*(d11*d22 - s12*s12) - s1*(s1*d22 - s2*s12)
+         |    + s2*(s1*s12 - d11*s2) AS DOUBLE) AS w1,
+         |  CAST(n*(d11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+         |    + sy*(s1*s12 - d11*s2) AS DOUBLE)
+         |  / CAST(n*(d11*d22 - s12*s12) - s1*(s1*d22 - s2*s12)
+         |    + s2*(s1*s12 - d11*s2) AS DOUBLE) AS w2
+         |  FROM d)
+         |SELECT doc_id, CAST(y AS BIGINT) AS stop_hits,
+         |  round(w0 + w1*CAST(x1 AS DOUBLE) + w2*CAST(x2 AS DOUBLE), 6)
+         |    AS pred_stop_hits
+         |FROM f, w ORDER BY doc_id""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -3971,5 +3971,26 @@ object Queries {
           element_at(col("proj"), 2).as("p2"))
         .orderBy("vec_id")
     }),
+
+    "quality_regression" -> ((s, dir) => {
+      // model-based quality scoring, closed form: ONE moment scan
+      // (9 exact integer sums), driver-side BigInt Cramer solve,
+      // literal-weight codegen scoring — no gradient loop, no
+      // second pass; the oracle replays the same HUGEINT
+      // determinants so the weights are byte-identical
+      import graft.functions.Regression
+      val d = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val x1 = length(col("text"))
+      val x2 = size(toks)
+      val y = size(filter(toks,
+        tk => lower(tk).isin("the", "a", "an", "of", "to", "in", "and")))
+      val (scored, _) = Regression.fitScore3(
+        d.select(col("doc_id"), x1.as("x1"), x2.as("x2"), y.as("y")),
+        col("x1"), col("x2"), col("y"), BigInt(2500), "pred")
+      scored.select(col("doc_id"), col("y").cast("long").as("stop_hits"),
+          round(col("pred"), 6).as("pred_stop_hits"))
+        .orderBy("doc_id")
+    }),
   )
 }

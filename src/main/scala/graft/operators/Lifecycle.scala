@@ -34,13 +34,18 @@ object Lifecycle {
 
   /** Apply one enveloped multi-table batch under the current filter:
     * out-of-set tables drop, in-set tables merge into their state. */
-  def applyBatch(batch: DataFrame, base: String, pks: Seq[String],
+  def applyBatch(batch0: DataFrame, base: String, pks: Seq[String],
                  filter: TableFilter): Seq[String] = {
-    val tables = batch.select(E.Table).distinct()
-      .collect().map(_.getString(0)).filter(filter.matches).sorted.toSeq
-    if (tables.isEmpty) Nil
-    else CdcStream.mergeMultiTable(
-      batch.filter(col(E.Table).isin(tables: _*)), base, pks)
+    // materialize once: the filter probe, the downstream table
+    // listing, and every per-table merge all reuse these blocks
+    val batch = batch0.persist()
+    try {
+      val tables = batch.select(E.Table).distinct()
+        .collect().map(_.getString(0)).filter(filter.matches).sorted.toSeq
+      if (tables.isEmpty) Nil
+      else CdcStream.mergeMultiTable(
+        batch.filter(col(E.Table).isin(tables: _*)), base, pks)
+    } finally { batch.unpersist() }
   }
 
   /** Widen the table set: snapshot-load each added table's current

@@ -301,17 +301,23 @@ object CdcStream {
     * (table_splitter routes) — sanitized into the directory name.
     * The distinct-table list is tiny (tables, not rows); each per-table
     * merge is a full distributed job. */
-  def mergeMultiTable(batch: DataFrame, baseDir: String,
+  def mergeMultiTable(batch0: DataFrame, baseDir: String,
                       pks: Seq[String]): Seq[String] = {
-    require(batch.columns.contains(E.Table), s"missing ${E.Table}")
-    val tables = batch.select(E.Table).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    tables.foreach { t =>
-      val safe = t.replaceAll("[^A-Za-z0-9_.-]", "_")
-      mergeBatch(batch.filter(col(E.Table) === t).drop(E.Table),
-        s"$baseDir/$safe", pks)
-    }
-    tables
+    require(batch0.columns.contains(E.Table), s"missing ${E.Table}")
+    // one materialization feeds the table listing AND every per-table
+    // merge — without it the batch lineage (often a multi-source
+    // union) recomputes once per table plus once for the listing
+    val batch = batch0.persist()
+    try {
+      val tables = batch.select(E.Table).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      tables.foreach { t =>
+        val safe = t.replaceAll("[^A-Za-z0-9_.-]", "_")
+        mergeBatch(batch.filter(col(E.Table) === t).drop(E.Table),
+          s"$baseDir/$safe", pks)
+      }
+      tables
+    } finally { batch.unpersist() }
   }
 
   /** The replication loop: stream -> transform -> checkpointed
