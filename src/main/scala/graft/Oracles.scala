@@ -2927,6 +2927,27 @@ object Oracles {
          |  round(w0 + w1*CAST(x1 AS DOUBLE) + w2*CAST(x2 AS DOUBLE), 6)
          |    AS pred_stop_hits
          |FROM f, w ORDER BY doc_id""".stripMargin),
+
+    // the k smallest distinct 48-bit hashes per group, replayed as a
+    // per-group window rank; same estimate formula floored at cents
+    "kmv_per_group" ->
+      ("""WITH h AS (
+         |  SELECT DISTINCT o_orderpriority AS g,
+         |    CAST(('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,12))
+         |      AS BIGINT) AS h
+         |  FROM orders WHERE o_custkey IS NOT NULL),
+         |r AS (SELECT g, h,
+         |    row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+         |  FROM h),
+         |s AS (SELECT g, CAST(count(*) AS BIGINT) AS k_eff,
+         |    max(h) AS kth
+         |  FROM r WHERE rk <= 64 GROUP BY g)
+         |SELECT g AS o_orderpriority, k_eff, kth,
+         |  CAST(floor((CASE WHEN k_eff < 64 THEN CAST(k_eff AS DOUBLE)
+         |    ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+         |      / CAST(kth AS DOUBLE) END) * 100) AS BIGINT)
+         |    AS distinct_est_x100
+         |FROM s ORDER BY o_orderpriority""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -3992,5 +3992,17 @@ object Queries {
           round(col("pred"), 6).as("pred_stop_hits"))
         .orderBy("doc_id")
     }),
+
+    "kmv_per_group" -> ((s, dir) => {
+      // per-group distinct-count estimation through the native
+      // bounded KMV aggregate: at most k=64 longs per group per map
+      // task ship, never the distinct pairs themselves (the
+      // countDistinct alternative shuffles them all); the oracle
+      // replays the k smallest distinct 48-bit hashes per group
+      import graft.functions.Sketches
+      Sketches.kmvPerGroup(t(s, dir, "orders"),
+          Seq("o_orderpriority"), "o_custkey", k = 64)
+        .orderBy("o_orderpriority")
+    }),
   )
 }

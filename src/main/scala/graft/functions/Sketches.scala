@@ -133,6 +133,33 @@ object Sketches {
     (j, uEst, j * uEst)
   }
 
+  /** Per-group distinct-count estimation through the native bounded
+    * KMV aggregate ([[org.apache.spark.sql.graft.KmvExpr]]): at most
+    * k longs per group per map task ship, whatever the group's
+    * distinct cardinality — the sketch-grade alternative to
+    * `groupBy(g).agg(countDistinct(v))`, whose distinct pre-shuffle
+    * is corpus-sized. Returns `(groupCols..., k_eff, kth,
+    * distinct_est_x100)`; the estimate is exact while the sketch is
+    * not full, else `(k-1)·2^48 / h_k` (48-bit hashes keep every
+    * value exact in a BIGINT on every engine), floored at cents so
+    * the cross-engine compare never rides a float tie. */
+  def kmvPerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.graft.{bridge, KmvExpr}
+    val agg = bridge.column(KmvExpr(
+      bridge.expression(kmvHash(col(valueCol))), k).toAggregateExpression())
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*).agg(agg.as("__kmv"))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("__kmv")).cast("long").as("k_eff"),
+        element_at(col("__kmv"), -1).as("kth"),
+        floor(when(size(col("__kmv")) < k,
+            size(col("__kmv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+            element_at(col("__kmv"), -1).cast("double")) * 100)
+          .as("distinct_est_x100")): _*)
+  }
+
   /** Merge CMS tables from disjoint data (cell-wise sum). */
   def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
     sketches.reduce(_ unionByName _)

@@ -100,6 +100,50 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(iEst - 2000) / 2000.0 < 0.25, s"intersection $iEst")
   }
 
+  test("kmvPerGroup equals the composed distinct-then-bottom-k spelling") {
+    // group cardinalities straddle k: g0 under (exact path), g1 over
+    val df = (1 to 4000).map(i => (s"g${i % 2}", s"v${i % (if (i % 2 == 0) 40 else 900)}"))
+      .toDF("g", "v")
+    val viaAgg = Sketches.kmvPerGroup(df, Seq("g"), "v", k = 64)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col("g"), Sketches.kmvHash(col("v")).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy("h")))
+      .filter(col("rk") <= 64)
+      .groupBy("g").agg(count(lit(1)).as("k_eff"), max("h").as("kth"))
+      .withColumn("distinct_est_x100",
+        floor(when(col("k_eff") < 64, col("k_eff").cast("double"))
+          .otherwise(lit(63.0) * lit(281474976710656.0) /
+            col("kth").cast("double")) * 100))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(viaAgg == ranked, s"agg=$viaAgg window=$ranked")
+    // the under-k group must be EXACT: even i mod 40 hits only the 20
+    // even residues -> 20 distinct values, estimate exactly 20.00
+    val g0 = viaAgg.head
+    assert(g0(1) == 20L && g0(3) == 2000L, s"g0=$g0")
+  }
+
+  test("kmvPerGroup full-sketch estimate tracks true cardinality") {
+    val df = (1 to 20000).map(i => ("only", s"x${i % 5000}")).toDF("g", "v")
+    val est = Sketches.kmvPerGroup(df, Seq("g"), "v", k = 256)
+      .head().getLong(3) / 100.0
+    assert(math.abs(est - 5000) / 5000.0 < 0.2, s"est $est")
+  }
+
+  test("kmvPerGroup is partition-invariant and partial-aggregated") {
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"w$i")).toDF("g", "v")
+    val a = Sketches.kmvPerGroup(df, Seq("g"), "v", k = 32)
+      .orderBy("g").collect().toSeq
+    val b = Sketches.kmvPerGroup(df.repartition(13), Seq("g"), "v", k = 32)
+      .orderBy("g").collect().toSeq
+    assert(a == b)
+    val plan = Sketches.kmvPerGroup(df, Seq("g"), "v", k = 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kmv"), plan.take(800))
+  }
+
   test("cms merge of disjoint halves equals the whole-data sketch") {
     val all = (1 to 1000).map(i => s"c${i % 123}").toDF("v")
     val a = all.filter(md5(col("v")).startsWith("0"))
