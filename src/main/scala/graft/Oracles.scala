@@ -2948,6 +2948,19 @@ object Oracles {
          |      / CAST(kth AS DOUBLE) END) * 100) AS BIGINT)
          |    AS distinct_est_x100
          |FROM s ORDER BY o_orderpriority""".stripMargin),
+
+    // utf8proc NFC == java.text.Normalizer NFC (the Unicode standard
+    // pins the bytes): composed chr(233) and decomposed e+chr(769)
+    // collapse to one key, plain ASCII stays distinct
+    "nfc_dedup_keys" ->
+      ("""WITH p AS (SELECT doc_id,
+         |    'caf' || CASE WHEN doc_id % 3 = 0 THEN chr(233)
+         |      WHEN doc_id % 3 = 1 THEN 'e' || chr(769)
+         |      ELSE 'e' END || '-' || source AS raw
+         |  FROM documents)
+         |SELECT nfc_normalize(raw) AS norm, count(*) AS n,
+         |  min(doc_id) AS first_doc
+         |FROM p GROUP BY norm ORDER BY norm""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -4004,5 +4004,26 @@ object Queries {
           Seq("o_orderpriority"), "o_custkey", k = 64)
         .orderBy("o_orderpriority")
     }),
+
+    "nfc_dedup_keys" -> ((s, dir) => {
+      // Unicode canonicalization before key hashing (graft_nfc, a
+      // native codegen Expression): composed U+00E9 and decomposed
+      // e+U+0301 are different BYTES for identical text — planted
+      // per doc_id%3, the two variants must land in ONE group after
+      // NFC while plain ASCII stays its own key; the oracle replays
+      // with DuckDB's utf8proc nfc_normalize (the Unicode standard
+      // pins the output byte-exactly)
+      import graft.functions.Nfc
+      val accent = when(col("doc_id") % 3 === 0, lit("\u00e9"))
+        .when(col("doc_id") % 3 === 1, lit("e\u0301"))
+        .otherwise(lit("e"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("caf"), accent, lit("-"), col("source")).as("raw"))
+        .select(col("doc_id"), Nfc(col("raw")).as("norm"))
+        .groupBy("norm")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy("norm")
+    }),
   )
 }

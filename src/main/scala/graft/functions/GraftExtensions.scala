@@ -59,6 +59,14 @@ object GraftFunctions {
         }
         org.apache.spark.sql.graft.TopKExpr(args(0), args(1), k)
           .toAggregateExpression()
+      }),
+    ("graft_nfc",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.NfcNormalizeExpr].getName,
+        "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc takes one argument")
+        org.apache.spark.sql.graft.NfcNormalizeExpr(args.head)
       }))
 
   /** Register on an existing session. */

@@ -21,8 +21,9 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // same plan extensions a GraftSession.create() session carries
+    // same registrations a GraftSession.create() session carries
     s.experimental.extraOptimizations ++= Seq(graft.plans.RangeJoinRewrite)
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }
