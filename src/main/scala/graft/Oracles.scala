@@ -2961,6 +2961,21 @@ object Oracles {
          |SELECT nfc_normalize(raw) AS norm, count(*) AS n,
          |  min(doc_id) AS first_doc
          |FROM p GROUP BY norm ORDER BY norm""".stripMargin),
+
+    // the same seeded uniforms and u^(1/w) priorities, re-ranked as a
+    // window (priority DESC, id ASC — the heap's exact tie order)
+    "weighted_sample" ->
+      (s"""WITH p AS (SELECT doc_id,
+         |    pow((CAST(${hex8("'11:'||CAST(doc_id AS VARCHAR)")}
+         |           AS DOUBLE) + 1.0) / 4294967296.0,
+         |        1.0 / CAST(n_chars AS DOUBLE)) AS pr
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY pr DESC, doc_id) AS INT)
+         |      AS draw_rank
+         |  FROM p)
+         |SELECT doc_id, draw_rank FROM r WHERE draw_rank <= 100
+         |ORDER BY draw_rank""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -4025,5 +4025,16 @@ object Queries {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
         .orderBy("norm")
     }),
+
+    "weighted_sample" -> ((s, dir) => {
+      // A-ES weighted sampling without replacement: sample k=100 docs
+      // ∝ length through the bounded-heap draw (k entries per task
+      // ship — no corpus sort); the oracle re-ranks the identical
+      // md5-seeded u^(1/w) priorities
+      t(s, dir, "documents").transform(d =>
+        Sampling.weightedSample(d.filter(col("n_chars") > 0),
+          "doc_id", "n_chars", k = 100, seed = 11))
+        .orderBy("draw_rank")
+    }),
   )
 }

@@ -229,6 +229,35 @@ object Sampling {
         (col("__pos") + 1).cast("int").as("draw_rank")): _*)
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006, A-ES): each row draws priority `u^(1/w)` from its seeded
+    * uniform `u` and integer weight `w`; the global top-k by priority
+    * IS a weight-proportional sample without replacement. The draw is
+    * the same bounded-heap aggregate as [[reservoirPerGroup]] — k
+    * entries per task ship, never a corpus sort — which is the whole
+    * point at training-mixture scale (sample 10M docs ∝ quality score
+    * from 10B). Deterministic: u is md5-derived, so any engine
+    * replays the identical sample (the DuckDB oracle re-ranks the
+    * same priorities). Returns `(idCol, draw_rank)`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{bridge, TopKExpr}
+    // u in (0,1]: (h+1)/2^32 — never exactly 0, so u^(1/w) never
+    // collapses weight information at the bottom of the range
+    val u = (Hashing.seeded(col(idCol).cast("string"), seed)
+      .cast("double") + 1.0) / 4294967296.0
+    val priority = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    val agg = bridge.column(TopKExpr(
+      bridge.expression(priority),
+      bridge.expression(col(idCol).cast("long")),
+      k).toAggregateExpression())
+    df.filter(col(weightCol) > 0)
+      .agg(agg.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__e.id").as(idCol),
+        (col("__pos") + 1).cast("int").as("draw_rank"))
+  }
+
   /** Largest-remainder apportionment of `total` slots across weighted
     * domains (driver-side, |domains| entries): floor the exact shares,
     * then hand the leftover slots to the largest fractional remainders

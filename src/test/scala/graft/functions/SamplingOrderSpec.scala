@@ -122,4 +122,46 @@ class SamplingOrderSpec extends SparkSpec {
     val byDom = m.groupBy("dom").count().as[(String, Long)].collect().toMap
     assert(byDom == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("weightedSample: heavy weights dominate, no replacement, k cap") {
+    // ids 0-999: weight 1000 for ids < 100, weight 1 otherwise — the
+    // A-ES draw of 100 must be overwhelmingly from the heavy tier
+    val df = spark.range(0, 1000).select(col("id").as("doc_id"),
+      when(col("id") < 100, 1000).otherwise(1).as("w"))
+    val out = Sampling.weightedSample(df, "doc_id", "w", k = 100, seed = 3)
+      .collect()
+    assert(out.length == 100)
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length == 100) // without replacement
+    val heavy = ids.count(_ < 100)
+    assert(heavy >= 80, s"heavy-tier draws: $heavy/100")
+  }
+
+  test("weightedSample equals the window re-rank and survives repartition") {
+    val df = spark.range(0, 500).select(col("id").as("doc_id"),
+      (pmod(col("id") * 7, lit(13)) + 1).as("w"))
+    val viaHeap = Sampling.weightedSample(df, "doc_id", "w", 50, seed = 9)
+      .orderBy("draw_rank").collect().map(_.toSeq).toSeq
+    val viaHeapRep = Sampling.weightedSample(
+        df.repartition(11), "doc_id", "w", 50, seed = 9)
+      .orderBy("draw_rank").collect().map(_.toSeq).toSeq
+    assert(viaHeap == viaHeapRep)
+    import org.apache.spark.sql.expressions.Window
+    val u = (graft.functions.Hashing.seeded(col("doc_id").cast("string"), 9)
+      .cast("double") + 1.0) / 4294967296.0
+    val viaWindow = df.filter(col("w") > 0)
+      .select(col("doc_id"), pow(u, lit(1.0) / col("w").cast("double")).as("pr"))
+      .withColumn("draw_rank", row_number().over(
+        Window.orderBy(col("pr").desc, col("doc_id"))).cast("int"))
+      .filter(col("draw_rank") <= 50)
+      .select("doc_id", "draw_rank")
+      .orderBy("draw_rank").collect().map(_.toSeq).toSeq
+    assert(viaHeap == viaWindow)
+  }
+
+  test("weightedSample with k >= population returns everyone, ranked") {
+    val df = spark.range(0, 20).select(col("id").as("doc_id"), lit(5).as("w"))
+    val out = Sampling.weightedSample(df, "doc_id", "w", 100, seed = 1)
+    assert(out.count() == 20)
+  }
 }
