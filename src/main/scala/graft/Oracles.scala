@@ -2976,6 +2976,24 @@ object Oracles {
          |  FROM p)
          |SELECT doc_id, draw_rank FROM r WHERE draw_rank <= 100
          |ORDER BY draw_rank""".stripMargin),
+
+    // the prefix filter is lossless at θ, so the oracle is the PLAIN
+    // all-pairs exact Jaccard at θ=0.1 — same replay as
+    // dedup_ngram_jaccard, higher threshold
+    "setsim_prefix_join" ->
+      (s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 150),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+         |  THEN list_transform(range(0, len(tk)-2), i -> array_to_string(tk[i+1:i+3], ' '))
+         |  ELSE [array_to_string(tk, ' ')] END) AS s FROM d),
+         |ex AS (SELECT doc_id AS id, unnest(s) AS s FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1
+         |ORDER BY id_a, id_b""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

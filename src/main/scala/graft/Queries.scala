@@ -4036,5 +4036,18 @@ object Queries {
           "doc_id", "n_chars", k = 100, seed = 11))
         .orderBy("draw_rank")
     }),
+
+    "setsim_prefix_join" -> ((s, dir) =>
+      // threshold-EXACT similarity self-join via prefix filtering
+      // (AllPairs/PPJoin): only each doc's rarest (1-θ) shingle
+      // prefix is indexed, candidates are provably complete at θ,
+      // exact verify runs on candidates alone — so the oracle is the
+      // plain all-pairs answer, and the filter's losslessness is
+      // what the hash-match proves
+      Dedup.prefixJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 150),
+        "text", "doc_id", shingleN = 3, theta = 0.1)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
   )
 }

@@ -408,6 +408,57 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered set-similarity self-join (the AllPairs/PPJoin
+    * family — Bayardo et al., WWW'07; Xiao et al., WWW'08): EXACT
+    * Jaccard-threshold pairs without indexing every token.
+    *
+    * Each doc's distinct shingles are ordered by global rarity
+    * (document frequency asc, shingle asc) and only the first
+    * `|t| - ceil(θ·|t|) + 1` — the PREFIX — are indexed. The theorem:
+    * two sets with J ≥ θ MUST share a prefix token under a common
+    * global order, so candidate generation over prefixes alone is
+    * lossless at θ, while the inverted index shrinks two ways at
+    * once — each doc posts ~(1-θ) of its tokens, and prefixes favor
+    * RARE tokens, so posting lists stay short exactly where the
+    * quadratic in-group pair term would explode (the hot-shingle
+    * problem the maxDf cap in [[ngramJaccardPairs]] solves lossily;
+    * this solves it exactly, given a threshold).
+    *
+    * Exact verification then runs only on candidates, via
+    * [[ngramJaccardPairs]] with the df cap disabled — so the result
+    * is the TRUE all-pairs answer at θ, which is what the oracle
+    * replays as a plain all-pairs join on the small fixture. */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         shingleN: Int = 3, theta: Double = 0.5): DataFrame = {
+    require(theta > 0 && theta <= 1, "theta in (0, 1]")
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    // per-doc rarity rank; doc-sized sort groups, corpus-keyed shuffle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df"), col("s"))
+    val ranked = sh.join(dfreq, "s")
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val prefix = ranked
+      .filter(col("__rk") <= col("__n") - ceil(lit(theta) * col("__n")) + 1)
+      .select("id", "s")
+    // co-occurrence pairs over prefix postings only (the one-shuffle
+    // grouped-combinations shape)
+    val grouped = prefix.groupBy("s")
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+    val ids = col("__ids")
+    val cands = grouped.select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
+    ngramJaccardPairs(df, textCol, idCol, shingleN, minJaccard = theta,
+      candidates = Some(cands), maxDf = Int.MaxValue)
+  }
+
   // ---------------- embedding near-dup ----------------
 
   /** Near-duplicate pairs by embedding cosine within LSH buckets (see

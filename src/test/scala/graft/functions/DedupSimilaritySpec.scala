@@ -153,6 +153,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("prefix-filtered join equals the all-pairs answer (losslessness)") {
+    // the PPJoin completeness theorem, checked empirically: at every
+    // threshold the prefix-filtered result IS the exact all-pairs one
+    for (theta <- Seq(0.2, 0.5, 0.9)) {
+      val viaPrefix = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+          shingleN = 3, theta = theta)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      val allPairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleN = 3, minJaccard = theta, maxDf = Int.MaxValue)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(viaPrefix == allPairs, s"theta=$theta")
+    }
+  }
+
+  test("prefix filter indexes strictly fewer postings than the full index") {
+    // a shared hot token everywhere, rare tokens distinguishing docs:
+    // prefixes (rarity-ordered) skip the hot token for most docs
+    val corpus = (0L until 40L).map(i =>
+      (i, s"common common common rare$i other${i % 7} thing${i % 5} " +
+        s"word${i % 3} extra$i more$i tail$i"))
+      .toDF("doc_id", "text")
+    val sh = corpus.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("text"), 3))).as("s"))
+    val fullPostings = sh.count()
+    // rebuild the prefix postings exactly as prefixJaccardPairs does
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("__df"), col("s"))
+    val prefixPostings = sh.join(dfreq, "s")
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("__rk") <= col("__n") - ceil(lit(0.5) * col("__n")) + 1)
+      .count()
+    assert(prefixPostings < fullPostings,
+      s"prefix=$prefixPostings full=$fullPostings")
+    assert(prefixPostings <= fullPostings * 6 / 10 + corpus.count())
+  }
+
   test("duplicated substring spans: cross-doc repeat located, merged " +
       "maximally, unique text untouched") {
     val corpus = Seq(
