@@ -2994,6 +2994,42 @@ object Oracles {
          |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.1
          |ORDER BY id_a, id_b""".stripMargin),
+
+    // three synchronous LPA rounds unrolled: neighbor-label counts,
+    // argmax by (cnt DESC, label ASC) — the heap's exact tie order
+    "label_propagation" ->
+      ("""WITH d AS (SELECT doc_id FROM documents),
+         |e0 AS (SELECT doc_id AS src, doc_id - doc_id % 10 AS dst
+         |    FROM d WHERE doc_id % 10 <> 0
+         |  UNION ALL SELECT doc_id, doc_id - 10 FROM d
+         |    WHERE doc_id % 10 = 0 AND doc_id > 0),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e0
+         |    UNION ALL SELECT dst, src FROM e0) WHERE src <> dst),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |l0 AS (SELECT node, node AS label FROM n),
+         |c1 AS (SELECT e.dst AS n2, l.label, count(*) AS cnt
+         |  FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+         |a1 AS (SELECT n2, label, row_number() OVER (
+         |  PARTITION BY n2 ORDER BY cnt DESC, label) AS rk FROM c1),
+         |l1 AS (SELECT n.node, coalesce(a.label, n.node) AS label FROM n
+         |  LEFT JOIN (SELECT n2, label FROM a1 WHERE rk = 1) a
+         |  ON a.n2 = n.node),
+         |c2 AS (SELECT e.dst AS n2, l.label, count(*) AS cnt
+         |  FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+         |a2 AS (SELECT n2, label, row_number() OVER (
+         |  PARTITION BY n2 ORDER BY cnt DESC, label) AS rk FROM c2),
+         |l2 AS (SELECT n.node, coalesce(a.label, n.node) AS label FROM n
+         |  LEFT JOIN (SELECT n2, label FROM a2 WHERE rk = 1) a
+         |  ON a.n2 = n.node),
+         |c3 AS (SELECT e.dst AS n2, l.label, count(*) AS cnt
+         |  FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+         |a3 AS (SELECT n2, label, row_number() OVER (
+         |  PARTITION BY n2 ORDER BY cnt DESC, label) AS rk FROM c3),
+         |l3 AS (SELECT n.node, coalesce(a.label, n.node) AS label FROM n
+         |  LEFT JOIN (SELECT n2, label FROM a3 WHERE rk = 1) a
+         |  ON a.n2 = n.node)
+         |SELECT node AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

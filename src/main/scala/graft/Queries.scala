@@ -4049,5 +4049,24 @@ object Queries {
         "text", "doc_id", shingleN = 3, theta = 0.1)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
+
+    "label_propagation" -> ((s, dir) => {
+      // community detection where connected components is too coarse:
+      // decade stars (9 leaves -> head) weakly CHAINED head-to-head —
+      // CC would collapse everything into one blob through the
+      // bridges; 3 synchronous LPA rounds keep the strongly-knit
+      // decades as distinct communities. Deterministic by sync
+      // updates + (count DESC, label ASC) tie-break, so the oracle
+      // replays the rounds exactly
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val edges = d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("src"),
+          (col("doc_id") - col("doc_id") % 10).as("dst"))
+        .unionAll(d.filter(col("doc_id") % 10 === 0 && col("doc_id") > 0)
+          .select(col("doc_id").as("src"), (col("doc_id") - 10).as("dst")))
+      graft.functions.Graph.labelPropagation(edges, "src", "dst", iters = 3)
+        .select(col("node").as("doc_id"), col("label"))
+        .orderBy("doc_id")
+    }),
   )
 }

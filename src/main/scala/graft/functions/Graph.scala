@@ -51,4 +51,42 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for
+    * community detection — the graph-clustering step between
+    * connected components (too coarse: one bridge edge merges two
+    * communities) and modularity methods (not shuffle-shaped). Fixed
+    * `iters` SYNCHRONOUS rounds make it deterministic: every node
+    * simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by smallest label; isolated nodes keep
+    * their own. Labels start as node ids.
+    *
+    * Scale shape per round: one edge-keyed shuffle (neighbor-label
+    * counts, map-side combined) and a struct-max argmax per node — no
+    * window sort, no driver state; lineage truncated per round like
+    * [[pagerank]]. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): DataFrame = {
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // undirected, self-loop-free, deduplicated adjacency
+    val e = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val counts = e.join(labels, col("src") === col("node"))
+        .select(col("dst").as("n2"), col("label"))
+        .groupBy("n2", "label").agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt DESC, label ASC) as a struct max — an
+      // aggregate, not a per-node window sort
+      val next = counts.groupBy("n2")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("n2").as("node"), (-col("m.nl")).as("label"))
+      labels = nodes.join(next, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

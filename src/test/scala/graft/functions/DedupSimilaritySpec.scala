@@ -192,6 +192,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(prefixPostings <= fullPostings * 6 / 10 + corpus.count())
   }
 
+  test("label propagation separates communities a bridge edge merges in CC") {
+    // two triangles + one bridge: CC -> one blob; LPA -> two
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val l = graft.functions.Graph.labelPropagation(edges, "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(l(1L) == l(2L) && l(2L) == l(3L))
+    assert(l(4L) == l(5L) && l(5L) == l(6L))
+    assert(l(1L) != l(4L), s"communities merged: $l")
+    // same graph through CC: everything one component
+    val cc = Dedup.connectedComponents(edges, "src", "dst")
+    assert(cc.select(countDistinct(col("cluster_id"))).head().getLong(0) == 1L)
+    // deterministic across partitioning
+    val l2 = graft.functions.Graph.labelPropagation(
+        edges.repartition(7), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(l == l2)
+  }
+
   test("duplicated substring spans: cross-doc repeat located, merged " +
       "maximally, unique text untouched") {
     val corpus = Seq(
