@@ -3030,6 +3030,25 @@ object Oracles {
          |  LEFT JOIN (SELECT n2, label FROM a3 WHERE rk = 1) a
          |  ON a.n2 = n.node)
          |SELECT node AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin),
+
+    // exact integer lift: HUGEINT floor-division — no log, no float
+    "collocations" ->
+      (s"""WITH d AS (SELECT $toks AS tk FROM documents),
+         |bi AS (SELECT tk[i+1] AS w1, tk[i+2] AS w2
+         |  FROM d, unnest(range(0, len(tk)-1)) AS u(i)
+         |  WHERE len(tk) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2
+         |  HAVING count(*) >= 5),
+         |uni AS (SELECT w AS tok, count(*) AS cu FROM
+         |  (SELECT unnest(tk) AS w FROM d) GROUP BY 1),
+         |n AS (SELECT CAST(sum(cu) AS HUGEINT) AS n FROM uni)
+         |SELECT cb.w1, cb.w2, cb.cb,
+         |  CAST((CAST(cb.cb AS HUGEINT) * 1000000 * n.n)
+         |    // (CAST(u1.cu AS HUGEINT) * CAST(u2.cu AS HUGEINT))
+         |    AS BIGINT) AS lift_ppm
+         |FROM cb JOIN uni u1 ON u1.tok = cb.w1
+         |  JOIN uni u2 ON u2.tok = cb.w2, n
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -4068,5 +4068,13 @@ object Queries {
         .select(col("node").as("doc_id"), col("label"))
         .orderBy("doc_id")
     }),
+
+    "collocations" -> ((s, dir) =>
+      // top adjacent-pair collocations by exact integer lift (PMI
+      // rank without the cross-engine log): floor(cb·1e6·N/(cu1·cu2))
+      // in DECIMAL(38,0) both engines replay bit-identically
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 50)
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))),
   )
 }

@@ -465,6 +465,48 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Collocation mining by LIFT — PMI's argument without its log:
+    * `lift(w1,w2) = P(w1 w2) / (P(w1)·P(w2)) = cb·N / (cu1·cu2)`.
+    * Ranking by lift IS ranking by PMI (log is monotone), and the
+    * integer spelling `floor(cb·1e6·N / (cu1·cu2))` is EXACT decimal
+    * arithmetic both engines replay bit-identically — no libm log in
+    * the comparison path (the repo's integer-score discipline; the
+    * bigram LM keeps its log because probabilities must add).
+    *
+    * Scale shape: bigram + unigram counts are map-side-combined
+    * explode-aggregates; two token-keyed joins attach unigram counts;
+    * N is a broadcast scalar; minCount prunes the long tail BEFORE
+    * the joins. */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val t = tokens(col(textCol))
+    val bi = df.select(t.as("__t")).filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__bg"))
+      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val uni = df.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val n = uni.agg(sum(col("cu")).as("__n"))
+    val dec = "decimal(38,0)"
+    bi.join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      // integral div, not round-then-floor: Spark's decimal '/' rounds
+      // the quotient at result scale, which can bump past the integer
+      // boundary DuckDB's floor-division never crosses
+      .withColumn("__num",
+        col("cb").cast(dec) * lit(1000000L) * col("__n").cast(dec))
+      .withColumn("__den", col("cu1").cast(dec) * col("cu2").cast(dec))
+      .withColumn("lift_ppm", expr("CAST((__num div __den) AS BIGINT)"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "cb", "lift_ppm")
+  }
+
   def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val docBi = df.select(col(idCol), t.as("__t"))

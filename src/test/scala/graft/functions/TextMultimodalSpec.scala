@@ -668,4 +668,22 @@ class TextMultimodalSpec extends SparkSpec {
       .map(b => f"$b%02x").mkString
     assert(fps(1L)._2 == expected)
   }
+  test("collocations: lift ranks the glued pair first, exact integers") {
+    // "neva yorq" always adjacent (8x); "the" is everywhere, so any
+    // pair containing it has lift ~1; N and counts are hand-checkable
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"the neva yorq story $i of the day"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2, topK = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // N = 8 docs x 8 tokens = 64; cb(neva,yorq)=8, cu(neva)=cu(yorq)=8
+    // lift = 8*64/(8*8) = 8 -> 8_000_000 ppm exactly
+    assert(out(("neva", "yorq")) == (8L, 8000000L), out.toString)
+    // cb(of,the)=8, cu(of)=8, cu(the)=16 -> 8*64/(8*16)=4 -> 4M ppm
+    assert(out(("of", "the")) == (8L, 4000000L))
+    val ranked = TextAnalysis.collocations(docs, "text", 2, 5)
+      .collect().map(_.getLong(3)).toSeq
+    assert(ranked == ranked.sortBy(-_)) // ordered by lift desc
+  }
 }
