@@ -560,6 +560,31 @@ object Stress {
     }
     println(s"[stress]   pairs=$nMined (exact spelling would score 4e10 pairs)")
 
+    // 18. Prefix-filtered similarity join at 100k docs with a
+    // UNIVERSAL hot shingle. The all-pairs verify alone would put the
+    // hot shingle's 5e9-pair group through the quadratic combinations
+    // term; the prefix filter must exclude it from (almost) every
+    // doc's rarity-ordered prefix, keeping candidates ~linear, while
+    // the result stays EXACT at theta (planted near-dup pairs 2i/2i+1
+    // must all surface).
+    val pfxDocs = spark.range(50000).select(col("id").as("pair"),
+        explode(array(lit(0), lit(1))).as("side"))
+      .select((col("pair") * 2 + col("side")).as("doc_id"),
+        // 4 universal header tokens (hot shingles), 6 pair-specific
+        // body tokens (rare shingles, enough to fill the theta=0.5
+        // prefix), one differing tail token per side (J = 0.8)
+        concat(lit("the common header shares"),
+          concat_ws("", (Seq("alpha", "beta", "gamma", "delta", "eps",
+            "zeta").map(w => concat(lit(s" $w"), col("pair").cast("string"))
+              .asInstanceOf[org.apache.spark.sql.Column])): _*),
+          lit(" tail"), col("side").cast("string")).as("text"))
+    val nPfx = timed("prefixJaccardPairs 100k docs, universal hot shingle, theta=0.5") {
+      functions.Dedup.prefixJaccardPairs(pfxDocs, "text", "doc_id",
+        shingleN = 3, theta = 0.5).count()
+    }
+    println(s"[stress]   pairs=$nPfx (expect 50000 planted near-dup pairs, exact)")
+    require(nPfx == 50000L, s"prefix join lost exactness: $nPfx")
+
     spark.stop()
   }
 }
