@@ -3049,6 +3049,32 @@ object Oracles {
          |FROM cb JOIN uni u1 ON u1.tok = cb.w1
          |  JOIN uni u2 ON u2.tok = cb.w2, n
          |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin),
+
+    // two grouped histogram-quantile passes (median, deviation
+    // median) under the engine's exact cum*1000 >= n*permille rule
+    "grouped_mad_outliers" ->
+      ("""WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT lang, v,
+         |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM h),
+         |med AS (SELECT lang, min(CASE WHEN cum*1000 >= n*500 THEN v END)
+         |    AS med FROM cum GROUP BY lang),
+         |dev AS (SELECT d.lang, d.doc_id, CAST(d.n_chars AS BIGINT) AS v,
+         |    m.med, abs(CAST(d.n_chars AS BIGINT) - m.med) AS dv
+         |  FROM documents d JOIN med m ON m.lang = d.lang),
+         |dh AS (SELECT lang, dv, count(*) AS c FROM dev GROUP BY 1, 2),
+         |dcum AS (SELECT lang, dv,
+         |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY dv) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM dh),
+         |mad AS (SELECT lang, min(CASE WHEN cum*1000 >= n*500 THEN dv END)
+         |    AS mad FROM dcum GROUP BY lang)
+         |SELECT dev.lang, dev.doc_id, dev.v AS n_chars, dev.med, mad.mad
+         |FROM dev JOIN mad ON mad.lang = dev.lang
+         |WHERE abs(dev.v - dev.med) > 3 * mad.mad
+         |ORDER BY dev.lang, dev.doc_id""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -4076,5 +4076,17 @@ object Queries {
       TextAnalysis.collocations(t(s, dir, "documents"), "text",
         minCount = 5, topK = 50)
         .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))),
+
+    "grouped_mad_outliers" -> ((s, dir) =>
+      // robust numeric quality gate: |v - median| > 3·MAD per
+      // language — two grouped histogram passes + broadcast stat
+      // joins, all integer arithmetic under the repo's histogram
+      // quantile definition (no per-row sort, no float boundary)
+      graft.functions.Quantiles.groupedMadOutliers(
+          t(s, dir, "documents"), "lang", "n_chars", k = 3)
+        .filter(col("is_outlier"))
+        .select(col("lang"), col("doc_id"), col("n_chars").cast("long")
+          .as("n_chars"), col("med"), col("mad"))
+        .orderBy("lang", "doc_id")),
   )
 }

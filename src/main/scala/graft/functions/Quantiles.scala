@@ -66,6 +66,30 @@ object Quantiles {
         .as("threshold"))
   }
 
+  /** Robust per-group outlier gating by MAD (median absolute
+    * deviation) — the rule-of-thumb numeric quality gate that, unlike
+    * mean±k·σ, a single corrupt extreme value cannot drag: flag rows
+    * with `|v - median| > k·MAD`. All integer arithmetic under the
+    * repo's histogram quantile definition, so every engine draws the
+    * identical boundary.
+    *
+    * Scale shape: TWO grouped histogram passes (median, then the
+    * deviation median) — each (group × value-domain)-sized, never a
+    * per-row sort — plus one broadcast join of the per-group stats
+    * back onto the corpus for the flag projection. */
+  def groupedMadOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                         k: Int = 3): DataFrame = {
+    val med = groupedThreshold(df, groupCol, valueCol, permille = 500)
+      .withColumnRenamed("threshold", "med")
+    val withDev = df.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(col(valueCol).cast("long") - col("med")))
+    val mad = groupedThreshold(withDev, groupCol, "__dev", permille = 500)
+      .withColumnRenamed("threshold", "mad")
+    withDev.join(broadcast(mad), groupCol)
+      .withColumn("is_outlier", col("__dev") > lit(k.toLong) * col("mad"))
+      .drop("__dev")
+  }
+
   /** Curriculum sharding: route each row to the quantile band its
     * integer metric falls in (cuts are sorted per-milles; shard i =
     * value ≤ cut_i's threshold, last shard = above all cuts). Same

@@ -31,4 +31,27 @@ class QuantilesSpec extends SparkSpec {
     val const = Seq.fill(20)(42L).toDF("v")
     assert(Quantiles.gate(const, "v", 50, 950).count() == 20)
   }
+
+  test("MAD outlier gate is robust where mean±3σ is not") {
+    // 98 values near 100, one moderate outlier (3000), one extreme
+    // corruption (1e6): the extreme inflates σ so badly that mean±3σ
+    // MISSES the moderate outlier; median/MAD don't move, so the MAD
+    // gate flags both
+    val vals = ((1L to 98L).map(i => 95L + (i % 11))
+        ++ Seq(3000L, 1000000L))
+      .zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+    val df = vals.toDF("id", "g", "v")
+    val out = Quantiles.groupedMadOutliers(df, "g", "v", k = 3)
+    val flagged = out.filter(col("is_outlier"))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(flagged == Seq(98L, 99L), s"flagged=$flagged")
+    // the stats the gate used: median and MAD from the CLEAN mass
+    val r = out.select("med", "mad").head()
+    assert(r.getLong(0) >= 95L && r.getLong(0) <= 106L)
+    assert(r.getLong(1) <= 11L)
+    // mean±3σ on the same data keeps the MODERATE outlier inside its
+    // band (σ is inflated by the extreme point)
+    val stats = df.agg(avg(col("v")), stddev_pop(col("v"))).head()
+    assert(3000.0 < stats.getDouble(0) + 3 * stats.getDouble(1))
+  }
 }
