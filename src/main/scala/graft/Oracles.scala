@@ -3075,6 +3075,24 @@ object Oracles {
          |FROM dev JOIN mad ON mad.lang = dev.lang
          |WHERE abs(dev.v - dev.med) > 3 * mad.mad
          |ORDER BY dev.lang, dev.doc_id""".stripMargin),
+
+    // first-occurrence election per paragraph md5, ordered rebuild
+    "paragraph_dedup" ->
+      ("""WITH d AS (SELECT doc_id,
+         |    string_split('Subscribe to our newsletter now. ' || text,
+         |      '. ') AS ps
+         |  FROM documents),
+         |p AS (SELECT doc_id, i AS idx, ps[i+1] AS para,
+         |    md5(ps[i+1]) AS h
+         |  FROM d, unnest(range(0, len(ps))) AS u(i)),
+         |f AS (SELECT h, doc_id, idx, row_number() OVER (
+         |    PARTITION BY h ORDER BY doc_id, idx) AS rk FROM p),
+         |k AS (SELECT p.doc_id, p.idx, p.para FROM p
+         |  JOIN f ON f.h = p.h AND f.doc_id = p.doc_id
+         |    AND f.idx = p.idx AND f.rk = 1)
+         |SELECT doc_id,
+         |  string_agg(para, '. ' ORDER BY idx) AS text_dedup
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -4088,5 +4088,18 @@ object Queries {
         .select(col("lang"), col("doc_id"), col("n_chars").cast("long")
           .as("n_chars"), col("med"), col("mad"))
         .orderBy("lang", "doc_id")),
+
+    "paragraph_dedup" -> ((s, dir) => {
+      // C4-style corpus-wide paragraph dedup + reassembly: a planted
+      // boilerplate paragraph prepended to EVERY doc must survive
+      // only in the smallest (doc, position) occurrence; every other
+      // doc is rebuilt without it, sentence order preserved
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("Subscribe to our newsletter now. "), col("text"))
+            .as("text"))
+      Dedup.paragraphDedup(planted, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
   )
 }

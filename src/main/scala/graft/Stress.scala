@@ -560,13 +560,20 @@ object Stress {
     }
     println(s"[stress]   pairs=$nMined (exact spelling would score 4e10 pairs)")
 
-    // 18. Prefix-filtered similarity join at 100k docs with a
-    // UNIVERSAL hot shingle. The all-pairs verify alone would put the
-    // hot shingle's 5e9-pair group through the quadratic combinations
-    // term; the prefix filter must exclude it from (almost) every
-    // doc's rarity-ordered prefix, keeping candidates ~linear, while
-    // the result stays EXACT at theta (planted near-dup pairs 2i/2i+1
-    // must all surface).
+    prefixStress(spark)
+
+    spark.stop()
+  }
+
+  /** 18. Prefix-filtered similarity join at 100k docs with a
+    * UNIVERSAL hot shingle. The grouped-combinations verify would put
+    * the hot shingle's 5e9-pair group through the quadratic explode
+    * (it OOM'd exactly there before the candidate-keyed verify); the
+    * prefix filter must exclude it from every doc's rarity-ordered
+    * prefix, keeping candidates ~linear, while the result stays EXACT
+    * at theta (planted near-dup pairs 2i/2i+1 must all surface).
+    * Runnable alone: `runMain graft.StressPrefix`. */
+  def prefixStress(spark: org.apache.spark.sql.SparkSession): Unit = {
     val pfxDocs = spark.range(50000).select(col("id").as("pair"),
         explode(array(lit(0), lit(1))).as("side"))
       .select((col("pair") * 2 + col("side")).as("doc_id"),
@@ -584,7 +591,15 @@ object Stress {
     }
     println(s"[stress]   pairs=$nPfx (expect 50000 planted near-dup pairs, exact)")
     require(nPfx == 50000L, s"prefix join lost exactness: $nPfx")
+  }
+}
 
+/** Standalone entry for the prefix-join stress (Stress case 18). */
+object StressPrefix {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("ERROR")
+    Stress.prefixStress(spark)
     spark.stop()
   }
 }

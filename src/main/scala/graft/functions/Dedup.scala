@@ -408,6 +408,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Corpus-wide paragraph dedup with document REASSEMBLY — the C4
+    * recipe (Raffel et al. 2020): a paragraph repeated anywhere in
+    * the corpus (boilerplate, navigation, legal footers) survives
+    * only at its FIRST occurrence (smallest (doc, position)); every
+    * other document is rebuilt without it, original paragraph order
+    * preserved. Line dedup drops whole docs or lines globally; this
+    * keeps the surrounding document.
+    *
+    * Scale shape: paragraphs explode once; the first-occurrence
+    * election is a 16-byte-hash-keyed min-struct aggregate (map-side
+    * combined); survivors join back hash-keyed; reassembly is one
+    * doc-keyed aggregate with an in-group array sort (doc-sized, not
+    * corpus-sized). Nothing driver-side. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+                     sepRegex: String = "\\. ", sepOut: String = ". ")
+      : DataFrame = {
+    val paras = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("__idx", "__p")))
+      .withColumn("__h", md5(col("__p")))
+    val firstOcc = paras.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__f"))
+    paras.join(firstOcc, "__h")
+      .filter(col("__id") === col("__f.__id") &&
+        col("__idx") === col("__f.__idx"))
+      .groupBy(col("__id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__idx"), col("__p")))),
+        e => e.getField("__p")), sepOut).as("text_dedup"))
+      .select(col("__id").as(idCol), col("text_dedup"))
+  }
+
   /** Prefix-filtered set-similarity self-join (the AllPairs/PPJoin
     * family — Bayardo et al., WWW'07; Xiao et al., WWW'08): EXACT
     * Jaccard-threshold pairs without indexing every token.
@@ -455,8 +486,25 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
-    ngramJaccardPairs(df, textCol, idCol, shingleN, minJaccard = theta,
-      candidates = Some(cands), maxDf = Int.MaxValue)
+    // CANDIDATE-keyed exact verify — deliberately NOT the grouped-
+    // combinations route ngramJaccardPairs takes: that one explodes
+    // every co-occurring pair per shingle group BEFORE any candidate
+    // filter, so one universal hot shingle is C(N,2) structs and the
+    // job dies at corpus scale (found by Stress case 18 at 100k docs).
+    // Here the hot groups are joined against the candidate list
+    // first; work is |candidates| x doc size, whatever the df skew.
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= theta)
+      .select("id_a", "id_b", "jaccard")
   }
 
   // ---------------- embedding near-dup ----------------
