@@ -3093,6 +3093,22 @@ object Oracles {
          |SELECT doc_id,
          |  string_agg(para, '. ' ORDER BY idx) AS text_dedup
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // identical integer spelling: µs integer division for the age
+    // bucket, dyadic 2^(30-k) weights, HUGEINT sum
+    "time_decay_score" ->
+      ("""WITH m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+         |  FROM events),
+         |e AS (SELECT user_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    least((m.mx - epoch_us(CAST(ts AS TIMESTAMP)))
+         |      // 86400000000, 30) AS k
+         |  FROM events, m)
+         |SELECT user_id,
+         |  CAST(sum(CAST(cents AS HUGEINT) * CAST(pow(2, 30 - k) AS HUGEINT))
+         |    AS BIGINT) AS score_scaled,
+         |  count(*) AS n_events
+         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -4101,5 +4101,25 @@ object Queries {
       Dedup.paragraphDedup(planted, "text", "doc_id")
         .orderBy("doc_id")
     }),
+
+    "time_decay_score" -> ((s, dir) => {
+      // recency-weighted engagement: half-life decay per day-bucket
+      // age, spelled as PURE INTEGERS — cents·2^(30-k) (k capped at
+      // 30) summed in DECIMAL(38,0); 2^k is a dyadic weight so no
+      // float enters the score at all, and age buckets come from
+      // integer µs division (never a double quotient). One scan, one
+      // broadcast max-ts scalar, one user-keyed aggregate
+      val e = t(s, dir, "events")
+      val mx = e.agg(max(unix_micros(col("ts"))).as("mx"))
+      e.crossJoin(broadcast(mx))
+        .withColumn("__k", least(
+          expr("(mx - unix_micros(ts)) div 86400000000"), lit(30L)))
+        .withColumn("__w", pow(lit(2.0), lit(30) - col("__k")).cast("long"))
+        .withColumn("__cents", round(col("value") * 100).cast("long"))
+        .groupBy("user_id")
+        .agg(sum((col("__cents") * col("__w")).cast("decimal(38,0)"))
+          .cast("long").as("score_scaled"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
   )
 }
