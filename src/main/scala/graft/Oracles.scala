@@ -3109,6 +3109,32 @@ object Oracles {
          |    AS BIGINT) AS score_scaled,
          |  count(*) AS n_events
          |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // the dedup_canonical cluster replay + a per-cluster quality
+    // argmax (n_chars DESC, doc_id ASC)
+    "dedup_best_of_cluster" ->
+      (s"""WITH RECURSIVE bands AS ($minhashBandsSql),
+         |p AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |sym AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |rr(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, rr.lbl FROM rr JOIN sym s ON s.src = rr.node
+         |), cc AS (SELECT node, min(lbl) AS cluster_id FROM rr GROUP BY node),
+         |mem AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id)
+         |    AS cluster_id, CAST(d.n_chars AS BIGINT) AS q
+         |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+         |r AS (SELECT cluster_id, doc_id, q, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM mem)
+         |SELECT cluster_id, doc_id AS keep_id, q AS keep_quality,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

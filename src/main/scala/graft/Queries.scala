@@ -4121,5 +4121,19 @@ object Queries {
           .cast("long").as("score_scaled"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
+
+    "dedup_best_of_cluster" -> ((s, dir) => {
+      // keep/drop refinement after near-dup clustering: each LSH
+      // cluster keeps its LONGEST member (quality election), not the
+      // min id — one cluster-keyed struct-max aggregate over the
+      // canonicalize frame
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.canonicalize(docs,
+        Dedup.minhashCandidates(docs, "text", "doc_id"), "doc_id")
+      Dedup.electRepresentatives(
+          clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id"),
+          "doc_id", "cluster_id", "n_chars")
+        .orderBy("cluster_id")
+    }),
   )
 }

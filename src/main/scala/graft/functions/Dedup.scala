@@ -408,6 +408,22 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cluster-representative election by QUALITY — the keep/drop
+    * refinement after near-dup clustering: instead of the min-id
+    * canonical ([[canonicalize]]), keep each cluster's HIGHEST-
+    * quality member (ties to the smaller id), which is what a corpus
+    * build actually wants — dedup should discard the worse copies,
+    * not whichever happened to have the larger id. One cluster-keyed
+    * struct-max aggregate (map-side combined, no window sort). */
+  def electRepresentatives(df: DataFrame, idCol: String, clusterCol: String,
+                           qualityCol: String): DataFrame =
+    df.groupBy(col(clusterCol))
+      .agg(max(struct(col(qualityCol).cast("long").as("q"),
+          (-col(idCol)).as("nid"))).as("__m"),
+        count(lit(1)).as("n_members"))
+      .select(col(clusterCol), (-col("__m.nid")).as("keep_id"),
+        col("__m.q").as("keep_quality"), col("n_members"))
+
   /** Corpus-wide paragraph dedup with document REASSEMBLY — the C4
     * recipe (Raffel et al. 2020): a paragraph repeated anywhere in
     * the corpus (boilerplate, navigation, legal footers) survives
