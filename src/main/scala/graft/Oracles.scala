@@ -3135,6 +3135,18 @@ object Oracles {
          |SELECT cluster_id, doc_id AS keep_id, q AS keep_quality,
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
+
+    // DuckDB's UNION ALL BY NAME null-fills the missing column the
+    // same way unionByName(allowMissingColumns) does
+    "union_evolve" ->
+      ("""SELECT * FROM (
+         |  SELECT o_orderkey AS k, o_orderstatus AS status
+         |  FROM orders WHERE o_orderkey % 2 = 0
+         |  UNION ALL BY NAME
+         |  SELECT o_orderkey AS k, o_orderstatus AS status,
+         |    o_orderpriority AS priority
+         |  FROM orders WHERE o_orderkey % 2 = 1)
+         |ORDER BY k""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

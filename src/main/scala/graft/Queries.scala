@@ -4135,5 +4135,21 @@ object Queries {
           "doc_id", "cluster_id", "n_chars")
         .orderBy("cluster_id")
     }),
+
+    "union_evolve" -> ((s, dir) => {
+      // schema-evolving union across snapshot vintages: the older
+      // vintage lacks the later column, unionByName(allowMissing)
+      // null-fills it — the read-side half of schema evolution
+      // (write-side is delta_evolve); pure projections + union, no
+      // shuffle until the output sort
+      val o = t(s, dir, "orders")
+      val v1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy("k")
+    }),
   )
 }
