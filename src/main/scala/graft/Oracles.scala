@@ -3147,6 +3147,17 @@ object Oracles {
          |    o_orderpriority AS priority
          |  FROM orders WHERE o_orderkey % 2 = 1)
          |ORDER BY k""".stripMargin),
+
+    // final lake state after the dynamic overwrite: the refreshed
+    // partition carries only its reload rows, others are untouched
+    "dynamic_partition_overwrite" ->
+      ("""SELECT o_orderkey AS k,
+         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'R'
+         |    ELSE o_orderstatus END AS status,
+         |  o_orderpriority AS grp
+         |FROM orders
+         |WHERE o_orderpriority <> '1-URGENT' OR o_orderkey % 3 <> 0
+         |ORDER BY k""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -4151,5 +4151,29 @@ object Queries {
       v1.unionByName(v2, allowMissingColumns = true)
         .orderBy("k")
     }),
+
+    "dynamic_partition_overwrite" -> ((s, dir) => {
+      // the daily-reload lake semantic: a refresh batch replaces ONLY
+      // the partitions it carries (Spark's dynamic partitionOverwrite
+      // mode — write I/O ∝ touched partitions, untouched dirs never
+      // rewritten); the oracle replays the final state as a CASE over
+      // the base table
+      val base = "/tmp/graft_dyn_part"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("grp"))
+      o.write.partitionBy("grp").parquet(base)
+      // refresh ONE partition's rows with amended statuses
+      val refresh = o.filter(col("grp") === "1-URGENT")
+        .filter(col("k") % 3 =!= 0) // the reload also DROPS rows
+        .withColumn("status", lit("R"))
+      refresh.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("grp").parquet(base)
+      s.read.parquet(base).select("k", "status", "grp").orderBy("k")
+    }),
   )
 }

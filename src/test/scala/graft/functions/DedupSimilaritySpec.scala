@@ -192,6 +192,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(prefixPostings <= fullPostings * 6 / 10 + corpus.count())
   }
 
+  test("paragraph dedup: first occurrence survives, order preserved, " +
+      "within-doc repeats removed") {
+    val corpus = Seq(
+      (1L, "keep me. shared boilerplate. unique one"),
+      (2L, "shared boilerplate. unique two. unique two"),
+      (3L, "unique three. shared boilerplate")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    // doc 1 holds the first occurrence of the boilerplate
+    assert(out(1L) == "keep me. shared boilerplate. unique one")
+    // doc 2 loses the boilerplate AND its own internal repeat
+    assert(out(2L) == "unique two")
+    // doc 3 loses only the boilerplate; order of the rest preserved
+    assert(out(3L) == "unique three")
+  }
+
   test("label propagation separates communities a bridge edge merges in CC") {
     // two triangles + one bridge: CC -> one blob; LPA -> two
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
