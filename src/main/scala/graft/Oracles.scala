@@ -3158,6 +3158,30 @@ object Oracles {
          |FROM orders
          |WHERE o_orderpriority <> '1-URGENT' OR o_orderkey % 3 <> 0
          |ORDER BY k""".stripMargin),
+
+    // same two window passes: gaps-and-islands, then integer µs
+    // division from each island's start
+    "session_capped" ->
+      ("""WITH e AS (SELECT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+         |  FROM events),
+         |m AS (SELECT user_id, us, event_id,
+         |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |      AS prev
+         |  FROM e),
+         |i AS (SELECT user_id, us, event_id,
+         |    CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+         |      THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+         |      AS island
+         |  FROM m),
+         |c AS (SELECT user_id, us, island,
+         |    (us - min(us) OVER (PARTITION BY user_id, island))
+         |      // 7200000000 AS part
+         |  FROM i)
+         |SELECT user_id, island, part, count(*) AS n_events,
+         |  min(us) AS t_start, max(us) AS t_end
+         |FROM c GROUP BY 1, 2, 3 ORDER BY user_id, island, part""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

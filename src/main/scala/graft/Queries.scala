@@ -4175,5 +4175,34 @@ object Queries {
         .partitionBy("grp").parquet(base)
       s.read.parquet(base).select("k", "status", "grp").orderBy("k")
     }),
+
+    "session_capped" -> ((s, dir) => {
+      // sessionization with BOTH rules real attribution uses: break
+      // at 30min inactivity AND split any session that exceeds a 2h
+      // absolute cap (a long-running bot never yields one unbounded
+      // session). Two user-keyed window passes — gaps-and-islands,
+      // then integer µs division from each island's start; no
+      // iterative logic, no state
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 1800000000L; val capUs = 7200000000L
+      val e = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val marked = e.withColumn("__prev", lag(col("us"), 1).over(byUser))
+        .withColumn("__new",
+          (col("__prev").isNull ||
+            col("us") - col("__prev") > gapUs).cast("long"))
+        .withColumn("island", sum(col("__new")).over(byUser))
+      val wIsland = Window.partitionBy("user_id", "island")
+      val capped = marked
+        .withColumn("__start", min(col("us")).over(wIsland))
+        .withColumn("part", expr(s"(us - __start) div $capUs"))
+      capped.groupBy("user_id", "island", "part")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("t_start"), max(col("us")).as("t_end"))
+        .orderBy("user_id", "island", "part")
+    }),
   )
 }
