@@ -3182,6 +3182,16 @@ object Oracles {
          |SELECT user_id, island, part, count(*) AS n_events,
          |  min(us) AS t_start, max(us) AS t_end
          |FROM c GROUP BY 1, 2, 3 ORDER BY user_id, island, part""".stripMargin),
+
+    // daily-active pairs vote into the 7 report days they cover
+    "sliding_unique_users" ->
+      ("""WITH d AS (SELECT DISTINCT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+         |  FROM events),
+         |v AS (SELECT DISTINCT user_id, day + i AS report_day
+         |  FROM d, unnest(range(0, 7)) AS u(i))
+         |SELECT report_day, count(DISTINCT user_id) AS active_users
+         |FROM v GROUP BY report_day ORDER BY report_day""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

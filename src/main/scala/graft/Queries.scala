@@ -4204,5 +4204,23 @@ object Queries {
           min(col("us")).as("t_start"), max(col("us")).as("t_end"))
         .orderBy("user_id", "island", "part")
     }),
+
+    "sliding_unique_users" -> ((s, dir) => {
+      // 7-day sliding distinct actives — the window-distinct shape a
+      // per-row window can't express (count DISTINCT over a frame):
+      // reduce to daily (user, day) pairs FIRST (map-side combined),
+      // then each pair votes into the 7 report days it covers and one
+      // distinct-agg per report day counts it once. Shuffle carries
+      // daily-active pairs x 7, never raw events
+      val e = t(s, dir, "events")
+      val day = expr("unix_micros(ts) div 86400000000")
+      val daily = e.select(col("user_id"), day.as("day")).distinct()
+      daily.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+        .distinct()
+        .groupBy("report_day")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("report_day")
+    }),
   )
 }
