@@ -3192,6 +3192,31 @@ object Oracles {
          |  FROM d, unnest(range(0, 7)) AS u(i))
          |SELECT report_day, count(DISTINCT user_id) AS active_users
          |FROM v GROUP BY report_day ORDER BY report_day""".stripMargin),
+
+    // every character re-derived: class-preserving substitution from
+    // the same seeded per-position md5 draw
+    "mask_preserving" ->
+      ("""SELECT c_custkey, c_name,
+         |  array_to_string(list_transform(range(0, length(c_name)),
+         |    i -> CASE
+         |      WHEN substr(c_name, CAST(i+1 AS INT), 1) BETWEEN '0' AND '9'
+         |      THEN chr(CAST(48 + CAST(('0x'||substr(md5(
+         |        '7:'||CAST(i AS VARCHAR)||':'
+         |        ||substr(c_name, CAST(i+1 AS INT), 1)),1,8)) AS BIGINT)
+         |        % 10 AS INT))
+         |      WHEN substr(c_name, CAST(i+1 AS INT), 1) BETWEEN 'A' AND 'Z'
+         |      THEN chr(CAST(65 + CAST(('0x'||substr(md5(
+         |        '7:'||CAST(i AS VARCHAR)||':'
+         |        ||substr(c_name, CAST(i+1 AS INT), 1)),1,8)) AS BIGINT)
+         |        % 26 AS INT))
+         |      WHEN substr(c_name, CAST(i+1 AS INT), 1) BETWEEN 'a' AND 'z'
+         |      THEN chr(CAST(97 + CAST(('0x'||substr(md5(
+         |        '7:'||CAST(i AS VARCHAR)||':'
+         |        ||substr(c_name, CAST(i+1 AS INT), 1)),1,8)) AS BIGINT)
+         |        % 26 AS INT))
+         |      ELSE substr(c_name, CAST(i+1 AS INT), 1) END), '')
+         |    AS name_masked
+         |FROM customer ORDER BY c_custkey""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

@@ -4222,5 +4222,18 @@ object Queries {
         .agg(countDistinct(col("user_id")).as("active_users"))
         .orderBy("report_day")
     }),
+
+    "mask_preserving" -> ((s, dir) => {
+      // format-preserving masking (native codegen Expression
+      // graft_mask): digits stay digits, case stays case, separators
+      // pass through — phone shapes survive masking so parsers and
+      // layout tests keep working; per-position seeded md5 draws, so
+      // the oracle re-derives every character
+      import graft.functions.Mask
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          Mask(col("c_name"), seed = 7).as("name_masked"))
+        .orderBy("c_custkey")
+    }),
   )
 }

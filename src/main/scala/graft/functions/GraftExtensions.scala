@@ -67,6 +67,19 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_nfc takes one argument")
         org.apache.spark.sql.graft.NfcNormalizeExpr(args.head)
+      }),
+    ("graft_mask",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.MaskPreserveExpr].getName,
+        "graft_mask"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_mask(str, seed) takes two arguments")
+        val seed = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_mask seed must be an integer literal, got $other")
+        }
+        org.apache.spark.sql.graft.MaskPreserveExpr(args.head, seed)
       }))
 
   /** Register on an existing session. */

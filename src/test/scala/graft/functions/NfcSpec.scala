@@ -43,4 +43,25 @@ class NfcSpec extends SparkSpec {
     val nfcGroups = docs.groupBy(Nfc(col("k"))).count().count()
     assert(rawGroups == 3 && nfcGroups == 2)
   }
+
+  test("format-preserving mask: shape survives, values do not") {
+    val in = "Customer#000000042 (VIP-a1)"
+    val df = Seq(in).toDF("s").select(Mask(col("s"), 7).as("m"))
+    val out = df.head().getString(0)
+    assert(out.length == in.length)
+    assert(out != in)
+    in.zip(out).foreach { case (a, b) =>
+      if (a.isDigit) assert(b.isDigit)
+      else if (a >= 'A' && a <= 'Z') assert(b >= 'A' && b <= 'Z')
+      else if (a >= 'a' && a <= 'z') assert(b >= 'a' && b <= 'z')
+      else assert(a == b) // separators untouched: '#', ' ', '(', '-', ')'
+    }
+    // deterministic; seed changes the draw
+    val again = Seq(in).toDF("s").select(Mask(col("s"), 7)).head().getString(0)
+    val other = Seq(in).toDF("s").select(Mask(col("s"), 8)).head().getString(0)
+    assert(again == out && other != out)
+    // SQL registration
+    val viaSql = spark.sql(s"SELECT graft_mask('$in', 7)").head().getString(0)
+    assert(viaSql == out)
+  }
 }
