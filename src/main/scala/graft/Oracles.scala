@@ -3217,6 +3217,20 @@ object Oracles {
          |      ELSE substr(c_name, CAST(i+1 AS INT), 1) END), '')
          |    AS name_masked
          |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // purchases only count within 24h of the user's first view
+    "funnel_windowed" ->
+      ("""WITH e AS (SELECT user_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |u AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN us END) AS t_view
+         |  FROM e GROUP BY user_id),
+         |c AS (SELECT DISTINCT e.user_id FROM e JOIN u USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND u.t_view IS NOT NULL
+         |    AND e.us > u.t_view AND e.us - u.t_view <= 86400000000)
+         |SELECT (SELECT count(*) FROM u) AS n_users,
+         |  (SELECT count(t_view) FROM u) AS n_view,
+         |  (SELECT count(*) FROM c) AS n_converted_24h""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

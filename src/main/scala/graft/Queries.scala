@@ -4235,5 +4235,26 @@ object Queries {
           Mask(col("c_name"), seed = 7).as("name_masked"))
         .orderBy("c_custkey")
     }),
+
+    "funnel_windowed" -> ((s, dir) => {
+      // conversion funnel with an attribution WINDOW: a purchase
+      // counts only within 24h of the user's first view (unbounded
+      // funnels overcount forever-later conversions); one user-keyed
+      // aggregate, µs integer arithmetic
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val byUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("us"))).as("t_view"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(byUser, "user_id")
+        .filter(col("t_view").isNotNull && col("us") > col("t_view") &&
+          col("us") - col("t_view") <= 86400000000L)
+        .select("user_id").distinct()
+      byUser.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_view"))
+        .crossJoin(conv.agg(count(lit(1)).as("n_converted_24h")))
+    }),
   )
 }
