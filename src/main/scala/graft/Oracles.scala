@@ -3231,6 +3231,33 @@ object Oracles {
          |SELECT (SELECT count(*) FROM u) AS n_users,
          |  (SELECT count(t_view) FROM u) AS n_view,
          |  (SELECT count(*) FROM c) AS n_converted_24h""".stripMargin),
+
+    // the same seeded u^(1/w) priorities re-ranked per language
+    "weighted_sample_grouped" ->
+      (s"""WITH p AS (SELECT lang, doc_id,
+         |    pow((CAST(${hex8("'13:'||CAST(doc_id AS VARCHAR)")}
+         |           AS DOUBLE) + 1.0) / 4294967296.0,
+         |        1.0 / CAST(n_chars AS DOUBLE)) AS pr
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY pr DESC, doc_id) AS INT) AS draw_rank
+         |  FROM p)
+         |SELECT lang, doc_id, draw_rank FROM r WHERE draw_rank <= 20
+         |ORDER BY lang, draw_rank""".stripMargin),
+
+    // domain histogram + cumulative window, floor(cum*1000/n)
+    "score_percentiles" ->
+      ("""WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+         |  FROM documents GROUP BY 1),
+         |cum AS (SELECT v,
+         |    CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER () AS BIGINT) AS n
+         |  FROM h)
+         |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+         |  CAST(cum.cum * 1000 // cum.n AS BIGINT) AS permille
+         |FROM documents d JOIN cum ON cum.v = CAST(d.n_chars AS BIGINT)
+         |ORDER BY d.doc_id""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

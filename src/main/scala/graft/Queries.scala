@@ -4256,5 +4256,24 @@ object Queries {
         count(col("t_view")).as("n_view"))
         .crossJoin(conv.agg(count(lit(1)).as("n_converted_24h")))
     }),
+
+    "weighted_sample_grouped" -> ((s, dir) =>
+      // per-language weight-proportional quota draw (k=20 per lang,
+      // weight = doc length): the A-ES priorities through the
+      // bounded-heap aggregate, k entries per group per task
+      t(s, dir, "documents").transform(d =>
+        Sampling.weightedSamplePerGroup(d.filter(col("n_chars") > 0),
+          Seq("lang"), "doc_id", "n_chars", k = 20, seed = 13))
+        .orderBy("lang", "draw_rank")),
+
+    "score_percentiles" -> ((s, dir) =>
+      // corpus permille of every doc's length WITHOUT a global sort:
+      // domain-sized histogram + cumulative window + broadcast
+      // value-keyed join back — the anti-percent_rank at scale
+      graft.functions.Quantiles.percentiles(
+          t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("permille"))
+        .orderBy("doc_id")),
   )
 }

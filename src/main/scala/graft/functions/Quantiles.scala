@@ -66,6 +66,26 @@ object Quantiles {
         .as("threshold"))
   }
 
+  /** Corpus percentile (permille) of every row's integer metric
+    * WITHOUT a global sort — the anti-`percent_rank` at scale: a
+    * window percent_rank moves the whole corpus through one ordered
+    * partition; here the value-domain histogram (domain-sized) gets a
+    * cumulative window, and rows join their value's permille back
+    * value-keyed. `permille = floor(cum·1000 / n)` — all integers,
+    * engine-exact. */
+  def percentiles(df: DataFrame, valueCol: String): DataFrame = {
+    val hist = df.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(Window.orderBy("__v")))
+      .withColumn("__n", sum("__c").over(
+        Window.partitionBy(lit(1))))
+      .select(col("__v"),
+        expr("CAST(__cum * 1000 div __n AS BIGINT)").as("permille"))
+    df.join(broadcast(cum), df(valueCol).cast("long") === cum("__v"))
+      .drop("__v")
+  }
+
   /** Robust per-group outlier gating by MAD (median absolute
     * deviation) — the rule-of-thumb numeric quality gate that, unlike
     * mean±k·σ, a single corrupt extreme value cannot drag: flag rows

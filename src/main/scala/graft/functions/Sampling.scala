@@ -258,6 +258,30 @@ object Sampling {
         (col("__pos") + 1).cast("int").as("draw_rank"))
   }
 
+  /** Per-group [[weightedSample]]: k weight-proportional draws WITHIN
+    * each group (per-language, per-domain quotas) through the same
+    * bounded-heap aggregate — k entries per group per task, never a
+    * per-group sort. Returns `(groupCols..., idCol, draw_rank)`. */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+                             idCol: String, weightCol: String,
+                             k: Int, seed: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{bridge, TopKExpr}
+    val u = (Hashing.seeded(col(idCol).cast("string"), seed)
+      .cast("double") + 1.0) / 4294967296.0
+    val priority = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    val agg = bridge.column(TopKExpr(
+      bridge.expression(priority),
+      bridge.expression(col(idCol).cast("long")),
+      k).toAggregateExpression())
+    df.filter(col(weightCol) > 0)
+      .groupBy(groupCols.map(col): _*).agg(agg.as("__top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__e.id").as(idCol),
+        (col("__pos") + 1).cast("int").as("draw_rank")): _*)
+  }
+
   /** Largest-remainder apportionment of `total` slots across weighted
     * domains (driver-side, |domains| entries): floor the exact shares,
     * then hand the leftover slots to the largest fractional remainders
