@@ -3258,6 +3258,28 @@ object Oracles {
          |  CAST(cum.cum * 1000 // cum.n AS BIGINT) AS permille
          |FROM documents d JOIN cum ON cum.v = CAST(d.n_chars AS BIGINT)
          |ORDER BY d.doc_id""".stripMargin),
+
+    // exact integer lift per (class, token), HUGEINT floor division
+    "class_terms" ->
+      (s"""WITH tok AS (SELECT lang AS cls, unnest($toks) AS tok
+         |  FROM documents),
+         |ct AS (SELECT cls, tok, count(*) AS tf_ct FROM tok
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |t AS (SELECT tok, count(*) AS tf_t FROM tok GROUP BY 1),
+         |c AS (SELECT cls, count(*) AS n_c FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM tok),
+         |s AS (SELECT ct.cls, ct.tok, ct.tf_ct,
+         |    CAST((CAST(ct.tf_ct AS HUGEINT) * 1000000 * n.n)
+         |      // (CAST(c.n_c AS HUGEINT) * CAST(t.tf_t AS HUGEINT))
+         |      AS BIGINT) AS lift_ppm
+         |  FROM ct JOIN t ON t.tok = ct.tok
+         |    JOIN c ON c.cls = ct.cls, n),
+         |r AS (SELECT cls, tok, tf_ct, lift_ppm,
+         |    CAST(row_number() OVER (PARTITION BY cls
+         |      ORDER BY lift_ppm DESC, tok) AS INT) AS rk
+         |  FROM s)
+         |SELECT cls, tok, tf_ct, lift_ppm, rk FROM r WHERE rk <= 10
+         |ORDER BY cls, rk""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

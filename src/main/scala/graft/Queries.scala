@@ -4275,5 +4275,14 @@ object Queries {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           col("permille"))
         .orderBy("doc_id")),
+
+    "class_terms" -> ((s, dir) =>
+      // per-language characteristic terms (c-TF-IDF, integer-lift
+      // flavor): each language's top-10 over-represented tokens by
+      // exact DECIMAL lift — the "describe your clusters" report of
+      // a curation run
+      TextAnalysis.classTerms(t(s, dir, "documents"), "text", "lang",
+        minCount = 5, topK = 10)
+        .orderBy("cls", "rk")),
   )
 }

@@ -507,6 +507,43 @@ object TextAnalysis {
       .select("w1", "w2", "cb", "lift_ppm")
   }
 
+  /** Characteristic terms per class (the c-TF-IDF idea of
+    * class-based topic description, integer-lift flavor): how
+    * over-represented is token t in class c vs the corpus —
+    * `lift = P(t|c) / P(t) = (tf_ct · N) / (n_c · tf_t)`, spelled
+    * `floor(tf_ct·1e6·N / (n_c·tf_t))` in exact DECIMAL integer
+    * division (the [[collocations]] discipline — rank equals the
+    * log-ratio rank without a libm log in the comparison path).
+    * Returns each class's top-k terms by (lift DESC, token ASC).
+    *
+    * Scale shape: one (class, token) count aggregate (map-side
+    * combined), token- and class-keyed count joins, a broadcast
+    * total, and a per-class bounded window over candidates already
+    * reduced to (class × vocab) — never row-level data. */
+  def classTerms(df: DataFrame, textCol: String, classCol: String,
+                 minCount: Long = 5, topK: Int = 10): DataFrame = {
+    val tok = df.select(col(classCol).as("cls"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tfCt = tok.groupBy("cls", "tok").agg(count(lit(1)).as("tf_ct"))
+      .filter(col("tf_ct") >= minCount)
+    val tfT = tok.groupBy("tok").agg(count(lit(1)).as("tf_t"))
+    val nC = tok.groupBy("cls").agg(count(lit(1)).as("n_c"))
+    val n = tok.agg(count(lit(1)).as("__n"))
+    val dec = "decimal(38,0)"
+    val scored = tfCt.join(tfT, "tok").join(nC, "cls")
+      .crossJoin(broadcast(n))
+      .withColumn("__num",
+        col("tf_ct").cast(dec) * lit(1000000L) * col("__n").cast(dec))
+      .withColumn("__den", col("n_c").cast(dec) * col("tf_t").cast(dec))
+      .withColumn("lift_ppm", expr("CAST((__num div __den) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cls").orderBy(col("lift_ppm").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= topK)
+      .select(col("cls"), col("tok"), col("tf_ct"), col("lift_ppm"),
+        col("rk"))
+  }
+
   def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val docBi = df.select(col(idCol), t.as("__t"))
