@@ -3280,6 +3280,24 @@ object Oracles {
          |  FROM s)
          |SELECT cls, tok, tf_ct, lift_ppm, rk FROM r WHERE rk <= 10
          |ORDER BY cls, rk""".stripMargin),
+
+    // same fixed buckets, integral ppm shares, full-outer per bucket
+    "histogram_drift" ->
+      ("""WITH d AS (SELECT CAST(n_chars AS BIGINT) // 50 AS bucket,
+         |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS side
+         |  FROM documents),
+         |c AS (SELECT bucket, side, count(*) AS c FROM d GROUP BY 1, 2),
+         |t AS (SELECT side, sum(c) AS n FROM c GROUP BY 1),
+         |s AS (SELECT bucket, c.side,
+         |    CAST(c.c * 1000000 // t.n AS BIGINT) AS share_ppm
+         |  FROM c JOIN t ON t.side = c.side),
+         |a AS (SELECT bucket, share_ppm AS share_a FROM s WHERE side = 0),
+         |b AS (SELECT bucket, share_ppm AS share_b FROM s WHERE side = 1)
+         |SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |  coalesce(share_a, 0) AS share_a, coalesce(share_b, 0) AS share_b,
+         |  abs(coalesce(share_a, 0) - coalesce(share_b, 0)) AS shift_ppm
+         |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+         |ORDER BY bucket""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

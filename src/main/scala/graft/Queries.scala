@@ -4284,5 +4284,29 @@ object Queries {
       TextAnalysis.classTerms(t(s, dir, "documents"), "text", "lang",
         minCount = 5, topK = 10)
         .orderBy("cls", "rk")),
+
+    "histogram_drift" -> ((s, dir) => {
+      // distribution drift between two corpus vintages as exact
+      // integer bucket shares: fixed 50-char buckets, per-side share
+      // in ppm via integral division, per-bucket absolute shift —
+      // the PSI report without its log (rank/threshold semantics
+      // identical, no libm in the compare path); two domain-sized
+      // aggregates, one bucket-keyed join
+      val d = t(s, dir, "documents")
+        .withColumn("bucket", expr("CAST(n_chars AS BIGINT) div 50"))
+        .withColumn("side", (col("doc_id") % 2).cast("int"))
+      val counts = d.groupBy("bucket", "side").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("side").agg(sum("c").as("n"))
+      val shares = counts.join(totals, "side")
+        .withColumn("share_ppm", expr("CAST(c * 1000000 div n AS BIGINT)"))
+      val a = shares.filter(col("side") === 0)
+        .select(col("bucket"), col("share_ppm").as("share_a"))
+      val b = shares.filter(col("side") === 1)
+        .select(col("bucket"), col("share_ppm").as("share_b"))
+      a.join(b, Seq("bucket"), "full_outer")
+        .na.fill(0L, Seq("share_a", "share_b"))
+        .withColumn("shift_ppm", abs(col("share_a") - col("share_b")))
+        .orderBy("bucket")
+    }),
   )
 }
