@@ -3298,6 +3298,27 @@ object Oracles {
          |  abs(coalesce(share_a, 0) - coalesce(share_b, 0)) AS shift_ppm
          |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
          |ORDER BY bucket""".stripMargin),
+
+    // same order-independent digest sums per bucket on both replicas
+    "merkle_bucket_diff" ->
+      (s"""WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status
+         |  FROM orders),
+         |r AS (SELECT k, CASE WHEN k % 97 = 0 THEN 'X' ELSE status END
+         |    AS status FROM o),
+         |da AS (SELECT k % 64 AS bucket,
+         |    CAST(sum(CAST(${hex8("CAST(k AS VARCHAR)||status")}
+         |      AS HUGEINT)) AS BIGINT) AS digest,
+         |    count(*) AS n
+         |  FROM o GROUP BY 1),
+         |db AS (SELECT k % 64 AS bucket,
+         |    CAST(sum(CAST(${hex8("CAST(k AS VARCHAR)||status")}
+         |      AS HUGEINT)) AS BIGINT) AS digest_b,
+         |    count(*) AS n_b
+         |  FROM r GROUP BY 1)
+         |SELECT coalesce(da.bucket, db.bucket) AS bucket, n, n_b,
+         |  digest = digest_b AS bucket_clean
+         |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+         |ORDER BY bucket""".stripMargin),
   )
 
   /** [[dhashBandsSql]] extended through the LSH stage: band explode,

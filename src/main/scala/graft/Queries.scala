@@ -4308,5 +4308,33 @@ object Queries {
         .withColumn("shift_ppm", abs(col("share_a") - col("share_b")))
         .orderBy("bucket")
     }),
+
+    "merkle_bucket_diff" -> ((s, dir) => {
+      // replica reconciliation at digest granularity: both sides
+      // reduce to 64 bucket digests (order-independent DECIMAL sums
+      // of row hashes — a batch-level Merkle layer), and only
+      // UNEQUAL buckets would be drilled row-level (checksum_compare
+      // is that drill). Network cost of the equality check is
+      // 2 x 64 digests, whatever the table size. Planted drift:
+      // replica B amends status for keys % 97 == 0
+      def digest(df: org.apache.spark.sql.DataFrame) = df
+        .select(pmod(col("k"), lit(64L)).as("bucket"),
+          graft.functions.Hashing.hex8ToLong(
+            concat_ws("", col("k"), col("status"))).as("h"))
+        .groupBy("bucket")
+        .agg(sum(col("h").cast("decimal(38,0)")).cast("long").as("digest"),
+          count(lit(1)).as("n"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+      val replicaB = o.withColumn("status",
+        when(col("k") % 97 === 0, lit("X")).otherwise(col("status")))
+      val da = digest(o)
+      val db = digest(replicaB)
+      da.join(db.select(col("bucket"), col("digest").as("digest_b"),
+            col("n").as("n_b")), Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("n"), col("n_b"),
+          (col("digest") === col("digest_b")).as("bucket_clean"))
+        .orderBy("bucket")
+    }),
   )
 }
