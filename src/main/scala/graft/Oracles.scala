@@ -2810,14 +2810,13 @@ object Oracles {
          |GROUP BY o_orderkey, l_linenumber, o_orderstatus, l_quantity
          |ORDER BY o_orderkey, l_linenumber, l_quantity""".stripMargin),
 
-    // quotas/strides replayed as literals: largest-remainder shares of
-    // 97 over (.45,.25,.2,.1) are 44/24/19/10, lcm 25080, strides
-    // 25080/quota; draw and interleave re-derived from the same md5
-    // priorities and integer stride keys
+    // quotas replayed as literals: largest-remainder shares of 97 over
+    // (.45,.25,.2,.1) are 44/24/19/10; draw re-derived from the same
+    // md5 priorities; the stride fraction (2r-1)/(2q) in the same
+    // 63-bit fixed point ((2r-1)*2^62 // q — HUGEINT product, exact)
     "mixture_schedule" ->
-      (s"""WITH q(lang, quota, stride) AS (VALUES
-         |    ('en', 44, 570), ('de', 24, 1045),
-         |    ('fr', 19, 1320), ('zh', 10, 2508)),
+      (s"""WITH q(lang, quota) AS (VALUES
+         |    ('en', 44), ('de', 24), ('fr', 19), ('zh', 10)),
          |h AS (SELECT d.lang, doc_id,
          |    CAST(${hex8("'11:'||CAST(doc_id AS VARCHAR)")} AS DOUBLE) AS pr
          |  FROM documents d JOIN q USING (lang)),
@@ -2826,7 +2825,8 @@ object Oracles {
          |      AS INT) AS draw_rank
          |  FROM h),
          |sel AS (SELECT r.lang, doc_id, draw_rank,
-         |    CAST((2 * draw_rank - 1) * stride AS BIGINT) AS sched_key
+         |    CAST(CAST(2 * draw_rank - 1 AS HUGEINT)
+         |      * 4611686018427387904 // quota AS BIGINT) AS sched_key
          |  FROM r JOIN q ON q.lang = r.lang WHERE draw_rank <= quota)
          |SELECT lang, doc_id, draw_rank, sched_key,
          |  CAST(row_number() OVER (ORDER BY sched_key, lang) AS INT) AS pos
@@ -3306,12 +3306,16 @@ object Oracles {
          |r AS (SELECT k, CASE WHEN k % 97 = 0 THEN 'X' ELSE status END
          |    AS status FROM o),
          |da AS (SELECT k % 64 AS bucket,
-         |    CAST(sum(CAST(${hex8("CAST(k AS VARCHAR)||status")}
+         |    CAST(sum(CAST(${hex8(
+           "length(CAST(k AS VARCHAR))||':'||CAST(k AS VARCHAR)" +
+           "||'|'||length(status)||':'||status")}
          |      AS HUGEINT)) AS BIGINT) AS digest,
          |    count(*) AS n
          |  FROM o GROUP BY 1),
          |db AS (SELECT k % 64 AS bucket,
-         |    CAST(sum(CAST(${hex8("CAST(k AS VARCHAR)||status")}
+         |    CAST(sum(CAST(${hex8(
+           "length(CAST(k AS VARCHAR))||':'||CAST(k AS VARCHAR)" +
+           "||'|'||length(status)||':'||status")}
          |      AS HUGEINT)) AS BIGINT) AS digest_b,
          |    count(*) AS n_b
          |  FROM r GROUP BY 1)

@@ -4316,11 +4316,18 @@ object Queries {
       // UNEQUAL buckets would be drilled row-level (checksum_compare
       // is that drill). Network cost of the equality check is
       // 2 x 64 digests, whatever the table size. Planted drift:
-      // replica B amends status for keys % 97 == 0
+      // replica B amends status for keys % 97 == 0. Fields are
+      // length-prefixed before hashing (the SnapshotDiff fingerprint
+      // discipline) so no concatenation of values can collide with a
+      // different field split and compensating in-bucket edits cannot
+      // cancel in the digest sum.
       def digest(df: org.apache.spark.sql.DataFrame) = df
         .select(pmod(col("k"), lit(64L)).as("bucket"),
-          graft.functions.Hashing.hex8ToLong(
-            concat_ws("", col("k"), col("status"))).as("h"))
+          graft.functions.Hashing.hex8ToLong(concat(
+            length(col("k").cast("string")).cast("string"), lit(":"),
+            col("k").cast("string"), lit("|"),
+            length(col("status")).cast("string"), lit(":"),
+            col("status"))).as("h"))
         .groupBy("bucket")
         .agg(sum(col("h").cast("decimal(38,0)")).cast("long").as("digest"),
           count(lit(1)).as("n"))

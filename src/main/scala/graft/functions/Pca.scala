@@ -73,6 +73,15 @@ object Pca {
     val sums = dimSums(df, vecCol).collect()
       .map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
     val d = sums.size
+    // ragged vectors or null entries give per-dimension counts that
+    // disagree and would silently skew mean/covariance — fail loudly
+    require((0 until d).forall(sums.contains),
+      s"embedding dimensions not contiguous 0..${d - 1}: " +
+        s"got ${sums.keys.toSeq.sorted.take(8).mkString(",")}...")
+    val counts = sums.values.map(_._2).toSet
+    require(counts.size == 1,
+      s"ragged embeddings: per-dimension counts disagree ($counts); " +
+        "every vector must have the same length with no null entries")
     val n = sums.values.head._2.toDouble
     val mean = Array.tabulate(d)(i => sums(i)._1 / n)
     // covariance = M2/n - mean outer mean

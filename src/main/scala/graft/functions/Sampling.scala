@@ -308,40 +308,56 @@ object Sampling {
     * the seeded bounded-heap reservoir, and interleave the draws by
     * STRIDE SCHEDULING — item r of domain d schedules at fractional
     * position (2r-1)/(2*quota_d), so domains appear proportionally
-    * throughout the epoch instead of in blocks. The schedule key is
-    * kept as an EXACT integer ((2r-1) * lcm/quota_d), so the order is
-    * engine-reproducible with no float anywhere.
+    * throughout the epoch instead of in blocks.
+    *
+    * The schedule key is the stride fraction in 63-BIT FIXED POINT:
+    * `sched_key = (2r-1)·2^62 div quota_d` — exact integer arithmetic
+    * (DECIMAL product, integral divide) that every engine replays
+    * bit-for-bit (DuckDB: HUGEINT `//`). An earlier spelling scaled by
+    * the lcm of all quotas, which silently overflows Long for many or
+    * coprime quotas (20 domains of ~1e5-row quotas is the ADVERTISED
+    * scale); the fixed-point key has no lcm and works at any quota.
+    * Distinct stride fractions map to distinct keys while
+    * quota_a·quota_b < 2^62; beyond that (quotas ≥ ~2·10^9) a rare
+    * equal-key cross-domain pair falls to the deterministic domain-name
+    * tie-break. Max key < 2^63: always a valid BIGINT.
     *
     * Scale shape: the corpus-side work is one bounded-heap draw
     * (k rows per domain per task); the `pos` window runs over the
-    * SELECTED budget only (budget-sized by definition — at
-    * billion-row budgets compose with [[trainOrder]] and sort each
-    * shard by sched_key instead of asking for a global pos). A domain
-    * with fewer rows than its quota contributes what it has. */
+    * SELECTED budget in a single partition, so it is gated: budgets
+    * above `maxGlobalPos` must pass `emitPos = false` (the API now
+    * enforces what the doc used to only advise) and compose with
+    * [[trainOrder]], sorting each shard by (sched_key, domain) — the
+    * key alone already defines the total order. A domain with fewer
+    * rows than its quota contributes what it has. */
   def mixture(df: DataFrame, domainCol: String, idCol: String,
               weights: Map[String, Double], total: Long,
-              seed: Int): DataFrame = {
+              seed: Int, emitPos: Boolean = true,
+              maxGlobalPos: Long = 10000000L): DataFrame = {
+    require(!emitPos || total <= maxGlobalPos,
+      s"budget $total exceeds maxGlobalPos=$maxGlobalPos: a global pos " +
+        "window would single-partition the selection; pass emitPos=false " +
+        "and order by (sched_key, domain) — e.g. compose with trainOrder")
     val quota = apportion(weights, total).filter(_._2 > 0)
-    val l = quota.values.reduce(lcm)
     val quotaExpr = quota.foldLeft(lit(0L)) { case (acc, (d, q)) =>
       when(col(domainCol) === d, lit(q)).otherwise(acc) }
-    val strideExpr = quota.foldLeft(lit(0L)) { case (acc, (d, q)) =>
-      when(col(domainCol) === d, lit(l / q)).otherwise(acc) }
     val maxK = quota.values.max.toInt
-    reservoirPerGroup(
+    val sel = reservoirPerGroup(
         df.filter(col(domainCol).isin(quota.keys.toSeq: _*)),
         Seq(domainCol), idCol, maxK, seed)
       .filter(col("draw_rank") <= quotaExpr)
-      .withColumn("sched_key",
-        (lit(2L) * col("draw_rank") - 1L) * strideExpr)
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("sched_key"), col(domainCol))))
-  }
-
-  private def lcm(a: Long, b: Long): Long = {
-    @annotation.tailrec def gcd(x: Long, y: Long): Long =
-      if (y == 0) x else gcd(y, x % y)
-    a / gcd(a, b) * b
+      .withColumn("__quota", quotaExpr)
+      .withColumn("sched_key", expr(
+        s"CAST((CAST(2 * draw_rank - 1 AS DECIMAL(38,0)) * ${1L << 62}) " +
+          "div __quota AS BIGINT)"))
+      .drop("__quota")
+    if (emitPos)
+      // partitionBy(lit(1)): same single-partition frame the budget
+      // gate just bounded, spelled explicitly so WindowExec does not
+      // warn about an undefined partition on every run
+      sel.withColumn("pos", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("sched_key"), col(domainCol))))
+    else sel
   }
 
   /** Deterministic global training order: every row gets a

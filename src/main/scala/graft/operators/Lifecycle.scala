@@ -49,20 +49,40 @@ object Lifecycle {
   }
 
   /** Widen the table set: snapshot-load each added table's current
-    * content into its own state dir, return the widened filter. */
+    * content into its own state dir, return the widened filter.
+    *
+    * Added names are LITERAL table names, so they enter `include`
+    * regex-quoted — "pub.orders" must not also admit "pubXorders".
+    * Filter semantics by prior shape:
+    *   - fully empty filter = a fresh transfer bootstrapping its
+    *     table set → include becomes exactly the added tables;
+    *   - match-all-except (empty include, non-empty exclude) → the
+    *     filter already admits every non-excluded table; widening
+    *     means LIFTING any exclusion of an added table, never
+    *     replacing match-all with include=[added] (which would
+    *     silently drop every other table from replication);
+    *   - explicit include list → append the quoted names. */
   def addTables(base: String, pks: Seq[String], filter: TableFilter,
                 added: Seq[(String, DataFrame)]): TableFilter = {
     added.foreach { case (table, snapshot) =>
       CdcStream.mergeBatch(E.fromSnapshot(snapshot, lit(0L)),
         s"$base/${safe(table)}", pks)
     }
-    filter.copy(include =
-      (filter.include.filter(_.nonEmpty) ++ added.map(_._1)).distinct)
+    val names = added.map(_._1)
+    val quoted = names.map(java.util.regex.Pattern.quote)
+    if (filter.include.isEmpty && filter.exclude.nonEmpty)
+      filter.copy(exclude = filter.exclude.filterNot(p =>
+        names.contains(p) || quoted.contains(p)))
+    else
+      filter.copy(include =
+        (filter.include.filter(_.nonEmpty) ++ quoted).distinct)
   }
 
-  /** Shrink the table set; state dirs are left untouched. */
+  /** Shrink the table set; state dirs are left untouched. Removed
+    * names are literals → regex-quoted, same as [[addTables]]. */
   def removeTables(filter: TableFilter, removed: Seq[String]): TableFilter =
-    filter.copy(exclude = (filter.exclude ++ removed).distinct)
+    filter.copy(exclude = (filter.exclude ++
+      removed.map(java.util.regex.Pattern.quote)).distinct)
 
   /** Drop every listed table's state and snapshot it fresh. */
   def reupload(spark: SparkSession, base: String, pks: Seq[String],

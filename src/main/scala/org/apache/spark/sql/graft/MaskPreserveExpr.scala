@@ -40,11 +40,20 @@ case class MaskPreserveExpr(child: Expression, seed: Int)
 }
 
 object MaskPreserveExpr {
+  /** One MD5 instance per executor thread: masking a corpus column
+    * evaluates draw() once per character, and MessageDigest
+    * construction (provider lookup + state alloc) would otherwise
+    * dominate the codegen hot path. reset() is implicit in digest().
+    * Output bytes are identical to a fresh instance. */
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** 32-bit md5 prefix of "<seed>:<pos>:<char>" — the repo's hex8
     * discipline, so any engine reproduces the draw. */
   private def draw(seed: Int, pos: Int, ch: Char): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$seed:$pos:$ch".getBytes("UTF-8"))
+    val d = md5.get().digest(s"$seed:$pos:$ch".getBytes("UTF-8"))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }

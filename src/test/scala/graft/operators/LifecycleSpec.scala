@@ -60,4 +60,30 @@ class LifecycleSpec extends SparkSpec {
       Seq("a" -> Seq((5L, "fresh")).toDF("k", "v")))
     assert(state("a") == Set((5L, "fresh")))
   }
+
+  test("addTables quotes literal names: dots in table names do not " +
+    "become regex wildcards") {
+    clean()
+    val f = Lifecycle.addTables(base, Seq("k"), TableFilter(),
+      Seq("pub.orders" -> Seq((1L, "x")).toDF("k", "v")))
+    assert(f.matches("pub.orders"))
+    assert(!f.matches("pubXorders"))
+    val f2 = Lifecycle.removeTables(f, Seq("pub.orders"))
+    assert(!f2.matches("pub.orders"))
+    // the quoted exclusion likewise stays literal
+    assert(TableFilter(exclude = f2.exclude).matches("pubXorders"))
+  }
+
+  test("addTables on a match-all-except filter widens by lifting the " +
+    "exclusion, never narrowing include") {
+    clean()
+    var f = TableFilter(exclude = Seq(java.util.regex.Pattern.quote("b")))
+    assert(f.matches("a") && !f.matches("b") && f.matches("zzz"))
+    f = Lifecycle.addTables(base, Seq("k"), f,
+      Seq("b" -> Seq((1L, "b1")).toDF("k", "v")))
+    // b is admitted again AND the filter still matches everything else
+    assert(f.matches("b"))
+    assert(f.matches("a") && f.matches("zzz"))
+    assert(f.include.isEmpty)
+  }
 }
