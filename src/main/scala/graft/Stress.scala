@@ -603,3 +603,78 @@ object StressPrefix {
     spark.stop()
   }
 }
+
+/** Round-11 scale-cliff closures, runnable alone:
+  * `sbt "runMain graft.StressR11"`.
+  *
+  * 23. Percentiles over a 10^7-distinct-value domain: the broadcast
+  * spelling would ship the whole permille map to the driver and every
+  * executor and run the cumulative in ONE window partition; the
+  * adaptive path must take the two-level bucketed cumulative + shuffle
+  * join and finish without driver pressure. Exactness is closed-form:
+  * value v = 2i+1 appears once, so permille(v) = (i+1)*1000 div N.
+  *
+  * 24. Mixture at a 10^7-row budget with emitPos=false: corpus-side
+  * work stays the bounded-heap draw; the plan must contain no
+  * SinglePartition exchange; composed trainOrder gives the shard-local
+  * serving order. */
+object StressR11 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // 23. percentiles, 10^7 distinct values (1.05x duplication)
+    val n = 10000000L
+    val big = spark.range(n).select(col("id"),
+      (col("id") * 2 + 1).as("v"))
+    val pct = functions.Quantiles.percentiles(big, "v",
+      smallDomainLimit = 1000000L, buckets = 256)
+    val plan = pct.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange SinglePartition"),
+      "high-cardinality percentiles must not single-partition")
+    require(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      "high-cardinality percentiles must shuffle-join, not broadcast")
+    timed(s"percentiles over $n rows, $n distinct values (two-level path)") {
+      pct.write.format("noop").mode("overwrite").save()
+    }
+    // closed-form spot check: v = 2i+1 once each => permille = (i+1)*1000 div n
+    val probe = pct.filter(col("id").isin(0L, n / 2, n - 1))
+      .select(col("id"), col("permille"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    require(probe(0L) == 0L && probe(n / 2) == (n / 2 + 1) * 1000 / n
+      && probe(n - 1) == 1000L, s"permille mismatch: $probe")
+    println(s"[stress]   closed-form permilles verified: $probe")
+
+    // 24. mixture at a 10^7 budget, key-only output
+    val corpus = spark.range(2000000).select(col("id").as("doc_id"),
+      concat(lit("d"), (col("id") % 16).cast("string")).as("dom"))
+    val w = (0 until 16).map(i => s"d$i" -> (1.0 + i)).toMap
+    val mixed = functions.Sampling.mixture(corpus, "dom", "doc_id", w,
+      total = 10000000L, seed = 7, emitPos = false)
+    val mPlan = mixed.queryExecution.executedPlan.toString
+    require(!mPlan.contains("Exchange SinglePartition"),
+      "mixture emitPos=false must not single-partition")
+    val drawn = timed("mixture 2M corpus, 10^7 budget, 16 domains (key-only)") {
+      mixed.count()
+    }
+    // each domain holds 125k rows; low-weight domains get quotas below
+    // that (10^7/136 ~ 73.5k for d0), so the expected draw is the
+    // apportioned quota clipped at availability, per domain
+    val expected = functions.Sampling.apportion(w, 10000000L)
+      .values.map(q => math.min(q, 125000L)).sum
+    require(drawn == expected, s"expected $expected drawn, got $drawn")
+    timed("trainOrder composition: 64 shards over the mixture draw") {
+      functions.Sampling.trainOrder(mixed, "doc_id", shards = 64, seed = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

@@ -25,14 +25,57 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** (value, cumulative count, total) over the distinct-value frame.
-    * The unpartitioned window is deliberate and safe: it runs on the
-    * histogram (domain-sized), never the corpus. */
+    * The single-partition window (explicit via [[WindowKeys]], so
+    * WindowExec does not warn) is deliberate and safe for the
+    * THRESHOLD family: it runs on the histogram (domain-sized, the
+    * contract of these integer-METRIC gates is domains in the
+    * thousands), never the corpus. For unbounded value domains use
+    * [[percentiles]], which switches to a two-level bucketed
+    * cumulative past a domain threshold. */
   private def cumHist(df: DataFrame, valueCol: String): DataFrame = {
     val hist = df.groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.orderBy("v")
+    val w = Window.partitionBy(WindowKeys.onePartition(col("v"))).orderBy("v")
     hist.withColumn("cum", sum("c").over(w))
       .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+  }
+
+  /** Cumulative count over a (v, c) histogram by the TWO-LEVEL bucket
+    * discipline (the [[TextAnalysis.packSequences]] shape): cut the
+    * distinct values into `buckets` contiguous runs, within-bucket
+    * cumulative in a PARTITIONED window (each bucket ≈ domain/buckets
+    * rows), bucket base offsets from a cumulative over the
+    * bucket-totals frame (`buckets` rows — planning-sized). No single
+    * partition ever holds more than one bucket of the domain.
+    *
+    * Bucket boundaries are DRIVER-LITERAL approx-quantiles of the
+    * distinct values, so the bucket id is a pure deterministic
+    * projection. (A repartitionByRange + spark_partition_id spelling
+    * is WRONG here: the frame feeds two plan subtrees — bases and the
+    * local cumulative — and each physical copy of a range exchange
+    * samples its own boundaries, silently skewing whole buckets.)
+    * Exact for ANY boundary choice: cumulative sums are invariant to
+    * how contiguous runs are cut; the approx part only balances
+    * bucket sizes (±0.1% of the domain). */
+  private def cumTwoLevel(hist: DataFrame, vCol: String, cCol: String,
+                          buckets: Int): DataFrame = {
+    val bounds = hist.stat.approxQuantile(vCol,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .map(_.toLong).distinct.sorted
+    val bucketExpr = bounds.zipWithIndex.foldRight(
+        lit(bounds.length): org.apache.spark.sql.Column) {
+      case ((b, i), acc) => when(col(vCol) <= b, i).otherwise(acc) }
+    val parts = hist.withColumn("__b", bucketExpr)
+    val bases = parts.groupBy("__b").agg(sum(cCol).as("__bt"))
+      .withColumn("__base", coalesce(sum("__bt").over(
+        Window.partitionBy(WindowKeys.onePartition(col("__b"))).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__base")
+    parts.withColumn("__local",
+        sum(cCol).over(Window.partitionBy("__b").orderBy(vCol)))
+      .join(broadcast(bases), Seq("__b"))
+      .withColumn("__cum", col("__base") + col("__local"))
+      .drop("__b", "__local", "__base")
   }
 
   /** Exact per-mille thresholds, one row per requested rank. */
@@ -72,18 +115,49 @@ object Quantiles {
     * partition; here the value-domain histogram (domain-sized) gets a
     * cumulative window, and rows join their value's permille back
     * value-keyed. `permille = floor(cum·1000 / n)` — all integers,
-    * engine-exact. */
-  def percentiles(df: DataFrame, valueCol: String): DataFrame = {
+    * engine-exact.
+    *
+    * Scale-adaptive: domains up to `smallDomainLimit` distinct values
+    * take a single-partition cumulative + broadcast join; larger
+    * domains switch to [[cumTwoLevel]] + a value-keyed shuffle join —
+    * a 10^7-plus distinct-value domain must never be broadcast to the
+    * driver nor moved through one window partition (stress-proven at
+    * 10^7 distinct values, StressSpec "percentiles high-cardinality"). */
+  def percentiles(df: DataFrame, valueCol: String,
+                  smallDomainLimit: Long = 1000000L,
+                  buckets: Int = 256): DataFrame = {
+    // the histogram is persisted (domain-sized) because the domain
+    // cardinality decides the plan shape at runtime: count() pays one
+    // corpus aggregation, then the chosen plan reuses the cached
+    // histogram instead of rescanning the corpus. Left cached for the
+    // consumer (Spark evicts LRU; domain-sized, not corpus-sized).
     val hist = df.groupBy(col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__c"))
-    val cum = hist
-      .withColumn("__cum", sum("__c").over(Window.orderBy("__v")))
-      .withColumn("__n", sum("__c").over(
-        Window.partitionBy(lit(1))))
-      .select(col("__v"),
-        expr("CAST(__cum * 1000 div __n AS BIGINT)").as("permille"))
-    df.join(broadcast(cum), df(valueCol).cast("long") === cum("__v"))
-      .drop("__v")
+      .agg(count(lit(1)).as("__c")).persist()
+    val domain = hist.count()
+    val n = hist.agg(sum("__c")).first().getLong(0)
+    if (domain <= smallDomainLimit) {
+      // bounded domain: one explicit single-partition cumulative over
+      // the histogram, permille map broadcast to the corpus join
+      val cum = hist
+        .withColumn("__cum", sum("__c").over(
+          Window.partitionBy(WindowKeys.onePartition(col("__v")))
+            .orderBy("__v")))
+        .select(col("__v"),
+          expr(s"CAST(__cum * 1000 div ${n}L AS BIGINT)").as("permille"))
+      df.join(broadcast(cum), df(valueCol).cast("long") === cum("__v"))
+        .drop("__v")
+    } else {
+      // high-cardinality domain: broadcasting the permille map would
+      // OOM the driver and a global window would single-partition the
+      // domain — two-level bucketed cumulative + value-keyed SHUFFLE
+      // join instead (both sides hash on the value, balanced)
+      val cum = cumTwoLevel(hist, "__v", "__c", buckets)
+        .select(col("__v"),
+          expr(s"CAST(__cum * 1000 div ${n}L AS BIGINT)").as("permille"))
+      df.join(cum.hint("shuffle_hash"),
+          df(valueCol).cast("long") === cum("__v"))
+        .drop("__v")
+    }
   }
 
   /** Robust per-group outlier gating by MAD (median absolute

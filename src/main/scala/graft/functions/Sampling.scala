@@ -352,11 +352,11 @@ object Sampling {
           "div __quota AS BIGINT)"))
       .drop("__quota")
     if (emitPos)
-      // partitionBy(lit(1)): same single-partition frame the budget
-      // gate just bounded, spelled explicitly so WindowExec does not
-      // warn about an undefined partition on every run
+      // explicit single-partition frame — the budget gate just
+      // bounded it (see WindowKeys for why not lit(1))
       sel.withColumn("pos", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("sched_key"), col(domainCol))))
+        Window.partitionBy(WindowKeys.onePartition(col("sched_key")))
+          .orderBy(col("sched_key"), col(domainCol))))
     else sel
   }
 

@@ -373,9 +373,12 @@ object Similarity {
       .withColumn("__h", Hashing.hex8ToLong(col(idCol).cast("string")))
       .orderBy("__h").limit(k)
       .select(col(vecCol))
-      // k rows only: the global ranking window is a k-element sort
+      // k rows only: the ranking window is a k-element sort; the
+      // explicit single partition keeps WindowExec from warning
       .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col(vecCol).getItem(0))) - 1)
+        row_number().over(
+          Window.partitionBy(WindowKeys.onePartition(col(vecCol).getItem(0)))
+            .orderBy(col(vecCol).getItem(0))) - 1)
       .cache()
     for (_ <- 1 to iterations) {
       val cents = collectCentroids(centroids, vecCol)

