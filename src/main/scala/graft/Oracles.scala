@@ -1589,6 +1589,54 @@ object Oracles {
          |WHERE levenshtein(db.d_name, mb.c_name) <= 1
          |ORDER BY d_key, master_key""".stripMargin),
 
+    // corruption position is md5-derived per row; 3 positional
+    // segments replayed with identical floor(l*i/3) arithmetic, pair
+    // dedup via DISTINCT (a true pair shares >= 2 blocks)
+    "entity_match_qgram" ->
+      (s"""WITH c AS (SELECT c_custkey, c_name FROM customer),
+         |d AS (SELECT c_custkey + 1000000 AS d_key,
+         |    substr(c_name, 1, p - 1) || 'X' ||
+         |    substr(c_name, p + 1, length(c_name)) AS d_name
+         |  FROM (SELECT c_custkey, c_name,
+         |      CAST(1 + (${hex8("CAST(c_custkey AS VARCHAR)")}
+         |        % length(c_name)) AS INT) AS p
+         |    FROM c)),
+         |g AS (SELECT i FROM generate_series(0, 2) s(i)),
+         |db AS (SELECT d_key, d_name,
+         |    CAST(i AS VARCHAR) || '|' || substr(d_name,
+         |      CAST(floor(length(d_name) * i / 3) AS INT) + 1,
+         |      CAST(floor(length(d_name) * (i + 1) / 3) AS INT)
+         |        - CAST(floor(length(d_name) * i / 3) AS INT)) AS block
+         |  FROM d, g),
+         |mb AS (SELECT c_custkey, c_name,
+         |    CAST(i AS VARCHAR) || '|' || substr(c_name,
+         |      CAST(floor(length(c_name) * i / 3) AS INT) + 1,
+         |      CAST(floor(length(c_name) * (i + 1) / 3) AS INT)
+         |        - CAST(floor(length(c_name) * i / 3) AS INT)) AS block
+         |  FROM c, g),
+         |pairs AS (SELECT DISTINCT db.d_key, mb.c_custkey AS master_key,
+         |    CAST(levenshtein(db.d_name, mb.c_name) AS INT) AS dist
+         |  FROM db JOIN mb ON mb.block = db.block
+         |  WHERE levenshtein(db.d_name, mb.c_name) <= 1)
+         |SELECT d_key, master_key, dist FROM pairs
+         |ORDER BY d_key, master_key""".stripMargin),
+
+    // struct-max election replayed as a (quality DESC, id ASC) window
+    // pick; member counts join back cluster-keyed
+    "dedup_elect_skewed" ->
+      ("""WITH d AS (SELECT doc_id, n_chars,
+         |    CASE WHEN doc_id % 10 < 9 THEN 0
+         |         ELSE doc_id % 100 END AS cluster
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM d),
+         |n AS (SELECT cluster, count(*) AS n_members FROM d
+         |  GROUP BY cluster)
+         |SELECT r.cluster, r.doc_id AS keep_id,
+         |  r.n_chars AS keep_quality, n.n_members
+         |FROM r JOIN n USING (cluster) WHERE rn = 1
+         |ORDER BY cluster""".stripMargin),
+
     // the snippet literal is generated from the SAME Scala constant
     // the query plants, newlines spliced as chr(10)
     "code_detect" -> {
@@ -2720,6 +2768,51 @@ object Oracles {
          |      (sqrt(list_dot_product(b.v, b.v))
          |       * sqrt(list_dot_product(a.v, a.v))), 6) AS score
          |    FROM b, a)),
+         |best_ab AS (SELECT qa AS id_a, nb AS id_b, score AS cos
+         |  FROM rab WHERE rank = 1),
+         |best_ba AS (SELECT qb AS id_b, na AS id_a FROM rba WHERE rank = 1),
+         |s2a AS (SELECT qa AS id_a, score AS s2 FROM rab WHERE rank = 2),
+         |s2b AS (SELECT qb AS id_b, score AS s2 FROM rba WHERE rank = 2),
+         |m AS (SELECT p.id_a, p.id_b, p.cos,
+         |    round(p.cos / ((coalesce(s2a.s2, p.cos)
+         |      + coalesce(s2b.s2, p.cos)) / 2), 6) AS margin
+         |  FROM best_ab p
+         |  JOIN best_ba USING (id_a, id_b)
+         |  LEFT JOIN s2a ON s2a.id_a = p.id_a
+         |  LEFT JOIN s2b ON s2b.id_b = p.id_b)
+         |SELECT id_a, id_b, cos, margin FROM m WHERE margin >= 1.0
+         |ORDER BY id_a""".stripMargin),
+
+    // the LSH spelling replayed exactly: md5-derived hyperplane buckets
+    // (same literals as the engine), multiprobe masks {0, 1<<j}, top-2
+    // per direction restricted to shared/one-bit-neighbor buckets, then
+    // identical mutual-top-1 + ratio-margin logic
+    "bitext_mine_lsh" ->
+      (s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |bk AS (${lshBucketSql("embeddings")}),
+         |a AS (SELECT e.vec_id, e.v, bk.bucket
+         |  FROM e JOIN bk USING (vec_id) WHERE label % 2 = 0),
+         |b AS (SELECT e.vec_id, e.v, bk.bucket
+         |  FROM e JOIN bk USING (vec_id) WHERE label % 2 = 1),
+         |masks AS (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m),
+         |rab AS (SELECT *, row_number() OVER
+         |    (PARTITION BY qa ORDER BY score DESC, nb) AS rank
+         |  FROM (SELECT q.vec_id AS qa, c.vec_id AS nb,
+         |    round(list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v))
+         |       * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |    FROM a q JOIN masks m ON TRUE
+         |    JOIN b c ON c.bucket = xor(q.bucket, m.m))),
+         |rba AS (SELECT *, row_number() OVER
+         |    (PARTITION BY qb ORDER BY score DESC, na) AS rank
+         |  FROM (SELECT q.vec_id AS qb, c.vec_id AS na,
+         |    round(list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v))
+         |       * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |    FROM b q JOIN masks m ON TRUE
+         |    JOIN a c ON c.bucket = xor(q.bucket, m.m))),
          |best_ab AS (SELECT qa AS id_a, nb AS id_b, score AS cos
          |  FROM rab WHERE rank = 1),
          |best_ba AS (SELECT qb AS id_b, na AS id_a FROM rba WHERE rank = 1),

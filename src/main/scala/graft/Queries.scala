@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Hashing, Multimodal, Quantiles, Sampling, Similarity, TextAnalysis, UrlOps}
+import graft.functions.{Dedup, EntityMatch, Hashing, Multimodal, Quantiles, Sampling, Similarity, TextAnalysis, UrlOps}
 import graft.model.{CdcEnvelope => E}
 import graft.operators.{Collapse, Transformers => T}
 import graft.parsers.{Debezium, GenericParser}
@@ -1901,15 +1901,46 @@ object Queries {
       val dirty = c.select((col("c_custkey") + 1000000L).as("d_key"),
         concat(substring(col("c_name"), 1, 3), lit("X"),
           substring(col("c_name"), 5, 100)).as("d_name"))
-        .withColumn("block", expr("substring(d_name, length(d_name)-4, 5)"))
-      val master = c
-        .withColumn("block", expr("substring(c_name, length(c_name)-4, 5)"))
-      dirty.join(master, "block")
-        .filter(levenshtein(col("d_name"), col("c_name")) <= 1)
-        .select(col("d_key"), col("c_custkey").as("master_key"),
-          levenshtein(col("d_name"), col("c_name")).cast("int").as("dist"))
+      EntityMatch.link(dirty, "d_key", "d_name", c, "c_custkey", "c_name",
+          EntityMatch.suffixBlocker(5), maxDist = 1)
+        .select(col("d_key"), col("c_custkey").as("master_key"), col("dist"))
         .orderBy("d_key", "master_key")
     }),
+
+    "entity_match_qgram" -> ((s, dir) => {
+      // the general-position linkage: corruption lands at a
+      // hash-derived position per row (possibly inside the suffix, where
+      // suffix blocking goes blind) — the positional q-gram blocker is
+      // recall-complete for 1 substitution with 3 segments (a pair
+      // within 1 sub shares >= 2 positional segments), still
+      // bucket-local, never all-pairs. A corrupted digit can also land
+      // within distance 1 of a NEIGHBOR master differing only at that
+      // digit, so multi-links are part of the contract (and the oracle).
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val p = (pmod(Hashing.hex8ToLong(col("c_custkey").cast("string")),
+        length(col("c_name")).cast("long")) + 1).cast("int")
+      val dirty = c.select((col("c_custkey") + 1000000L).as("d_key"),
+        concat(col("c_name").substr(lit(1), p - 1), lit("X"),
+          col("c_name").substr(p + 1, length(col("c_name")))).as("d_name"))
+      EntityMatch.link(dirty, "d_key", "d_name", c, "c_custkey", "c_name",
+          EntityMatch.qgramBlocker(3), maxDist = 1)
+        .select(col("d_key"), col("c_custkey").as("master_key"), col("dist"))
+        .orderBy("d_key", "master_key")
+    }),
+
+    "dedup_elect_skewed" -> ((s, dir) =>
+      // representative election under a HOT cluster: 90% of the corpus
+      // lands in cluster 0 — the struct-max aggregate is map-side
+      // combined, so the hot cluster costs one partial per task, not a
+      // window sort over 90% of the corpus (the shape skewed
+      // real-world near-dup graphs produce: one boilerplate cluster
+      // holding most of the crawl)
+      Dedup.electRepresentatives(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+          when(col("doc_id") % 10 < 9, lit(0L))
+            .otherwise(col("doc_id") % 100).as("cluster")),
+        "doc_id", "cluster", "n_chars")
+        .orderBy("cluster")),
 
     "code_detect" -> ((s, dir) => {
       // code-vs-prose routing: every 5th doc gets a code snippet
@@ -3730,6 +3761,19 @@ object Queries {
       Similarity.bitextMine(
           e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
           "embedding", "vec_id", marginFloor = 1.0)
+        .orderBy("id_a")
+    }),
+
+    "bitext_mine_lsh" -> ((s, dir) => {
+      // the corpus-scale spelling of bitext mining: retrieval is
+      // sign-LSH multiprobe (candidates share a hyperplane bucket or a
+      // one-bit neighbor), so work is per-bucket, never |A|x|B| — the
+      // hyperplanes are md5-derived driver literals, so DuckDB replays
+      // the identical probe set and the oracle is exact, not rows-only
+      val e = t(s, dir, "embeddings")
+      Similarity.bitextMineLsh(
+          e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+          "embedding", "vec_id", marginFloor = 1.0, planes = 8)
         .orderBy("id_a")
     }),
 

@@ -10,4 +10,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Oracles.all
+  /** Reviewed scale-shape exceptions for [[graft.tools.PlanAudit]]:
+    * query -> (hit kind -> why the shape is bounded at 100 TB). A hit
+    * absent from this map fails the audit. */
+  def planAuditExceptions: Map[String, Map[String, String]] =
+    PlanAuditExceptions.all
 }

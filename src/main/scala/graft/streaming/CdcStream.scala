@@ -105,9 +105,12 @@ object CdcStream {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Read the merged state back without the layout's bucket column. */
+  /** Read the merged state back without the layout's bucket column.
+    * Schema-merging: under lazy DDL migration bucket dirs may sit at
+    * different drift generations; the union schema surfaces null for
+    * columns a lagging bucket predates. */
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    val df = spark.read.parquet(stateDir)
+    val df = spark.read.option("mergeSchema", "true").parquet(stateDir)
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
@@ -155,10 +158,19 @@ object CdcStream {
     * (reference semantics: pkg/sink_factory/sink_factory.go:100-133
     * middleware ordering, Collapse before write change_item_collapse.go:48).
     *
-    * Schema drift (DDL adding columns, change_item.go DDL kinds) forces a
-    * one-off full-bucket migration so bucket schemas stay homogeneous;
-    * steady-state batches never pay it. A legacy flat-layout dir is
-    * migrated into buckets on first contact the same way. */
+    * Schema drift (DDL adding columns, change_item.go DDL kinds) migrates
+    * LAZILY, per bucket: a drifting batch rewrites only the buckets its
+    * keys touch (each bucket dir is homogeneous — it is replaced whole on
+    * every rewrite), untouched buckets keep their pre-drift files
+    * byte-identical, and converge to the new schema whenever a later
+    * batch touches them. The read paths ([[readState]], the merge's own
+    * affected-bucket read) are schema-merging, so lagging buckets
+    * surface null for columns they predate — Delta mergeSchema
+    * semantics without a stop-the-world rewrite, which at 100 TB of
+    * state would be an unbounded pause inside one micro-batch. The
+    * meta's column set records the logical union across drifts. A
+    * legacy flat-layout dir is still migrated whole on first contact
+    * (its layout, not just its schema, changes). */
   def mergeBatch(batch0: DataFrame, stateDir: String, pks: Seq[String],
                  numBuckets: Int = DefaultBuckets): Unit = {
     // plain (non-enveloped) frames merge as snapshot inserts
@@ -200,15 +212,15 @@ object CdcStream {
       batch.filter(E.isRowEvent(col(E.Kind))), pks).persist()
     val dataCols = E.dataCols(collapsed)
 
-    // DDL drift: the batch introduces columns the state has not seen
-    val drift = meta.exists(m => dataCols.exists(!m.columns.contains(_)))
-    // legacy flat layout: state exists but predates the bucketed meta
+    // legacy flat layout: state exists but predates the bucketed meta —
+    // the only full migration left (the LAYOUT changes, not just the
+    // schema; DDL drift migrates lazily per touched bucket instead)
     val legacy = meta.isEmpty && fs.exists(root) &&
       fs.listStatus(root).exists(s => s.isFile &&
         s.getPath.getName.startsWith("part-"))
 
     val affected: Seq[Int] =
-      if (drift || legacy) 0 until n
+      if (legacy) 0 until n
       else collapsed.select(bucketOf(pks, n).as(BucketCol))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
 
@@ -219,7 +231,11 @@ object CdcStream {
           .map(i => new org.apache.hadoop.fs.Path(stateDir, s"$BucketCol=$i"))
           .filter(fs.exists(_)).map(_.toString)
         if (paths.isEmpty) None
+        // mergeSchema: affected buckets may sit at different drift
+        // generations (lazy migration) — the read must union their
+        // schemas, not inherit whichever file the reader samples first
         else Some(spark.read.option("basePath", stateDir)
+          .option("mergeSchema", "true")
           .parquet(paths: _*).drop(BucketCol))
       }
 
@@ -288,7 +304,12 @@ object CdcStream {
     }
     fs.delete(bak, true)
     fs.delete(tmp, true)
-    writeMeta(fs, stateDir, StateMeta(n, outCols))
+    // the meta column set is the LOGICAL union across drifts: untouched
+    // buckets may lag it on disk until a batch touches them
+    val logicalCols =
+      meta.map(_.columns).getOrElse(Nil) ++
+        outCols.filterNot(meta.map(_.columns).getOrElse(Nil).contains)
+    writeMeta(fs, stateDir, StateMeta(n, logicalCols))
     collapsed.unpersist()
     ()
   }

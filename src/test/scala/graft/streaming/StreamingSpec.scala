@@ -232,7 +232,7 @@ class StreamingSpec extends SparkSpec {
     val state = tmp() + "/td"
     CdcStream.mergeBatch(
       batch((1L, "a", "insert", 0L), (2L, "b", "insert", 1L)), state, Seq("id"))
-    // DDL adds a column: forces the one-off full migration
+    // DDL adds a column: lazily migrated, schema-merging read
     val b2 = Seq((3L, "c", 7L)).toDF("id", "v", "extra")
       .withColumn(E.Kind, lit("insert")).withColumn(E.Lsn, lit(2L))
       .withColumn(E.Counter, lit(0))
@@ -241,6 +241,62 @@ class StreamingSpec extends SparkSpec {
       .select("id", "v", "extra").as[(Long, String, Option[Long])]
       .collect().toSeq.sortBy(_._1)
     assert(out == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(7L))))
+  }
+
+  test("DDL drift mid-stream migrates lazily: only touched buckets " +
+    "rewritten, untouched bucket files byte-identical") {
+    val state = tmp() + "/tl"
+    // 1000-key snapshot spread over all buckets
+    CdcStream.mergeBatch(
+      spark.range(0, 1000)
+        .select(col("id"), concat(lit("v"), col("id")).as("v")),
+      state, Seq("id"))
+    def listing(): Map[String, Set[(String, Long, Long)]] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(state))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith(CdcStream.BucketCol))
+        .map { b =>
+          b.getFileName.toString ->
+            java.nio.file.Files.list(b).iterator().asScala.map(f =>
+              (f.getFileName.toString, java.nio.file.Files.size(f),
+                java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+        }.toMap
+    }
+    val before = listing()
+    assert(before.size > 8, "snapshot should populate many buckets")
+    // DDL drift: a 1-key batch adds a column — the stop-the-world
+    // spelling rewrote every bucket here; lazy migration must rewrite
+    // exactly the one bucket the key hashes to
+    val drifting = Seq((5L, "v5b", 42L)).toDF("id", "v", "extra")
+      .withColumn(E.Kind, lit("update")).withColumn(E.Lsn, lit(1L))
+      .withColumn(E.Counter, lit(0))
+    CdcStream.mergeBatch(drifting, state, Seq("id"))
+    val after = listing()
+    val changed = (before.keySet ++ after.keySet).filter(k =>
+      before.get(k) != after.get(k))
+    assert(changed.size == 1,
+      s"drift must rewrite exactly the touched bucket, got $changed")
+    // untouched buckets: same files, same sizes, same mtimes
+    (before.keySet - changed.head).foreach { k =>
+      assert(before(k) == after(k), s"untouched bucket $k was rewritten")
+    }
+    // merged read surfaces the union schema: null extra outside the
+    // migrated bucket, the new value inside it
+    val out = CdcStream.readState(spark, state)
+    assert(out.count() == 1000)
+    assert(out.filter(col("id") === 5)
+      .select("v", "extra").as[(String, Option[Long])].head() ==
+      (("v5b", Some(42L))))
+    assert(out.filter(col("extra").isNotNull).count() == 1)
+    // a later batch touching a lagging bucket converges it: key 5's
+    // neighbor bucket gets rewritten with the union schema on contact
+    CdcStream.mergeBatch(
+      batch((700L, "v700b", "update", 2L)), state, Seq("id"))
+    val out2 = CdcStream.readState(spark, state)
+    assert(out2.filter(col("id") === 700)
+      .select("v").as[String].head() == "v700b")
+    assert(out2.columns.contains("extra"))
   }
 
   test("replicate runs a memory-source stream through checkpointed merge") {
