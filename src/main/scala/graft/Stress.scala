@@ -653,6 +653,17 @@ object StressR11 {
       && probe(n - 1) == 1000L, s"permille mismatch: $probe")
     println(s"[stress]   closed-form permilles verified: $probe")
 
+    // 25. the threshold family over the same 10^7-distinct domain:
+    // cumHist must take the two-level path (never one window partition
+    // over the domain); thresholds are closed-form — v = 2i+1 once
+    // each, so lo(100‰) = 2*(n/10-1)+1, hi(900‰) = 2*(9n/10-1)+1 and
+    // the gate keeps 8n/10 + 1 rows exactly
+    val kept = timed(s"gate [100,900]permille over $n distinct values") {
+      functions.Quantiles.gate(big, "v", loPermille = 100,
+        hiPermille = 900).count()
+    }
+    require(kept == n * 8 / 10 + 1, s"gate kept $kept, expected ${n * 8 / 10 + 1}")
+
     // 24. mixture at a 10^7 budget, key-only output
     val corpus = spark.range(2000000).select(col("id").as("doc_id"),
       concat(lit("d"), (col("id") % 16).cast("string")).as("dom"))

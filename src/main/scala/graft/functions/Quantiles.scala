@@ -24,20 +24,32 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** (value, cumulative count, total) over the distinct-value frame.
-    * The single-partition window (explicit via [[WindowKeys]], so
-    * WindowExec does not warn) is deliberate and safe for the
-    * THRESHOLD family: it runs on the histogram (domain-sized, the
-    * contract of these integer-METRIC gates is domains in the
-    * thousands), never the corpus. For unbounded value domains use
-    * [[percentiles]], which switches to a two-level bucketed
-    * cumulative past a domain threshold. */
-  private def cumHist(df: DataFrame, valueCol: String): DataFrame = {
+  /** (value, cumulative count, total) over the distinct-value frame —
+    * scale-adaptive like [[percentiles]]: up to `smallDomainLimit`
+    * distinct values the cumulative runs in one explicit partition
+    * (via [[WindowKeys]], so WindowExec does not warn — domain-sized,
+    * never the corpus); past it the [[cumTwoLevel]] bucketed
+    * discipline takes over, so the whole threshold family
+    * ([[intThresholds]], [[gate]], [[winsorize]],
+    * [[shardByQuantiles]]) survives unbounded value domains. The only
+    * thing broadcast in either branch is the ONE-ROW total frame;
+    * consumers reduce the cumulative to a one-row threshold frame, so
+    * the histogram itself never ships anywhere. The histogram is
+    * persisted because its cardinality decides the plan shape at
+    * runtime (domain-sized cache, LRU-evicted). */
+  private def cumHist(df: DataFrame, valueCol: String,
+                      smallDomainLimit: Long = 1000000L,
+                      buckets: Int = 256): DataFrame = {
     val hist = df.groupBy(col(valueCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(WindowKeys.onePartition(col("v"))).orderBy("v")
-    hist.withColumn("cum", sum("c").over(w))
-      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      .agg(count(lit(1)).as("c")).persist()
+    val nFrame = broadcast(hist.agg(sum(col("c")).as("n")))
+    val cum =
+      if (hist.count() <= smallDomainLimit)
+        hist.withColumn("cum", sum("c").over(
+          Window.partitionBy(WindowKeys.onePartition(col("v"))).orderBy("v")))
+      else cumTwoLevel(hist, "v", "c", buckets)
+        .withColumnRenamed("__cum", "cum")
+    cum.crossJoin(nFrame)
   }
 
   /** Cumulative count over a (v, c) histogram by the TWO-LEVEL bucket
