@@ -1589,10 +1589,11 @@ object Oracles {
          |WHERE levenshtein(db.d_name, mb.c_name) <= 1
          |ORDER BY d_key, master_key""".stripMargin),
 
-    // corruption position is md5-derived per row; 3 positional
-    // segments replayed with identical floor(l*i/3) arithmetic, pair
-    // dedup via DISTINCT (a true pair shares >= 2 blocks)
-    "entity_match_qgram" ->
+    // corruption position is md5-derived per row; deletion-neighborhood
+    // blocks (each position masked to '*', position-tagged) replayed
+    // identically, pair dedup via DISTINCT (identical-outside-one-
+    // position pairs share exactly the differing position's key)
+    "entity_match_masked" ->
       (s"""WITH c AS (SELECT c_custkey, c_name FROM customer),
          |d AS (SELECT c_custkey + 1000000 AS d_key,
          |    substr(c_name, 1, p - 1) || 'X' ||
@@ -1601,19 +1602,18 @@ object Oracles {
          |      CAST(1 + (${hex8("CAST(c_custkey AS VARCHAR)")}
          |        % length(c_name)) AS INT) AS p
          |    FROM c)),
-         |g AS (SELECT i FROM generate_series(0, 2) s(i)),
+         |dp AS (SELECT d_key, d_name,
+         |    unnest(range(1, length(d_name) + 1)) AS p FROM d),
          |db AS (SELECT d_key, d_name,
-         |    CAST(i AS VARCHAR) || '|' || substr(d_name,
-         |      CAST(floor(length(d_name) * i / 3) AS INT) + 1,
-         |      CAST(floor(length(d_name) * (i + 1) / 3) AS INT)
-         |        - CAST(floor(length(d_name) * i / 3) AS INT)) AS block
-         |  FROM d, g),
+         |    CAST(p AS VARCHAR) || '|' || substr(d_name, 1, p - 1) ||
+         |      '*' || substr(d_name, p + 1, length(d_name)) AS block
+         |  FROM dp),
+         |mp AS (SELECT c_custkey, c_name,
+         |    unnest(range(1, length(c_name) + 1)) AS p FROM c),
          |mb AS (SELECT c_custkey, c_name,
-         |    CAST(i AS VARCHAR) || '|' || substr(c_name,
-         |      CAST(floor(length(c_name) * i / 3) AS INT) + 1,
-         |      CAST(floor(length(c_name) * (i + 1) / 3) AS INT)
-         |        - CAST(floor(length(c_name) * i / 3) AS INT)) AS block
-         |  FROM c, g),
+         |    CAST(p AS VARCHAR) || '|' || substr(c_name, 1, p - 1) ||
+         |      '*' || substr(c_name, p + 1, length(c_name)) AS block
+         |  FROM mp),
          |pairs AS (SELECT DISTINCT db.d_key, mb.c_custkey AS master_key,
          |    CAST(levenshtein(db.d_name, mb.c_name) AS INT) AS dist
          |  FROM db JOIN mb ON mb.block = db.block

@@ -1907,15 +1907,18 @@ object Queries {
         .orderBy("d_key", "master_key")
     }),
 
-    "entity_match_qgram" -> ((s, dir) => {
+    "entity_match_masked" -> ((s, dir) => {
       // the general-position linkage: corruption lands at a
-      // hash-derived position per row (possibly inside the suffix, where
-      // suffix blocking goes blind) — the positional q-gram blocker is
-      // recall-complete for 1 substitution with 3 segments (a pair
-      // within 1 sub shares >= 2 positional segments), still
-      // bucket-local, never all-pairs. A corrupted digit can also land
-      // within distance 1 of a NEIGHBOR master differing only at that
-      // digit, so multi-links are part of the contract (and the oracle).
+      // hash-derived position per row (possibly inside the suffix,
+      // where suffix blocking goes blind) — the deletion-neighborhood
+      // blocker masks each position, so a 1-substitution pair shares
+      // the key at its differing position and block occupancy is true
+      // near-dups, not a q-gram frequency class (the positional
+      // segment spelling degenerated to all-pairs on these
+      // constant-prefix names: 869 s at sf0.1). A corrupted digit can
+      // also land within distance 1 of a NEIGHBOR master differing
+      // only at that digit, so multi-links are part of the contract
+      // (and the oracle).
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
       val p = (pmod(Hashing.hex8ToLong(col("c_custkey").cast("string")),
         length(col("c_name")).cast("long")) + 1).cast("int")
@@ -1923,7 +1926,7 @@ object Queries {
         concat(col("c_name").substr(lit(1), p - 1), lit("X"),
           col("c_name").substr(p + 1, length(col("c_name")))).as("d_name"))
       EntityMatch.link(dirty, "d_key", "d_name", c, "c_custkey", "c_name",
-          EntityMatch.qgramBlocker(3), maxDist = 1)
+          EntityMatch.maskBlocker, maxDist = 1)
         .select(col("d_key"), col("c_custkey").as("master_key"), col("dist"))
         .orderBy("d_key", "master_key")
     }),

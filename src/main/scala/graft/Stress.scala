@@ -664,6 +664,29 @@ object StressR11 {
     }
     require(kept == n * 8 / 10 + 1, s"gate kept $kept, expected ${n * 8 / 10 + 1}")
 
+    // 26. deletion-neighborhood entity match at 10^6 structured names
+    // (constant prefix + padded digits — the exact shape that
+    // degenerated the q-gram segment blocker to all-pairs, 869 s at
+    // 15k rows): the masked blocker's candidates are true near-dups
+    // only, so 10^6 rows must link in seconds, every dirty row to its
+    // master (+ digit-neighbor multi-links), never all-pairs
+    val names = spark.range(1000000L).select(col("id").as("c_custkey"),
+      concat(lit("User#"), lpad(col("id").cast("string"), 9, "0"))
+        .as("c_name"))
+    val pPos = (pmod(functions.Hashing.hex8ToLong(
+      col("c_custkey").cast("string")), lit(14L)) + 1).cast("int")
+    val dirtyNames = names.select((col("c_custkey") + 10000000L).as("d_key"),
+      concat(col("c_name").substr(lit(1), pPos - 1), lit("X"),
+        col("c_name").substr(pPos + 1, length(col("c_name")))).as("d_name"))
+    val linked = timed("entity match (masked blocker) 10^6 x 10^6 names") {
+      functions.EntityMatch.link(dirtyNames, "d_key", "d_name",
+        names, "c_custkey", "c_name",
+        functions.EntityMatch.maskBlocker, maxDist = 1).count()
+    }
+    // every dirty row links at least its own master
+    require(linked >= 1000000L, s"expected >= 10^6 links, got $linked")
+    println(s"[stress]   links found: $linked (diagonal + digit neighbors)")
+
     // 24. mixture at a 10^7 budget, key-only output
     val corpus = spark.range(2000000).select(col("id").as("doc_id"),
       concat(lit("d"), (col("id") % 16).cast("string")).as("dom"))
@@ -686,6 +709,49 @@ object StressR11 {
       functions.Sampling.trainOrder(mixed, "doc_id", shards = 64, seed = 8)
         .write.format("noop").mode("overwrite").save()
     }
+    spark.stop()
+  }
+}
+
+/** Recall probe for the LSH bitext spelling on a corpus with REAL
+  * neighbor structure: corpus B is corpus A jittered ±0.05 per
+  * component (cosine ≈ 0.995 to its source — the translation-pair
+  * regime the CCMatrix recipe assumes), so exact mining recovers the
+  * planted diagonal and the probe measures how much of it the
+  * sign-LSH multiprobe retrieval keeps. (On the UNIFORM synthetic
+  * fixture the oracles run on, recall reads ~15% — uniform vectors
+  * have no neighbor structure, so within-bucket top-2 diverges from
+  * global top-2; that number measures the fixture, not the machinery.)
+  * `sbt "runMain graft.BitextRecallR11 [sfDir]"` */
+object BitextRecallR11 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val a = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val jit = zip_with(col("embedding"),
+      sequence(lit(0), size(col("embedding")) - 1),
+      (x, p) => (x.cast("double") +
+        (functions.Hashing.hex8ToLong(concat_ws(":", lit("r"),
+          col("vec_id").cast("string"), p.cast("string"))).cast("double")
+          / 4294967296.0 - 0.5) * 0.1).cast("float"))
+    val b = a.select((col("vec_id") + 1000000L).as("vec_id"),
+      jit.as("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = pairs(functions.Similarity.bitextMine(a, b, "embedding",
+      "vec_id", marginFloor = 1.0))
+    val l = pairs(functions.Similarity.bitextMineLsh(a, b, "embedding",
+      "vec_id", marginFloor = 1.0, planes = 8))
+    val n = a.count()
+    val planted = e.count { case (x, y) => y == x + 1000000L }
+    val inter = (e & l).size
+    println(f"[recall] corpus=$n exact=${e.size} (planted diagonal " +
+      f"recovered: $planted) lsh=${l.size} inter=$inter " +
+      f"recall=${inter.toDouble / e.size}%.3f")
     spark.stop()
   }
 }

@@ -29,25 +29,31 @@ object EntityMatch {
   def suffixBlocker(len: Int): Column => Column =
     name => array(substring(name, -len, len))
 
-  /** Positional q-gram blocker, recall-COMPLETE for up to `maxSubs`
-    * substitutions on equal-length strings: the name splits into
-    * `segments` contiguous positional segments, and a pair within
-    * `maxSubs` substitutions differs in at most `maxSubs` segments, so
-    * it shares at least `segments - maxSubs` block keys — blocking on
-    * every (segmentIndex, segmentValue) finds every such pair as long
-    * as `segments > maxSubs`. Insert/delete edits shift positions and
-    * need shingle blockers instead; substitution corruption (OCR,
-    * fat-finger, field truncation-free reimports) is the dominant
-    * dirty-data case this covers. */
-  def qgramBlocker(segments: Int): Column => Column =
-    name => {
-      val l = length(name)
-      array((0 until segments).map { i =>
-        val start = floor(l * i / segments).cast("int") + 1
-        val end = floor(l * (i + 1) / segments).cast("int")
-        concat_ws("|", lit(i), name.substr(start, end - start + 1))
-      }: _*)
-    }
+  /** Deletion-neighborhood (masked-position) blocker, recall-COMPLETE
+    * for ONE substitution at any position: emit `length(name)` keys,
+    * key p = the name with position p masked to `*` (position-tagged).
+    * A pair differing by exactly one substitution shares the key at
+    * their differing position; identical strings share every key. The
+    * candidate set is therefore (near-)exactly the answer set — block
+    * occupancy is the number of strings identical OUTSIDE one
+    * position, i.e. true near-dups, NOT a q-gram frequency class.
+    *
+    * This replaces a positional q-gram segment blocker that was
+    * recall-complete on paper but carried a 100 TB cliff in practice:
+    * structured identifiers (names with constant prefixes) make whole
+    * segments corpus-constant, and one constant segment degenerates
+    * the block join to ALL-PAIRS — measured 869 s at sf0.1 (15k rows,
+    * 225M candidate pairs) vs sub-second for this spelling, whose
+    * work is O(length·N) + output-sized verify at any corpus size.
+    * (The same 1-deletion index idea as SymSpell spell correction,
+    * Mor & Fraenkel 1982.) Substitution-only by construction:
+    * insert/delete corruption shifts positions and needs shingle
+    * blockers instead. */
+  def maskBlocker: Column => Column =
+    name => transform(sequence(lit(1), length(name)), p =>
+      concat_ws("|", p,
+        concat(name.substr(lit(1), p - 1), lit("*"),
+          name.substr(p + 1, length(name)))))
 
   /** Link every dirty row to the master rows within `maxDist`
     * Levenshtein distance, candidates restricted to pairs sharing a
