@@ -118,7 +118,11 @@ object CdcStream {
     * hash as [[bucketOf]]) and scan ONLY that bucket dir — I/O is
     * state/numBuckets, and the PK-sorted files prune further via
     * parquet min/max stats. Key values must render like Spark's
-    * string cast (integral/string keys do). */
+    * string cast (integral/string keys do). Under lazy DDL migration
+    * the result carries the BUCKET's schema generation (a bucket dir
+    * is always internally homogeneous — rewrites replace it whole);
+    * a lagging bucket simply lacks columns it predates, the same
+    * contract as a pre-drift read of the whole state. */
   def lookup(spark: SparkSession, stateDir: String, pks: Seq[String],
              key: Seq[Any]): DataFrame = {
     require(pks.length == key.length, "one value per key column")
