@@ -1041,6 +1041,32 @@ object Oracles {
          |  CAST((off + n_tokens - 1) // 512 AS BIGINT) AS pack_last
          |FROM c ORDER BY doc_id""".stripMargin),
 
+    // the same prefix sum, then each doc's pack span explodes and the
+    // per-pack boundary profile aggregates — all integers
+    "pack_fragmentation" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |FROM t),
+         |s AS (SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS off,
+         |    CAST(off // 512 AS BIGINT) AS pf,
+         |    CAST((off + n_tokens - 1) // 512 AS BIGINT) AS pl
+         |  FROM c WHERE n_tokens > 0),
+         |e AS (SELECT doc_id, n_tokens, off,
+         |    unnest(range(pf, pl + 1)) AS pack_id FROM s),
+         |x AS (SELECT pack_id,
+         |    least(off + n_tokens, (pack_id + 1) * 512)
+         |      - greatest(off, pack_id * 512) AS tok,
+         |    CASE WHEN off >= pack_id * 512 THEN 1 ELSE 0 END AS starts
+         |  FROM e)
+         |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(starts) AS BIGINT) AS n_starts,
+         |  count(*) - CAST(sum(starts) AS BIGINT) AS n_straddle_in,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM x GROUP BY pack_id ORDER BY pack_id""".stripMargin),
+
     // integer ranking keys (tf desc, df asc, token); ln only in the
     // reported rounded score
     "doc_tfidf" ->

@@ -1565,6 +1565,15 @@ object Queries {
         seqTokens = 512, idsPerBucket = 64)
         .orderBy("doc_id")),
 
+    "pack_fragmentation" -> ((s, dir) =>
+      // per-pack doc-boundary profile of the 512-token packing: docs
+      // per pack, starts vs straddlers, token fill — the report that
+      // guides seqTokens/doc-order choices for attention-mask packing;
+      // explode is span-sized (corpus + straddles), never token-sized
+      TextAnalysis.packFragmentation(t(s, dir, "documents"), "text",
+        "doc_id", seqTokens = 512, idsPerBucket = 64)
+        .orderBy("pack_id")),
+
     "doc_tfidf" -> ((s, dir) =>
       // corpus-weighted keywords: top-3 per doc ranked by integer keys
       // (tf desc, rarer df first, token) — the float tf-idf score is

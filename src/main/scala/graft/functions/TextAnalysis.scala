@@ -248,6 +248,40 @@ object TextAnalysis {
         expr(s"(token_offset + n_tokens - 1) DIV $seqTokens").as("pack_last"))
   }
 
+  /** Per-pack fragmentation report over [[packSequences]] — the
+    * statistic that guides choosing `seqTokens` and doc ordering for
+    * attention-mask packing: how many documents land in each training
+    * sequence, how many START there vs straddle in from the previous
+    * pack, and the pack's token fill (== seqTokens everywhere but the
+    * final partial pack, by the concat-and-chunk construction — the
+    * report's value is the DOC-BOUNDARY profile, not fill waste).
+    *
+    * Scale shape: [[packSequences]]' distributed prefix sum, then each
+    * doc explodes to its (pack_first..pack_last) span — output size is
+    * corpus + straddle count, never tokens — and one pack-keyed
+    * aggregate. All integer arithmetic, engine-exact. Zero-token docs
+    * span no pack and are excluded. */
+  def packFragmentation(df: DataFrame, textCol: String, idCol: String,
+                        seqTokens: Int, idsPerBucket: Long = 4096)
+      : DataFrame = {
+    val packed = packSequences(df, textCol, idCol, seqTokens, idsPerBucket)
+      .filter(col("n_tokens") > 0)
+    packed.select(col(idCol), col("n_tokens"), col("token_offset"),
+        explode(sequence(col("pack_first"), col("pack_last"))).as("pack_id"))
+      .withColumn("__tok",
+        least(col("token_offset") + col("n_tokens"),
+          (col("pack_id") + 1) * seqTokens)
+          - greatest(col("token_offset"), col("pack_id") * seqTokens))
+      .withColumn("__starts",
+        when(col("token_offset") >= col("pack_id") * seqTokens, 1L)
+          .otherwise(0L))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__starts")).as("n_starts"),
+        (count(lit(1)) - sum(col("__starts"))).as("n_straddle_in"),
+        sum(col("__tok")).as("n_tokens"))
+  }
+
   /** Corpus-weighted keywords (tf-idf): per-doc term frequency, corpus
     * document frequency from one token-keyed aggregation, top-`k`
     * keywords per doc. The RANKING keys are integers — tf desc, df asc

@@ -24,11 +24,13 @@ object WindowKeys {
     * `Exchange SinglePartition`, so scale asserts can treat any
     * SinglePartition exchange as a genuine corpus-sized cliff.
     *
-    * Spelled `coalesce(pmod(cast(c as long), 1), 0)`: always 0, yet no
+    * Spelled `coalesce(pmod(hash(c) as long, 1), 0)`: always 0, yet no
     * optimizer rule simplifies a pmod-by-one (unlike `c * 0`, which IS
     * folded to 0 for non-nullable c and then pruned from the spec).
-    * The cast absorbs NaN (→ 0, not a second NaN group) and the
-    * coalesce folds NULL inputs into the same single group. */
+    * `hash` is TOTAL — defined for every type and value including
+    * NULL, NaN, and out-of-long-range doubles (a plain `cast(c as
+    * long)` THROWS on overflow under ANSI mode — caught by
+    * WindowKeysSpec), so the key can never fail at runtime. */
   def onePartition(c: Column): Column =
-    coalesce(pmod(c.cast("long"), lit(1L)), lit(0L))
+    coalesce(pmod(hash(c).cast("long"), lit(1L)), lit(0L))
 }
