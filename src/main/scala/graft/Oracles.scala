@@ -1067,6 +1067,34 @@ object Oracles {
          |  CAST(sum(tok) AS BIGINT) AS n_tokens
          |FROM x GROUP BY pack_id ORDER BY pack_id""".stripMargin),
 
+    // the per-bucket greedy fold replayed as a recursive CTE (step =
+    // rank within bucket; new bin iff fill + n > 512 — oversize docs
+    // isolate themselves by the same rule), then the dense global ids
+    // from a cumulative over per-bucket bin counts
+    "pack_bins" ->
+      (s"""WITH RECURSIVE t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+         |    CAST(len($toks) AS BIGINT) AS n,
+         |    CAST(doc_id // 64 AS BIGINT) AS b
+         |  FROM documents WHERE len($toks) > 0),
+         |r AS (SELECT id, n, b,
+         |    row_number() OVER (PARTITION BY b ORDER BY id) AS rn FROM t),
+         |g AS (
+         |  SELECT b, rn, id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+         |    FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.b, r.rn, r.id, r.n,
+         |    CASE WHEN g.fill + r.n > 512 THEN g.bin + 1 ELSE g.bin END,
+         |    CASE WHEN g.fill + r.n > 512 THEN r.n ELSE g.fill + r.n END
+         |  FROM g JOIN r ON r.b = g.b AND r.rn = g.rn + 1),
+         |bins AS (SELECT b, max(bin) + 1 AS nb FROM g GROUP BY b),
+         |bases AS (SELECT b, CAST(coalesce(sum(nb) OVER (ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS BIGINT) AS base FROM bins)
+         |SELECT g.id AS doc_id, g.n AS n_tokens,
+         |  CAST(bases.base + g.bin AS BIGINT) AS bin_id
+         |FROM g JOIN bases ON bases.b = g.b
+         |ORDER BY doc_id""".stripMargin),
+
     // integer ranking keys (tf desc, df asc, token); ln only in the
     // reported rounded score
     "doc_tfidf" ->

@@ -1574,6 +1574,15 @@ object Queries {
         "doc_id", seqTokens = 512, idsPerBucket = 64)
         .orderBy("pack_id")),
 
+    "pack_bins" -> ((s, dir) =>
+      // first-fit NO-straddle packing (SFT recipe: a doc never splits
+      // across sequences): greedy fold per contiguous-id bucket
+      // (bounded state, restart waste <= 1 partial bin per bucket),
+      // dense global bin ids from the two-level base-offset discipline
+      TextAnalysis.packBinsGreedy(t(s, dir, "documents"), "text",
+        "doc_id", seqTokens = 512, idsPerBucket = 64)
+        .orderBy("doc_id")),
+
     "doc_tfidf" -> ((s, dir) =>
       // corpus-weighted keywords: top-3 per doc ranked by integer keys
       // (tf desc, rarer df first, token) — the float tf-idf score is

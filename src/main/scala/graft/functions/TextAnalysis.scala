@@ -282,6 +282,68 @@ object TextAnalysis {
         sum(col("__tok")).as("n_tokens"))
   }
 
+  /** First-fit greedy bin packing WITHOUT document straddling — the
+    * SFT-style recipe where a document must not split across training
+    * sequences: docs pack in id order, a new bin opens when the
+    * current one cannot fit the next doc, oversize docs (> seqTokens)
+    * sit in a bin alone (both falls out of one rule: new bin iff
+    * fill + n > seqTokens). Emits (id, n_tokens, bin_id) with
+    * GLOBALLY dense bin ids.
+    *
+    * Exact greedy is a corpus-sequential scan, so the distributed
+    * spelling restarts bins at contiguous-id bucket boundaries
+    * (`idsPerBucket` docs each): waste is bounded by ONE partial bin
+    * per bucket, and each bucket's fold runs as a bounded higher-order
+    * `aggregate` over its collected doc list (state = the doc list —
+    * `idsPerBucket` bounds it, the knob trades restart waste against
+    * per-task fold state). Global bin ids come from the same
+    * two-level base-offset discipline as [[packSequences]]: per-bucket
+    * bin counts cumulate over the bucket-totals frame. Zero-token
+    * docs are excluded (they occupy no sequence). All integers,
+    * engine-exact; the oracle replays the greedy fold as a recursive
+    * CTE. */
+  def packBinsGreedy(df: DataFrame, textCol: String, idCol: String,
+                     seqTokens: Int, idsPerBucket: Long = 4096)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        expr(s"CAST($idCol AS BIGINT) DIV $idsPerBucket").as("__b"))
+      .filter(col("n_tokens") > 0)
+    val outType = "array<struct<id:bigint,n:bigint,bin:bigint>>"
+    // fill starts effectively infinite so the first doc opens bin 0
+    val zero = struct(lit(-1L).as("bin"),
+      lit(Long.MaxValue / 4).as("fill"),
+      array().cast(outType).as("out"))
+    val folded = base.groupBy("__b")
+      .agg(sort_array(collect_list(struct(col("__id"), col("n_tokens"))))
+        .as("__docs"))
+      .withColumn("__packed", aggregate(col("__docs"), zero, (acc, x) => {
+        val n = x.getField("n_tokens")
+        val opens = acc.getField("fill") + n > seqTokens
+        val bin = when(opens, acc.getField("bin") + 1)
+          .otherwise(acc.getField("bin"))
+        struct(bin.as("bin"),
+          when(opens, n).otherwise(acc.getField("fill") + n).as("fill"),
+          concat(acc.getField("out"),
+            array(struct(x.getField("__id").as("id"), n.as("n"),
+              bin.as("bin")))).as("out"))
+      }))
+      .select(col("__b"), col("__packed.out").as("__out"),
+        (col("__packed.bin") + 1).as("__bins"))
+    // two-level dense global bin ids: bucket base = bins in earlier
+    // buckets (bucket-totals frame — planning-sized)
+    val bases = folded.select(col("__b"), col("__bins"))
+      .withColumn("__base", coalesce(sum("__bins").over(
+        Window.partitionBy(WindowKeys.onePartition(col("__b"))).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__base")
+    folded.select(col("__b"), explode(col("__out")).as("__e"))
+      .join(broadcast(bases), Seq("__b"))
+      .select(col("__e.id").as(idCol), col("__e.n").as("n_tokens"),
+        (col("__base") + col("__e.bin")).as("bin_id"))
+  }
+
   /** Corpus-weighted keywords (tf-idf): per-doc term frequency, corpus
     * document frequency from one token-keyed aggregation, top-`k`
     * keywords per doc. The RANKING keys are integers — tf desc, df asc

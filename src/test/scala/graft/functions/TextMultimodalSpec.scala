@@ -265,6 +265,52 @@ class TextMultimodalSpec extends SparkSpec {
       (4L, 3L, 12L, 3L, 3L)))
   }
 
+  test("pack fragmentation: per-pack docs/starts/straddlers/fill, " +
+    "final partial pack included") {
+    // same 5x3-token corpus into 4-token packs (offsets proven above):
+    // pack 0 holds docs 0,1 (1 straddles out); pack 3 is the partial
+    val df5 = (0L to 4L).map(i => (i, "t1 t2 t3")).toDF("doc_id", "text")
+    val out = TextAnalysis.packFragmentation(df5, "text", "doc_id",
+        seqTokens = 4, idsPerBucket = 2)
+      .orderBy("pack_id")
+      .select("pack_id", "n_docs", "n_starts", "n_straddle_in", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 0L, 4L),
+      (1L, 2L, 1L, 1L, 4L),
+      (2L, 2L, 1L, 1L, 4L),
+      (3L, 1L, 1L, 0L, 3L)))  // partial final pack: doc 4's offset 12
+                              // lands exactly on the boundary — a START
+    // fill == seqTokens everywhere but the final pack, by construction
+    assert(out.dropRight(1).forall(_._5 == 4L))
+  }
+
+  test("greedy bin packing: no straddling, fill cap, oversize isolates, " +
+    "dense global ids across bucket restarts") {
+    // bucket 0: docs 0 (3 tok), 1 (2 tok) -> bins 0 [3], 1 [2] (3+2>4)
+    // bucket 1: docs 2 (1), 3 (1) -> one bin [2]; restart proves the
+    // base-offset path (global ids 0,1,2,...)
+    // bucket 2: doc 4 OVERSIZE (6 tok) alone; doc 5 (1) opens a new bin
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b"),
+      (2L, "a"), (3L, "b"),
+      (4L, "a b c d e f"), (5L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.packBinsGreedy(docs, "text", "doc_id",
+        seqTokens = 4, idsPerBucket = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "bin_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 0L), (1L, 2L, 1L),
+      (2L, 1L, 2L), (3L, 1L, 2L),
+      (4L, 6L, 3L), (5L, 1L, 4L)))
+    // invariants: no bin mixes an oversize doc with others; every
+    // non-oversize bin's fill <= seqTokens
+    val byBin = out.groupBy(_._3).values
+    assert(byBin.forall(b =>
+      b.map(_._2).sum <= 4 || (b.size == 1 && b.head._2 > 4)))
+  }
+
   test("tfidf keywords: tf first, rarer df breaks ties, score reported") {
     val df3 = Seq(
       (1L, "apple banana apple zebra"),
