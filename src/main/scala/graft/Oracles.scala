@@ -3406,6 +3406,22 @@ object Oracles {
          |FROM documents d JOIN cum ON cum.v = CAST(d.n_chars AS BIGINT)
          |ORDER BY d.doc_id""".stripMargin),
 
+    // the group-partitioned twin: per-language cumulative over the
+    // (lang, length) histogram, identical integer arithmetic
+    "grouped_percentiles" ->
+      ("""WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         |    count(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT lang, v,
+         |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM h)
+         |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+         |  CAST(cum.cum * 1000 // cum.n AS BIGINT) AS permille
+         |FROM documents d JOIN cum ON cum.lang = d.lang
+         |  AND cum.v = CAST(d.n_chars AS BIGINT)
+         |ORDER BY d.doc_id""".stripMargin),
+
     // exact integer lift per (class, token), HUGEINT floor division
     "class_terms" ->
       (s"""WITH tok AS (SELECT lang AS cls, unnest($toks) AS tok

@@ -4341,6 +4341,18 @@ object Queries {
           col("permille"))
         .orderBy("doc_id")),
 
+    "grouped_percentiles" -> ((s, dir) =>
+      // per-LANGUAGE permille of every doc's length: the group-keyed
+      // twin of score_percentiles — (group x domain)-sized histogram,
+      // group-partitioned cumulative, broadcast (group, value) join
+      // back; length norms per language are the corpus-curation use
+      graft.functions.Quantiles.groupedPercentiles(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars")), "lang", "n_chars")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"), col("permille"))
+        .orderBy("doc_id")),
+
     "class_terms" -> ((s, dir) =>
       // per-language characteristic terms (c-TF-IDF, integer-lift
       // flavor): each language's top-10 over-represented tokens by

@@ -172,6 +172,31 @@ object Quantiles {
     }
   }
 
+  /** Per-group corpus percentile (permille) of every row's integer
+    * metric — [[percentiles]] partitioned by a group column (length
+    * norms per language, score bands per source). The histogram is
+    * (group × value-domain)-sized, the cumulative window partitions by
+    * GROUP (balanced across groups, domain-sized within one), and rows
+    * join their (group, value) permille back — the group-keyed twin of
+    * the threshold family, same "domains in the thousands per group"
+    * contract as [[groupedThreshold]] (one enormous single-group
+    * domain wants [[percentiles]]' adaptive spelling instead). */
+  def groupedPercentiles(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(
+        Window.partitionBy(groupCol).orderBy("__v")))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+      .select(col(groupCol), col("__v"),
+        expr("CAST(__cum * 1000 div __n AS BIGINT)").as("permille"))
+    df.join(broadcast(cum),
+        df(groupCol) === cum(groupCol) &&
+          df(valueCol).cast("long") === cum("__v"))
+      .drop(cum(groupCol)).drop("__v")
+  }
+
   /** Robust per-group outlier gating by MAD (median absolute
     * deviation) — the rule-of-thumb numeric quality gate that, unlike
     * mean±k·σ, a single corrupt extreme value cannot drag: flag rows
