@@ -687,6 +687,26 @@ object StressR11 {
     require(linked >= 1000000L, s"expected >= 10^6 links, got $linked")
     println(s"[stress]   links found: $linked (diagonal + digit neighbors)")
 
+    // 27. no-straddle greedy packing at 10^6 docs: per-bucket fold is
+    // O(idsPerBucket^2) element copies, so total work is
+    // O(N * idsPerBucket) — linear in the corpus at the fixed default
+    // knob; every doc must land in exactly one bin, fills capped
+    val bigDocs = spark.range(1000000L).select(col("id").as("doc_id"),
+      // 50-550 token docs (hash-derived): realistic fill mix vs S=2048
+      concat_ws(" ", transform(sequence(lit(1),
+        (pmod(functions.Hashing.hex8ToLong(col("id").cast("string")),
+          lit(500L)) + 50).cast("int")), _ => lit("tok"))).as("text"))
+    val binned = timed("packBinsGreedy 10^6 docs, S=2048, 512-doc buckets") {
+      val out = functions.TextAnalysis.packBinsGreedy(
+        bigDocs, "text", "doc_id", seqTokens = 2048)
+      out.groupBy("bin_id").agg(sum("n_tokens").as("fill"),
+          count(lit(1)).as("nd"))
+        .agg(count(lit(1)), max("fill"), min("fill")).first()
+    }
+    require(binned.getLong(1) <= 2048L,
+      s"a bin overfilled: ${binned.getLong(1)}")
+    println(s"[stress]   bins=${binned.getLong(0)} maxFill=${binned.getLong(1)}")
+
     // 24. mixture at a 10^7 budget, key-only output
     val corpus = spark.range(2000000).select(col("id").as("doc_id"),
       concat(lit("d"), (col("id") % 16).cast("string")).as("dom"))
