@@ -207,6 +207,23 @@ class JoinsSpec extends SparkSpec {
     assert(viaBroadcast == viaShuffle)
   }
 
+  test("broadcast asof probe: tie times pick the last sorted entry, " +
+    "null right times never match, before-history probes yield null") {
+    val left = Seq((1L, 10L, "at-tie"), (1L, 3L, "before-all"),
+      (1L, 99L, "after-all")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, Some(10L), 1.0), (1L, Some(10L), 2.0),  // tie at t=10
+      (1L, Some(50L), 3.0),
+      (1L, None: Option[Long], 99.0))              // null rt: no match
+      .toDF("k", "t", "v")
+    val out = AsofJoinBroadcast.join(left, right, Seq("k"), "t", "t")
+      .select(col("tag"), col("r_v")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("at-tie") == Some(2.0))   // last sorted tie wins
+    assert(out("before-all").isEmpty)    // only the null-rt entry earlier
+    assert(out("after-all") == Some(3.0))
+  }
+
   test("broadcast asof join never shuffles the left side") {
     val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "tag")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
