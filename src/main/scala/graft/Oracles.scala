@@ -1675,6 +1675,43 @@ object Oracles {
          |SELECT d_key, master_key, dist FROM pairs
          |ORDER BY d_key, master_key""".stripMargin),
 
+    // hash bit 0 picks insert-vs-delete corruption, the next bits the
+    // position; blocks = identity + every 1-char deletion on BOTH
+    // sides (UNION ALL — pair dedup happens in the DISTINCT), builtin
+    // integer Levenshtein gates
+    "entity_match_edit" ->
+      (s"""WITH c AS (SELECT c_custkey, c_name FROM customer),
+         |hp AS (SELECT c_custkey, c_name,
+         |    ${hex8("CAST(c_custkey AS VARCHAR)")} AS h,
+         |    CAST(1 + ((${hex8("CAST(c_custkey AS VARCHAR)")} // 2)
+         |      % length(c_name)) AS INT) AS p
+         |  FROM c),
+         |d AS (SELECT c_custkey + 1000000 AS d_key,
+         |    CASE WHEN h % 2 = 0
+         |      THEN substr(c_name, 1, p - 1) ||
+         |        substr(c_name, p + 1, length(c_name))
+         |      ELSE substr(c_name, 1, p - 1) || 'X' ||
+         |        substr(c_name, p, length(c_name)) END AS d_name
+         |  FROM hp),
+         |db AS (SELECT d_key, d_name, d_name AS block FROM d
+         |  UNION ALL
+         |  SELECT d_key, d_name, substr(d_name, 1, p - 1) ||
+         |      substr(d_name, p + 1, length(d_name)) AS block
+         |    FROM (SELECT d_key, d_name,
+         |        unnest(range(1, length(d_name) + 1)) AS p FROM d)),
+         |mb AS (SELECT c_custkey, c_name, c_name AS block FROM c
+         |  UNION ALL
+         |  SELECT c_custkey, c_name, substr(c_name, 1, p - 1) ||
+         |      substr(c_name, p + 1, length(c_name)) AS block
+         |    FROM (SELECT c_custkey, c_name,
+         |        unnest(range(1, length(c_name) + 1)) AS p FROM c)),
+         |pairs AS (SELECT DISTINCT db.d_key, mb.c_custkey AS master_key,
+         |    CAST(levenshtein(db.d_name, mb.c_name) AS INT) AS dist
+         |  FROM db JOIN mb ON mb.block = db.block
+         |  WHERE levenshtein(db.d_name, mb.c_name) <= 1)
+         |SELECT d_key, master_key, dist FROM pairs
+         |ORDER BY d_key, master_key""".stripMargin),
+
     // struct-max election replayed as a (quality DESC, id ASC) window
     // pick; member counts join back cluster-keyed
     "dedup_elect_skewed" ->

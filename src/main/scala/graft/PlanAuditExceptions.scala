@@ -53,17 +53,110 @@ object PlanAuditExceptions {
     Seq("dbt_run", "drift_report", "funnel", "not_in_subquery",
       "row_counts", "scalar_subquery")
 
-  def all: Map[String, Map[String, String]] =
-    oneRowStatQueries.map(q =>
-      q -> Map(Bnlj -> statFrame, SinglePart -> statFrameAgg)).toMap ++
-    exactBaselines.map { case (q, why) => q -> Map(Bnlj -> why) } ++
-    oneRowAggQueries.map(q => q -> Map(SinglePart -> oneRowAgg)).toMap ++
-    Map(
-      // sketch_kmv attaches the corpus-wide KMV struct (k=256 entries)
-      "sketch_kmv" -> Map(Bnlj ->
-        "one-row KMV sketch frame broadcast (<=k entries by construction)"),
-      // global bounded-heap top-k: only k heap entries per task reach
-      // the final single partition
-      "weighted_sample" -> Map(SinglePart ->
-        "global bounded-heap aggregate: k entries per task, never the corpus"))
+  private def gb(leaf: String) = s"grouped-agg-broadcast($leaf)"
+  private def ub(leaf: String) = s"unbounded-broadcast($leaf)"
+  private val Rel = "LogicalRelation"
+  private val Mem = "InMemoryRelation"
+  private val Loc = "LocalRelation"
+
+  /** C5 (r12, after the audit learned to see hint-forced broadcasts
+    * under AQE): every `broadcast()` hint whose build is bounded by
+    * something the plan walker cannot prove — a contract, a literal
+    * domain, or a runtime measurement. Three hinted sites the review
+    * could NOT bound were fixed instead of listed (q3_join's
+    * corpus-proportional customer side, packSequences/packBinsGreedy's
+    * corpus/bucket-sized offset frames — hints removed, size-based
+    * planning decides). */
+  private val queryFixture =
+    "query-side broadcast by operator contract: the probe/request " +
+      "batch (k rows), never the corpus; the corpus leg stays " +
+      "exchange-free"
+  private val adaptiveSmall =
+    "adaptive small branch: broadcast taken only after the measured " +
+      "histogram cardinality <= 10^6 (hist.count() at plan time); past " +
+      "the limit the (group,value)-keyed shuffle join plans instead " +
+      "(Quantiles r12 guard, StressR12-proven at 10^7)"
+  private val hintedBroadcasts: Map[String, Map[String, String]] = Map(
+    "ann_cosine_topk" -> Map(ub(Rel) -> queryFixture),
+    "ann_lsh_topk" -> Map(ub(Rel) -> queryFixture),
+    "ann_multiprobe" -> Map(ub(Rel) ->
+      (queryFixture + "; probe frame is queries x nprobe rows")),
+    "ann_matryoshka" -> Map(ub(Rel) -> queryFixture),
+    "ann_quantized" -> Map(ub(Rel) -> queryFixture),
+    "ann_pq_topk" -> Map(ub(Rel) ->
+      ("query distance tables: queries x M x 256 rows by construction " +
+        "(corpus ships codes only, never broadcast)")),
+    "ann_ivf_topk" -> Map(ub(s"$Rel+$Mem") ->
+      ("query probes (queries x nprobe) + cached centroid frame " +
+        "(k centroids by construction)")),
+    "asof_join_broadcast" -> Map(gb(Rel) ->
+      ("per-key collapsed state history: the operator's contract is a " +
+        "broadcastable state side (caller-asserted); the shuffle " +
+        "spelling AsofJoin.join is the unbounded-state path, and the " +
+        "point of this one is that the 100TB probe side never shuffles")),
+    "bitext_mine" -> Map(ub(Rel) ->
+      "exact oracle baseline; scale path bitextMineLsh (oracle-gated)"),
+    "bm25_search" -> Map(
+      gb(Loc) -> "query-term frame: one row per distinct QUERY token",
+      gb(s"$Rel+$Loc") ->
+        ("df frame keyed by the query's tokens: query-vocabulary-sized " +
+          "(corpus tokens pruned to the query vocab before the shuffle)")),
+    "classifier_eval" -> Map(gb(Rel) ->
+      "per-class stat frame: one row per label (label-domain-sized)"),
+    "contrastive_pairs" -> Map(ub(Rel) ->
+      "8-query fixture side; positives/negatives are k-bounded"),
+    "decontaminate" -> Map(gb(Rel) ->
+      ("benchmark shingle set: eval-suite-sized by contract — the " +
+        "training corpus side is never broadcast")),
+    "dsir_select" -> Map(gb(Rel) ->
+      "per-feature-hash-bucket weight frame: 2^k rows by construction"),
+    "dsir_weights" -> Map(gb(Rel) ->
+      "per-feature-hash-bucket weight frame: 2^k rows by construction"),
+    "embed_near_dups" -> Map(gb(Rel) ->
+      "bucket keep frame: <= 2^planes sign-LSH bucket keys by construction"),
+    "grouped_mad_outliers" -> Map(gb(Mem) ->
+      ("per-group med/mad one-row frames (groups = lang codes, " +
+        "feature-sized) over the " + adaptiveSmall)),
+    "grouped_percentiles" -> Map(gb(Mem) -> adaptiveSmall),
+    "score_percentiles" -> Map(gb(Mem) -> adaptiveSmall),
+    "hybrid_rrf" -> Map(
+      gb(Loc) -> "query-term frame: one row per distinct QUERY token",
+      gb(s"$Rel+$Loc") ->
+        "df frame keyed by the query's tokens: query-vocabulary-sized",
+      ub(Rel) -> queryFixture),
+    "image_dhash_neardup" -> Map(gb(Rel) ->
+      ("band keep frame: <= 4 x 2^16 (slot, value) keys by the 16-bit " +
+        "band domain")),
+    "incremental_join_view" -> Map(gb(s"$Rel+LogicalRDD") ->
+      ("hot/delta key set: batch-sized by the incremental-maintenance " +
+        "contract (the standing view is never broadcast)")),
+    "nb_classify" -> Map(gb(Rel) ->
+      "class list frame: one row per label (label-domain-sized)"),
+    "semantic_dedup" -> Map(gb(Rel) ->
+      "centroid fit frame: <= k centroid ids by construction"),
+    "temperature_sample" -> Map(gb(Rel) ->
+      "per-domain rate frame: one row per domain label (feature-sized)"),
+    "token_budget_sample" -> Map(gb(Rel) ->
+      "per-domain rate frame: one row per domain label (feature-sized)"))
+
+  def all: Map[String, Map[String, String]] = {
+    val base =
+      oneRowStatQueries.map(q =>
+        q -> Map(Bnlj -> statFrame, SinglePart -> statFrameAgg)).toMap ++
+      exactBaselines.map { case (q, why) => q -> Map(Bnlj -> why) } ++
+      oneRowAggQueries.map(q => q -> Map(SinglePart -> oneRowAgg)).toMap ++
+      Map(
+        // sketch_kmv attaches the corpus-wide KMV struct (k=256 entries)
+        "sketch_kmv" -> Map(Bnlj ->
+          "one-row KMV sketch frame broadcast (<=k entries by construction)"),
+        // global bounded-heap top-k: only k heap entries per task reach
+        // the final single partition
+        "weighted_sample" -> Map(SinglePart ->
+          "global bounded-heap aggregate: k entries per task, never the corpus"))
+    // merge C5 into the base map (several queries carry hits from
+    // both categories)
+    hintedBroadcasts.foldLeft(base) { case (acc, (q, m)) =>
+      acc.updated(q, acc.getOrElse(q, Map.empty) ++ m)
+    }
+  }
 }

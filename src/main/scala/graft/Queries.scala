@@ -517,7 +517,11 @@ object Queries {
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        // no broadcast hint: the filtered customer side is
+        // corpus-PROPORTIONAL (1/5 of customers), so the right plan is
+        // scale-dependent — size-based planning broadcasts it at bench
+        // scale and AQE shuffle-joins it when it outgrows the threshold
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy("l_orderkey")
         .agg(sum(revTerm).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
@@ -1945,6 +1949,34 @@ object Queries {
           col("c_name").substr(p + 1, length(col("c_name")))).as("d_name"))
       EntityMatch.link(dirty, "d_key", "d_name", c, "c_custkey", "c_name",
           EntityMatch.maskBlocker, maxDist = 1)
+        .select(col("d_key"), col("c_custkey").as("master_key"), col("dist"))
+        .orderBy("d_key", "master_key")
+    }),
+
+    "entity_match_edit" -> ((s, dir) => {
+      // indel-robust linkage: per-row hash picks INSERT-or-DELETE
+      // corruption at a hash-derived position — exactly the corruption
+      // class where the position-tagged mask blocker's recall is ZERO
+      // by contract (every position after the edit shifts; law-tested
+      // in EntityMatchSpec). The untagged deletion-neighborhood
+      // blocker (identity + every 1-char deletion, SymSpell-style)
+      // covers the whole edit-distance-1 ball: deleting the inserted
+      // char / the substituted position meets the master's key set.
+      // Neighbor masters one digit apart can also land at distance 1,
+      // so multi-links are part of the contract (and the oracle).
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val h = Hashing.hex8ToLong(col("c_custkey").cast("string"))
+      val len = length(col("c_name"))
+      val p = (pmod(shiftright(h, 1), len.cast("long")) + 1).cast("int")
+      val deleted = concat(col("c_name").substr(lit(1), p - 1),
+        col("c_name").substr(p + 1, len))
+      val inserted = concat(col("c_name").substr(lit(1), p - 1), lit("X"),
+        col("c_name").substr(p, len))
+      val dirty = c.select((col("c_custkey") + 1000000L).as("d_key"),
+        when(pmod(h, lit(2)) === 0, deleted).otherwise(inserted)
+          .as("d_name"))
+      EntityMatch.link(dirty, "d_key", "d_name", c, "c_custkey", "c_name",
+          EntityMatch.deletionBlocker, maxDist = 1)
         .select(col("d_key"), col("c_custkey").as("master_key"), col("dist"))
         .orderBy("d_key", "master_key")
     }),

@@ -733,6 +733,78 @@ object StressR11 {
   }
 }
 
+/** Round-12 scale-cliff closure, runnable alone:
+  * `sbt "runMain graft.StressR12"`.
+  *
+  * 28. The GROUPED histogram family under one hot group with a
+  * 10^7-distinct-value domain (a length-per-source histogram where one
+  * source dominates — trivially real at corpus scale). The r11 spelling
+  * broadcast the (group × domain) cumulative frame (driver OOM) and ran
+  * one group's whole domain through a single group-partitioned window;
+  * the adaptive branch must take the grouped two-level bucketed
+  * cumulative + (group, value)-keyed shuffle joins: no broadcast
+  * exchange anywhere, no SinglePartition, and a window partition never
+  * holds more than ~domain/buckets rows of one group. Exactness is
+  * closed-form on the hot group (v = 2i+1 once each) and on the planted
+  * small group. */
+object StressR12 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // one hot group holding a 10^7-distinct domain + one 1000-row group
+    val n = 10000000L
+    val big = spark.range(n + 1000).select(col("id"),
+      when(col("id") < n, lit("hot")).otherwise(lit("cold")).as("g"),
+      when(col("id") < n, col("id") * 2 + 1)
+        .otherwise((col("id") - n) * 2).as("v"))
+
+    val pct = functions.Quantiles.groupedPercentiles(big, "g", "v",
+      smallDomainLimit = 1000000L, buckets = 256)
+    val plan = pct.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange SinglePartition"),
+      "hot-group groupedPercentiles must not single-partition")
+    require(!plan.contains("BroadcastExchange"),
+      "hot-group groupedPercentiles must not broadcast the cumulative frame")
+    timed(s"groupedPercentiles: hot group $n distinct + cold 1000") {
+      pct.write.format("noop").mode("overwrite").save()
+    }
+    // closed-form: hot v=2i+1 once each => permille=(i+1)*1000 div n;
+    // cold v=2j once each over 1000 rows => permille=(j+1)*1000 div 1000
+    val probe = pct.filter(col("id").isin(0L, n / 2, n - 1, n + 499))
+      .select(col("id"), col("permille"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    require(probe(0L) == 0L && probe(n / 2) == (n / 2 + 1) * 1000 / n
+      && probe(n - 1) == 1000L && probe(n + 499) == 500L,
+      s"grouped permille mismatch: $probe")
+    println(s"[stress]   closed-form grouped permilles verified: $probe")
+
+    // the grouped threshold over the same frame: hot median =
+    // 2*(ceil(n/2)-1)+1, cold median = 2*(500-1)
+    val th = functions.Quantiles.groupedThreshold(big, "g", "v",
+      permille = 500, smallDomainLimit = 1000000L, buckets = 256)
+    val thPlan = th.queryExecution.executedPlan.toString
+    require(!thPlan.contains("Exchange SinglePartition") &&
+      !thPlan.contains("BroadcastExchange"),
+      "hot-group groupedThreshold must not broadcast nor single-partition")
+    val thMap = timed("groupedThreshold: median per group over the same frame") {
+      th.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    require(thMap("hot") == 2 * (n / 2 - 1) + 1 && thMap("cold") == 998L,
+      s"grouped threshold mismatch: $thMap")
+    println(s"[stress]   closed-form grouped thresholds verified: $thMap")
+    spark.stop()
+  }
+}
+
 /** Recall probe for the LSH bitext spelling on a corpus with REAL
   * neighbor structure: corpus B is corpus A jittered ±0.05 per
   * component (cosine ≈ 0.995 to its source — the translation-pair

@@ -46,14 +46,44 @@ object EntityMatch {
     * 225M candidate pairs) vs sub-second for this spelling, whose
     * work is O(length·N) + output-sized verify at any corpus size.
     * (The same 1-deletion index idea as SymSpell spell correction,
-    * Mor & Fraenkel 1982.) Substitution-only by construction:
-    * insert/delete corruption shifts positions and needs shingle
-    * blockers instead. */
+    * Mor & Fraenkel 1982.) SUBSTITUTION-ONLY by construction — this is
+    * a recall CONTRACT, not an implementation detail: insert/delete
+    * corruption shifts every position after the edit, so no mask key
+    * can match and recall on indel corruption is ZERO by design (law-
+    * tested in EntityMatchSpec). Corruption that can insert or delete
+    * characters needs [[deletionBlocker]] instead. */
   def maskBlocker: Column => Column =
     name => transform(sequence(lit(1), length(name)), p =>
       concat_ws("|", p,
         concat(name.substr(lit(1), p - 1), lit("*"),
           name.substr(p + 1, length(name)))))
+
+  /** Deletion-neighborhood blocker over the WHOLE edit-distance-1
+    * ball (substitution, insertion, AND deletion): emit the string
+    * itself plus every 1-character deletion — `length + 1` keys,
+    * deduped (deleting either char of a repeated pair yields the same
+    * string). Recall-COMPLETE for edit distance ≤ 1 of any kind:
+    *   - substitution at p: deleting p from both sides meets in the
+    *     same key;
+    *   - insertion: deleting the inserted char recovers the master
+    *     string = the master's identity key (and symmetrically for
+    *     deletion corruption).
+    * This is the full SymSpell / Mor–Fraenkel 1-deletion index, where
+    * [[maskBlocker]] is its position-TAGGED restriction: the tags make
+    * mask keys collision-free for structured ids but also make them
+    * blind to position shifts. Untagged deletion keys trade slightly
+    * wider blocks (strings identical after SOME deletion — still true
+    * near-dups, never a frequency class, so occupancy stays ~constant
+    * as block cardinality grows with the corpus) for indel recall.
+    * Key payload is O(length^2) bytes per row — sized for match
+    * columns that are NAMES/identifiers (tens of chars), not document
+    * bodies; gate long strings through a fingerprint column first. */
+  def deletionBlocker: Column => Column =
+    name => array_distinct(concat(
+      array(name),
+      transform(sequence(lit(1), length(name)), p =>
+        concat(name.substr(lit(1), p - 1),
+          name.substr(p + 1, length(name))))))
 
   /** Link every dirty row to the master rows within `maxDist`
     * Levenshtein distance, candidates restricted to pairs sharing a

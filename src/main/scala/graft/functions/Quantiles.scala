@@ -103,19 +103,72 @@ object Quantiles {
       .as(Seq("permille", "threshold")))
   }
 
+  /** [[cumTwoLevel]] partitioned by a group column: bucket boundaries
+    * are GLOBAL value cuts (driver-literal approx-quantiles over the
+    * grouped histogram — exactness is invariant to where contiguous
+    * runs are cut, the cuts only balance bucket sizes), the local
+    * cumulative windows on (group, bucket), and the per-(group, bucket)
+    * base offsets come from a cumulative over the bucket-totals frame
+    * windowed per GROUP (≤ `buckets` rows per window partition —
+    * planning-sized regardless of group count or domain). Both joins
+    * are hash-shuffled, never broadcast: the bases frame is
+    * (groups × buckets)-sized and group count is unbounded here. */
+  private def cumTwoLevelGrouped(hist: DataFrame, gCol: String, vCol: String,
+                                 cCol: String, buckets: Int): DataFrame = {
+    val bounds = hist.stat.approxQuantile(vCol,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .map(_.toLong).distinct.sorted
+    val bucketExpr = bounds.zipWithIndex.foldRight(
+        lit(bounds.length): org.apache.spark.sql.Column) {
+      case ((b, i), acc) => when(col(vCol) <= b, i).otherwise(acc) }
+    val parts = hist.withColumn("__b", bucketExpr)
+    val bases = parts.groupBy(col(gCol), col("__b"))
+      .agg(sum(cCol).as("__bt"))
+      .withColumn("__base", coalesce(sum("__bt").over(
+        Window.partitionBy(gCol).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(gCol), col("__b"), col("__base"))
+    parts.withColumn("__local",
+        sum(cCol).over(Window.partitionBy(col(gCol), col("__b")).orderBy(vCol)))
+      .join(bases.hint("shuffle_hash"), Seq(gCol, "__b"))
+      .withColumn("__cum", col("__base") + col("__local"))
+      .drop("__b", "__local", "__base")
+  }
+
   /** Per-group exact quantile threshold (e.g., median length per
     * language): the same count-histogram discipline, partitioned — the
-    * histogram is (group × value-domain)-sized, never row-sized, and
-    * the windows run inside each group's partition. */
+    * histogram is (group × value-domain)-sized, never row-sized.
+    *
+    * Scale-adaptive like [[percentiles]]: up to `smallDomainLimit`
+    * TOTAL (group, value) pairs the cumulative windows partition by
+    * group (bounded by the measured histogram size, so one hot group
+    * can hold at most the global small-domain bound); past it — a hot
+    * group with a 10^7-distinct domain is trivially real in a
+    * length-per-source histogram at corpus scale — the
+    * [[cumTwoLevelGrouped]] bucketed discipline takes over and the
+    * per-group totals join group-keyed, so no window partition ever
+    * holds more than ~domain/buckets rows of one group and nothing
+    * domain-sized is ever broadcast. */
   def groupedThreshold(df: DataFrame, groupCol: String, valueCol: String,
-                       permille: Int): DataFrame = {
+                       permille: Int, smallDomainLimit: Long = 1000000L,
+                       buckets: Int = 256): DataFrame = {
     require(permille >= 0 && permille <= 1000)
+    // persisted because the measured cardinality decides the plan shape
+    // (domain-sized cache, LRU-evicted; same discipline as percentiles)
     val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val cum = hist
-      .withColumn("cum", sum("c").over(
-        Window.partitionBy(groupCol).orderBy("v")))
-      .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
+      .agg(count(lit(1)).as("c")).persist()
+    val cum =
+      if (hist.count() <= smallDomainLimit)
+        hist
+          .withColumn("cum", sum("c").over(
+            Window.partitionBy(groupCol).orderBy("v")))
+          .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
+      else {
+        val n = hist.groupBy(groupCol).agg(sum("c").as("n"))
+        cumTwoLevelGrouped(hist, groupCol, "v", "c", buckets)
+          .withColumnRenamed("__cum", "cum")
+          .join(n.hint("shuffle_hash"), Seq(groupCol))
+      }
     cum.groupBy(groupCol)
       .agg(min(when(col("cum") * 1000 >= col("n") * permille, col("v")))
         .as("threshold"))
@@ -146,6 +199,9 @@ object Quantiles {
     val hist = df.groupBy(col(valueCol).cast("long").as("__v"))
       .agg(count(lit(1)).as("__c")).persist()
     val domain = hist.count()
+    // empty input: sum() aggregates to null, not 0 — return the empty
+    // frame with the output schema instead of tripping on the null
+    if (domain == 0) return df.limit(0).withColumn("permille", lit(0L))
     val n = hist.agg(sum("__c")).first().getLong(0)
     if (domain <= smallDomainLimit) {
       // bounded domain: one explicit single-partition cumulative over
@@ -178,23 +234,41 @@ object Quantiles {
     * (group × value-domain)-sized, the cumulative window partitions by
     * GROUP (balanced across groups, domain-sized within one), and rows
     * join their (group, value) permille back — the group-keyed twin of
-    * the threshold family, same "domains in the thousands per group"
-    * contract as [[groupedThreshold]] (one enormous single-group
-    * domain wants [[percentiles]]' adaptive spelling instead). */
-  def groupedPercentiles(df: DataFrame, groupCol: String,
-                         valueCol: String): DataFrame = {
+    * the threshold family.
+    *
+    * Scale-adaptive like [[percentiles]], on the MEASURED histogram
+    * cardinality: up to `smallDomainLimit` total (group, value) pairs,
+    * group-partitioned cumulative + broadcast (group, value) join;
+    * past it, [[cumTwoLevelGrouped]] + (group, value)-keyed SHUFFLE
+    * joins — a hot group with a 10^7-distinct domain must never ride
+    * a driver broadcast nor a single group-partition window. */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                         smallDomainLimit: Long = 1000000L,
+                         buckets: Int = 256): DataFrame = {
     val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__c"))
-    val cum = hist
-      .withColumn("__cum", sum("__c").over(
-        Window.partitionBy(groupCol).orderBy("__v")))
-      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
-      .select(col(groupCol), col("__v"),
-        expr("CAST(__cum * 1000 div __n AS BIGINT)").as("permille"))
-    df.join(broadcast(cum),
-        df(groupCol) === cum(groupCol) &&
+      .agg(count(lit(1)).as("__c")).persist()
+    if (hist.count() <= smallDomainLimit) {
+      val cum = hist
+        .withColumn("__cum", sum("__c").over(
+          Window.partitionBy(groupCol).orderBy("__v")))
+        .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+        .select(col(groupCol), col("__v"),
+          expr("CAST(__cum * 1000 div __n AS BIGINT)").as("permille"))
+      df.join(broadcast(cum),
+          df(groupCol) === cum(groupCol) &&
+            df(valueCol).cast("long") === cum("__v"))
+        .drop(cum(groupCol)).drop("__v")
+    } else {
+      val n = hist.groupBy(groupCol).agg(sum("__c").as("__n"))
+      val cum = cumTwoLevelGrouped(hist, groupCol, "__v", "__c", buckets)
+        .join(n.hint("shuffle_hash"), Seq(groupCol))
+        .select(col(groupCol).as("__g"), col("__v"),
+          expr("CAST(__cum * 1000 div __n AS BIGINT)").as("permille"))
+      val joined = df.join(cum.hint("shuffle_hash"),
+        df(groupCol) === cum("__g") &&
           df(valueCol).cast("long") === cum("__v"))
-      .drop(cum(groupCol)).drop("__v")
+      joined.drop("__g", "__v")
+    }
   }
 
   /** Robust per-group outlier gating by MAD (median absolute
@@ -206,8 +280,12 @@ object Quantiles {
     *
     * Scale shape: TWO grouped histogram passes (median, then the
     * deviation median) — each (group × value-domain)-sized, never a
-    * per-row sort — plus one broadcast join of the per-group stats
-    * back onto the corpus for the flag projection. */
+    * per-row sort, and each scale-adaptive via [[groupedThreshold]]'s
+    * measured-cardinality branch (a hot group's huge domain takes the
+    * bucketed shuffle path) — plus one broadcast join per stat of the
+    * ONE-ROW-PER-GROUP frames back onto the corpus for the flag
+    * projection (group count = distinct languages/sources — feature
+    * cardinality, not corpus cardinality). */
   def groupedMadOutliers(df: DataFrame, groupCol: String, valueCol: String,
                          k: Int = 3): DataFrame = {
     val med = groupedThreshold(df, groupCol, valueCol, permille = 500)

@@ -241,7 +241,11 @@ object TextAnalysis {
           Window.partitionBy(WindowKeys.onePartition(col("__b"))).orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__b", "__base")
-    local.join(broadcast(offsets), Seq("__b"))
+    // no broadcast hint: the offsets frame is corpus/idsPerBucket rows
+    // — NOT feature-sized (10^11 docs → a multi-GB build). Size-based
+    // planning broadcasts it while it fits and AQE falls back to a
+    // bucket-keyed shuffle join past the threshold.
+    local.join(offsets, Seq("__b"))
       .withColumn("token_offset", col("__base") + col("__local"))
       .select(col(idCol), col("n_tokens"), col("token_offset"),
         expr(s"token_offset DIV $seqTokens").as("pack_first"),
@@ -342,8 +346,10 @@ object TextAnalysis {
         Window.partitionBy(WindowKeys.onePartition(col("__b"))).orderBy("__b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__b", "__base")
+    // un-hinted for the same reason as packSequences' offsets join:
+    // bases is corpus/bucket-sized, not feature-sized
     folded.select(col("__b"), explode(col("__out")).as("__e"))
-      .join(broadcast(bases), Seq("__b"))
+      .join(bases, Seq("__b"))
       .select(col("__e.id").as(idCol), col("__e.n").as("n_tokens"),
         (col("__base") + col("__e.bin")).as("bin_id"))
   }

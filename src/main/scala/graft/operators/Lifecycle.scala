@@ -61,7 +61,13 @@ object Lifecycle {
     *     means LIFTING any exclusion of an added table, never
     *     replacing match-all with include=[added] (which would
     *     silently drop every other table from replication);
-    *   - explicit include list → append the quoted names. */
+    *   - explicit include list → append the quoted names AND lift any
+    *     exclusion of the added tables: exclusions always win over
+    *     include, so a table removed via [[removeTables]] and later
+    *     re-added would otherwise keep its quoted exclude entry — its
+    *     snapshot would load into state while the returned filter
+    *     still rejected its replication events (silent non-replication
+    *     on re-add). */
   def addTables(base: String, pks: Seq[String], filter: TableFilter,
                 added: Seq[(String, DataFrame)]): TableFilter = {
     added.foreach { case (table, snapshot) =>
@@ -70,12 +76,14 @@ object Lifecycle {
     }
     val names = added.map(_._1)
     val quoted = names.map(java.util.regex.Pattern.quote)
+    val lifted = filter.exclude.filterNot(p =>
+      names.contains(p) || quoted.contains(p))
     if (filter.include.isEmpty && filter.exclude.nonEmpty)
-      filter.copy(exclude = filter.exclude.filterNot(p =>
-        names.contains(p) || quoted.contains(p)))
+      filter.copy(exclude = lifted)
     else
       filter.copy(include =
-        (filter.include.filter(_.nonEmpty) ++ quoted).distinct)
+        (filter.include.filter(_.nonEmpty) ++ quoted).distinct,
+        exclude = lifted)
   }
 
   /** Shrink the table set; state dirs are left untouched. Removed

@@ -166,8 +166,18 @@ object CdcStream {
     * LAZILY, per bucket: a drifting batch rewrites only the buckets its
     * keys touch (each bucket dir is homogeneous — it is replaced whole on
     * every rewrite), untouched buckets keep their pre-drift files
-    * byte-identical, and converge to the new schema whenever a later
-    * batch touches them. The read paths ([[readState]], the merge's own
+    * byte-identical, and converge to the new schema when a later batch
+    * CARRYING the drifted columns touches them — directly, or via the
+    * schema-merging affected-bucket read whenever any co-touched bucket
+    * already migrated. A later batch that touches ONLY lagging buckets
+    * and itself lacks the drifted column rewrites them still without
+    * it: disk schemas may lag the meta's logical union indefinitely,
+    * by design — reads stay correct (mergeSchema + null backfill), and
+    * projecting every rewrite to the meta union would require the meta
+    * to carry column TYPES for columns absent from the live frame
+    * (parquet cannot write an untyped all-null column), i.e. a full
+    * DDL catalog the reference also does not keep per-sink. The read
+    * paths ([[readState]], the merge's own
     * affected-bucket read) are schema-merging, so lagging buckets
     * surface null for columns they predate — Delta mergeSchema
     * semantics without a stop-the-world rewrite, which at 100 TB of

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   * yields NULL.
   */
 case class SortedAsofPickExpr(hist: Expression, t: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def left: Expression = hist
   override def right: Expression = t
@@ -78,6 +78,55 @@ case class SortedAsofPickExpr(hist: Expression, t: Expression)
     }
     if (lo - 1 < start) null else arr.getStruct(lo - 1, nFields)
   }
+
+  /** Generated twin of [[nullSafeEval]]: both binary-search loops
+    * emitted inline over the ArrayData, so the probe stays inside
+    * whole-stage codegen instead of forcing the stage interpreted
+    * (the CodegenFallback predecessor ran the search boxed per row —
+    * the graft_dot playbook says the generated spelling is worth it). */
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, tv) => {
+      val n = ctx.freshName("n")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val start = ctx.freshName("start")
+      val mid = ctx.freshName("mid")
+      val row = ctx.freshName("row")
+      val mt = ctx.freshName("mt")
+      val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+      val timeJava = CodeGenerator.javaType(timeType)
+      s"""
+         |final int $n = $arr.numElements();
+         |int $lo = 0;
+         |int $hi = $n;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($arr.getStruct($mid, $nFields).isNullAt(0)) {
+         |    $lo = $mid + 1;
+         |  } else {
+         |    $hi = $mid;
+         |  }
+         |}
+         |final int $start = $lo;
+         |$hi = $n;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  $rowCls $row = $arr.getStruct($mid, $nFields);
+         |  $timeJava $mt = ${CodeGenerator.getValue(row, timeType, "0")};
+         |  if (${ctx.genComp(timeType, mt, tv)} <= 0) {
+         |    $lo = $mid + 1;
+         |  } else {
+         |    $hi = $mid;
+         |  }
+         |}
+         |if ($lo - 1 < $start) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $arr.getStruct($lo - 1, $nFields);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): SortedAsofPickExpr = copy(l, r)

@@ -57,6 +57,87 @@ class EntityMatchSpec extends SparkSpec {
     assert(out == Set((10L, 1L, 1), (10L, 2L, 1), (11L, 3L, 1)))
   }
 
+  test("LAW: maskBlocker recall on insert/delete corruption is ZERO — " +
+    "the documented contract failure, not a silent one") {
+    // mask keys preserve the string's LENGTH, so keys of strings whose
+    // lengths differ can never collide: indel recall is exactly zero
+    // by construction (the scaladoc's "substitution-only" contract).
+    def keys(s: String): Set[String] =
+      (1 to s.length).map(p =>
+        s"$p|${s.substring(0, p - 1)}*${s.substring(p)}").toSet
+    val rnd = new scala.util.Random(7)
+    val alpha = ('a' to 'z') ++ ('0' to '9')
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(2 + rnd.nextInt(20))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val pIns = rnd.nextInt(a.length + 1)
+      val ins = a.substring(0, pIns) +
+        alpha(rnd.nextInt(alpha.length)) + a.substring(pIns)
+      val pDel = rnd.nextInt(a.length)
+      val del = a.substring(0, pDel) + a.substring(pDel + 1)
+      assert((keys(a) & keys(ins)).isEmpty, s"a=$a ins=$ins")
+      assert((keys(a) & keys(del)).isEmpty, s"a=$a del=$del")
+    }
+  }
+
+  test("deletionBlocker: recall-COMPLETE over the whole edit-distance-1 " +
+    "ball (substitution, insertion, deletion), 500 seeded cases") {
+    // driver-side twin: identity + every 1-char deletion, deduped
+    def keys(s: String): Set[String] =
+      Set(s) ++ (0 until s.length).map(p =>
+        s.substring(0, p) + s.substring(p + 1))
+    val rnd = new scala.util.Random(13)
+    val alpha = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')
+    for (i <- 1 to 500) {
+      val a = Seq.fill(2 + rnd.nextInt(28))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val b = i % 3 match {
+        case 0 => // substitution
+          val p = rnd.nextInt(a.length)
+          val c = Iterator.continually(alpha(rnd.nextInt(alpha.length)))
+            .dropWhile(_ == a(p)).next()
+          a.updated(p, c)
+        case 1 => // insertion
+          val p = rnd.nextInt(a.length + 1)
+          a.substring(0, p) + alpha(rnd.nextInt(alpha.length)) +
+            a.substring(p)
+        case _ => // deletion
+          val p = rnd.nextInt(a.length)
+          a.substring(0, p) + a.substring(p + 1)
+      }
+      assert((keys(a) & keys(b)).nonEmpty, s"a=$a b=$b")
+    }
+  }
+
+  test("deletionBlocker column expression agrees with the driver-side " +
+    "twin (distinct keys, identity included)") {
+    val df = Seq("Customer#000000042", "x", "aab").toDF("name")
+      .withColumn("k", EntityMatch.deletionBlocker(col("name")))
+    val got = df.select("name", "k").as[(String, Seq[String])]
+      .collect().toMap
+    def keys(s: String): Seq[String] =
+      (s +: (0 until s.length).map(p =>
+        s.substring(0, p) + s.substring(p + 1))).distinct
+    got.foreach { case (n, ks) => assert(ks == keys(n), n) }
+    // repeated chars: deleting either 'a' of "aab" is ONE key
+    assert(got("aab").toSet == Set("aab", "ab", "aa"))
+  }
+
+  test("link with deletionBlocker finds insert- and delete-corrupted " +
+    "pairs the mask blocker misses") {
+    val master = Seq((1L, "alpha"), (2L, "gamma")).toDF("m_key", "m_name")
+    val dirty = Seq((10L, "alpXha"), (11L, "gmma"), (12L, "zzzzz"))
+      .toDF("d_key", "d_name")
+    val masked = EntityMatch.link(dirty, "d_key", "d_name",
+        master, "m_key", "m_name", EntityMatch.maskBlocker, maxDist = 1)
+      .count()
+    assert(masked == 0L) // the documented indel blindness
+    val out = EntityMatch.link(dirty, "d_key", "d_name",
+        master, "m_key", "m_name", EntityMatch.deletionBlocker, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((10L, 1L, 1), (11L, 2L, 1)))
+  }
+
   test("suffixBlocker: single block of the name's last n chars") {
     val df = Seq("Customer#000000042").toDF("name")
       .select(EntityMatch.suffixBlocker(5)(col("name")).as("b"))

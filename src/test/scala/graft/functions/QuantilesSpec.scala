@@ -83,4 +83,42 @@ class QuantilesSpec extends SparkSpec {
       .select("permille").distinct().as[Long].collect()
     assert(got.toSeq == Seq(1000L))
   }
+
+  test("percentiles: empty input returns the empty frame with the " +
+    "permille column instead of tripping on the null total") {
+    val empty = spark.range(10).select(col("id").as("doc"),
+      (col("id") * 2).as("v")).filter(col("v") < 0)
+    val out = Quantiles.percentiles(empty, "v")
+    assert(out.columns.contains("permille"))
+    assert(out.count() == 0L)
+  }
+
+  test("grouped family: the high-cardinality path equals the grouped-" +
+    "window path exactly and never broadcasts nor single-partitions") {
+    // two groups with different value scales, irregular duplication
+    val df = spark.range(20000).select(col("id").as("doc"),
+        concat(lit("g"), (col("id") % 3).cast("string")).as("g"),
+        (col("id") * 3 + col("id") % 3).as("v"),
+        explode(sequence(lit(1), (col("id") % 5 + 1).cast("int"))).as("__d"))
+      .drop("__d")
+    val small = Quantiles.groupedPercentiles(df, "g", "v")
+      .select("doc", "g", "v", "permille")
+    val large = Quantiles.groupedPercentiles(df, "g", "v",
+      smallDomainLimit = 10L, buckets = 8)
+      .select("doc", "g", "v", "permille")
+    assert(small.count() == df.count())
+    assert(small.exceptAll(large).isEmpty && large.exceptAll(small).isEmpty)
+    val plan = large.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("BroadcastExchange"), plan)
+
+    val tSmall = Quantiles.groupedThreshold(df, "g", "v", permille = 500)
+    val tLarge = Quantiles.groupedThreshold(df, "g", "v", permille = 500,
+      smallDomainLimit = 10L, buckets = 8)
+    assert(tSmall.exceptAll(tLarge).isEmpty &&
+      tLarge.exceptAll(tSmall).isEmpty)
+    val tPlan = tLarge.queryExecution.executedPlan.toString
+    assert(!tPlan.contains("Exchange SinglePartition"), tPlan)
+    assert(!tPlan.contains("BroadcastExchange"), tPlan)
+  }
 }

@@ -238,6 +238,42 @@ class JoinsSpec extends SparkSpec {
       "left side must not shuffle:\n" + plan)
   }
 
+  test("broadcast asof probe is GENERATED code: compiles with codegen " +
+    "fallback disabled, stays in whole-stage codegen, and the generated " +
+    "binary search agrees with the interpreted eval") {
+    val left = graft.Tables.load(spark, sf(), "events")
+      .filter(col("event_id") % 5 =!= 0)
+      .select("user_id", "ts", "event_id")
+    val right = graft.Tables.load(spark, sf(), "events")
+      .filter(col("event_id") % 5 === 0)
+      .groupBy("user_id", "ts").agg(max(col("value")).as("state"))
+    def run() = AsofJoinBroadcast.join(left, right, Seq("user_id"),
+        "ts", "ts")
+      .select("event_id", "r_state", "r_ts").collect()
+      .map(_.toString).sorted.toSeq
+    // fallback OFF: a doGenCode that fails janino compilation would
+    // throw here instead of silently running interpreted
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val generated = try run()
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // the probe projection must sit INSIDE a WholeStageCodegen span
+    // (its plan line carries the `*(n)` codegen marker) — on the FINAL
+    // AQE plan: codegen spans only appear once stages have run
+    val df = AsofJoinBroadcast.join(left, right, Seq("user_id"),
+      "ts", "ts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val probeLine = plan.linesIterator
+      .find(_.contains("graft_asof_pick")).getOrElse("")
+    assert("""\*\(\d+\) Project""".r.findFirstIn(probeLine).nonEmpty,
+      "probe projection fell out of whole-stage codegen:\n" + plan)
+    // interpreted twin (whole-stage codegen off => nullSafeEval path)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = try run()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(generated == interpreted)
+  }
+
   test("range join bucketization equals the naive inequality join") {
     val pts = (1 to 500).map(i => (i.toLong % 7, i.toDouble)).toDF("g", "p")
     val ivs = Seq((0L, 10.0, 40.0, "A"), (0L, 35.0, 36.0, "tiny"),

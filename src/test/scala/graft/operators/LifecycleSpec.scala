@@ -74,6 +74,26 @@ class LifecycleSpec extends SparkSpec {
     assert(TableFilter(exclude = f2.exclude).matches("pubXorders"))
   }
 
+  test("re-adding a previously removed table under an explicit include " +
+    "list lifts its exclusion (the filter must ADMIT what it loads)") {
+    clean()
+    var f = Lifecycle.addTables(base, Seq("k"), TableFilter(),
+      Seq("a" -> Seq((1L, "a1")).toDF("k", "v"),
+          "b" -> Seq((10L, "b1")).toDF("k", "v")))
+    f = Lifecycle.removeTables(f, Seq("b"))
+    assert(!f.matches("b"))
+    // re-add: exclusions win over include, so the quoted exclude entry
+    // must be lifted or b's events would silently drop while its
+    // snapshot reloads — the r12 ADVICE bug
+    f = Lifecycle.addTables(base, Seq("k"), f,
+      Seq("b" -> Seq((10L, "b1-re")).toDF("k", "v")))
+    assert(f.matches("b") && f.matches("a") && !f.matches("c"))
+    val applied = Lifecycle.applyBatch(
+      env(Seq((11L, "b2")), "b", E.Insert, 8L), base, Seq("k"), f)
+    assert(applied == Seq("b"))
+    assert(state("b") == Set((10L, "b1-re"), (11L, "b2")))
+  }
+
   test("addTables on a match-all-except filter widens by lifting the " +
     "exclusion, never narrowing include") {
     clean()
