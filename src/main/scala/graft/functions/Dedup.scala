@@ -162,9 +162,16 @@ object Dedup {
 
   /** MinHash signature: sig[j] = min over shingles of h_j(hash(shingle)).
     * Computed as a per-row expression — zero shuffle until the band
-    * join; bulk scoring uses the explode form in [[lshBands]]. */
+    * join; bulk scoring uses the explode form in [[lshBands]].
+    *
+    * Shingles are DEDUPED before hashing: the min-reduction is
+    * duplicate-blind (min over the multiset == min over the set), so
+    * repeated shingles — common in real text — would only repeat the
+    * md5, the family's dominant CPU cost. Value-identical in any
+    * engine for the same reason. */
   def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
-    val hs = transform(shingles(text, shingleN), s => Hashing.hex8ToLong(s))
+    val hs = transform(array_distinct(shingles(text, shingleN)),
+      s => Hashing.hex8ToLong(s))
     transform(sequence(lit(0), lit(k - 1)), j =>
       array_min(transform(hs, h =>
         pmod(h * (j * 2 + 1) + pmod(j * lit(MinhashB), lit(MinhashP)),
@@ -187,8 +194,11 @@ object Dedup {
     // one row per shingle, k hash columns per row, k map-side-combined
     // min aggregates: a single shuffle keyed on the doc id, row count
     // = shingle count (not k * shingles)
+    // deduped before the explode: the per-doc min is duplicate-blind,
+    // so repeated shingles only repeat the md5 (the dominant cost) and
+    // inflate the aggregation input — value-identical either way
     val sh = df.select(col(idCol),
-      explode(shingles(col(textCol), shingleN)).as("__s"))
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("__s"))
     val hashed = sh.select(
       (col(idCol) +: {
         val h = Hashing.hex8ToLong(col("__s"))

@@ -497,17 +497,29 @@ object TextAnalysis {
 
   // ---------------- BPE tokenizer training ----------------
 
-  /** A corpus as BPE symbol strings: one row per word occurrence, the
-    * word's characters joined by single spaces (the classic BPE
-    * working form — a merge rewrites `a b` → `ab` in place). */
+  /** A corpus as BPE symbol strings: one row per DISTINCT word with
+    * its occurrence count, the word's characters joined by single
+    * spaces (the classic BPE working form — a merge rewrites `a b` →
+    * `ab` in place). BPE is word-identity-based: every occurrence of a
+    * word tokenizes identically, so the merge-rewrite chain and the
+    * pair statistics run over the VOCABULARY (Zipf: orders of
+    * magnitude below the occurrence count) with `__wc` carrying each
+    * word's weight — value-identical to the per-occurrence spelling
+    * (a weighted sum over distinct words IS the occurrence count),
+    * measured 16x at fresh-sf10 where the occurrence frame made
+    * bpe_apply the worst-ratio bench row. One extra word-keyed
+    * aggregation buys occurrence-scale → vocab-scale CPU for the
+    * whole merge chain. */
   private def symbolFrame(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) >= 1)
-      .select(concat_ws(" ", split(col("__w"), "")).as("sym"))
+      .groupBy("__w").agg(count(lit(1)).as("__wc"))
+      .select(concat_ws(" ", split(col("__w"), "")).as("sym"), col("__wc"))
 
-  /** Adjacent-symbol-pair counts of a symbol frame — the statistic a
-    * BPE trainer maximizes each round. Pure explode → map-side-combined
-    * count; the aggregate is pair-vocabulary-sized, never corpus-sized. */
+  /** Adjacent-symbol-pair counts of a symbol frame, occurrence-weighted
+    * — the statistic a BPE trainer maximizes each round. Pure explode →
+    * map-side-combined sum; the aggregate is pair-vocabulary-sized,
+    * never corpus-sized. */
   private def pairCounts(syms: DataFrame): DataFrame = {
     val parts = split(col("sym"), " ")
     val pairs = bindOnce(parts)(a =>
@@ -515,8 +527,8 @@ object TextAnalysis {
         transform(sequence(lit(0), size(a) - 2),
           i => concat_ws(" ", element_at(a, i + 1), element_at(a, i + 2))))
         .otherwise(array().cast("array<string>")))
-    syms.select(explode(pairs).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    syms.select(explode(pairs).as("pair"), col("__wc"))
+      .groupBy("pair").agg(sum("__wc").as("cnt"))
   }
 
   /** Top-k adjacent character-pair counts over the corpus — BPE
@@ -554,7 +566,8 @@ object TextAnalysis {
         val cnt = top(0).getLong(1)
         out += ((round, pair, cnt))
         syms = syms.select(replace(col("sym"), lit(pair),
-          lit(pair.replace(" ", ""))).as("sym")).localCheckpoint()
+            lit(pair.replace(" ", ""))).as("sym"), col("__wc"))
+          .localCheckpoint()
       }
     }
     out.toSeq.toDF("round", "pair", "cnt")
@@ -568,10 +581,10 @@ object TextAnalysis {
                merges: Seq[String]): DataFrame = {
     val syms = merges.foldLeft(symbolFrame(df, textCol)) { (acc, pair) =>
       acc.select(replace(col("sym"), lit(pair),
-        lit(pair.replace(" ", ""))).as("sym"))
+        lit(pair.replace(" ", ""))).as("sym"), col("__wc"))
     }
-    syms.select(explode(split(col("sym"), " ")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    syms.select(explode(split(col("sym"), " ")).as("token"), col("__wc"))
+      .groupBy("token").agg(sum("__wc").as("cnt"))
   }
 
   /** Collocation mining by LIFT — PMI's argument without its log:

@@ -136,12 +136,23 @@ object PlanAudit {
     val qe = df.queryExecution
     val planStr = qe.executedPlan.toString
     val stringHits = Flags.filter(planStr.contains)
-    val windowHits = qe.optimizedPlan.collectWithSubqueries {
+    // windows inside CACHED subplans hide behind InMemoryRelation
+    // leaves of the logical plan — walk their physical cachedPlan too
+    // (WindowExec there), or a persisted operator could smuggle an
+    // unpartitioned window past the audit
+    val cachedWindowHits = qe.optimizedPlan.collectWithSubqueries {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.cachedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => "unpartitioned-window"
+        }
+    }.flatten
+    val windowHits = (qe.optimizedPlan.collectWithSubqueries {
       case w: logical.Window if w.partitionSpec.isEmpty =>
         "unpartitioned-window"
       case w: logical.WindowGroupLimit if w.partitionSpec.isEmpty =>
         "unpartitioned-window"
-    }.distinct
+    } ++ cachedWindowHits).distinct
     // hint-FORCED broadcasts only: the optimizer folds broadcast()
     // hints into the owning Join's JoinHint, so the logical plan is
     // where forced-vs-chosen is decidable. (An earlier spelling walked

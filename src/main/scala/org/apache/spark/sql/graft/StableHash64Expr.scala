@@ -33,11 +33,22 @@ case class StableHash64Expr(child: Expression)
 }
 
 object StableHash64Expr {
+  // one digest per task thread, reset per call: getInstance("MD5") is
+  // a synchronized provider lookup + allocation, and this hash runs
+  // once per SHINGLE in the minhash family — the per-row lookup was
+  // measurable across the whole dedup/sampling bench tier (same fix
+  // MaskPreserveExpr got in r11)
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 4 md5 bytes as an unsigned 32-bit value in a Long — equals
     * `CAST(('0x'||substr(md5(x),1,8)) AS BIGINT)` in any engine. */
   def hash(s: UTF8String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes)
+    val m = md5.get()
+    m.reset()
+    val d = m.digest(s.getBytes)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
