@@ -801,6 +801,33 @@ object StressR12 {
     require(thMap("hot") == 2 * (n / 2 - 1) + 1 && thMap("cold") == 998L,
       s"grouped threshold mismatch: $thMap")
     println(s"[stress]   closed-form grouped thresholds verified: $thMap")
+
+    // 29. deletion-neighborhood (indel) entity match at 10^6 structured
+    // names — the r12 blocker covering the whole edit-distance-1 ball:
+    // per-row hash picks INSERT or DELETE corruption at a hash position
+    // (the class where the masked blocker's recall is zero by
+    // contract). Same constant-prefix name shape that degenerated
+    // q-gram blocking; block occupancy stays true-near-dup-sized, so
+    // 10^6 x 10^6 must link in seconds, every dirty row to its master.
+    val names = spark.range(1000000L).select(col("id").as("c_custkey"),
+      concat(lit("User#"), lpad(col("id").cast("string"), 9, "0"))
+        .as("c_name"))
+    val h = functions.Hashing.hex8ToLong(col("c_custkey").cast("string"))
+    val nameLen = length(col("c_name"))
+    val pPos = (pmod(shiftright(h, 1), nameLen.cast("long")) + 1).cast("int")
+    val deleted = concat(col("c_name").substr(lit(1), pPos - 1),
+      col("c_name").substr(pPos + 1, nameLen))
+    val inserted = concat(col("c_name").substr(lit(1), pPos - 1), lit("X"),
+      col("c_name").substr(pPos, nameLen))
+    val dirtyNames = names.select((col("c_custkey") + 10000000L).as("d_key"),
+      when(pmod(h, lit(2)) === 0, deleted).otherwise(inserted).as("d_name"))
+    val linked = timed("entity match (deletion blocker, indel) 10^6 x 10^6") {
+      functions.EntityMatch.link(dirtyNames, "d_key", "d_name",
+        names, "c_custkey", "c_name",
+        functions.EntityMatch.deletionBlocker, maxDist = 1).count()
+    }
+    require(linked >= 1000000L, s"expected >= 10^6 indel links, got $linked")
+    println(s"[stress]   indel links found: $linked (diagonal + neighbors)")
     spark.stop()
   }
 }
