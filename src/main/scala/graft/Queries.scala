@@ -4147,6 +4147,26 @@ object Queries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
+    "containment_join" -> ((s, dir) => {
+      // DIRECTIONAL near-dup: each doc gets a planted "quote" (its
+      // first third of tokens, id + 10^6) — a contained excerpt whose
+      // symmetric Jaccard vs its source is far below any useful
+      // threshold while its CONTAINMENT is 1.0. The asymmetric prefix
+      // filter must find every (quote -> source) pair exactly at
+      // θ = 0.8; the oracle replays the all-pairs answer, so the
+      // filter's losslessness is what the hash-match proves.
+      val d = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val tk = TextAnalysis.tokens(col("text"))
+      val quotes = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(tk, lit(1),
+          floor((size(tk) + lit(2)) / lit(3)).cast("int")), " ").as("text"))
+      Dedup.prefixContainmentPairs(d.unionByName(quotes), "text", "doc_id",
+          shingleN = 3, theta = 0.8)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     "label_propagation" -> ((s, dir) => {
       // community detection where connected components is too coarse:
       // decade stars (9 leaves -> head) weakly CHAINED head-to-head —

@@ -828,6 +828,42 @@ object StressR12 {
     }
     require(linked >= 1000000L, s"expected >= 10^6 indel links, got $linked")
     println(s"[stress]   indel links found: $linked (diagonal + neighbors)")
+
+    // 30. containment join at 100k docs with a UNIVERSAL hot shingle:
+    // every doc opens with the same 3 common tokens (one shingle with
+    // df = corpus — the B-side posts it in full), and every 10th doc
+    // has a planted quote of its 6 RARE tokens. The asymmetric prefix
+    // filter must stay bounded — prefixes are rarity-ordered, so the
+    // universal shingle never enters any prefix and its corpus-length
+    // posting list meets zero candidates — and recover EXACTLY the
+    // 10^4 (quote -> source) pairs at containment 1.0 (sources do not
+    // link back: 4 of 7 shingles < θ).
+    val cdocs = spark.range(100000L).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("common0"), lit("common1"), lit("common2"),
+        concat(lit("r"), col("id"), lit("x0")),
+        concat(lit("r"), col("id"), lit("x1")),
+        concat(lit("r"), col("id"), lit("x2")),
+        concat(lit("r"), col("id"), lit("x3")),
+        concat(lit("r"), col("id"), lit("x4")),
+        concat(lit("r"), col("id"), lit("x5"))).as("text"))
+    val quotes = cdocs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("r"), col("doc_id"), lit("x0")),
+          concat(lit("r"), col("doc_id"), lit("x1")),
+          concat(lit("r"), col("doc_id"), lit("x2")),
+          concat(lit("r"), col("doc_id"), lit("x3")),
+          concat(lit("r"), col("doc_id"), lit("x4")),
+          concat(lit("r"), col("doc_id"), lit("x5"))).as("text"))
+    val contained = timed("containment join 110k docs, universal hot shingle") {
+      functions.Dedup.prefixContainmentPairs(
+        cdocs.unionByName(quotes), "text", "doc_id",
+        shingleN = 3, theta = 0.8)
+        .filter(col("id_a") >= 1000000L).count()
+    }
+    require(contained == 10000L,
+      s"expected exactly 10^4 quote links, got $contained")
+    println(s"[stress]   containment links: $contained (exact planted set)")
     spark.stop()
   }
 }

@@ -533,6 +533,61 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered CONTAINMENT self-join — the DIRECTIONAL twin of
+    * [[prefixJaccardPairs]] for quote/aggregator dedup: pairs where
+    * `|A ∩ B| / |A| ≥ θ` over distinct shingle sets (A mostly inside
+    * B), which symmetric Jaccard misses by construction — a 50-token
+    * quote inside a 5000-token page sits at J ≈ 0.01 with containment
+    * 1.0, and keeping exactly one of the pair is the classic
+    * aggregator/boilerplate-page cleanup.
+    *
+    * Candidate completeness at θ (asymmetric prefix filter, the
+    * containment member of the AllPairs/PPJoin family): if
+    * `|A∩B| ≥ ⌈θ|A|⌉`, the intersection cannot fit inside A's last
+    * `⌈θ|A|⌉ − 1` tokens of the global (df asc, shingle asc) order, so
+    * A's PREFIX of length `|A| − ⌈θ|A|⌉ + 1` must share a token with
+    * B — indexing A-prefixes against B's FULL postings is lossless.
+    * The B side posting everything is what containment costs over
+    * Jaccard; it stays bounded because prefixes favor RARE shingles,
+    * so a hot shingle's long posting list meets only the few prefixes
+    * that kept it (the PPJoin argument), and the exact verify is
+    * candidate-keyed like [[prefixJaccardPairs]] — never a per-shingle
+    * pair explosion. Returns DIRECTED pairs (id_a contained in id_b,
+    * id_a != id_b) with the exact containment. */
+  def prefixContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                             shingleN: Int = 3,
+                             theta: Double = 0.8): DataFrame = {
+    require(theta > 0 && theta <= 1, "theta in (0, 1]")
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df"), col("s"))
+    val ranked = sh.join(dfreq, "s")
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val prefix = ranked
+      .filter(col("__rk") <= col("__n") - ceil(lit(theta) * col("__n")) + 1)
+      .select(col("id").as("id_a"), col("s"))
+    val cands = prefix
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= theta)
+      .select("id_a", "id_b", "containment")
+  }
+
   // ---------------- embedding near-dup ----------------
 
   /** Near-duplicate pairs by embedding cosine within LSH buckets (see

@@ -167,6 +167,51 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containment join equals the naive all-pairs answer at every " +
+    "threshold (asymmetric prefix-filter losslessness)") {
+    // naive directed all-pairs containment over distinct shingle sets,
+    // computed without any filter
+    def naive(theta: Double): Seq[Seq[Any]] = {
+      val sh = docs.select(col("doc_id").as("id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 3))).as("s"))
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      sh.select(col("id").as("id_a"), col("s"))
+        .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")),
+          Seq("id_a"))
+        .withColumn("containment",
+          col("inter").cast("double") / col("n_a"))
+        .filter(col("containment") >= theta)
+        .select("id_a", "id_b", "containment")
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    }
+    for (theta <- Seq(0.3, 0.6, 0.8, 1.0)) {
+      val viaPrefix = Dedup.prefixContainmentPairs(docs, "text", "doc_id",
+          shingleN = 3, theta = theta)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(viaPrefix == naive(theta), s"theta=$theta")
+    }
+  }
+
+  test("containment catches a quote-in-page pair symmetric Jaccard " +
+    "misses, and is directional") {
+    val page = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, page), (2L, quote),
+      (3L, "completely unrelated text body here")).toDF("doc_id", "text")
+    // the quote's shingles are all inside the page: containment 1.0
+    val cont = Dedup.prefixContainmentPairs(corpus, "text", "doc_id",
+        shingleN = 3, theta = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((2L, 1L, 1.0))) // directed: quote -> page only
+    // symmetric Jaccard at the same threshold sees nothing
+    val jac = Dedup.prefixJaccardPairs(corpus, "text", "doc_id",
+      shingleN = 3, theta = 0.8).count()
+    assert(jac == 0L)
+  }
+
   test("prefix filter indexes strictly fewer postings than the full index") {
     // a shared hot token everywhere, rare tokens distinguishing docs:
     // prefixes (rarity-ordered) skip the hot token for most docs
