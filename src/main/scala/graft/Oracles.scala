@@ -14,6 +14,36 @@ object Oracles {
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** IVF probe replay, shared by ann_ivf_topk and ann_ivf_incremental
+    * (the incremental index's contract is answer-equality with the
+    * one-shot search). */
+  private lazy val annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |seeds AS (SELECT vec_id, v FROM e
+         |  ORDER BY ${hex8("CAST(vec_id AS VARCHAR)")} LIMIT 4),
+         |cents AS (SELECT row_number() OVER (ORDER BY v[1]) - 1 AS centroid_id, v AS cv FROM seeds),
+         |ac AS (SELECT e.vec_id, c.centroid_id,
+         |  round(list_dot_product(e.v, c.cv) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sc
+         |FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM ac)
+         |  WHERE rk = 1),
+         |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk
+         |  FROM ac WHERE vec_id < 10) WHERE rk <= 2),
+         |s AS (SELECT p.query_id, a.neighbor_id,
+         |  round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
+         |FROM probes p JOIN assign a USING (centroid_id)
+         |JOIN e q ON q.vec_id = p.query_id
+         |JOIN e c ON c.vec_id = a.neighbor_id
+         |WHERE a.neighbor_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+
+
   private val ordersKindSql =
     "CASE WHEN o_orderkey % 7 = 0 THEN 'delete' " +
       "WHEN o_orderkey % 3 = 0 THEN 'update' ELSE 'insert' END"
@@ -1984,31 +2014,11 @@ object Oracles {
          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rk FROM s)
          |SELECT vec_id, centroid_id, score FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin),
 
-    "ann_ivf_topk" ->
-      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |seeds AS (SELECT vec_id, v FROM e
-         |  ORDER BY ${hex8("CAST(vec_id AS VARCHAR)")} LIMIT 4),
-         |cents AS (SELECT row_number() OVER (ORDER BY v[1]) - 1 AS centroid_id, v AS cv FROM seeds),
-         |ac AS (SELECT e.vec_id, c.centroid_id,
-         |  round(list_dot_product(e.v, c.cv) /
-         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sc
-         |FROM e CROSS JOIN cents c),
-         |assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk FROM ac)
-         |  WHERE rk = 1),
-         |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, centroid_id) AS rk
-         |  FROM ac WHERE vec_id < 10) WHERE rk <= 2),
-         |s AS (SELECT p.query_id, a.neighbor_id,
-         |  round(list_dot_product(q.v, c.v) /
-         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS score
-         |FROM probes p JOIN assign a USING (centroid_id)
-         |JOIN e q ON q.vec_id = p.query_id
-         |JOIN e c ON c.vec_id = a.neighbor_id
-         |WHERE a.neighbor_id <> p.query_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
-         |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin),
+    "ann_ivf_topk" -> annIvfSql,
+
+    // the incremental index must answer EXACTLY like the one-shot IVF
+    // over the union of all appended batches — same oracle by design
+    "ann_ivf_incremental" -> annIvfSql,
 
     // the same correlation as plain SQL: CAST truncates ns -> µs exactly
     // like the Spark loader's `ts div 1000`, so boundary comparisons

@@ -2145,6 +2145,31 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_incremental" -> ((s, dir) => {
+      // streaming-corpus ANN: vector batches append to a PERSISTED
+      // cell-partitioned IVF index (assignment = pure projection over
+      // fixed driver-literal centroids — ingest is batch-sized, the
+      // standing index is never read or rewritten), and probes read
+      // ONLY the probed cells (partition-pruned scan — at 100 TB of
+      // index a probe reads nprobe/k_cells of the bytes). Two appends
+      // then a probe: the answer must equal the one-shot ivfTopK over
+      // the union — ann_ivf_topk's own oracle, which is exactly what
+      // the hash-match proves.
+      val base = "/tmp/graft_ivf_idx"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.fitCentroids(e, "embedding", "vec_id",
+        k = 4, iterations = 0)
+      Similarity.ivfIndexAppend(e.filter(col("vec_id") % 2 === 0), base,
+        cents, "embedding", "vec_id")
+      Similarity.ivfIndexAppend(e.filter(col("vec_id") % 2 =!= 0), base,
+        cents, "embedding", "vec_id")
+      Similarity.ivfIndexProbe(e.filter(col("vec_id") < 10), base, cents,
+          "embedding", "vec_id", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "sessionize_batch" -> ((s, dir) => {
       // batch sessionization by gap rule (the lag+cumsum recipe): a new
       // session starts where the gap from the previous event exceeds 30

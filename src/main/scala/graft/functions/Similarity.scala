@@ -443,6 +443,59 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Append a vector batch to a PERSISTED cell-partitioned IVF index —
+    * the incremental twin of [[ivfTopK]]'s corpus leg, for the corpus
+    * that arrives as a stream (the [[graft.functions.Dedup.bandIndexUpdate]]
+    * discipline applied to vectors): cell assignment is a pure
+    * projection over driver-literal centroids (zero corpus shuffle),
+    * and the batch lands as `centroid_id=<cell>/` parquet partitions
+    * via mode("append") — ingest cost is batch-sized, the standing
+    * index is never read or rewritten. Centroids must stay FIXED
+    * across appends (re-fitting reassigns cells and would demand a
+    * full rebuild — the operational contract of every IVF system). */
+  def ivfIndexAppend(batch: DataFrame, indexPath: String,
+                     centroids: DataFrame, vecCol: String, idCol: String,
+                     roundTo: Int = 6): Unit = {
+    val cents = collectCentroids(centroids, vecCol)
+    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        notNull(assignStruct(col(vecCol), cents, roundTo)
+          .getField("centroid_id")).as("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(indexPath)
+  }
+
+  /** Probe a persisted IVF index: each query scores exactly inside its
+    * `nprobe` nearest cells, and the index scan is PARTITION-PRUNED to
+    * exactly those cells (the probed cell-id set is queries x nprobe
+    * literals, collected driver-side — request-sized) — at 100 TB of
+    * indexed vectors a probe reads nprobe/k_cells of the bytes, which
+    * is the reason to maintain the index at all. Answers after any
+    * append sequence equal the one-shot [[ivfTopK]] over the union of
+    * all appended batches (oracle-proven: `ann_ivf_incremental`). */
+  def ivfIndexProbe(queries: DataFrame, indexPath: String,
+                    centroids: DataFrame, vecCol: String, idCol: String,
+                    k: Int, nprobe: Int = 2, roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score_c", round(cosine(col("qv"), col("centv")), roundTo))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("score_c").desc, col("centroid_id"))
+    val probes = qScored.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val cellIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.option("basePath", indexPath).parquet(indexPath)
+      .filter(col("centroid_id").isin(cellIds.map(Integer.valueOf): _*))
+    val scored = idx.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), roundTo))
+    rankTopK(scored, k)
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small table collected to driver literals); search
     * probes only the closest cells (fit with [[fitCentroids]]). A pure

@@ -459,6 +459,39 @@ class DedupSimilaritySpec extends SparkSpec {
       topkPlan)
   }
 
+  test("incremental IVF index: any append sequence answers exactly like " +
+    "the one-shot search, and probes are partition-pruned") {
+    val base = "/tmp/graft_ivf_idx_spec"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val cents = Similarity.fitCentroids(e, "embedding", "vec_id",
+      k = 4, iterations = 0)
+    val queries = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val oneShot = rows(Similarity.ivfTopK(queries, e, cents,
+      "embedding", "vec_id", k = 5, nprobe = 2))
+    // three uneven appends must land on the identical answer
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    Similarity.ivfIndexAppend(e.filter(col("vec_id") % 3 === 0), base,
+      cents, "embedding", "vec_id")
+    Similarity.ivfIndexAppend(e.filter(col("vec_id") % 3 === 1), base,
+      cents, "embedding", "vec_id")
+    Similarity.ivfIndexAppend(e.filter(col("vec_id") % 3 === 2), base,
+      cents, "embedding", "vec_id")
+    val probe = Similarity.ivfIndexProbe(queries, base, cents,
+      "embedding", "vec_id", k = 5, nprobe = 2)
+    assert(rows(probe) == oneShot)
+    // the index scan must carry a partition filter on the probed cells
+    val plan = probe.queryExecution.executedPlan.toString
+    val idxScan = plan.linesIterator
+      .find(l => l.contains("graft_ivf_idx_spec") && l.contains("FileScan"))
+      .getOrElse("")
+    assert(idxScan.contains("PartitionFilters: [centroid_id"),
+      "index scan is not partition-pruned:\n" + plan)
+  }
+
   test("large-k ivf: loop expression matches the literal unroll exactly") {
     val e = graft.Tables.load(spark, sf(), "embeddings")
     // same 16 centroids through both spellings (16 <= unroll limit, so
