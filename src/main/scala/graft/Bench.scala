@@ -128,11 +128,25 @@ object Bench {
     // (BENCH_full_latest.json): /tmp may not survive the session, and
     // cross-round per-query regression review needs the committed file
     // (r11 verdict artifact-gap item) — the next round commits it.
-    for (p <- Seq("/tmp/graft_bench.json", "BENCH_full_latest.json"))
+    // The repo copy is resolved against the repo ROOT (env override,
+    // else walk up from cwd to the dir holding build.sbt), not the
+    // JVM's cwd — a bench launched from elsewhere must not silently
+    // strand the committed-artifact trail; failed writes are logged.
+    val repoRoot = sys.env.get("GRAFT_REPO_DIR").getOrElse {
+      var d = new java.io.File(sys.props.getOrElse("user.dir", "."))
+        .getAbsoluteFile
+      while (d != null && !new java.io.File(d, "build.sbt").isFile)
+        d = d.getParentFile
+      if (d == null) sys.props.getOrElse("user.dir", ".") else d.getPath
+    }
+    for (p <- Seq("/tmp/graft_bench.json",
+                  s"$repoRoot/BENCH_full_latest.json"))
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
           (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case _: Throwable => }
+      } catch { case e: Throwable =>
+        Console.err.println(s"bench artifact write failed: $p: $e")
+      }
     println(compact)
     Console.out.flush()
     sys.exit(0)

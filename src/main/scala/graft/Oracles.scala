@@ -1742,6 +1742,41 @@ object Oracles {
          |SELECT d_key, master_key, dist FROM pairs
          |ORDER BY d_key, master_key""".stripMargin),
 
+    // the depth-2 deletion blocker is recall-complete for any edit <= 2,
+    // so the oracle is the NAIVE all-pairs levenshtein join — the
+    // hash-match proves the blocker dropped nothing
+    "entity_match_edit2" ->
+      (s"""WITH c AS (SELECT c_custkey, c_name FROM customer),
+         |hp AS (SELECT c_custkey, c_name,
+         |    ${hex8("CAST(c_custkey AS VARCHAR)")} AS h,
+         |    CAST(1 + ((${hex8("CAST(c_custkey AS VARCHAR)")} // 2)
+         |      % length(c_name)) AS INT) AS p
+         |  FROM c),
+         |s1 AS (SELECT c_custkey, h,
+         |    CASE WHEN h % 2 = 0
+         |      THEN substr(c_name, 1, p - 1) ||
+         |        substr(c_name, p + 1, length(c_name))
+         |      ELSE substr(c_name, 1, p - 1) || 'X' ||
+         |        substr(c_name, p, length(c_name)) END AS r1
+         |  FROM hp),
+         |s1q AS (SELECT c_custkey, h, r1,
+         |    CAST(1 + ((h // 8) % length(r1)) AS INT) AS q
+         |  FROM s1),
+         |d AS (SELECT c_custkey + 1000000 AS d_key,
+         |    CASE (h // 4) % 3
+         |      WHEN 0 THEN substr(r1, 1, q - 1) ||
+         |        substr(r1, q + 1, length(r1))
+         |      WHEN 1 THEN substr(r1, 1, q - 1) || 'Y' ||
+         |        substr(r1, q, length(r1))
+         |      ELSE substr(r1, 1, q - 1) || 'Z' ||
+         |        substr(r1, q + 1, length(r1)) END AS d_name
+         |  FROM s1q)
+         |SELECT d.d_key, c.c_custkey AS master_key,
+         |  CAST(levenshtein(d.d_name, c.c_name) AS INT) AS dist
+         |FROM d CROSS JOIN c
+         |WHERE levenshtein(d.d_name, c.c_name) <= 2
+         |ORDER BY d_key, master_key""".stripMargin),
+
     // struct-max election replayed as a (quality DESC, id ASC) window
     // pick; member counts join back cluster-keyed
     "dedup_elect_skewed" ->
@@ -2019,6 +2054,10 @@ object Oracles {
     // the incremental index must answer EXACTLY like the one-shot IVF
     // over the union of all appended batches — same oracle by design
     "ann_ivf_incremental" -> annIvfSql,
+
+    // compaction is pure file-layout maintenance: the probe after the
+    // two-phase swap must still equal the one-shot search — same oracle
+    "ann_ivf_compact" -> annIvfSql,
 
     // the same correlation as plain SQL: CAST truncates ns -> µs exactly
     // like the Spark loader's `ts div 1000`, so boundary comparisons

@@ -72,9 +72,11 @@ object PlanAuditExceptions {
       "batch (k rows), never the corpus; the corpus leg stays " +
       "exchange-free"
   private val adaptiveSmall =
-    "adaptive small branch: broadcast taken only after the measured " +
-      "histogram cardinality <= 10^6 (hist.count() at plan time); past " +
-      "the limit the (group,value)-keyed shuffle join plans instead " +
+    "adaptive small branch: broadcast taken only after an " +
+      "approx_count_distinct pre-pass estimates the histogram " +
+      "cardinality <= 10^6 at plan time (the branches are " +
+      "value-identical, law-tested); past the limit the " +
+      "(group,value)-keyed shuffle join plans instead " +
       "(Quantiles r12 guard, StressR12-proven at 10^7)"
   private val hintedBroadcasts: Map[String, Map[String, String]] = Map(
     "ann_cosine_topk" -> Map(ub(Rel) -> queryFixture),
@@ -121,11 +123,11 @@ object PlanAuditExceptions {
       "per-feature-hash-bucket weight frame: 2^k rows by construction"),
     "embed_near_dups" -> Map(gb(Rel) ->
       "bucket keep frame: <= 2^planes sign-LSH bucket keys by construction"),
-    "grouped_mad_outliers" -> Map(gb(Mem) ->
+    "grouped_mad_outliers" -> Map(gb(Rel) ->
       ("per-group med/mad one-row frames (groups = lang codes, " +
         "feature-sized) over the " + adaptiveSmall)),
-    "grouped_percentiles" -> Map(gb(Mem) -> adaptiveSmall),
-    "score_percentiles" -> Map(gb(Mem) -> adaptiveSmall),
+    "grouped_percentiles" -> Map(gb(Rel) -> adaptiveSmall),
+    "score_percentiles" -> Map(gb(Rel) -> adaptiveSmall),
     "hybrid_rrf" -> Map(
       gb(Loc) -> "query-term frame: one row per distinct QUERY token",
       gb(s"$Rel+$Loc") ->

@@ -1981,6 +1981,46 @@ object Queries {
         .orderBy("d_key", "master_key")
     }),
 
+    "entity_match_edit2" -> ((s, dir) => {
+      // distance-2 linkage: TWO hash-driven edits per name (first
+      // insert-or-delete at p; second delete/insert/substitute at a
+      // hash position of the intermediate string) — real crawl
+      // corruption is rarely a single edit. Blocked by the depth-2
+      // deletion neighborhood (deletionBlocker2, the SymSpell depth-2
+      // index), which is recall-complete for ANY edit ≤ 2 — so the
+      // oracle is the NAIVE all-pairs levenshtein join: the hash-match
+      // PROVES the blocker drops nothing, the same proof discipline as
+      // containment_join.
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val h = Hashing.hex8ToLong(col("c_custkey").cast("string"))
+      val len = length(col("c_name"))
+      val p = (pmod(shiftright(h, 1), len.cast("long")) + 1).cast("int")
+      val del1 = concat(col("c_name").substr(lit(1), p - 1),
+        col("c_name").substr(p + 1, len))
+      val ins1 = concat(col("c_name").substr(lit(1), p - 1), lit("X"),
+        col("c_name").substr(p, len))
+      val step1 = c.select(col("c_custkey"),
+        when(pmod(h, lit(2)) === 0, del1).otherwise(ins1).as("r1"),
+        h.as("__h"))
+      val len1 = length(col("r1"))
+      val q = (pmod(shiftright(col("__h"), 3), len1.cast("long")) + 1)
+        .cast("int")
+      val del2 = concat(col("r1").substr(lit(1), q - 1),
+        col("r1").substr(q + 1, len1))
+      val ins2 = concat(col("r1").substr(lit(1), q - 1), lit("Y"),
+        col("r1").substr(q, len1))
+      val sub2 = concat(col("r1").substr(lit(1), q - 1), lit("Z"),
+        col("r1").substr(q + 1, len1))
+      val kind2 = pmod(shiftright(col("__h"), 2), lit(3))
+      val dirty = step1.select((col("c_custkey") + 1000000L).as("d_key"),
+        when(kind2 === 0, del2).when(kind2 === 1, ins2).otherwise(sub2)
+          .as("d_name"))
+      EntityMatch.link(dirty, "d_key", "d_name", c, "c_custkey", "c_name",
+          EntityMatch.deletionBlocker2, maxDist = 2)
+        .select(col("d_key"), col("c_custkey").as("master_key"), col("dist"))
+        .orderBy("d_key", "master_key")
+    }),
+
     "dedup_elect_skewed" -> ((s, dir) =>
       // representative election under a HOT cluster: 90% of the corpus
       // lands in cluster 0 — the struct-max aggregate is map-side
@@ -2165,6 +2205,30 @@ object Queries {
         cents, "embedding", "vec_id")
       Similarity.ivfIndexAppend(e.filter(col("vec_id") % 2 =!= 0), base,
         cents, "embedding", "vec_id")
+      Similarity.ivfIndexProbe(e.filter(col("vec_id") < 10), base, cents,
+          "embedding", "vec_id", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_compact" -> ((s, dir) => {
+      // index MAINTENANCE: four appends accumulate per-batch part
+      // files in every cell, then ivfIndexCompact rewrites each cell
+      // to ~one file (two-phase swap, cell layout kept). The probe
+      // after compaction must answer exactly like the one-shot ivfTopK
+      // over the union — the same contract (and oracle) as
+      // ann_ivf_incremental, which is precisely what compaction must
+      // not disturb. File-count collapse is spec-asserted
+      // (DedupSimilaritySpec); this row gates the ANSWER.
+      val base = "/tmp/graft_ivf_idx_compact"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.fitCentroids(e, "embedding", "vec_id",
+        k = 4, iterations = 0)
+      for (m <- 0 to 3)
+        Similarity.ivfIndexAppend(e.filter(col("vec_id") % 4 === m), base,
+          cents, "embedding", "vec_id")
+      Similarity.ivfIndexCompact(s, base)
       Similarity.ivfIndexProbe(e.filter(col("vec_id") < 10), base, cents,
           "embedding", "vec_id", k = 5, nprobe = 2)
         .orderBy("query_id", "rank")

@@ -328,6 +328,21 @@ object Dedup {
     } finally newBands.unpersist()
   }
 
+  /** Maintenance for the persisted LSH band index: rewrite the lake's
+    * accumulated per-update part files into ~`targetBytes` files via
+    * the crash-safe two-phase swap ([[graft.sinks.Sinks.compact]]).
+    * Each [[bandIndexUpdate]] appends its own part files; at streaming
+    * cadence the index scan every update performs turns listing-bound
+    * long before it turns byte-bound. Pair discovery is unordered and
+    * row-content-preserving under compaction, so updates after a
+    * compact find exactly the pairs they would have found without it
+    * (spec-proven). Run off the update path. */
+  def bandIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String,
+                       targetBytes: Long = 128L << 20)
+      : graft.sinks.Sinks.CompactionStats =
+    graft.sinks.Sinks.compact(spark, indexPath, targetBytes)
+
   // ---------------- SimHash ----------------
 
   /** SimHash over token hashes: for each of `bits` positions, sum +1/-1
@@ -485,6 +500,20 @@ object Dedup {
     * [[ngramJaccardPairs]] with the df cap disabled — so the result
     * is the TRUE all-pairs answer at θ, which is what the oracle
     * replays as a plain all-pairs join on the small fixture. */
+  /** Prefix length `__n - ⌈θ·__n⌉ + 1` over the `__rk`/`__n` ranked
+    * frame, with the minimal required overlap ⌈θ·n⌉ computed by EXACT
+    * integer cross-multiplication (smallest m with m·1000 ≥ n·θpm, θpm
+    * = ⌊θ·1000⌋) — a float `ceil(θ·n)` can land 1 ulp above an exact
+    * integer product and silently shorten the prefix below the
+    * losslessness bound, dropping a boundary pair at containment
+    * exactly θ. Flooring θ to a permille only LENGTHENS the prefix
+    * (never lossy; exact-minimal when θ is a permille multiple, which
+    * every caller in this repo uses). */
+  private[functions] def prefixLen(theta: Double): org.apache.spark.sql.Column = {
+    val thetaPm = math.floor(theta * 1000).toLong
+    expr(s"__n - ((__n * ${thetaPm}L + 999L) div 1000L) + 1L")
+  }
+
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int = 3, theta: Double = 0.5): DataFrame = {
     require(theta > 0 && theta <= 1, "theta in (0, 1]")
@@ -499,7 +528,7 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")))
     val prefix = ranked
-      .filter(col("__rk") <= col("__n") - ceil(lit(theta) * col("__n")) + 1)
+      .filter(col("__rk") <= prefixLen(theta))
       .select("id", "s")
     // co-occurrence pairs over prefix postings only (the one-shuffle
     // grouped-combinations shape)
@@ -568,7 +597,7 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")))
     val prefix = ranked
-      .filter(col("__rk") <= col("__n") - ceil(lit(theta) * col("__n")) + 1)
+      .filter(col("__rk") <= prefixLen(theta))
       .select(col("id").as("id_a"), col("s"))
     val cands = prefix
       .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))

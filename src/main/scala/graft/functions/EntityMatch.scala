@@ -85,6 +85,38 @@ object EntityMatch {
         concat(name.substr(lit(1), p - 1),
           name.substr(p + 1, length(name))))))
 
+  /** Deletion-neighborhood blocker over the edit-distance-2 ball: the
+    * string itself, every 1-character deletion, AND every 2-character
+    * deletion (positions p < q, the second substring index computed on
+    * the ORIGINAL string so no shift bookkeeping) — the standard
+    * SymSpell depth-2 extension of [[deletionBlocker]]. Recall-COMPLETE
+    * for edit distance ≤ 2 of any kind (substitutions, insertions,
+    * deletions, mixed): for ed(a,b) ≤ k the depth-k deletion
+    * neighborhoods of a and b intersect (delete the edited positions
+    * from each side; an insertion on one side is a deletion on the
+    * other), so every true pair shares a key — law-tested per
+    * corruption class in EntityMatchSpec, oracle-proven against the
+    * NAIVE all-pairs link (`entity_match_edit2`).
+    *
+    * Cost model: O(length²/2) keys per row of O(length) bytes — ~450
+    * keys / ~14 KB for a 30-char name. Still name-column-sized, but an
+    * order up from depth 1: the key payload is the price of indel
+    * recall at distance 2. Blocks stay near-dup-occupied (strings
+    * identical after SOME two deletions), never a frequency class, so
+    * occupancy stays ~constant as block cardinality grows with the
+    * corpus — same scale argument as depth 1, with a bigger constant.
+    * Gate long strings through a fingerprint column first. */
+  def deletionBlocker2: Column => Column =
+    name => array_distinct(concat(
+      deletionBlocker(name),
+      when(length(name) >= 2,
+        flatten(transform(sequence(lit(1), length(name) - 1), p =>
+          transform(sequence(p + 1, length(name)), q =>
+            concat(name.substr(lit(1), p - 1),
+              name.substr(p + 1, q - p - 1),
+              name.substr(q + 1, length(name)))))))
+        .otherwise(array().cast("array<string>"))))
+
   /** Link every dirty row to the master rows within `maxDist`
     * Levenshtein distance, candidates restricted to pairs sharing a
     * block key. Output: (dKeyCol, master key, dist), one row per

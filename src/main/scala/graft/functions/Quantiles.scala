@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,8 +21,64 @@ import org.apache.spark.sql.functions._
   * cross-multiplied (`cum * 1000 >= n * p` — no division, no floats),
   * so every engine reproduces the thresholds bit-for-bit: threshold(p)
   * = smallest value whose cumulative count reaches ceil(n*p/1000).
+  *
+  * NULL discipline (uniform across every entry point and both plan
+  * branches): rows whose metric is NULL — or whose cast to long is
+  * NULL — are EXCLUDED from the histogram, so `n` and every cumulative
+  * count range over non-null values only. Quantiles of a partly-null
+  * column are quantiles of its non-null mass; a null row can never
+  * join back to a value key and never defines a threshold. (Without
+  * this, the two plan branches disagreed: a windowed cumulative sorts
+  * nulls FIRST while the bucketed cumulative routed them to the LAST
+  * bucket, making the answer depend on the branch cutoff.)
+  *
+  * Plan-shape discipline: the small-vs-large-domain branch is decided
+  * by a cheap `approx_count_distinct` pre-pass (one map-side-combined
+  * corpus aggregation, no histogram shuffle, nothing retained), NOT by
+  * persisting the histogram and counting it. Both branches are
+  * value-identical (law-tested in QuantilesSpec), so an approximate
+  * decision is harmless — it only picks the plan. Nothing in this file
+  * calls `.persist()`: a cached decision histogram lives in the
+  * CacheManager until someone remembers to release it, and in a
+  * long-lived session these domain-sized frames accumulate. The one
+  * place the histogram is genuinely consumed twice (the large-domain
+  * path needs driver-literal bucket bounds AND the cumulative plan) it
+  * is `localCheckpoint`ed instead: domain-sized blocks on
+  * MEMORY_AND_DISK that the ContextCleaner releases automatically once
+  * the frame is unreachable. (Trade-off: checkpoint blocks lost to an
+  * executor failure fail the query instead of recomputing — acceptable
+  * for a stats pass that simply reruns, and it only arises past 10^6
+  * distinct values.)
   */
 object Quantiles {
+
+  /** (#distinct non-null values, #non-null rows) in ONE corpus pass —
+    * the branch decision + total for the ungrouped family. rsd 5%:
+    * the branches are value-identical, the estimate only picks the
+    * plan shape. */
+  private def domainAndCount(df: DataFrame, valueCol: String): (Long, Long) = {
+    val v = col(valueCol).cast("long")
+    val r = df.agg(approx_count_distinct(v).as("d"), count(v).as("n")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Estimated #distinct non-null (group, value) pairs in one corpus
+    * pass — the branch decision for the grouped family. The struct is
+    * nulled when the value is null so null metrics don't count. */
+  private def groupedDomain(df: DataFrame, groupCol: String,
+                            valueCol: String): Long = {
+    val v = col(valueCol).cast("long")
+    df.agg(approx_count_distinct(
+        when(v.isNotNull, struct(col(groupCol), v))).as("d"))
+      .head().getLong(0)
+  }
+
+  /** The non-null count histogram: one balanced shuffle keyed on the
+    * value, map-side combined, domain-sized output. */
+  private def histogram(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
 
   /** (value, cumulative count, total) over the distinct-value frame —
     * scale-adaptive like [[percentiles]]: up to `smallDomainLimit`
@@ -34,22 +90,29 @@ object Quantiles {
     * [[shardByQuantiles]]) survives unbounded value domains. The only
     * thing broadcast in either branch is the ONE-ROW total frame;
     * consumers reduce the cumulative to a one-row threshold frame, so
-    * the histogram itself never ships anywhere. The histogram is
-    * persisted because its cardinality decides the plan shape at
-    * runtime (domain-sized cache, LRU-evicted). */
+    * the histogram itself never ships anywhere. */
   private def cumHist(df: DataFrame, valueCol: String,
                       smallDomainLimit: Long = 1000000L,
                       buckets: Int = 256): DataFrame = {
-    val hist = df.groupBy(col(valueCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("c")).persist()
-    val nFrame = broadcast(hist.agg(sum(col("c")).as("n")))
+    val hist = histogram(df, valueCol)
+    val (domain, _) = domainAndCount(df, valueCol)
     val cum =
-      if (hist.count() <= smallDomainLimit)
+      if (domain <= smallDomainLimit) {
+        val nFrame = broadcast(hist.agg(sum(col("c")).as("n")))
         hist.withColumn("cum", sum("c").over(
-          Window.partitionBy(WindowKeys.onePartition(col("v"))).orderBy("v")))
-      else cumTwoLevel(hist, "v", "c", buckets)
-        .withColumnRenamed("__cum", "cum")
-    cum.crossJoin(nFrame)
+            Window.partitionBy(WindowKeys.onePartition(col("v"))).orderBy("v")))
+          .crossJoin(nFrame)
+      } else {
+        // past the limit the histogram feeds two consumers (the bucket
+        // bounds action and the cumulative plan): materialize it ONCE
+        // (see the NULL/plan-shape discipline in the object doc)
+        val h = hist.localCheckpoint()
+        val nFrame = broadcast(h.agg(sum(col("c")).as("n")))
+        cumTwoLevel(h, "v", "c", buckets)
+          .withColumnRenamed("__cum", "cum")
+          .crossJoin(nFrame)
+      }
+    cum
   }
 
   /** Cumulative count over a (v, c) histogram by the TWO-LEVEL bucket
@@ -68,7 +131,9 @@ object Quantiles {
     * samples its own boundaries, silently skewing whole buckets.)
     * Exact for ANY boundary choice: cumulative sums are invariant to
     * how contiguous runs are cut; the approx part only balances
-    * bucket sizes (±0.1% of the domain). */
+    * bucket sizes (±0.1% of the domain). Callers pass a
+    * locally-checkpointed histogram so the bounds action does not
+    * rebuild it from the corpus. */
   private def cumTwoLevel(hist: DataFrame, vCol: String, cCol: String,
                           buckets: Int): DataFrame = {
     val bounds = hist.stat.approxQuantile(vCol,
@@ -135,13 +200,20 @@ object Quantiles {
       .drop("__b", "__local", "__base")
   }
 
+  /** The grouped non-null count histogram. */
+  private def groupedHistogram(df: DataFrame, groupCol: String,
+                               valueCol: String): DataFrame =
+    df.select(col(groupCol), col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("c"))
+
   /** Per-group exact quantile threshold (e.g., median length per
     * language): the same count-histogram discipline, partitioned — the
     * histogram is (group × value-domain)-sized, never row-sized.
     *
     * Scale-adaptive like [[percentiles]]: up to `smallDomainLimit`
     * TOTAL (group, value) pairs the cumulative windows partition by
-    * group (bounded by the measured histogram size, so one hot group
+    * group (bounded by the estimated histogram size, so one hot group
     * can hold at most the global small-domain bound); past it — a hot
     * group with a 10^7-distinct domain is trivially real in a
     * length-per-source histogram at corpus scale — the
@@ -151,21 +223,32 @@ object Quantiles {
     * domain-sized is ever broadcast. */
   def groupedThreshold(df: DataFrame, groupCol: String, valueCol: String,
                        permille: Int, smallDomainLimit: Long = 1000000L,
-                       buckets: Int = 256): DataFrame = {
+                       buckets: Int = 256): DataFrame =
+    groupedThresholdImpl(df, groupCol, valueCol, permille,
+      smallDomainLimit, buckets, pairsHint = None)
+
+  /** [[groupedThreshold]] with an optional precomputed domain-size
+    * decision — [[groupedMadOutliers]] reuses its first estimate for
+    * the deviation pass (|v − med_g| is a function of (g, v), so its
+    * pair count is bounded by the first pass's), halving the
+    * decision-pass cost that doubled the MAD bench row in r12. */
+  private def groupedThresholdImpl(df: DataFrame, groupCol: String,
+                                   valueCol: String, permille: Int,
+                                   smallDomainLimit: Long, buckets: Int,
+                                   pairsHint: Option[Long]): DataFrame = {
     require(permille >= 0 && permille <= 1000)
-    // persisted because the measured cardinality decides the plan shape
-    // (domain-sized cache, LRU-evicted; same discipline as percentiles)
-    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("c")).persist()
+    val pairs = pairsHint.getOrElse(groupedDomain(df, groupCol, valueCol))
+    val hist = groupedHistogram(df, groupCol, valueCol)
     val cum =
-      if (hist.count() <= smallDomainLimit)
+      if (pairs <= smallDomainLimit)
         hist
           .withColumn("cum", sum("c").over(
             Window.partitionBy(groupCol).orderBy("v")))
           .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
       else {
-        val n = hist.groupBy(groupCol).agg(sum("c").as("n"))
-        cumTwoLevelGrouped(hist, groupCol, "v", "c", buckets)
+        val h = hist.localCheckpoint()
+        val n = h.groupBy(groupCol).agg(sum("c").as("n"))
+        cumTwoLevelGrouped(h, groupCol, "v", "c", buckets)
           .withColumnRenamed("__cum", "cum")
           .join(n.hint("shuffle_hash"), Seq(groupCol))
       }
@@ -180,7 +263,8 @@ object Quantiles {
     * partition; here the value-domain histogram (domain-sized) gets a
     * cumulative window, and rows join their value's permille back
     * value-keyed. `permille = floor(cum·1000 / n)` — all integers,
-    * engine-exact.
+    * engine-exact. Rows with a null metric drop out (they have no
+    * percentile and no value key to join on).
     *
     * Scale-adaptive: domains up to `smallDomainLimit` distinct values
     * take a single-partition cumulative + broadcast join; larger
@@ -191,26 +275,19 @@ object Quantiles {
   def percentiles(df: DataFrame, valueCol: String,
                   smallDomainLimit: Long = 1000000L,
                   buckets: Int = 256): DataFrame = {
-    // the histogram is persisted (domain-sized) because the domain
-    // cardinality decides the plan shape at runtime: count() pays one
-    // corpus aggregation, then the chosen plan reuses the cached
-    // histogram instead of rescanning the corpus. Left cached for the
-    // consumer (Spark evicts LRU; domain-sized, not corpus-sized).
-    val hist = df.groupBy(col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__c")).persist()
-    val domain = hist.count()
-    // empty input: sum() aggregates to null, not 0 — return the empty
-    // frame with the output schema instead of tripping on the null
-    if (domain == 0) return df.limit(0).withColumn("permille", lit(0L))
-    val n = hist.agg(sum("__c")).first().getLong(0)
+    val (domain, n) = domainAndCount(df, valueCol)
+    // empty (or all-null) input: return the empty frame with the
+    // output schema instead of dividing by a null total
+    if (n == 0) return df.limit(0).withColumn("permille", lit(0L))
+    val hist = histogram(df, valueCol)
     if (domain <= smallDomainLimit) {
       // bounded domain: one explicit single-partition cumulative over
       // the histogram, permille map broadcast to the corpus join
       val cum = hist
-        .withColumn("__cum", sum("__c").over(
-          Window.partitionBy(WindowKeys.onePartition(col("__v")))
-            .orderBy("__v")))
-        .select(col("__v"),
+        .withColumn("__cum", sum("c").over(
+          Window.partitionBy(WindowKeys.onePartition(col("v")))
+            .orderBy("v")))
+        .select(col("v").as("__v"),
           expr(s"CAST(__cum * 1000 div ${n}L AS BIGINT)").as("permille"))
       df.join(broadcast(cum), df(valueCol).cast("long") === cum("__v"))
         .drop("__v")
@@ -219,8 +296,8 @@ object Quantiles {
       // OOM the driver and a global window would single-partition the
       // domain — two-level bucketed cumulative + value-keyed SHUFFLE
       // join instead (both sides hash on the value, balanced)
-      val cum = cumTwoLevel(hist, "__v", "__c", buckets)
-        .select(col("__v"),
+      val cum = cumTwoLevel(hist.localCheckpoint(), "v", "c", buckets)
+        .select(col("v").as("__v"),
           expr(s"CAST(__cum * 1000 div ${n}L AS BIGINT)").as("permille"))
       df.join(cum.hint("shuffle_hash"),
           df(valueCol).cast("long") === cum("__v"))
@@ -236,7 +313,7 @@ object Quantiles {
     * join their (group, value) permille back — the group-keyed twin of
     * the threshold family.
     *
-    * Scale-adaptive like [[percentiles]], on the MEASURED histogram
+    * Scale-adaptive like [[percentiles]], on the ESTIMATED histogram
     * cardinality: up to `smallDomainLimit` total (group, value) pairs,
     * group-partitioned cumulative + broadcast (group, value) join;
     * past it, [[cumTwoLevelGrouped]] + (group, value)-keyed SHUFFLE
@@ -245,24 +322,25 @@ object Quantiles {
   def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                          smallDomainLimit: Long = 1000000L,
                          buckets: Int = 256): DataFrame = {
-    val hist = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__c")).persist()
-    if (hist.count() <= smallDomainLimit) {
+    val pairs = groupedDomain(df, groupCol, valueCol)
+    val hist = groupedHistogram(df, groupCol, valueCol)
+    if (pairs <= smallDomainLimit) {
       val cum = hist
-        .withColumn("__cum", sum("__c").over(
-          Window.partitionBy(groupCol).orderBy("__v")))
-        .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
-        .select(col(groupCol), col("__v"),
+        .withColumn("__cum", sum("c").over(
+          Window.partitionBy(groupCol).orderBy("v")))
+        .withColumn("__n", sum("c").over(Window.partitionBy(groupCol)))
+        .select(col(groupCol), col("v").as("__v"),
           expr("CAST(__cum * 1000 div __n AS BIGINT)").as("permille"))
       df.join(broadcast(cum),
           df(groupCol) === cum(groupCol) &&
             df(valueCol).cast("long") === cum("__v"))
         .drop(cum(groupCol)).drop("__v")
     } else {
-      val n = hist.groupBy(groupCol).agg(sum("__c").as("__n"))
-      val cum = cumTwoLevelGrouped(hist, groupCol, "__v", "__c", buckets)
+      val h = hist.localCheckpoint()
+      val n = h.groupBy(groupCol).agg(sum("c").as("__n"))
+      val cum = cumTwoLevelGrouped(h, groupCol, "v", "c", buckets)
         .join(n.hint("shuffle_hash"), Seq(groupCol))
-        .select(col(groupCol).as("__g"), col("__v"),
+        .select(col(groupCol).as("__g"), col("v").as("__v"),
           expr("CAST(__cum * 1000 div __n AS BIGINT)").as("permille"))
       val joined = df.join(cum.hint("shuffle_hash"),
         df(groupCol) === cum("__g") &&
@@ -280,19 +358,25 @@ object Quantiles {
     *
     * Scale shape: TWO grouped histogram passes (median, then the
     * deviation median) — each (group × value-domain)-sized, never a
-    * per-row sort, and each scale-adaptive via [[groupedThreshold]]'s
-    * measured-cardinality branch (a hot group's huge domain takes the
-    * bucketed shuffle path) — plus one broadcast join per stat of the
-    * ONE-ROW-PER-GROUP frames back onto the corpus for the flag
-    * projection (group count = distinct languages/sources — feature
-    * cardinality, not corpus cardinality). */
+    * per-row sort, each scale-adaptive via [[groupedThreshold]]'s
+    * estimated-cardinality branch (a hot group's huge domain takes the
+    * bucketed shuffle path), and ONE shared decision pass (the
+    * deviation histogram's pair count is bounded by the value
+    * histogram's, so the first estimate decides both) — plus one
+    * broadcast join per stat of the ONE-ROW-PER-GROUP frames back onto
+    * the corpus for the flag projection (group count = distinct
+    * languages/sources — feature cardinality, not corpus
+    * cardinality). */
   def groupedMadOutliers(df: DataFrame, groupCol: String, valueCol: String,
                          k: Int = 3): DataFrame = {
-    val med = groupedThreshold(df, groupCol, valueCol, permille = 500)
+    val pairs = groupedDomain(df, groupCol, valueCol)
+    val med = groupedThresholdImpl(df, groupCol, valueCol, permille = 500,
+        smallDomainLimit = 1000000L, buckets = 256, pairsHint = Some(pairs))
       .withColumnRenamed("threshold", "med")
     val withDev = df.join(broadcast(med), groupCol)
       .withColumn("__dev", abs(col(valueCol).cast("long") - col("med")))
-    val mad = groupedThreshold(withDev, groupCol, "__dev", permille = 500)
+    val mad = groupedThresholdImpl(withDev, groupCol, "__dev", permille = 500,
+        smallDomainLimit = 1000000L, buckets = 256, pairsHint = Some(pairs))
       .withColumnRenamed("threshold", "mad")
     withDev.join(broadcast(mad), groupCol)
       .withColumn("is_outlier", col("__dev") > lit(k.toLong) * col("mad"))

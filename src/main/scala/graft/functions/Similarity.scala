@@ -476,7 +476,8 @@ object Similarity {
                     centroids: DataFrame, vecCol: String, idCol: String,
                     k: Int, nprobe: Int = 2, roundTo: Int = 6): DataFrame = {
     val spark = queries.sparkSession
-    val cents = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
+    val cents = centroids.select(col("centroid_id").cast("int")
+      .as("centroid_id"), col(vecCol).as("centv"))
     val qScored = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
@@ -486,8 +487,12 @@ object Similarity {
     val probes = qScored.withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nprobe)
       .select("query_id", "qv", "centroid_id")
-    val cellIds = probes.select("centroid_id").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // caller-supplied centroid frames may carry a LONG centroid_id
+    // (and the parquet partition column's type is inferred on read
+    // independently of it): normalize to int on both the collect and
+    // the join key, matching collectCentroids' defensive cast
+    val cellIds = probes.select(col("centroid_id").cast("int")).distinct()
+      .collect().map(_.getAs[Number](0).intValue()).sorted
     val idx = spark.read.option("basePath", indexPath).parquet(indexPath)
       .filter(col("centroid_id").isin(cellIds.map(Integer.valueOf): _*))
     val scored = idx.join(broadcast(probes), Seq("centroid_id"))
@@ -495,6 +500,23 @@ object Similarity {
       .withColumn("score", round(cosine(col("qv"), col("cv")), roundTo))
     rankTopK(scored, k)
   }
+
+  /** Maintenance for the persisted IVF index: per-cell compaction of
+    * the `centroid_id=<cell>/` parquet lake via the crash-safe
+    * two-phase swap ([[graft.sinks.Sinks.compact]]). Every
+    * [[ivfIndexAppend]] lands its own part files inside each touched
+    * cell; at streaming cadence a probed cell accrues thousands of
+    * tiny files and the partition-pruned probe turns listing-bound —
+    * the maintenance pass rewrites each cell to ~one file while
+    * KEEPING the cell layout (repartition on centroid_id +
+    * partitionBy), so probes stay partition-pruned and answer
+    * byte-identically before and after (spec + `ann_ivf_compact`
+    * oracle-proven). Run it off the probe path at whatever cadence
+    * the append rate demands. */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): graft.sinks.Sinks.CompactionStats =
+    graft.sinks.Sinks.compact(spark, indexPath,
+      partitionCols = Seq("centroid_id"))
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small table collected to driver literals); search

@@ -76,8 +76,15 @@ object Lifecycle {
     }
     val names = added.map(_._1)
     val quoted = names.map(java.util.regex.Pattern.quote)
+    // exclude entries are regex PATTERNS (removeTables quotes literals,
+    // but callers may hold broader hand-written patterns): lift every
+    // entry that MATCHES an added table, not just its literal/quoted
+    // spellings — otherwise the re-added table's snapshot loads while
+    // its replication events are still rejected (the silent
+    // non-replication this method exists to close)
     val lifted = filter.exclude.filterNot(p =>
-      names.contains(p) || quoted.contains(p))
+      names.contains(p) || quoted.contains(p) ||
+        names.exists(n => scala.util.Try(n.matches(p)).getOrElse(false)))
     if (filter.include.isEmpty && filter.exclude.nonEmpty)
       filter.copy(exclude = lifted)
     else

@@ -156,7 +156,10 @@ class DedupSimilaritySpec extends SparkSpec {
   test("prefix-filtered join equals the all-pairs answer (losslessness)") {
     // the PPJoin completeness theorem, checked empirically: at every
     // threshold the prefix-filtered result IS the exact all-pairs one
-    for (theta <- Seq(0.2, 0.5, 0.9)) {
+    // 0.7 is the float-ceil trap class: 0.7*10 == 7.000000000000001 in
+    // doubles, so a float ceil(θ·n) would demand overlap 8 where the
+    // exact bound is 7 and shorten the prefix below losslessness
+    for (theta <- Seq(0.2, 0.5, 0.7, 0.9)) {
       val viaPrefix = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
           shingleN = 3, theta = theta)
         .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
@@ -164,6 +167,27 @@ class DedupSimilaritySpec extends SparkSpec {
           shingleN = 3, minJaccard = theta, maxDf = Int.MaxValue)
         .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
       assert(viaPrefix == allPairs, s"theta=$theta")
+    }
+  }
+
+  test("prefixLen: exact-minimal prefix at every (n, θ) — never one " +
+    "short of the losslessness bound, never longer than the exact " +
+    "ceiling needs") {
+    // the minimal required overlap is ⌈θ·n⌉ computed EXACTLY; a float
+    // ceil(θ·n) lands 1 ulp above an exact integer product for e.g.
+    // θ=0.7, n=10 (7.000000000000001 → 8) and silently drops boundary
+    // pairs. prefixLen must equal n - ceilExact(θ·n) + 1 for every
+    // permille θ the callers use.
+    val ns = spark.range(1, 2001).toDF("__n")
+    for (thetaPm <- Seq(1, 137, 300, 500, 700, 750, 800, 875, 999, 1000)) {
+      val theta = thetaPm / 1000.0
+      val got = ns.select(col("__n"), Dedup.prefixLen(theta).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (n <- 1L to 2000L) {
+        val ceilExact = (n * thetaPm + 999L) / 1000L // exact ⌈n·θpm/1000⌉
+        assert(got(n) == n - ceilExact + 1,
+          s"n=$n thetaPm=$thetaPm got=${got(n)} want=${n - ceilExact + 1}")
+      }
     }
   }
 
@@ -187,7 +211,7 @@ class DedupSimilaritySpec extends SparkSpec {
         .select("id_a", "id_b", "containment")
         .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
     }
-    for (theta <- Seq(0.3, 0.6, 0.8, 1.0)) {
+    for (theta <- Seq(0.3, 0.6, 0.7, 0.8, 1.0)) {
       val viaPrefix = Dedup.prefixContainmentPairs(docs, "text", "doc_id",
           shingleN = 3, theta = theta)
         .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
@@ -490,6 +514,76 @@ class DedupSimilaritySpec extends SparkSpec {
       .getOrElse("")
     assert(idxScan.contains("PartitionFilters: [centroid_id"),
       "index scan is not partition-pruned:\n" + plan)
+  }
+
+  test("ivf index compaction: probe answers byte-identical, file count " +
+    "collapsed, partition pruning preserved") {
+    val base = "/tmp/graft_ivf_idx_compact_spec"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val cents = Similarity.fitCentroids(e, "embedding", "vec_id",
+      k = 4, iterations = 0)
+    val queries = e.filter(col("vec_id") < 10)
+    // eight appends: every touched cell accrues one part file per batch
+    for (m <- 0 to 7)
+      Similarity.ivfIndexAppend(e.filter(col("vec_id") % 8 === m), base,
+        cents, "embedding", "vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val before = rows(Similarity.ivfIndexProbe(queries, base, cents,
+      "embedding", "vec_id", k = 5, nprobe = 2))
+    val stats = Similarity.ivfIndexCompact(spark, base)
+    // the lake held >= 8 files per non-empty cell; now ~one per cell
+    assert(stats.filesBefore > stats.filesAfter,
+      s"before=${stats.filesBefore} after=${stats.filesAfter}")
+    assert(stats.filesAfter <= 4, s"filesAfter=${stats.filesAfter}")
+    val probeAfter = Similarity.ivfIndexProbe(queries, base, cents,
+      "embedding", "vec_id", k = 5, nprobe = 2)
+    assert(rows(probeAfter) == before)
+    // compaction kept the cell layout: probes stay partition-pruned
+    val plan = probeAfter.queryExecution.executedPlan.toString
+    val idxScan = plan.linesIterator
+      .find(l => l.contains(base) && l.contains("FileScan"))
+      .getOrElse("")
+    assert(idxScan.contains("PartitionFilters: [centroid_id"),
+      "index scan is not partition-pruned after compaction:\n" + plan)
+    // further appends + probes keep working against the compacted lake
+    Similarity.ivfIndexAppend(e.filter(col("vec_id") % 8 === 0), base,
+      cents, "embedding", "vec_id")
+    assert(Similarity.ivfIndexProbe(queries, base, cents,
+      "embedding", "vec_id", k = 5, nprobe = 2).count() > 0)
+  }
+
+  test("band index compaction: updates after a compact find exactly " +
+    "the pairs an uncompacted index would, with fewer files") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    def run(idx: String, compactBetween: Boolean): Set[(Long, Long)] = {
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      var pairs = Set.empty[(Long, Long)]
+      for (m <- 0 to 4) {
+        val u = Dedup.bandIndexUpdate(idx, docs.filter(col("doc_id") % 5 === m),
+          "text", "doc_id")
+        pairs ++= u.as[(Long, Long)].collect()
+        if (compactBetween && m == 2) Dedup.bandIndexCompact(spark, idx)
+      }
+      pairs
+    }
+    val plain = run("/tmp/graft_band_idx_plain", compactBetween = false)
+    val compacted = run("/tmp/graft_band_idx_compact", compactBetween = true)
+    assert(compacted == plain)
+    // and the compacted lake really has fewer files at the swap point
+    fs.delete(new org.apache.hadoop.fs.Path("/tmp/graft_band_idx_fc"), true)
+    for (m <- 0 to 4)
+      Dedup.bandIndexUpdate("/tmp/graft_band_idx_fc",
+        docs.filter(col("doc_id") % 5 === m), "text", "doc_id")
+    val stats = Dedup.bandIndexCompact(spark, "/tmp/graft_band_idx_fc")
+    assert(stats.filesBefore > stats.filesAfter,
+      s"before=${stats.filesBefore} after=${stats.filesAfter}")
   }
 
   test("large-k ivf: loop expression matches the literal unroll exactly") {

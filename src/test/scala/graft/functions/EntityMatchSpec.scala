@@ -138,6 +138,89 @@ class EntityMatchSpec extends SparkSpec {
     assert(out == Set((10L, 1L, 1), (11L, 2L, 1)))
   }
 
+  test("deletionBlocker2: recall-COMPLETE over the whole edit-distance-2 " +
+    "ball — every corruption class pair, 600 seeded cases") {
+    // driver-side twin: identity + every 1-deletion + every 2-deletion
+    def keys(s: String): Set[String] = {
+      val d1 = (0 until s.length).map(p =>
+        s.substring(0, p) + s.substring(p + 1))
+      val d2 = for (p <- 0 until s.length; q <- p + 1 until s.length)
+        yield s.substring(0, p) + s.substring(p + 1, q) + s.substring(q + 1)
+      Set(s) ++ d1 ++ d2
+    }
+    val rnd = new scala.util.Random(29)
+    val alpha = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')
+    def edit(s: String, kind: Int): String = kind match {
+      case 0 => // substitution
+        val p = rnd.nextInt(s.length)
+        val c = Iterator.continually(alpha(rnd.nextInt(alpha.length)))
+          .dropWhile(_ == s(p)).next()
+        s.updated(p, c)
+      case 1 => // insertion
+        val p = rnd.nextInt(s.length + 1)
+        s.substring(0, p) + alpha(rnd.nextInt(alpha.length)) + s.substring(p)
+      case _ => // deletion
+        val p = rnd.nextInt(s.length)
+        s.substring(0, p) + s.substring(p + 1)
+    }
+    // all 6 unordered class pairs (ss, si, sd, ii, id, dd), cycled
+    val classPairs = Seq((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    for (i <- 1 to 600) {
+      val a = Seq.fill(3 + rnd.nextInt(27))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val (k1, k2) = classPairs(i % classPairs.length)
+      val b = edit(edit(a, k1), k2)
+      assert((keys(a) & keys(b)).nonEmpty,
+        s"a=$a b=$b classes=($k1,$k2)")
+    }
+  }
+
+  test("deletionBlocker2 column expression agrees with the driver-side " +
+    "twin, and length-1/length-2 edges hold") {
+    val df = Seq("Customer#000000042", "x", "ab", "aab").toDF("name")
+      .withColumn("k", EntityMatch.deletionBlocker2(col("name")))
+    val got = df.select("name", "k").as[(String, Seq[String])]
+      .collect().toMap
+    def keys(s: String): Seq[String] = {
+      val d1 = (0 until s.length).map(p =>
+        s.substring(0, p) + s.substring(p + 1))
+      val d2 = for (p <- 0 until s.length; q <- p + 1 until s.length)
+        yield s.substring(0, p) + s.substring(p + 1, q) + s.substring(q + 1)
+      (s +: (d1 ++ d2)).distinct
+    }
+    got.foreach { case (n, ks) =>
+      assert(ks.toSet == keys(n).toSet, n)
+      assert(ks == ks.distinct, s"$n: duplicate keys emitted")
+    }
+    // length 1: no 2-deletion exists; identity + the empty string only
+    assert(got("x").toSet == Set("x", ""))
+    // length 2: the single 2-deletion is the empty string
+    assert(got("ab").toSet == Set("ab", "a", "b", ""))
+  }
+
+  test("link with deletionBlocker2 finds distance-2 indel pairs that " +
+    "depth 1 misses, and depth 2 subsumes depth 1") {
+    val master = Seq((1L, "alphabet"), (2L, "gamma"), (3L, "delta"))
+      .toDF("m_key", "m_name")
+    val dirty = Seq(
+      (10L, "alXphbet"),  // insert X + delete a: ed 2, mixed indel
+      (11L, "gma"),       // two deletions: ed 2
+      (12L, "dZlta"),     // one substitution: ed 1 (depth-1 territory)
+      (13L, "zzzzzzzz"))  // unrelated
+      .toDF("d_key", "d_name")
+    val d1 = EntityMatch.link(dirty, "d_key", "d_name",
+        master, "m_key", "m_name", EntityMatch.deletionBlocker, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // depth 1 DOES bridge the mixed ins+del pair (one deletion per
+    // side meets in the middle) but cannot block the double-deletion
+    // pair: "gamma" needs TWO deletions to reach any key of "gma"
+    assert(d1 == Set((10L, 1L, 2), (12L, 3L, 1)))
+    val d2 = EntityMatch.link(dirty, "d_key", "d_name",
+        master, "m_key", "m_name", EntityMatch.deletionBlocker2, maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(d2 == Set((10L, 1L, 2), (11L, 2L, 2), (12L, 3L, 1)))
+  }
+
   test("suffixBlocker: single block of the name's last n chars") {
     val df = Seq("Customer#000000042").toDF("name")
       .select(EntityMatch.suffixBlocker(5)(col("name")).as("b"))

@@ -84,6 +84,44 @@ class QuantilesSpec extends SparkSpec {
     assert(got.toSeq == Seq(1000L))
   }
 
+  test("null metrics are excluded from n and cum identically in BOTH " +
+    "plan branches (windowed sorts nulls first, bucketed routed them " +
+    "last — the answer must not depend on the branch cutoff)") {
+    // 5k distinct values ×2 copies, plus 1k null-metric rows
+    val df = spark.range(5000).select(col("id").as("doc"),
+        (col("id") * 2 + 1).as("v"),
+        explode(sequence(lit(1), lit(2))).as("__d")).drop("__d")
+      .unionByName(spark.range(1000).select(
+        (col("id") + 100000).as("doc"), lit(null).cast("long").as("v")))
+    val small = Quantiles.percentiles(df, "v")
+      .select("doc", "v", "permille")
+    val large = Quantiles.percentiles(df, "v",
+      smallDomainLimit = 10L, buckets = 8)
+      .select("doc", "v", "permille")
+    // null rows have no percentile and drop out of both branches
+    assert(small.count() == 10000L && large.count() == 10000L)
+    assert(small.exceptAll(large).isEmpty && large.exceptAll(small).isEmpty)
+    // n excludes nulls: the max value must sit at permille 1000
+    assert(small.filter(col("v") === lit(9999L)).select("permille")
+      .distinct().as[Long].collect().toSeq == Seq(1000L))
+
+    // grouped twin: threshold family, nulls concentrated in one group
+    val g = df.withColumn("g",
+      concat(lit("g"), (col("doc") % 3).cast("string")))
+    val tSmall = Quantiles.groupedThreshold(g, "g", "v", permille = 500)
+    val tLarge = Quantiles.groupedThreshold(g, "g", "v", permille = 500,
+      smallDomainLimit = 10L, buckets = 8)
+    assert(tSmall.exceptAll(tLarge).isEmpty &&
+      tLarge.exceptAll(tSmall).isEmpty)
+    val pSmall = Quantiles.groupedPercentiles(g, "g", "v")
+      .select("doc", "g", "v", "permille")
+    val pLarge = Quantiles.groupedPercentiles(g, "g", "v",
+      smallDomainLimit = 10L, buckets = 8)
+      .select("doc", "g", "v", "permille")
+    assert(pSmall.exceptAll(pLarge).isEmpty &&
+      pLarge.exceptAll(pSmall).isEmpty)
+  }
+
   test("percentiles: empty input returns the empty frame with the " +
     "permille column instead of tripping on the null total") {
     val empty = spark.range(10).select(col("id").as("doc"),

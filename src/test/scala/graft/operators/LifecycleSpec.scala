@@ -106,4 +106,29 @@ class LifecycleSpec extends SparkSpec {
     assert(f.matches("a") && f.matches("zzz"))
     assert(f.include.isEmpty)
   }
+
+  test("addTables lifts BROADER regex excludes that match an added " +
+    "table, not only its literal/quoted spellings") {
+    clean()
+    // a hand-written pattern excluding a whole schema: tmp_.*
+    var f = TableFilter(exclude = Seq("tmp_.*"))
+    assert(f.matches("orders") && !f.matches("tmp_orders"))
+    f = Lifecycle.addTables(base, Seq("k"), f,
+      Seq("tmp_orders" -> Seq((1L, "x")).toDF("k", "v")))
+    // the broad exclude MATCHED the added table, so it is lifted —
+    // otherwise tmp_orders' snapshot loads into state while its
+    // replication events are still rejected (silent non-replication)
+    assert(f.matches("tmp_orders"), f.toString)
+    // an unrelated exclude pattern survives the lift
+    var g = TableFilter(exclude = Seq("tmp_.*", "audit_log"))
+    g = Lifecycle.addTables(base, Seq("k"), g,
+      Seq("tmp_orders" -> Seq((1L, "x")).toDF("k", "v")))
+    assert(g.matches("tmp_orders") && !g.matches("audit_log"))
+    // a malformed regex exclude must not crash the lift (Try-guarded):
+    // it cannot match anything, so it is left in place untouched
+    var h = TableFilter(exclude = Seq("[unclosed"))
+    h = Lifecycle.addTables(base, Seq("k"), h,
+      Seq("t1" -> Seq((1L, "x")).toDF("k", "v")))
+    assert(h.exclude == Seq("[unclosed"))
+  }
 }

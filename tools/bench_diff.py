@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Cross-round per-query bench regression diff.
+
+Compares two full bench artifacts (BENCH_full_*.json) and flags every
+query whose cost moved more than THRESH x between rounds AFTER
+normalizing by the sessions' transfer KPIs — the repo's bench JSONs
+carry a per-run transfer measurement (median-of-3 read of a fixed
+600k-row parquet) precisely so that the +-25% session jitter the r12
+verdict documented can be divided out before calling anything a
+regression.
+
+Usage:
+    tools/bench_diff.py OLD.json NEW.json [--thresh 1.5] [--min-sec 0.5]
+
+Exit status 0 always (it is a report, not a gate): regressions need a
+human (or the round's builder) to triage, and a jitter-heavy session
+must not fail CI on noise. The output is meant to be committed as
+BENCH_DIFF_r{N}.md by the round that runs it.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    runs = (d.get("transfer") or {}).get("run_secs") or []
+    # session speed proxy: median transfer time (lower = faster session)
+    med = sorted(runs)[len(runs) // 2] if runs else None
+    return d, med
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: a.split("=", 1)[1] if "=" in a else True
+            for a in sys.argv[1:] if a.startswith("--")}
+    if len(args) != 2:
+        sys.exit(__doc__)
+    thresh = float(opts.get("--thresh", 1.5))
+    min_sec = float(opts.get("--min-sec", 0.5))
+    old, old_med = load(args[0])
+    new, new_med = load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    # session normalizer: the MEDIAN per-query ratio across all shared
+    # rows. The transfer medians looked like the obvious normalizer but
+    # are themselves 3-sample noisy (dividing by them flagged 56 rows
+    # on byte-identical code); the median query ratio divides out
+    # whole-session speed while being immune to the handful of genuine
+    # movers it exists to expose.
+    shared = sorted(set(oq) & set(nq))
+    ratios = sorted(nq[n] / oq[n] for n in shared if oq[n] > 0)
+    norm = ratios[len(ratios) // 2] if ratios else 1.0
+    rows = []
+    for name in shared:
+        a, b = oq[name], nq[name]
+        if max(a, b) < min_sec:
+            continue  # sub-noise rows: absolute cost too small to triage
+        ratio = (b / norm) / a if a > 0 else float("inf")
+        if ratio >= thresh or ratio <= 1.0 / thresh:
+            rows.append((ratio, name, a, b))
+    print(f"# bench diff: {args[0]} -> {args[1]}")
+    print(f"session normalizer (median query ratio): {norm:.3f}; "
+          f"transfer medians old={old_med}s new={new_med}s; "
+          f"thresh {thresh}x, min {min_sec}s")
+    print(f"totals: old {old.get('value', 0):.1f}s/{old.get('n_ok')}ok "
+          f"-> new {new.get('value', 0):.1f}s/{new.get('n_ok')}ok")
+    added = sorted(set(nq) - set(oq))
+    gone = sorted(set(oq) - set(nq))
+    if added:
+        print(f"added rows: {', '.join(added)}")
+    if gone:
+        print(f"removed rows: {', '.join(gone)}")
+    if not rows:
+        print(f"clean: no query moved >={thresh}x normalized")
+        return
+    print(f"\n{len(rows)} row(s) moved >={thresh}x normalized "
+          "(ratio >1 = slower in new):")
+    print(f"{'norm-ratio':>10}  {'old-s':>8}  {'new-s':>8}  query")
+    for ratio, name, a, b in sorted(rows, reverse=True):
+        print(f"{ratio:>10.2f}  {a:>8.2f}  {b:>8.2f}  {name}")
+
+
+if __name__ == "__main__":
+    main()
