@@ -2439,6 +2439,14 @@ object Oracles {
          |       THEN o_totalprice + 5000.0 ELSE o_totalprice END AS val
          |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY k""".stripMargin),
 
+    // the file-queue-fed loop converges to the IDENTICAL state: same
+    // batch-collapse oracle — the transport must not change the answer
+    "replicate_stream_fs" ->
+      ("""SELECT o_orderkey AS k,
+         |  CASE WHEN o_orderkey % 3 = 0
+         |       THEN o_totalprice + 5000.0 ELSE o_totalprice END AS val
+         |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY k""".stripMargin),
+
     "tag_transactions" ->
       ("""SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS "__tx_id",
          |  dense_rank() OVER (ORDER BY CAST(o_custkey AS VARCHAR)) AS "__tx_ord"
@@ -3232,6 +3240,29 @@ object Oracles {
     // quote rows are the source's token-prefix slice (re-tokenizing
     // the joined prefix equals the slice, both engines)
     "containment_join" ->
+      (s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents
+         |  WHERE doc_id < 150),
+         |d AS (SELECT doc_id, tk FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, tk[1:(len(tk) + 2) // 3] FROM d0),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+         |  THEN list_transform(range(0, len(tk)-2), i -> array_to_string(tk[i+1:i+3], ' '))
+         |  ELSE [array_to_string(tk, ' ')] END) AS s FROM d),
+         |ex AS (SELECT doc_id AS id, unnest(s) AS s FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id <> b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
+         |FROM pairs JOIN sizes sa ON sa.id = id_a
+         |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // the incremental index's contract is answer-equality with the
+    // one-shot containment join over the full corpus — same naive
+    // all-pairs oracle by design (the bandIndexUpdate discipline,
+    // exact here: no bucket-cap caveats)
+    "containment_incremental" ->
       (s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents
          |  WHERE doc_id < 150),
          |d AS (SELECT doc_id, tk FROM d0

@@ -3232,6 +3232,68 @@ object Queries {
       graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 
+    "replicate_stream_fs" -> ((s, dir) => {
+      // the SAME composed replication loop, fed from the file-queue
+      // spool instead of a driver-collected MemoryStream: event batches
+      // are derived engine-side from the orders table and APPENDED to
+      // the spool as distributed writes; the stream consumes them with
+      // the file source (checkpointed file-set = queue position). The
+      // driver never materializes a row, so this spelling scales with
+      // the corpus — it is the row that carries the 100x evidence for
+      // the composed loop (fresh-sf10 in PLANS.md), where
+      // replicate_stream's MemoryStream harness OOMs by construction.
+      // Same final state, same oracle.
+      val base = "/tmp/graft_replicate_fs"
+      val state = s"$base/state/orders"
+      val qdir = s"$base/queue"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("val"))
+      // the four event classes, engine-side (no collect anywhere)
+      val inserts = o.select(col("k"), col("val"),
+        lit("insert").as(E.Kind), (col("k") * 10).as(E.Lsn))
+      val updates = o.filter(col("k") % 3 === 0).select(col("k"),
+        (col("val") + 5000.0).as("val"),
+        lit("update").as(E.Kind), (col("k") * 10 + 1).as(E.Lsn))
+      // stale replays: redelivered at the insert's LSN with a poison
+      // value — the monotonic guard must suppress every one of them
+      val replays = o.filter(col("k") % 5 === 0).select(col("k"),
+        (col("val") + 99999.0).as("val"),
+        lit("update").as(E.Kind), (col("k") * 10).as(E.Lsn))
+      val deletes = o.filter(col("k") % 7 === 0).select(col("k"),
+        lit(0.0).as("val"), lit("delete").as(E.Kind),
+        (col("k") * 10 + 2).as(E.Lsn))
+      def publish(df: org.apache.spark.sql.DataFrame): Unit =
+        graft.sinks.KafkaSink.appendFileQueue(df, qdir, "orders",
+          keyCols = Seq("k"))
+      publish(inserts)
+      val wire = graft.sources.Readers.fileQueueStream(s, qdir, "orders")
+      val payload = from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, val DOUBLE, __kind STRING, __lsn BIGINT"))
+      val stream = wire.select(payload.as("__p")).select(
+          col("__p.k").as("k"), col("__p.val").as("val"),
+          col(s"__p.${E.Kind}").as(E.Kind), col(s"__p.${E.Lsn}").as(E.Lsn))
+        .withColumn(E.Counter, lit(0))
+        .withColumn("__key", col("k").cast(StringType))
+      val guarded = graft.streaming.CdcStream
+        .monotonicGuard(stream, "__key").drop("__key")
+      val q = graft.streaming.CdcStream.replicate(guarded, state,
+        s"$base/ckpt", Seq("k"),
+        graft.streaming.CdcStream.Bufferer(interval = None)).start()
+      try {
+        q.processAllAvailable()
+        publish(updates.unionByName(replays))
+        q.processAllAvailable()
+        publish(deletes)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.CdcStream.readState(s, state).orderBy("k")
+    }),
+
     "tag_transactions" -> ((s, dir) =>
       Collapse.tagTransactions(
         t(s, dir, "orders").select(col("o_orderkey"),
@@ -4252,6 +4314,35 @@ object Queries {
           floor((size(tk) + lit(2)) / lit(3)).cast("int")), " ").as("text"))
       Dedup.prefixContainmentPairs(d.unionByName(quotes), "text", "doc_id",
           shingleN = 3, theta = 0.8)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "containment_incremental" -> ((s, dir) => {
+      // the SAME corpus arriving in three batches against a persisted
+      // postings index: every update discovers exactly the directed
+      // pairs its batch completes (quote and source land in DIFFERENT
+      // batches for most ids, so both probe directions carry the
+      // load). The cumulative union must equal the one-shot batch
+      // operator — containment_join's own naive all-pairs oracle,
+      // which is what the hash-match proves. The index never shuffles:
+      // batch prefixes probe it map-side, its stored fixed-order ranks
+      // serve the reverse direction scan-side.
+      val base = "/tmp/graft_containment_idx"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val tk = TextAnalysis.tokens(col("text"))
+      val quotes = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(tk, lit(1),
+          floor((size(tk) + lit(2)) / lit(3)).cast("int")), " ").as("text"))
+      val corpus = d.unionByName(quotes)
+      val updates = (0 to 2).map(m =>
+        Dedup.containmentIndexUpdate(base,
+          corpus.filter(pmod(col("doc_id"), lit(3)) === m),
+          "text", "doc_id", shingleN = 3, theta = 0.8))
+      updates.reduce(_ unionByName _)
         .withColumn("containment", round(col("containment"), 6))
         .orderBy("id_a", "id_b")
     }),

@@ -617,6 +617,99 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Incremental DIRECTIONAL containment against a PERSISTED postings
+    * index — [[prefixContainmentPairs]] for the corpus that arrives in
+    * batches (the quote/aggregator cleanup is incremental by nature in
+    * a crawl pipeline), under the [[bandIndexUpdate]] discipline: the
+    * standing index NEVER shuffles — every probe is a scan plus a
+    * broadcast hash join with a batch-/candidate-sized build — and
+    * each update appends its own batch-sized postings.
+    *
+    * The one semantic change from the batch operator: shingles are
+    * ranked by a FIXED universal order (stable 64-bit hash, then the
+    * shingle) instead of document-frequency-ascending. The prefix
+    * completeness theorem only needs SOME common total order; df order
+    * is a batch-time optimization that DRIFTS as the corpus grows — a
+    * prefix stored under last month's df order is not a valid prefix
+    * under this month's, silently breaking losslessness. A hash order
+    * costs longer posting lists on hot shingles but stays valid
+    * forever, so stored ranks serve every future probe at ANY θ (the
+    * prefix test `rk ≤ n − ⌈θn⌉ + 1` is evaluated scan-side against
+    * the stored rank — θ is a probe parameter, not an index one).
+    *
+    * Returns the directed pairs DISCOVERED by this update — exact
+    * containment ≥ θ where a new doc is the contained side, the
+    * container side, or both. The cumulative union over updates equals
+    * the batch operator over the full corpus EXACTLY (no cap caveats:
+    * both are exact at θ; law-tested, and `containment_incremental`
+    * shares the batch row's naive oracle). */
+  def containmentIndexUpdate(indexPath: String, newDocs: DataFrame,
+                             textCol: String, idCol: String,
+                             shingleN: Int = 3,
+                             theta: Double = 0.8): DataFrame = {
+    require(theta > 0 && theta <= 1, "theta in (0, 1]")
+    val spark = newDocs.sparkSession
+    val W = org.apache.spark.sql.expressions.Window
+    val ranked = newDocs.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+      .withColumn("__rk", row_number().over(
+        W.partitionBy("id").orderBy(Hashing.hex8ToLong(col("s")), col("s"))))
+      .withColumn("__n", count(lit(1)).over(W.partitionBy("id")))
+      .persist()
+    try {
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idx =
+        if (fs.exists(root)) spark.read.parquet(indexPath)
+        else ranked.limit(0)
+      val newPref = ranked.filter(col("__rk") <= prefixLen(theta))
+      // (a=new ⊂ b=old): the batch's prefixes probe the index map-side
+      val candNO = idx.select(col("id").as("id_b"), col("s"))
+        .join(broadcast(newPref.select(col("id").as("id_a"), col("s"))),
+          Seq("s"))
+        .select("id_a", "id_b").distinct()
+      // (a=old ⊂ b=new): the index's OWN prefix rows — a pure scan-side
+      // filter on the STORED rank, valid because the order is fixed —
+      // meet the batch's full postings
+      val candON = idx.filter(col("__rk") <= prefixLen(theta))
+        .select(col("id").as("id_a"), col("s"))
+        .join(broadcast(ranked.select(col("id").as("id_b"), col("s"))),
+          Seq("s"))
+        .select("id_a", "id_b").distinct()
+      // (a=new ⊂ b=new): within-batch, batch-sized throughout
+      val candNN = newPref.select(col("id").as("id_a"), col("s"))
+        .join(ranked.select(col("id").as("id_b"), col("s")), Seq("s"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b").distinct()
+      // exact candidate-keyed verify; the index side is only ever a
+      // scan probed by a broadcast build (pairs × doc-size rows)
+      def withA(c: DataFrame) = c.join(
+        ranked.select(col("id").as("id_a"), col("s"), col("__n").as("n_a")),
+        Seq("id_a"))
+      val interNO = idx.select(col("id").as("id_b"), col("s"))
+        .join(broadcast(withA(candNO)), Seq("id_b", "s"))
+        .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("inter"))
+      val interNN = withA(candNN)
+        .join(ranked.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+        .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("inter"))
+      val bNew = candON.join(
+        ranked.select(col("id").as("id_b"), col("s")), Seq("id_b"))
+      val interON = idx.select(col("id").as("id_a"), col("s"),
+          col("__n").as("n_a"))
+        .join(broadcast(bNew), Seq("id_a", "s"))
+        .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("inter"))
+      // materialize BEFORE the append so the lazy probes cannot rescan
+      // an index that already contains this batch
+      val found = interNO.unionByName(interNN).unionByName(interON)
+        .withColumn("containment", col("inter").cast("double") / col("n_a"))
+        .filter(col("containment") >= theta)
+        .select("id_a", "id_b", "containment")
+        .localCheckpoint(true)
+      ranked.write.mode("append").parquet(indexPath)
+      found
+    } finally ranked.unpersist()
+  }
+
   // ---------------- embedding near-dup ----------------
 
   /** Near-duplicate pairs by embedding cosine within LSH buckets (see

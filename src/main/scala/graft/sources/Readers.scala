@@ -92,6 +92,27 @@ object Readers {
         abs(hash(input_file_name())).cast("int"))
       .withColumn("offset", row_number().over(w).cast("long") - 1)
   }
+
+  /** STREAMING consumer of the same file-queue layout: Structured
+    * Streaming's file source lists new spool files each trigger and
+    * checkpoints the consumed file set — the queue's ack/resume
+    * contract without a broker. This is the transport that lets the
+    * composed replication loop run at corpus scale with the DRIVER
+    * never holding a row: producers append line files
+    * ([[graft.sinks.KafkaSink.appendFileQueue]], a distributed write),
+    * the consumer streams them (a distributed read), and the only
+    * driver-side state is file names. Per-file ordering follows the
+    * queue model (a spool file is one segment); cross-batch ordering is
+    * the producer's append sequencing, exactly like Kafka segment
+    * order. The offset/partition projection of [[fileQueue]] is
+    * deliberately absent: its per-file window needs a batch sort, and a
+    * streaming consumer's position IS the checkpointed file set. */
+  def fileQueueStream(spark: SparkSession, dir: String, topic: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(s"$dir/$topic").toDF("value").withColumn("topic", lit(topic))
+  }
 }
 
 /** Sharded (range-partitioned) snapshot scan: the Spark-native equivalent

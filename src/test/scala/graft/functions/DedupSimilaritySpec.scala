@@ -219,6 +219,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental containment index: cumulative union over any batch " +
+    "arrival equals the one-shot batch operator at every threshold") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    for (theta <- Seq(0.6, 0.8, 1.0)) {
+      val full = Dedup.prefixContainmentPairs(docs, "text", "doc_id",
+          shingleN = 3, theta = theta)
+        .collect().map(_.toSeq).toSet
+      val idx = s"/tmp/graft_cont_idx_spec_${(theta * 10).toInt}"
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val got = (0 to 2).map(m => Dedup.containmentIndexUpdate(idx,
+          docs.filter(pmod(col("doc_id"), lit(3)) === m),
+          "text", "doc_id", shingleN = 3, theta = theta))
+        .reduce(_ unionByName _).collect().map(_.toSeq).toSet
+      assert(got == full, s"theta=$theta")
+    }
+  }
+
   test("containment catches a quote-in-page pair symmetric Jaccard " +
     "misses, and is directional") {
     val page = (1 to 60).map(i => s"w$i").mkString(" ")
