@@ -98,6 +98,14 @@ object PlanAuditExceptions {
           "partition-pruned scan, never broadcast"),
       Bnlj ->
         "queries x k-centroid cell scoring (request x k rows)"),
+    // same probe plan as ann_ivf_incremental over the compacted lake
+    "ann_ivf_compact" -> Map(
+      ub(s"$Rel+$Mem") ->
+        ("query probes (queries x nprobe) + cached centroid frame " +
+          "(k centroids by construction); the INDEX side is the " +
+          "partition-pruned scan, never broadcast"),
+      Bnlj ->
+        "queries x k-centroid cell scoring (request x k rows)"),
     "asof_join_broadcast" -> Map(gb(Rel) ->
       ("per-key collapsed state history: the operator's contract is a " +
         "broadcastable state side (caller-asserted); the shuffle " +

@@ -3134,9 +3134,15 @@ object Queries {
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
       }
-      run()
-      b2.write.mode("append").parquet(s"$base/in")
-      run()
+      // one LSN of state per key: route the store by the measured key
+      // count (the StateStoreBench crossover — the sf10 spelling of
+      // this query was the bench's worst honest ratio precisely
+      // because 15M keys rode the default store's full-state commit)
+      graft.GraftSession.withStateStoreFor(s, o.count()) {
+        run()
+        b2.write.mode("append").parquet(s"$base/in")
+        run()
+      }
       s.read.parquet(s"$base/out")
         .select(col("k"), col("val"), col(E.Lsn).as("lsn"))
         .orderBy("k", "lsn")
@@ -3281,16 +3287,24 @@ object Queries {
         .withColumn("__key", col("k").cast(StringType))
       val guarded = graft.streaming.CdcStream
         .monotonicGuard(stream, "__key").drop("__key")
-      val q = graft.streaming.CdcStream.replicate(guarded, state,
-        s"$base/ckpt", Seq("k"),
-        graft.streaming.CdcStream.Bufferer(interval = None)).start()
-      try {
-        q.processAllAvailable()
-        publish(updates.unionByName(replays))
-        q.processAllAvailable()
-        publish(deletes)
-        q.processAllAvailable()
-      } finally q.stop()
+      // the guard holds one LSN per order key: route the state store by
+      // the MEASURED key count (metadata-cheap parquet count) — past the
+      // StateStoreBench crossover the default store's full-state commit
+      // goes superlinear (81.6 s/batch at 10^7 keys; RocksDB+changelog
+      // 24.9 s), below it the default is faster. This is the sizing
+      // rule from GraftSession.scaleStreamingState, encoded.
+      graft.GraftSession.withStateStoreFor(s, o.count()) {
+        val q = graft.streaming.CdcStream.replicate(guarded, state,
+          s"$base/ckpt", Seq("k"),
+          graft.streaming.CdcStream.Bufferer(interval = None)).start()
+        try {
+          q.processAllAvailable()
+          publish(updates.unionByName(replays))
+          q.processAllAvailable()
+          publish(deletes)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 

@@ -868,6 +868,102 @@ object StressR12 {
   }
 }
 
+/** Round-13 stress cases: the incremental containment index at 110k
+  * docs with a universal hot shingle (case 31), and the depth-2
+  * deletion blocker at 10^5 x 10^5 double-indel names (case 32).
+  * `sbt "runMain graft.StressR13"` */
+object StressR13 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // 31. INCREMENTAL containment over the case-30 corpus (universal
+    // hot shingle, 10^4 planted quotes), arriving in three batches
+    // against the persisted postings index: the cumulative union must
+    // recover EXACTLY the planted quote links — quotes and sources
+    // split across batches, so both probe directions (batch-as-A
+    // against the standing index and index-as-A against the batch) and
+    // the within-batch class all carry load; the hot shingle's
+    // corpus-length posting list must still meet zero prefixes.
+    val cdocs = spark.range(100000L).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("common0"), lit("common1"), lit("common2"),
+        concat(lit("r"), col("id"), lit("x0")),
+        concat(lit("r"), col("id"), lit("x1")),
+        concat(lit("r"), col("id"), lit("x2")),
+        concat(lit("r"), col("id"), lit("x3")),
+        concat(lit("r"), col("id"), lit("x4")),
+        concat(lit("r"), col("id"), lit("x5"))).as("text"))
+    val quotes = cdocs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("r"), col("doc_id"), lit("x0")),
+          concat(lit("r"), col("doc_id"), lit("x1")),
+          concat(lit("r"), col("doc_id"), lit("x2")),
+          concat(lit("r"), col("doc_id"), lit("x3")),
+          concat(lit("r"), col("doc_id"), lit("x4")),
+          concat(lit("r"), col("doc_id"), lit("x5"))).as("text"))
+    val corpus = cdocs.unionByName(quotes)
+    val idxPath = "/tmp/graft_stress_cont_idx"
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(idxPath), true)
+    val found = timed("incremental containment 110k docs, 3 appends") {
+      (0 to 2).map(m => functions.Dedup.containmentIndexUpdate(idxPath,
+          corpus.filter(pmod(col("doc_id"), lit(3)) === m),
+          "text", "doc_id", shingleN = 3, theta = 0.8)
+        .filter(col("id_a") >= 1000000L).count()).sum
+    }
+    require(found == 10000L,
+      s"expected exactly 10^4 incremental quote links, got $found")
+    println(s"[stress]   incremental containment links: $found (exact)")
+
+    // 32. depth-2 deletion blocker at 10^5 x 10^5 structured names with
+    // TWO hash-driven indel edits per dirty row (the ed<=2 class depth 1
+    // cannot block when both edits are deletions/insertions on one
+    // side). ~len^2/2 keys per row is the documented cost; the join
+    // must stay block-occupancy-bounded, every dirty row must link.
+    val names = spark.range(100000L).select(col("id").as("c_custkey"),
+      concat(lit("User#"), lpad(col("id").cast("string"), 9, "0"))
+        .as("c_name"))
+    val h = functions.Hashing.hex8ToLong(col("c_custkey").cast("string"))
+    val nameLen = length(col("c_name"))
+    val pPos = (pmod(shiftright(h, 1), nameLen.cast("long")) + 1).cast("int")
+    val r1 = when(pmod(h, lit(2)) === 0,
+      concat(col("c_name").substr(lit(1), pPos - 1),
+        col("c_name").substr(pPos + 1, nameLen)))
+      .otherwise(concat(col("c_name").substr(lit(1), pPos - 1), lit("X"),
+        col("c_name").substr(pPos, nameLen)))
+    val step1 = names.select(col("c_custkey"), r1.as("r1"), h.as("__h"))
+    val len1 = length(col("r1"))
+    val qPos = (pmod(shiftright(col("__h"), 3), len1.cast("long")) + 1)
+      .cast("int")
+    val dirty2 = step1.select((col("c_custkey") + 10000000L).as("d_key"),
+      when(pmod(shiftright(col("__h"), 2), lit(2)) === 0,
+        concat(col("r1").substr(lit(1), qPos - 1),
+          col("r1").substr(qPos + 1, len1)))
+        .otherwise(concat(col("r1").substr(lit(1), qPos - 1), lit("Y"),
+          col("r1").substr(qPos, len1))).as("d_name"))
+    val linked2 = timed("entity match (depth-2 deletion blocker) 10^5 x 10^5") {
+      functions.EntityMatch.link(dirty2, "d_key", "d_name",
+        names, "c_custkey", "c_name",
+        functions.EntityMatch.deletionBlocker2, maxDist = 2)
+        .select("d_key").distinct().count()
+    }
+    require(linked2 == 100000L,
+      s"expected every dirty row linked (10^5), got $linked2")
+    println(s"[stress]   depth-2 linked dirty rows: $linked2 (complete)")
+    spark.stop()
+  }
+}
+
 /** Recall probe for the LSH bitext spelling on a corpus with REAL
   * neighbor structure: corpus B is corpus A jittered ±0.05 per
   * component (cosine ≈ 0.995 to its source — the translation-pair
