@@ -1464,6 +1464,15 @@ object Oracles {
          |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin),
 
+    // compaction mid-sequence must not change a single discovered pair:
+    // same full-recompute oracle across the two-phase swap
+    "dedup_lsh_compact" ->
+      (s"""WITH bands AS ($minhashBandsSql)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin),
+
     // same invariant through the streaming loop: checkpointed batches
     // into the band index must leave the full-recompute pair set
     "stream_dedup_lsh" ->

@@ -1394,6 +1394,27 @@ object Queries {
       u1.unionByName(u2).orderBy("id_a", "id_b")
     }),
 
+    "dedup_lsh_compact" -> ((s, dir) => {
+      // index MAINTENANCE mid-stream: three updates with a compaction
+      // between the second and third — the compacted lake must serve
+      // the next update exactly as the uncompacted one would, so the
+      // cumulative union still equals the one-shot full recompute
+      // (dedup_lsh_incremental's oracle, shared). File-count collapse
+      // is spec-asserted; this row gates the ANSWER across the swap.
+      val base = "/tmp/graft_bandindex_compact"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = t(s, dir, "documents")
+      val us = Seq(0, 1, 2).map { m =>
+        val u = Dedup.bandIndexUpdate(s"$base/idx",
+          docs.filter(pmod(col("doc_id"), lit(3)) === m), "text", "doc_id")
+        if (m == 1) Dedup.bandIndexCompact(s, s"$base/idx")
+        u
+      }
+      us.reduce(_ unionByName _).orderBy("id_a", "id_b")
+    }),
+
     "stream_dedup_lsh" -> ((s, dir) => {
       // the continuous-crawl dedup loop under the real streaming
       // machinery: document batches arrive through a checkpointed
