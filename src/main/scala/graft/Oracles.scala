@@ -65,6 +65,21 @@ object Oracles {
     graft.functions.TextAnalysis.Stopwords.map(w => s"'$w'")
       .mkString("[", ", ", "]")
 
+  /** Shared by the one-shot, incremental-index, and compacted-index
+    * spellings of embedding near-dup: all three must produce the
+    * one-shot bucket-join answer over the full corpus. */
+  private def embedNearDupsSql: String =
+    s"""WITH b AS (${lshBucketSql("embeddings")}),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+       |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id),
+       |s AS (SELECT id_a, id_b,
+       |  list_dot_product(ea.v, eb.v) /
+       |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos_raw
+       |FROM p JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+       |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM s
+       |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, String] = Map(
     "filter_columns" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders ORDER BY o_orderkey",
@@ -2134,17 +2149,15 @@ object Oracles {
          |  count(*) AS n
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin),
 
-    "embed_near_dups" ->
-      (s"""WITH b AS (${lshBucketSql("embeddings")}),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |p AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b
-         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id),
-         |s AS (SELECT id_a, id_b,
-         |  list_dot_product(ea.v, eb.v) /
-         |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos_raw
-         |FROM p JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
-         |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM s
-         |WHERE cos_raw >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+    "embed_near_dups" -> embedNearDupsSql,
+
+    // the standing embedding bucket index must answer EXACTLY like the
+    // one-shot embeddingNearDups over the union of all appended
+    // batches — same oracle by design (the equivalence law IS the
+    // incremental contract), and compaction is pure file-layout
+    // maintenance so the compacted twin shares it too
+    "embed_near_dups_incremental" -> embedNearDupsSql,
+    "embed_near_dups_compact" -> embedNearDupsSql,
 
     "wal2json_parse" ->
       ("""SELECT o_orderkey AS id, o_totalprice AS price,

@@ -2313,6 +2313,52 @@ object Queries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
 
+    "embed_near_dups_incremental" -> ((s, dir) => {
+      // continuous-crawl near-dup over a standing EMBEDDING index: the
+      // vector corpus arrives in three batches; each update probes the
+      // persisted bucket lake partition-pruned to ITS OWN cells (a
+      // vector has exactly one sign-LSH bucket, so the probe reads
+      // only the touched cells), broadcasts only the batch, appends,
+      // and the cumulative pair union must equal the one-shot
+      // embeddingNearDups over the full corpus (embed_near_dups'
+      // oracle, shared — the equivalence IS the contract).
+      val base = "/tmp/graft_embindex"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val e = t(s, dir, "embeddings")
+      val us = Seq(0, 1, 2).map(m =>
+        Dedup.embeddingIndexUpdate(s"$base/idx",
+          e.filter(pmod(col("vec_id"), lit(3)) === m), "embedding",
+          "vec_id", planes = 8, minCos = 0.35))
+      us.reduce(_ unionByName _)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "embed_near_dups_compact" -> ((s, dir) => {
+      // embedding-index MAINTENANCE mid-stream: per-cell compaction
+      // between the second and third update must leave the next
+      // probe's answers exactly those of the uncompacted twin — the
+      // cumulative union still equals the one-shot recompute (same
+      // shared oracle). File-count collapse is spec-asserted.
+      val base = "/tmp/graft_embindex_compact"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val e = t(s, dir, "embeddings")
+      val us = Seq(0, 1, 2).map { m =>
+        val u = Dedup.embeddingIndexUpdate(s"$base/idx",
+          e.filter(pmod(col("vec_id"), lit(3)) === m), "embedding",
+          "vec_id", planes = 8, minCos = 0.35)
+        if (m == 1) Dedup.embeddingIndexCompact(s, s"$base/idx")
+        u
+      }
+      us.reduce(_ unionByName _)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     "wal2json_parse" -> ((s, dir) => {
       val wire = qw(s, dir, "orders").select(format_string(
         """{"xid":%d,"change":[{"kind":"insert","schema":"public","table":"orders","columnnames":["id","price"],"columnvalues":["%d","%s"]}]}""",

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -767,6 +767,108 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Incremental embedding near-dup against a PERSISTED sign-LSH
+    * bucket index — the embedding spelling of [[bandIndexUpdate]]'s
+    * continuous-crawl discipline, completing the standing-index family
+    * (exact / band / containment / IVF / embedding): the corpus's
+    * `(id, bucket, vector)` rows live in a parquet lake PARTITIONED BY
+    * bucket, and each new batch (a) finds its near-dup pairs against
+    * the index with the index scan PARTITION-PRUNED to the batch's own
+    * buckets (≤ 2^planes cell ids, collected driver-side — a vector
+    * has exactly ONE bucket, so the probe reads only the cells the
+    * batch touches) and the batch side broadcast (ingest-batch-sized
+    * by the streaming contract, never the corpus), and (b) appends its
+    * own rows, so per-update cost is O(touched cells + batch), never a
+    * corpus re-hash.
+    *
+    * Returns the pairs DISCOVERED by this update (index↔batch plus
+    * within-batch, exact cosine ≥ `minCos`, `id_a < id_b`); a pair is
+    * discovered exactly once (in the update that completes it), so the
+    * cumulative union over updates equals [[embeddingNearDups]] over
+    * the full corpus whenever no bucket ever exceeds `maxBucketSize`
+    * (the cap counts the TOTAL bucket — matched index rows + batch —
+    * the same population the one-shot operator caps on). The returned
+    * frame is MATERIALIZED before the index append, so the join never
+    * sees the batch's own rows. Maintenance: [[embeddingIndexCompact]].
+    *
+    * Cf. reference dataplane cross-snapshot dedup (provider-agnostic
+    * half), here banded by sign-LSH over the embedding column. */
+  def embeddingIndexUpdate(indexPath: String, batch: DataFrame,
+                           vecCol: String, idCol: String,
+                           planes: Int = 8, minCos: Double = 0.95,
+                           maxBucketSize: Int = 10000): DataFrame = {
+    require(planes >= 1 && planes <= 30,
+      s"planes must be in [1, 30] (bucket is a 32-bit partition id): $planes")
+    val spark = batch.sparkSession
+    val nb = batch.select(col(idCol).as("id"),
+        Similarity.hyperplaneBucket(col(vecCol), planes).cast("int")
+          .as("bucket"),
+        col(vecCol).as("v")).persist()
+    try {
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the batch's cell set: ≤ 2^planes ints — request-sized, and the
+      // literal IN list is what turns the index scan partition-pruned
+      val cells = nb.select("bucket").distinct()
+        .collect().map(_.getAs[Number](0).intValue()).sorted
+      val matchedIdx =
+        if (fs.exists(root))
+          embeddingIndexScan(spark, indexPath, cells.toSeq).persist()
+        else nb.limit(0)
+      // hot-bucket cap over the TOTAL bucket (index + batch) — the
+      // population a full recompute would cap on
+      val batchSizes = nb.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      val idxSizes = matchedIdx.groupBy("bucket")
+        .agg(count(lit(1)).as("__in"))
+      val okCells = batchSizes.join(idxSizes, Seq("bucket"), "left")
+        .filter(coalesce(col("__in"), lit(0L)) + col("__bn") <= maxBucketSize)
+        .select("bucket")
+      val prunedNew = nb.join(broadcast(okCells), Seq("bucket"))
+      val cross = matchedIdx
+        .join(broadcast(prunedNew.select(col("bucket"),
+          col("id").as("__new_id"), col("v").as("__new_v"))), Seq("bucket"))
+        .filter(col("id") =!= col("__new_id"))
+        .withColumn("cos", Similarity.cosine(col("v"), col("__new_v")))
+        .filter(col("cos") >= minCos)
+        .select(least(col("id"), col("__new_id")).as("id_a"),
+          greatest(col("id"), col("__new_id")).as("id_b"), col("cos"))
+      val l = prunedNew.select(col("bucket"), col("id").as("id_a"),
+        col("v").as("v_a"))
+      val r = prunedNew.select(col("bucket"), col("id").as("id_b"),
+        col("v").as("v_b"))
+      val within = l.join(r, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cos") >= minCos)
+        .select("id_a", "id_b", "cos")
+      // a pair lands in exactly one of cross/within (one bucket per
+      // vector, one discovering update) — union, no dedup needed;
+      // materialize BEFORE the append so the lazy join cannot rescan
+      // an index that already contains this batch
+      val found = cross.unionByName(within).localCheckpoint(true)
+      nb.write.mode("append").partitionBy("bucket").parquet(indexPath)
+      matchedIdx.unpersist()
+      found
+    } finally nb.unpersist()
+  }
+
+  /** The update's index-side read: PARTITION-PRUNED to the probed cell
+    * ids (spec-asserted `PartitionFilters` — the reason the lake is
+    * partitioned by bucket at all). */
+  private[functions] def embeddingIndexScan(spark: SparkSession,
+      indexPath: String, cells: Seq[Int]): DataFrame =
+    spark.read.option("basePath", indexPath).parquet(indexPath)
+      .filter(col("bucket").isin(cells.map(Integer.valueOf): _*))
+
+  /** Maintenance for the persisted embedding bucket index: per-cell
+    * compaction via the crash-safe two-phase swap, KEEPING the
+    * `bucket=<cell>/` layout so [[embeddingIndexUpdate]] probes stay
+    * partition-pruned and answer identically before and after. */
+  def embeddingIndexCompact(spark: SparkSession, indexPath: String)
+      : graft.sinks.Sinks.CompactionStats =
+    graft.sinks.Sinks.compact(spark, indexPath,
+      partitionCols = Seq("bucket"))
 
 
   // ---------------- benchmark decontamination ----------------

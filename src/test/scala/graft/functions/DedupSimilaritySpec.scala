@@ -406,6 +406,76 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(p => p._1 < p._2))
   }
 
+  test("incremental embedding index: cumulative union over any batch " +
+    "split equals the one-shot operator; index scan partition-pruned") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.withColumn("cos", round(col("cos"), 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val oneShot = pairs(
+      Dedup.embeddingNearDups(e, "embedding", "vec_id", minCos = 0.35))
+    assert(oneShot.nonEmpty, "vacuous: threshold yields no pairs")
+    for (nBatches <- Seq(2, 3)) {
+      val idx = s"/tmp/graft_emb_idx_spec_$nBatches"
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val got = (0 until nBatches).map(m => pairs(
+        Dedup.embeddingIndexUpdate(idx,
+          e.filter(pmod(col("vec_id"), lit(nBatches)) === m),
+          "embedding", "vec_id", minCos = 0.35)))
+      // a pair is discovered exactly once — the union is disjoint
+      assert(got.map(_.size).sum == got.reduce(_ ++ _).size,
+        "a pair was discovered by more than one update")
+      assert(got.reduce(_ ++ _) == oneShot, s"split=$nBatches")
+    }
+    // the probe's index read is partition-pruned to the batch's cells
+    val scan = Dedup.embeddingIndexScan(spark,
+      "/tmp/graft_emb_idx_spec_2", Seq(3, 17, 130))
+    val plan = scan.queryExecution.executedPlan.toString
+    val idxScan = plan.linesIterator
+      .find(l => l.contains("graft_emb_idx_spec_2") && l.contains("FileScan"))
+      .getOrElse("")
+    assert(idxScan.contains("PartitionFilters: [bucket"),
+      "index scan is not partition-pruned:\n" + plan)
+  }
+
+  test("embedding index compaction: pairs after a mid-stream compact " +
+    "equal the uncompacted twin's, file count collapsed, pruning kept") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    def run(idx: String, compactAt: Int): Set[(Long, Long)] = {
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      var out = Set.empty[(Long, Long)]
+      for (m <- 0 to 3) {
+        val u = Dedup.embeddingIndexUpdate(idx,
+          e.filter(pmod(col("vec_id"), lit(4)) === m),
+          "embedding", "vec_id", minCos = 0.35)
+        out ++= u.select("id_a", "id_b").as[(Long, Long)].collect()
+        if (m == compactAt) Dedup.embeddingIndexCompact(spark, idx)
+      }
+      out
+    }
+    val plain = run("/tmp/graft_emb_idx_plain", compactAt = -1)
+    val compacted = run("/tmp/graft_emb_idx_cpt", compactAt = 1)
+    assert(compacted == plain)
+    // file-count collapse on a fresh 4-append lake
+    val idx = "/tmp/graft_emb_idx_fc"
+    run(idx, compactAt = -1)
+    val stats = Dedup.embeddingIndexCompact(spark, idx)
+    assert(stats.filesBefore > stats.filesAfter,
+      s"before=${stats.filesBefore} after=${stats.filesAfter}")
+    // compaction kept the bucket=<cell>/ layout: probes stay pruned
+    val plan = Dedup.embeddingIndexScan(spark, idx, Seq(0, 1))
+      .queryExecution.executedPlan.toString
+    val idxScan = plan.linesIterator
+      .find(l => l.contains("graft_emb_idx_fc") && l.contains("FileScan"))
+      .getOrElse("")
+    assert(idxScan.contains("PartitionFilters: [bucket"),
+      "pruning lost after compaction:\n" + plan)
+  }
+
   test("ivf: k-means separates synthetic blobs; assignment probes cells") {
     // two well-separated 4-dim blobs
     val blobA = (0 until 20).map(i => (i.toLong, Array(1.0f + i*0.001f, 1.0f, 0.0f, 0.0f)))
