@@ -869,8 +869,10 @@ object StressR12 {
 }
 
 /** Round-13 stress cases: the incremental containment index at 110k
-  * docs with a universal hot shingle (case 31), and the depth-2
-  * deletion blocker at 10^5 x 10^5 double-indel names (case 32).
+  * docs with a universal hot shingle (case 31), the depth-2
+  * deletion blocker at 10^5 x 10^5 double-indel names (case 32), and
+  * the incremental embedding index at 110k vectors with 10^4 planted
+  * twins across 3 appends (case 33).
   * `sbt "runMain graft.StressR13"` */
 object StressR13 {
   def main(args: Array[String]): Unit = {
@@ -960,6 +962,42 @@ object StressR13 {
     require(linked2 == 100000L,
       s"expected every dirty row linked (10^5), got $linked2")
     println(s"[stress]   depth-2 linked dirty rows: $linked2 (complete)")
+
+    // 33. incremental EMBEDDING index at 110k vectors / 3 appends:
+    // 100k hash-derived 64-dim vectors (independent components — no
+    // accidental near-dups at cos 0.95, which sits ~7 sigma above the
+    // uniform-pair cosine) plus 10^4 planted twins (identical vector,
+    // id + 10^7: cos exactly 1.0, same bucket by construction). The
+    // cumulative cross-pair count (source, twin) must be exactly the
+    // planted set; sources and twins split across batches, so the
+    // index↔batch and within-batch discovery classes both carry load.
+    val dim = 64
+    val vecExpr = array((0 until dim).map(i =>
+      (pmod(xxhash64(col("vid"), lit(i)), lit(2001L)).cast("double")
+        / 1000.0 - 1.0)): _*)
+    val baseVecs = spark.range(100000L).select(col("id").as("vid"))
+      .select(col("vid"), vecExpr.as("emb"))
+    // offset 10^7 ≡ 1 (mod 3) puts a twin in the NEXT batch after its
+    // source (index↔batch discovery); offset 10^7+2 ≡ 0 keeps it in
+    // the SAME batch (within-batch discovery) — both classes loaded
+    val twins = baseVecs.filter(col("vid") % 10 === 0)
+      .select((col("vid") + 10000000L +
+        when(col("vid") % 20 === 0, 2L).otherwise(0L)).as("vid"),
+        col("emb"))
+    val vcorpus = baseVecs.unionByName(twins)
+    val embIdx = "/tmp/graft_stress_emb_idx"
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(embIdx), true)
+    val embFound = timed("incremental embedding index 110k vecs, 3 appends") {
+      (0 to 2).map(m => functions.Dedup.embeddingIndexUpdate(embIdx,
+          vcorpus.filter(pmod(col("vid"), lit(3)) === m), "emb", "vid",
+          planes = 8, minCos = 0.95, maxBucketSize = 1000000)
+        .filter(col("id_b") >= 10000000L).count()).sum
+    }
+    require(embFound == 10000L,
+      s"expected exactly 10^4 planted twin pairs, got $embFound")
+    println(s"[stress]   incremental embedding pairs: $embFound (exact)")
     spark.stop()
   }
 }
