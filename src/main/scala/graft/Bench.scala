@@ -57,8 +57,24 @@ object Bench {
         // few queries cache frames — both tax every query measured after
         // them (r4: mysql_binlog_parse/native_parse ran 1.8-1.9x slower in
         // the full session than isolated). Quiesce between queries.
+        // r14 (the r12→r13 21-row regression triage, BENCH_DIFF_r14.md):
+        // clearCache only drops the SQL cache — eager localCheckpoints
+        // (the standing-index rows materialize found-pairs/index slices
+        // that way) register as PERSISTENT RDDs and stay pinned in the
+        // 8 GiB driver's storage pool for the rest of the run, and every
+        // checkpointed stream leaves its state-store provider loaded.
+        // Reproduced: confluent_decode 1.2 s isolated → 9.6 s when run
+        // after the 7 new r13 rows. Unpersist every lingering RDD block,
+        // unload state-store providers, and GC (outside the timer) so
+        // the ContextCleaner can drop dead shuffle files — one row's
+        // residue must not masquerade as another row's regression.
         try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => }
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        try org.apache.spark.sql.graft.bridge.unloadStateStores()
+        catch { case _: Throwable => }
+        System.gc()
         name -> r
       }
     val qs = results.map {
@@ -68,6 +84,13 @@ object Bench {
     val ok = results.collect { case (_, Right(v)) => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val nErr = results.count(_._2.isLeft)
+    // headline split (r13 verdict What's-wrong #2): lifecycle rows
+    // (standing-index multi-update cycles, checkpointed streams) are
+    // fixed-overhead-bound at sf0.1 — report their sum separately so
+    // `value_core` is the round-over-round comparable number
+    val lifecycleSum = results.collect {
+      case (k, Right(v)) if Queries.lifecycle(k) => v }.sum
+    val coreSum = total - lifecycleSum
     // The reference's primary KPI is transfer rows/sec (docs/benchmarks.md:
     // 26-36): an end-to-end snapshot transfer of lineitem through the
     // engine (read -> envelope -> sink write). Measured after the loop
@@ -103,7 +126,9 @@ object Bench {
         s""""files":${files.length}}"""
       (rates(rates.length / 2), ev)
     } catch { case _: Throwable => (-1.0, """"transfer":{}""") }
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir"}"""
+    val lifecycleNames = Queries.lifecycle.toSeq.sorted
+      .map(n => s""""$n"""").mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"lifecycle":$lifecycleNames,"queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir"}"""
     // The final printed line must fit the driver's ~2 KB tail-capture
     // window: 158 queries x 17-digit doubles is 4.6 KB and arrives
     // decapitated (BENCH_r04/r05 `parsed: null`). Print a COMPACT summary
@@ -113,7 +138,7 @@ object Bench {
     val top5 = results.collect { case (k, Right(v)) => k -> v }
       .sortBy(-_._2).take(5)
       .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top5,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"queries":$top5,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""
     // Emission must be un-losable: streaming queries leave state-store
     // maintenance threads that race RpcEnv shutdown and can dump multi-KB
     // stack traces AFTER our output (this cost round 4 its perf signal —

@@ -105,6 +105,27 @@ object Queries {
   val wireCached: Seq[String] =
     Seq("native_parse", "mysql_binlog_parse", "cdc_pipeline_mysql")
 
+  /** Rows whose bench wall is dominated by multi-phase FIXED overhead
+    * rather than data volume: standing-index lifecycles (2-3 separate
+    * update batches + a compaction against an on-disk lake, each a full
+    * write-read cycle) and checkpointed streaming rows (per-microbatch
+    * commit/checkpoint cost on a handful of rows). At sf0.1 these are
+    * ~90% fixed cost, which both inflates the headline wall and buries
+    * genuine per-query drift (r13 verdict, What's-wrong #2). The bench
+    * reports their sum separately (`value_lifecycle`) so the headline
+    * `value_core` stays comparable round-over-round; their SCALE story
+    * lives in the fresh-sf ladder (PLANS.md), not the sf0.1 wall. */
+  val lifecycle: Set[String] = Set(
+    // standing-index lifecycles (multi-update + compact over a lake)
+    "dedup_lsh_incremental", "dedup_lsh_compact",
+    "containment_incremental",
+    "embed_near_dups_incremental", "embed_near_dups_compact",
+    "ann_ivf_incremental", "ann_ivf_compact",
+    // checkpointed structured-streaming rows (microbatch-commit-bound)
+    "replicate_stream", "replicate_stream_fs", "monotonic_guard",
+    "stream_dedup_lsh", "stream_sketch", "stream_join", "stream_enrich",
+    "watermark_dedup")
+
   private def wireCache(s: SparkSession, dir: String, key: String)
                        (build: => DataFrame): DataFrame = {
     val sig = {
@@ -1426,6 +1447,10 @@ object Queries {
       // pairs append to a pairs lake, distinct-read for replay
       // idempotency. Two micro-batches must leave exactly the
       // full-recompute pair set — dedup_lsh_incremental's oracle.
+      // (No withStateStoreFor here: the streaming query is a plain
+      // file source + foreachBatch — NO stateful operator, so no state
+      // store ever opens; the standing state lives in the band-index
+      // lake itself, maintained by bandIndexUpdate.)
       val base = "/tmp/graft_streamlsh"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
@@ -2686,11 +2711,15 @@ object Queries {
       val stream = s.readStream.schema(ev.schema).parquet(s"$base/in")
       val deduped = graft.streaming.CdcStream.watermarkDedup(
         stream, "ts", "1 hour", Seq("event_id"))
-      val q = deduped.writeStream.format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // dedup state is one entry per in-watermark key (~the event
+      // count here): route the store by a metadata-cheap count
+      graft.GraftSession.withStateStoreFor(s, ev.count()) {
+        val q = deduped.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(s"$base/out").orderBy("event_id")
     }),
 
@@ -2754,15 +2783,20 @@ object Queries {
       // the right number is executor-count-scaled, not fixture-scaled.
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q =
-        try joined.writeStream.format("memory")
-          .queryName("graft_sj_out").outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      try {
-        memV.addData(ev.filter(_._4 == "view").map(e => (e._1, e._2, e._3)).toSeq)
-        memC.addData(ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3)).toSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+      // join state holds both sides' in-watermark rows: route the
+      // store by the feed size (already collected — free); default
+      // provider below the crossover, RocksDB+changelog past it
+      graft.GraftSession.withStateStoreFor(s, ev.length.toLong) {
+        val q =
+          try joined.writeStream.format("memory")
+            .queryName("graft_sj_out").outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        try {
+          memV.addData(ev.filter(_._4 == "view").map(e => (e._1, e._2, e._3)).toSeq)
+          memC.addData(ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3)).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table("graft_sj_out").orderBy("user_id", "view_id", "click_id")
     }),
 
@@ -3291,17 +3325,23 @@ object Queries {
         .withColumn("__key", col("k").cast(StringType))
       val guarded = graft.streaming.CdcStream
         .monotonicGuard(stream, "__key").drop("__key")
-      val q = graft.streaming.CdcStream.replicate(guarded, state,
-        s"$base/ckpt", Seq("k"),
-        graft.streaming.CdcStream.Bufferer(interval = None)).start()
-      try {
-        mem.addData(inserts)
-        q.processAllAvailable()
-        mem.addData(updates ++ replays)
-        q.processAllAvailable()
-        mem.addData(deletes)
-        q.processAllAvailable()
-      } finally q.stop()
+      // guard state is one LSN per key: route the store by the key
+      // count (free here — the feed is already collected); at sf0.1
+      // this stays on the default provider, at sf10+ it crosses to
+      // RocksDB+changelog (the measured StateStoreBench crossover)
+      graft.GraftSession.withStateStoreFor(s, rows.length.toLong) {
+        val q = graft.streaming.CdcStream.replicate(guarded, state,
+          s"$base/ckpt", Seq("k"),
+          graft.streaming.CdcStream.Bufferer(interval = None)).start()
+        try {
+          mem.addData(inserts)
+          q.processAllAvailable()
+          mem.addData(updates ++ replays)
+          q.processAllAvailable()
+          mem.addData(deletes)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       graft.streaming.CdcStream.readState(s, state).orderBy("k")
     }),
 

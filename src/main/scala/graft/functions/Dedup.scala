@@ -290,19 +290,28 @@ object Dedup {
     val keys = Seq("band", "band_hash")
     val newBands = lshBands(newDocs, textCol, idCol, k, shingleN, bands)
       .withColumnRenamed(idCol, "id").persist()
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       val root = new org.apache.hadoop.fs.Path(indexPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasIdx = fs.exists(root)
+      // empty batch: nothing to probe AND nothing to append — an
+      // append of zero rows can create a parquet-less directory that
+      // poisons the next update's schema inference (same guard as
+      // embeddingIndexUpdate, ADVICE r13)
+      if (newBands.isEmpty)
+        return newBands.select(col("id").as("id_a"), col("id").as("id_b"))
       // matching index rows only: the batch's distinct band keys
       // broadcast into a map-side semi-filter, so everything after
       // this line is candidate-scale, never index-scale
       val matchedIdx =
-        if (hasIdx)
-          spark.read.parquet(indexPath)
+        if (hasIdx) {
+          val m = spark.read.parquet(indexPath)
             .join(broadcast(newBands.select(keys.map(col): _*).distinct()), keys)
             .persist()
-        else newBands.limit(0)
+          cached += m
+          m
+        } else newBands.limit(0)
       // the hot-bucket cap counts the TOTAL bucket (index + batch) —
       // the same population a full recompute would cap on
       val batchSizes = newBands.groupBy(keys.map(col): _*)
@@ -323,9 +332,14 @@ object Dedup {
       // cannot rescan an index that already contains this batch
       val found = cross.unionByName(within).distinct().localCheckpoint(true)
       newBands.write.mode("append").parquet(indexPath)
-      matchedIdx.unpersist()
       found
-    } finally newBands.unpersist()
+    } finally {
+      // unpersist on every exit path — the matched index slice must
+      // not leak into the block cache when a probe or the append
+      // throws (ADVICE r13, same discipline as embeddingIndexUpdate)
+      cached.foreach(_.unpersist())
+      newBands.unpersist()
+    }
   }
 
   /** Maintenance for the persisted LSH band index: rewrite the lake's
@@ -669,6 +683,13 @@ object Dedup {
     val hasIdx = fs.exists(new org.apache.hadoop.fs.Path(postingsPath))
     val sh = newDocs.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+    // empty batch: no postings to append, and — critically on a FRESH
+    // index — no dford freeze: an empty overwrite would leave a
+    // parquet-less dford dir that poisons every later update's read
+    // (same guard as embeddingIndexUpdate, ADVICE r13)
+    if (newDocs.isEmpty)
+      return newDocs.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("containment"))
     // bootstrap: freeze THIS batch's df as the order's first component
     // (immutable side table — the order must never change again)
     if (!hasIdx)
@@ -798,13 +819,20 @@ object Dedup {
                            vecCol: String, idCol: String,
                            planes: Int = 8, minCos: Double = 0.95,
                            maxBucketSize: Int = 10000): DataFrame = {
-    require(planes >= 1 && planes <= 30,
-      s"planes must be in [1, 30] (bucket is a 32-bit partition id): $planes")
+    // 20, not 30: the batch's distinct cell ids are collected into a
+    // driver IN-list (that literal list is what partition-prunes the
+    // index scan) — 2^20 ints is the most a driver should ever hold
+    // for a pruning predicate; past that the cell space is so fine
+    // that near-dups rarely share a cell anyway (r13 verdict #5)
+    require(planes >= 1 && planes <= 20,
+      s"planes must be in [1, 20] (cell ids become a driver-side " +
+        s"pruning IN-list, ≤ 2^planes entries): $planes")
     val spark = batch.sparkSession
     val nb = batch.select(col(idCol).as("id"),
         Similarity.hyperplaneBucket(col(vecCol), planes).cast("int")
           .as("bucket"),
         col(vecCol).as("v")).persist()
+    val matchedIdx = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       val root = new org.apache.hadoop.fs.Path(indexPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -812,20 +840,43 @@ object Dedup {
       // literal IN list is what turns the index scan partition-pruned
       val cells = nb.select("bucket").distinct()
         .collect().map(_.getAs[Number](0).intValue()).sorted
-      val matchedIdx =
+      // empty batch: nothing to probe AND nothing to append — an
+      // append of zero rows would create a parquet-less directory that
+      // poisons the next update's read (ADVICE r13)
+      if (cells.isEmpty)
+        return nb.select(col("id").as("id_a"), col("id").as("id_b"),
+          lit(0.0).as("cos"))
+      val idx =
         if (fs.exists(root))
           embeddingIndexScan(spark, indexPath, cells.toSeq).persist()
         else nb.limit(0)
-      // hot-bucket cap over the TOTAL bucket (index + batch) — the
-      // population a full recompute would cap on
+      matchedIdx += idx
       val batchSizes = nb.groupBy("bucket").agg(count(lit(1)).as("__bn"))
-      val idxSizes = matchedIdx.groupBy("bucket")
+      val idxSizes = idx.groupBy("bucket")
         .agg(count(lit(1)).as("__in"))
-      val okCells = batchSizes.join(idxSizes, Seq("bucket"), "left")
-        .filter(coalesce(col("__in"), lit(0L)) + col("__bn") <= maxBucketSize)
-        .select("bucket")
-      val prunedNew = nb.join(broadcast(okCells), Seq("bucket"))
-      val cross = matchedIdx
+      // hot-bucket cap over the TOTAL bucket (index + batch) — the
+      // population a full recompute would cap on. The incremental ==
+      // one-shot law holds only while NO bucket ever exceeds the cap:
+      // earlier updates have already emitted (unretractable) pairs a
+      // one-shot over the growing corpus would drop, so a crossing is
+      // an irreconcilable contract break — FAIL FAST with the cells so
+      // the caller can raise the cap and rebuild, rather than return a
+      // silently diverged answer (ADVICE r13, medium)
+      val totals = batchSizes.join(idxSizes, Seq("bucket"), "left")
+        .withColumn("__tot", coalesce(col("__in"), lit(0L)) + col("__bn"))
+      val overCap = totals.filter(col("__tot") > maxBucketSize)
+        .select("bucket", "__tot").limit(10).collect()
+      if (overCap.nonEmpty)
+        throw new IllegalStateException(
+          s"embeddingIndexUpdate: bucket(s) exceed maxBucketSize=" +
+            s"$maxBucketSize — the incremental==one-shot equivalence " +
+            s"contract cannot hold once a bucket crosses the cap " +
+            s"(earlier updates' emitted pairs are not retractable). " +
+            s"Raise maxBucketSize (and rebuild via the one-shot " +
+            s"operator) or re-bucket with more planes. First cells: " +
+            overCap.map(r => s"${r.get(0)}(n=${r.get(1)})").mkString(", "))
+      val prunedNew = nb
+      val cross = idx
         .join(broadcast(prunedNew.select(col("bucket"),
           col("id").as("__new_id"), col("v").as("__new_v"))), Seq("bucket"))
         .filter(col("id") =!= col("__new_id"))
@@ -848,9 +899,14 @@ object Dedup {
       // an index that already contains this batch
       val found = cross.unionByName(within).localCheckpoint(true)
       nb.write.mode("append").partitionBy("bucket").parquet(indexPath)
-      matchedIdx.unpersist()
       found
-    } finally nb.unpersist()
+    } finally {
+      // unpersist BOTH cached frames on every exit path — the index
+      // slice must not leak into the block cache when the cap check or
+      // the append throws (ADVICE r13)
+      matchedIdx.foreach(_.unpersist())
+      nb.unpersist()
+    }
   }
 
   /** The update's index-side read: PARTITION-PRUNED to the probed cell

@@ -93,9 +93,15 @@ object Quantiles {
     * the histogram itself never ships anywhere. */
   private def cumHist(df: DataFrame, valueCol: String,
                       smallDomainLimit: Long = 1000000L,
-                      buckets: Int = 256): DataFrame = {
+                      buckets: Int = 256,
+                      domainHint: Option[Long] = None): DataFrame = {
     val hist = histogram(df, valueCol)
-    val (domain, _) = domainAndCount(df, valueCol)
+    // a caller-supplied domain estimate skips the decision pre-pass —
+    // a gate→winsorize chain over the same frame should pay for ONE
+    // approx_count_distinct corpus scan, not one per stage (r13
+    // verdict task 8); the branches are value-identical, so any
+    // honest estimate only picks the plan shape
+    val domain = domainHint.getOrElse(domainAndCount(df, valueCol)._1)
     val cum =
       if (domain <= smallDomainLimit) {
         val nFrame = broadcast(hist.agg(sum(col("c")).as("n")))
@@ -157,9 +163,10 @@ object Quantiles {
 
   /** Exact per-mille thresholds, one row per requested rank. */
   def intThresholds(df: DataFrame, valueCol: String,
-                    permilles: Seq[Int]): DataFrame = {
+                    permilles: Seq[Int],
+                    domainHint: Option[Long] = None): DataFrame = {
     require(permilles.nonEmpty && permilles.forall(p => p >= 0 && p <= 1000))
-    val cum = cumHist(df, valueCol)
+    val cum = cumHist(df, valueCol, domainHint = domainHint)
     val aggs = permilles.map(p =>
       min(when(col("cum") * 1000 >= col("n") * p, col("v"))).as(s"__t$p"))
     val row = cum.agg(aggs.head, aggs.tail: _*)
@@ -391,13 +398,15 @@ object Quantiles {
     * sort. The dataloader consumes shards in order (short/clean
     * first, long-tail last). */
   def shardByQuantiles(df: DataFrame, valueCol: String,
-                       cuts: Seq[Int]): DataFrame = {
+                       cuts: Seq[Int],
+                       domainHint: Option[Long] = None): DataFrame = {
     require(cuts.nonEmpty && cuts == cuts.sorted,
       "cuts must be sorted per-milles")
     val aggs = cuts.zipWithIndex.map { case (p, i) =>
       min(when(col("cum") * 1000 >= col("n") * p, col("v"))).as(s"__t$i")
     }
-    val th = cumHist(df, valueCol).agg(aggs.head, aggs.tail: _*)
+    val th = cumHist(df, valueCol, domainHint = domainHint)
+      .agg(aggs.head, aggs.tail: _*)
     val shard = cuts.indices.foldRight(
         lit(cuts.size): org.apache.spark.sql.Column) { (i, acc) =>
       when(col(valueCol) <= col(s"__t$i"), i).otherwise(acc)
@@ -413,9 +422,9 @@ object Quantiles {
     * one broadcast of the single-row threshold frame, zero corpus
     * shuffles. */
   def gate(df: DataFrame, valueCol: String, loPermille: Int,
-           hiPermille: Int): DataFrame = {
+           hiPermille: Int, domainHint: Option[Long] = None): DataFrame = {
     require(loPermille <= hiPermille)
-    val th = cumHist(df, valueCol).agg(
+    val th = cumHist(df, valueCol, domainHint = domainHint).agg(
       min(when(col("cum") * 1000 >= col("n") * loPermille, col("v")))
         .as("__lo"),
       min(when(col("cum") * 1000 >= col("n") * hiPermille, col("v")))
@@ -432,9 +441,10 @@ object Quantiles {
     * corpus. Identical scale shape: histogram pass + broadcast
     * threshold row + pure projection, zero corpus shuffles. */
   def winsorize(df: DataFrame, valueCol: String, loPermille: Int,
-                hiPermille: Int): DataFrame = {
+                hiPermille: Int,
+                domainHint: Option[Long] = None): DataFrame = {
     require(loPermille <= hiPermille)
-    val th = cumHist(df, valueCol).agg(
+    val th = cumHist(df, valueCol, domainHint = domainHint).agg(
       min(when(col("cum") * 1000 >= col("n") * loPermille, col("v")))
         .as("__lo"),
       min(when(col("cum") * 1000 >= col("n") * hiPermille, col("v")))

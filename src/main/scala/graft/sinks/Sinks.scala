@@ -131,8 +131,18 @@ object Sinks {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__compact_tmp")
     val bak = new org.apache.hadoop.fs.Path(path + ".__compact_bak")
-    // recover from a previous crash: a completed tmp was never swapped,
-    // a leftover bak means the swap finished — both are safe to drop
+    // recover from a previous crash. If the MAIN path is missing the
+    // crash hit between rename(main→bak) and rename(tmp→main): the data
+    // lives ONLY in tmp (complete — it is fully written before the
+    // first rename) and bak; complete the swap rather than deleting the
+    // sole surviving copy (ADVICE r13: the old unconditional delete
+    // destroyed the lake on exactly this crash window). With main
+    // present, a leftover tmp is an unswapped rewrite and a leftover
+    // bak a finished swap — both safe to drop.
+    if (!fs.exists(hPath)) {
+      if (fs.exists(tmp)) fs.rename(tmp, hPath)
+      else if (fs.exists(bak)) fs.rename(bak, hPath)
+    }
     Seq(tmp, bak).foreach(p => if (fs.exists(p)) fs.delete(p, true))
     val files = {
       val it = fs.listFiles(hPath, true)

@@ -31,6 +31,14 @@ object bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** Unload every loaded streaming state-store provider on this JVM
+    * (`StateStore.unloadAll` is `private[sql]`). Each checkpointed
+    * stream leaves its providers + maintenance state loaded for the
+    * executor lifetime; a benchmark measuring many independent streams
+    * back-to-back must drop that residue between measurements. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Wrap a logical plan back into a DataFrame. */
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

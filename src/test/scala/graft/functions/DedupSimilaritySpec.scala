@@ -440,6 +440,55 @@ class DedupSimilaritySpec extends SparkSpec {
       "index scan is not partition-pruned:\n" + plan)
   }
 
+  test("embedding index update: over-cap bucket fails fast; empty batch " +
+    "leaves no poisoned directory") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    // empty batch: no pairs, no append — the next (real) update must
+    // not trip over a parquet-less directory (ADVICE r13)
+    val idx = "/tmp/graft_emb_idx_guard"
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val empty = Dedup.embeddingIndexUpdate(idx, e.filter(lit(false)),
+      "embedding", "vec_id", minCos = 0.35)
+    assert(empty.isEmpty)
+    val afterEmpty = Dedup.embeddingIndexUpdate(idx, e,
+      "embedding", "vec_id", minCos = 0.35)
+    assert(afterEmpty.count() ==
+      Dedup.embeddingNearDups(e, "embedding", "vec_id", minCos = 0.35)
+        .count())
+    // over-cap: once the total bucket (index + batch) crosses the cap
+    // the incremental==one-shot contract is irreconcilable — the update
+    // must fail fast, not silently diverge (ADVICE r13, medium)
+    val ex = intercept[IllegalStateException] {
+      Dedup.embeddingIndexUpdate(idx, e, "embedding", "vec_id",
+        minCos = 0.35, maxBucketSize = 3)
+    }
+    assert(ex.getMessage.contains("maxBucketSize"))
+    // planes bound: the cell IN-list is driver-side (r13 verdict #5)
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingIndexUpdate(idx, e, "embedding", "vec_id",
+        planes = 21)
+    }
+    // the same empty-batch guard across the standing-index family:
+    // band and containment updates must also survive an empty first
+    // batch without poisoning the lake
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val bIdx = "/tmp/graft_band_idx_guard"
+    fs.delete(new org.apache.hadoop.fs.Path(bIdx), true)
+    assert(Dedup.bandIndexUpdate(bIdx, docs.filter(lit(false)),
+      "text", "doc_id").isEmpty)
+    assert(Dedup.bandIndexUpdate(bIdx, docs.limit(50), "text", "doc_id")
+      .columns.sameElements(Array("id_a", "id_b")))
+    val cIdx = "/tmp/graft_cont_idx_guard"
+    fs.delete(new org.apache.hadoop.fs.Path(cIdx), true)
+    assert(Dedup.containmentIndexUpdate(cIdx, docs.filter(lit(false)),
+      "text", "doc_id").isEmpty)
+    assert(Dedup.containmentIndexUpdate(cIdx, docs.limit(50),
+      "text", "doc_id").columns.length == 3)
+  }
+
   test("embedding index compaction: pairs after a mid-stream compact " +
     "equal the uncompacted twin's, file count collapsed, pruning kept") {
     val fs = org.apache.hadoop.fs.FileSystem

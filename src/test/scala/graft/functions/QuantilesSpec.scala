@@ -32,6 +32,29 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.gate(const, "v", 50, 950).count() == 20)
   }
 
+  test("LAW: a caller-supplied domain hint only picks the plan branch — " +
+    "gate/winsorize/intThresholds answers identical under any hint") {
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val base = Quantiles.gate(df, "v", 50, 950)
+      .select("id").as[Long].collect().toSet
+    // a small hint (windowed branch) and an over-limit hint (bucketed
+    // two-level branch) must both reproduce the unhinted answer —
+    // a gate→winsorize chain threads ONE estimate through both stages
+    for (hint <- Seq(Some(100L), Some(2000000L))) {
+      assert(Quantiles.gate(df, "v", 50, 950, domainHint = hint)
+        .select("id").as[Long].collect().toSet == base, s"hint=$hint")
+      assert(Quantiles.winsorize(df, "v", 50, 950, domainHint = hint)
+          .agg(sum("v")).as[Long].head() ==
+        Quantiles.winsorize(df, "v", 50, 950)
+          .agg(sum("v")).as[Long].head(), s"hint=$hint")
+      assert(Quantiles.intThresholds(df, "v", Seq(250, 500),
+          domainHint = hint)
+          .collect().map(_.toSeq).toSet ==
+        Quantiles.intThresholds(df, "v", Seq(250, 500))
+          .collect().map(_.toSeq).toSet, s"hint=$hint")
+    }
+  }
+
   test("MAD outlier gate is robust where mean±3σ is not") {
     // 98 values near 100, one moderate outlier (3000), one extreme
     // corruption (1e6): the extreme inflates σ so badly that mean±3σ

@@ -181,4 +181,25 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 100)
     assert(!new java.io.File(path + ".__compact_tmp").exists())
   }
+
+  test("compaction recovers a crash BETWEEN the two swap renames " +
+    "instead of deleting the sole surviving copy") {
+    // crash window: rename(main→bak) done, rename(tmp→main) not —
+    // main is MISSING, the compacted tree is complete in tmp, the old
+    // tree in bak. Recovery must complete the swap, not delete both.
+    val path = tmp() + "/midswap"
+    spark.range(100).write.parquet(path + ".__compact_tmp")
+    spark.range(100).write.parquet(path + ".__compact_bak")
+    val stats = Sinks.compact(spark, path, targetBytes = 1L << 30)
+    assert(spark.read.parquet(path).count() == 100)
+    assert(stats.filesAfter >= 1)
+    assert(!new java.io.File(path + ".__compact_tmp").exists())
+    assert(!new java.io.File(path + ".__compact_bak").exists())
+    // and the bak-only variant (tmp already promoted then lost, or
+    // never written): the old tree must come back
+    val p2 = tmp() + "/bakonly"
+    spark.range(7).write.parquet(p2 + ".__compact_bak")
+    Sinks.compact(spark, p2, targetBytes = 1L << 30)
+    assert(spark.read.parquet(p2).count() == 7)
+  }
 }

@@ -64,6 +64,17 @@ def main():
           f"thresh {thresh}x, min {min_sec}s")
     print(f"totals: old {old.get('value', 0):.1f}s/{old.get('n_ok')}ok "
           f"-> new {new.get('value', 0):.1f}s/{new.get('n_ok')}ok")
+    # r14+: artifacts carry the lifecycle split — the comparable
+    # headline excludes fixed-overhead multi-phase rows
+    if "value_core" in old or "value_core" in new:
+        def core(d):
+            if "value_core" in d:
+                return float(d["value_core"])
+            lc = set(new.get("lifecycle") or old.get("lifecycle") or [])
+            return sum(v for k, v in d["queries"].items()
+                       if k not in lc and isinstance(v, (int, float)))
+        print(f"core totals (lifecycle rows excluded): "
+              f"old {core(old):.1f}s -> new {core(new):.1f}s")
     added = sorted(set(nq) - set(oq))
     gone = sorted(set(oq) - set(nq))
     if added:
