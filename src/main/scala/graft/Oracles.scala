@@ -3109,6 +3109,30 @@ object Oracles {
          |SELECT doc_id, greatest(lo, least(hi, n_chars)) AS n_chars
          |FROM documents, th ORDER BY doc_id""".stripMargin),
 
+    // the gate->winsorize curation chain: stage-1 thresholds over the
+    // full histogram, stage-2 thresholds over the SURVIVORS' histogram
+    // (same ceil-rank cross-multiplied semantics at each stage)
+    "quantile_pipeline" ->
+      ("""WITH h1 AS (SELECT n_chars AS v, count(*) AS c FROM documents
+         |  GROUP BY 1),
+         |tot1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h1),
+         |cum1 AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+         |  FROM h1),
+         |th1 AS (SELECT min(CASE WHEN cum*1000 >= n*10 THEN v END) AS lo,
+         |               min(CASE WHEN cum*1000 >= n*990 THEN v END) AS hi
+         |        FROM cum1, tot1),
+         |g AS (SELECT doc_id, n_chars FROM documents, th1
+         |      WHERE n_chars >= lo AND n_chars <= hi),
+         |h2 AS (SELECT n_chars AS v, count(*) AS c FROM g GROUP BY 1),
+         |tot2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h2),
+         |cum2 AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+         |  FROM h2),
+         |th2 AS (SELECT min(CASE WHEN cum*1000 >= n*100 THEN v END) AS lo,
+         |               min(CASE WHEN cum*1000 >= n*900 THEN v END) AS hi
+         |        FROM cum2, tot2)
+         |SELECT doc_id, greatest(th2.lo, least(th2.hi, n_chars)) AS n_chars
+         |FROM g, th2 ORDER BY doc_id""".stripMargin),
+
     // exact decimal second-moment sums reproduce bit-for-bit in any
     // engine; the double products are identical (float x float), the
     // DECIMAL(27,12) cast is deterministic, and decimal addition is
@@ -3285,6 +3309,27 @@ object Oracles {
     // all-pairs oracle by design (the bandIndexUpdate discipline,
     // exact here: no bucket-cap caveats)
     "containment_incremental" ->
+      (s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents
+         |  WHERE doc_id < 150),
+         |d AS (SELECT doc_id, tk FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, tk[1:(len(tk) + 2) // 3] FROM d0),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+         |  THEN list_transform(range(0, len(tk)-2), i -> array_to_string(tk[i+1:i+3], ' '))
+         |  ELSE [array_to_string(tk, ' ')] END) AS s FROM d),
+         |ex AS (SELECT doc_id AS id, unnest(s) AS s FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id <> b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
+         |FROM pairs JOIN sizes sa ON sa.id = id_a
+         |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // compaction must not disturb the incremental answer: the compact
+    // spelling shares the one-shot naive all-pairs oracle verbatim
+    "containment_compact" ->
       (s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents
          |  WHERE doc_id < 150),
          |d AS (SELECT doc_id, tk FROM d0

@@ -118,7 +118,7 @@ object Queries {
   val lifecycle: Set[String] = Set(
     // standing-index lifecycles (multi-update + compact over a lake)
     "dedup_lsh_incremental", "dedup_lsh_compact",
-    "containment_incremental",
+    "containment_incremental", "containment_compact",
     "embed_near_dups_incremental", "embed_near_dups_compact",
     "ann_ivf_incremental", "ann_ivf_compact",
     // checkpointed structured-streaming rows (microbatch-commit-bound)
@@ -4269,6 +4269,22 @@ object Queries {
           "n_chars", loPermille = 50, hiPermille = 950)
         .orderBy("doc_id")),
 
+    "quantile_pipeline" -> ((s, dir) => {
+      // the curation chain: drop the degenerate tails (gate), then
+      // clip what survives (winsorize) — ONE approx_count_distinct
+      // decision pre-pass threads through both stages via domainHint
+      // (the r13 verdict task-8 shape: per-stage estimates doubled a
+      // corpus scan; a gate only shrinks the domain, so the pre-gate
+      // estimate stays an honest branch pick for the survivor stage)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val est = Some(Quantiles.estimateDomain(d, "n_chars"))
+      val gated = Quantiles.gate(d, "n_chars",
+        loPermille = 10, hiPermille = 990, domainHint = est)
+      Quantiles.winsorize(gated, "n_chars",
+          loPermille = 100, hiPermille = 900, domainHint = est)
+        .orderBy("doc_id")
+    }),
+
     "embedding_gram" -> ((s, dir) =>
       // the corpus side of PCA/whitening: exact upper-triangle
       // second-moment matrix — (i, j, product) explode with map-side
@@ -4463,6 +4479,38 @@ object Queries {
         Dedup.containmentIndexUpdate(base,
           corpus.filter(pmod(col("doc_id"), lit(3)) === m),
           "text", "doc_id", shingleN = 3, theta = 0.8))
+      updates.reduce(_ unionByName _)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "containment_compact" -> ((s, dir) => {
+      // containment-index MAINTENANCE mid-stream (r14 — the one
+      // standing index that lacked a compaction entry point): compact
+      // the postings + frozen-df lakes between the second and third
+      // update; stored ranks ride the rows, so the remaining updates'
+      // answers — and the cumulative union — must equal the
+      // uncompacted twin's exactly (containment_incremental's shared
+      // naive all-pairs oracle). The fresh-sf10 ladder measures WHY:
+      // without cadence the three per-update probe reads turn
+      // listing-bound (PLANS.md r14).
+      val base = "/tmp/graft_containment_idx_cpt"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val tk = TextAnalysis.tokens(col("text"))
+      val quotes = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(tk, lit(1),
+          floor((size(tk) + lit(2)) / lit(3)).cast("int")), " ").as("text"))
+      val corpus = d.unionByName(quotes)
+      val updates = (0 to 2).map { m =>
+        val u = Dedup.containmentIndexUpdate(base,
+          corpus.filter(pmod(col("doc_id"), lit(3)) === m),
+          "text", "doc_id", shingleN = 3, theta = 0.8)
+        if (m == 1) Dedup.containmentIndexCompact(s, base)
+        u
+      }
       updates.reduce(_ unionByName _)
         .withColumn("containment", round(col("containment"), 6))
         .orderBy("id_a", "id_b")

@@ -717,52 +717,90 @@ object Dedup {
       val idx =
         if (hasIdx) spark.read.parquet(postingsPath)
         else ranked.limit(0)
-      val newPref = ranked.filter(col("__rk") <= prefixLen(theta))
-      // (a=new ⊂ b=old): the batch's prefixes probe the index map-side
-      val candNO = idx.select(col("id").as("id_b"), col("s"))
-        .join(broadcast(newPref.select(col("id").as("id_a"), col("s"))),
-          Seq("s"))
-        .select("id_a", "id_b").distinct()
-      // (a=old ⊂ b=new): the index's OWN prefix rows — a pure scan-side
-      // filter on the STORED rank, valid because the order is fixed —
-      // meet the batch's full postings
-      val candON = idx.filter(col("__rk") <= prefixLen(theta))
-        .select(col("id").as("id_a"), col("s"))
-        .join(broadcast(ranked.select(col("id").as("id_b"), col("s"))),
-          Seq("s"))
-        .select("id_a", "id_b").distinct()
-      // (a=new ⊂ b=new): within-batch, batch-sized throughout
-      val candNN = newPref.select(col("id").as("id_a"), col("s"))
+      // Probe = ONE direct co-occurrence aggregation per pair class,
+      // not prefix-candidates-then-verify. The first spelling shipped
+      // (r13) generated prefix candidates and verified them by
+      // PAIR-EXPANDED broadcasts (candidate pairs joined back to their
+      // postings, then broadcast against the lake). On replica-dense
+      // corpora — the 100 TB norm, where every doc has many near-dups
+      // — candidates are candidate-volume-sized, not answer-sized:
+      // measured on the fresh-sf10 ladder, a 1.67k-doc batch against a
+      // 42k-doc lake produced 0.5M candidate pairs per direction and a
+      // 32M-row broadcast, 58 s PER VERIFY DIRECTION (117 s/update and
+      // growing). The co-occurrence spelling joins the lake's postings
+      // ONCE with the broadcast batch postings (ingest-batch-sized by
+      // contract — the only thing ever broadcast) and counts shared
+      // shingles per (old,new) pair in a map-side-combined aggregate:
+      // the shuffle carries one row per OVERLAPPING PAIR (the same
+      // volume the candidate step already shuffled), the lake is
+      // scanned once instead of four times, and both probe directions
+      // come out of the same aggregate (stored __n serves the
+      // old-side denominator, batch __n the new side). Exactness is
+      // unconditional — containment ≥ θ implies ≥1 shared shingle, so
+      // the co-occurrence superset loses nothing and the θ filter does
+      // the rest. (Prefix pruning — and the frozen-df order that makes
+      // stored prefixes valid — remains load-bearing for the BATCH
+      // operator, where neither side fits in a broadcast; stored ranks
+      // also keep this lake answer-compatible with scan-side prefix
+      // probes at any θ.) 58+58 s → 2-3 s per update, flat in lake
+      // size up to the one remaining lake-scan term.
+      val batchSide = broadcast(ranked
+        .select(col("id").as("__nid"), col("s"), col("__n").as("__nn")))
+      val co = idx.select(col("id").as("__oid"), col("s"),
+          col("__n").as("__on"))
+        .join(batchSide, Seq("s"))
+        .groupBy("__oid", "__nid", "__on", "__nn")
+        .agg(count(lit(1)).as("inter"))
+      val newContained = co
+        .select(col("__nid").as("id_a"), col("__oid").as("id_b"),
+          (col("inter").cast("double") / col("__nn")).as("containment"))
+      val oldContained = co
+        .select(col("__oid").as("id_a"), col("__nid").as("id_b"),
+          (col("inter").cast("double") / col("__on")).as("containment"))
+      // (new, new): within-batch, batch-sized throughout — same
+      // aggregation over the batch's own postings self-join
+      val coNN = ranked.select(col("id").as("id_a"), col("s"),
+          col("__n").as("n_a"))
         .join(ranked.select(col("id").as("id_b"), col("s")), Seq("s"))
         .filter(col("id_a") =!= col("id_b"))
-        .select("id_a", "id_b").distinct()
-      // exact candidate-keyed verify; the index side is only ever a
-      // scan probed by a broadcast build (pairs × doc-size rows)
-      def withA(c: DataFrame) = c.join(
-        ranked.select(col("id").as("id_a"), col("s"), col("__n").as("n_a")),
-        Seq("id_a"))
-      val interNO = idx.select(col("id").as("id_b"), col("s"))
-        .join(broadcast(withA(candNO)), Seq("id_b", "s"))
         .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("inter"))
-      val interNN = withA(candNN)
-        .join(ranked.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-        .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("inter"))
-      val bNew = candON.join(
-        ranked.select(col("id").as("id_b"), col("s")), Seq("id_b"))
-      val interON = idx.select(col("id").as("id_a"), col("s"),
-          col("__n").as("n_a"))
-        .join(broadcast(bNew), Seq("id_a", "s"))
-        .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("inter"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") / col("n_a")).as("containment"))
       // materialize BEFORE the append so the lazy probes cannot rescan
       // an index that already contains this batch
-      val found = interNO.unionByName(interNN).unionByName(interON)
-        .withColumn("containment", col("inter").cast("double") / col("n_a"))
+      val found = newContained.unionByName(oldContained).unionByName(coNN)
         .filter(col("containment") >= theta)
         .select("id_a", "id_b", "containment")
         .localCheckpoint(true)
       ranked.write.mode("append").parquet(postingsPath)
       found
     } finally ranked.unpersist()
+  }
+
+  /** Maintenance for the persisted containment index — the one
+    * standing index that was missing a compaction entry point (r14;
+    * band/IVF/embedding each got theirs in r12-r13). Every
+    * [[containmentIndexUpdate]] appends its own part files to
+    * `postings/`, and each update performs THREE probe reads of the
+    * lake, so at streaming cadence the scans turn LISTING-bound long
+    * before they turn byte-bound — measured on the fresh-sf10 ladder:
+    * per-update cost grew 4.5 → ~25 s by update 24 (768 accumulated
+    * part files, ~50 MB of actual bytes) with the growth tracking
+    * file count, not data. Compaction is row-content-preserving, and
+    * the postings' stored frozen-df ranks (`__rk`, `__n`) ride the
+    * rows, so probes before and after answer identically (spec +
+    * shared oracle); the bootstrap-frozen `dford/` table is rewritten
+    * the same way. Crash-safe two-phase swap throughout
+    * ([[graft.sinks.Sinks.compact]]). Run off the update path. */
+  def containmentIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String,
+                              targetBytes: Long = 128L << 20)
+      : graft.sinks.Sinks.CompactionStats = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/dford")))
+      graft.sinks.Sinks.compact(spark, s"$indexPath/dford", targetBytes)
+    graft.sinks.Sinks.compact(spark, s"$indexPath/postings", targetBytes)
   }
 
   // ---------------- embedding near-dup ----------------

@@ -56,6 +56,15 @@ object Quantiles {
     * the branch decision + total for the ungrouped family. rsd 5%:
     * the branches are value-identical, the estimate only picks the
     * plan shape. */
+  /** Public spelling of the branch-decision estimate, for PIPELINES:
+    * a gate→winsorize chain over the same metric computes this once
+    * and threads it through every stage's `domainHint` (the estimate
+    * only picks each stage's plan branch, never its answer — and a
+    * gate only shrinks the domain, so the pre-gate estimate stays an
+    * honest upper bound for every later stage). */
+  def estimateDomain(df: DataFrame, valueCol: String): Long =
+    domainAndCount(df, valueCol)._1
+
   private def domainAndCount(df: DataFrame, valueCol: String): (Long, Long) = {
     val v = col(valueCol).cast("long")
     val r = df.agg(approx_count_distinct(v).as("d"), count(v).as("n")).head()

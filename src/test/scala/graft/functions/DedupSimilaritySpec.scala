@@ -525,6 +525,42 @@ class DedupSimilaritySpec extends SparkSpec {
       "pruning lost after compaction:\n" + plan)
   }
 
+  test("containment index compaction: pairs after a mid-stream compact " +
+    "equal the uncompacted twin's; file count collapsed") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val d = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).limit(120)
+    def run(idx: String, compactAt: Int): Set[(Long, Long)] = {
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      var out = Set.empty[(Long, Long)]
+      for (m <- 0 to 3) {
+        val u = Dedup.containmentIndexUpdate(idx,
+          d.filter(pmod(col("doc_id"), lit(4)) === m),
+          "text", "doc_id", theta = 0.6)
+        out ++= u.select("id_a", "id_b").as[(Long, Long)].collect()
+        if (m == compactAt) Dedup.containmentIndexCompact(spark, idx)
+      }
+      out
+    }
+    val plain = run("/tmp/graft_cont_idx_plain", compactAt = -1)
+    val compacted = run("/tmp/graft_cont_idx_cpt", compactAt = 1)
+    assert(compacted == plain)
+    // file-count collapse on a fresh 4-append lake
+    val idx = "/tmp/graft_cont_idx_fc"
+    run(idx, compactAt = -1)
+    val stats = Dedup.containmentIndexCompact(spark, idx)
+    assert(stats.filesBefore > stats.filesAfter,
+      s"before=${stats.filesBefore} after=${stats.filesAfter}")
+    // and the compacted lake still serves later updates identically:
+    // stored __rk/__n rode the rewrite (frozen-df order preserved)
+    val u = Dedup.containmentIndexUpdate(idx,
+      d.filter(pmod(col("doc_id"), lit(4)) === 3)
+        .withColumn("doc_id", col("doc_id") + 5000000L),
+      "text", "doc_id", theta = 0.6)
+    assert(u.columns.length == 3)
+  }
+
   test("ivf: k-means separates synthetic blobs; assignment probes cells") {
     // two well-separated 4-dim blobs
     val blobA = (0 until 20).map(i => (i.toLong, Array(1.0f + i*0.001f, 1.0f, 0.0f, 0.0f)))
