@@ -717,60 +717,87 @@ object Dedup {
       val idx =
         if (hasIdx) spark.read.parquet(postingsPath)
         else ranked.limit(0)
-      // Probe = ONE direct co-occurrence aggregation per pair class,
-      // not prefix-candidates-then-verify. The first spelling shipped
-      // (r13) generated prefix candidates and verified them by
-      // PAIR-EXPANDED broadcasts (candidate pairs joined back to their
-      // postings, then broadcast against the lake). On replica-dense
-      // corpora — the 100 TB norm, where every doc has many near-dups
-      // — candidates are candidate-volume-sized, not answer-sized:
-      // measured on the fresh-sf10 ladder, a 1.67k-doc batch against a
-      // 42k-doc lake produced 0.5M candidate pairs per direction and a
-      // 32M-row broadcast, 58 s PER VERIFY DIRECTION (117 s/update and
-      // growing). The co-occurrence spelling joins the lake's postings
-      // ONCE with the broadcast batch postings (ingest-batch-sized by
-      // contract — the only thing ever broadcast) and counts shared
-      // shingles per (old,new) pair in a map-side-combined aggregate:
-      // the shuffle carries one row per OVERLAPPING PAIR (the same
-      // volume the candidate step already shuffled), the lake is
-      // scanned once instead of four times, and both probe directions
-      // come out of the same aggregate (stored __n serves the
-      // old-side denominator, batch __n the new side). Exactness is
-      // unconditional — containment ≥ θ implies ≥1 shared shingle, so
-      // the co-occurrence superset loses nothing and the θ filter does
-      // the rest. (Prefix pruning — and the frozen-df order that makes
-      // stored prefixes valid — remains load-bearing for the BATCH
-      // operator, where neither side fits in a broadcast; stored ranks
-      // also keep this lake answer-compatible with scan-side prefix
-      // probes at any θ.) 58+58 s → 2-3 s per update, flat in lake
-      // size up to the one remaining lake-scan term.
-      val batchSide = broadcast(ranked
-        .select(col("id").as("__nid"), col("s"), col("__n").as("__nn")))
-      val co = idx.select(col("id").as("__oid"), col("s"),
-          col("__n").as("__on"))
-        .join(batchSide, Seq("s"))
-        .groupBy("__oid", "__nid", "__on", "__nn")
-        .agg(count(lit(1)).as("inter"))
-      val newContained = co
-        .select(col("__nid").as("id_a"), col("__oid").as("id_b"),
-          (col("inter").cast("double") / col("__nn")).as("containment"))
-      val oldContained = co
-        .select(col("__oid").as("id_a"), col("__nid").as("id_b"),
-          (col("inter").cast("double") / col("__on")).as("containment"))
-      // (new, new): within-batch, batch-sized throughout — same
-      // aggregation over the batch's own postings self-join
-      val coNN = ranked.select(col("id").as("id_a"), col("s"),
-          col("__n").as("n_a"))
+      // Probe = lossless PREFIX candidates + per-doc ARRAY-INTERSECT
+      // verify. Three spellings were measured before this one stuck:
+      //
+      //  - r13 shipped prefix candidates verified by PAIR-EXPANDED
+      //    broadcasts (candidate pairs joined back to their postings,
+      //    broadcast against the lake). On replica-dense corpora — the
+      //    100 TB norm, and what ScaleUp fresh mode synthesizes —
+      //    candidates are candidate-volume-sized, not answer-sized:
+      //    fresh-sf10 ladder measured 0.5M candidate pairs per
+      //    direction from a 1.67k-doc batch at a 42k-doc lake, a
+      //    32M-row broadcast, 58 s PER VERIFY DIRECTION, growing.
+      //  - An unrestricted co-occurrence aggregation (lake ⨝ broadcast
+      //    batch on the shingle, count per pair) fixes replica density
+      //    but resurrects the hot-shingle cliff the frozen-df prefix
+      //    order exists to dodge: one universal shingle co-occurs
+      //    |lake|×|batch| times with near-all-pairs aggregate keys
+      //    (StressR13 case 31's exact construction — C(N,2) state).
+      //  - This spelling serves both shapes: candidates come from the
+      //    prefix joins (hot shingles stay out of every prefix under
+      //    the frozen-df order — lossless at θ, hot-safe); the verify
+      //    then intersects the two docs' DISTINCT-SHINGLE ARRAYS
+      //    directly. The batch's arrays broadcast (ingest-sized by
+      //    contract); the lake contributes only the CANDIDATE docs'
+      //    postings — one scan, semi-filtered by the broadcast
+      //    candidate-id set, grouped to answer+candidate-scale arrays
+      //    — so nothing pair-expanded is ever built and the lake never
+      //    shuffles. Ladder: 33-50 s/update (r13 verify) → 2-15 s,
+      //    linear only in the single lake scan; StressR13 case 31
+      //    exact at 110k hot-shingle docs.
+      val pl = prefixLen(theta)
+      val newPref = ranked.filter(col("__rk") <= pl)
+      val candNO = idx.select(col("id").as("id_b"), col("s"))
+        .join(broadcast(newPref.select(col("id").as("id_a"), col("s"))),
+          Seq("s"))
+        .select("id_a", "id_b").distinct()
+      val candON = idx.filter(col("__rk") <= pl)
+        .select(col("id").as("id_a"), col("s"))
+        .join(broadcast(ranked.select(col("id").as("id_b"), col("s"))),
+          Seq("s"))
+        .select("id_a", "id_b").distinct()
+      val candNN = newPref.select(col("id").as("id_a"), col("s"))
         .join(ranked.select(col("id").as("id_b"), col("s")), Seq("s"))
         .filter(col("id_a") =!= col("id_b"))
-        .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("inter"))
-        .select(col("id_a"), col("id_b"),
-          (col("inter").cast("double") / col("n_a")).as("containment"))
+        .select("id_a", "id_b").distinct()
+      // per-doc sorted distinct-shingle arrays. Batch side broadcasts;
+      // lake side materializes ONLY the candidate docs (either probe
+      // direction), so the group-by shuffles candidate-doc postings,
+      // never the lake. Raw shingle strings, not hashes: exactness is
+      // the contract and doc arrays are doc-sized either way.
+      val batchArr = ranked.groupBy("id")
+        .agg(sort_array(collect_list(col("s"))).as("arr"),
+          first(col("__n")).as("n"))
+      val oldIds = candNO.select(col("id_b").as("id"))
+        .unionByName(candON.select(col("id_a").as("id"))).distinct()
+      val oldArr = idx.join(broadcast(oldIds), Seq("id"))
+        .groupBy("id")
+        .agg(sort_array(collect_list(col("s"))).as("arr"),
+          first(col("__n")).as("n"))
+      def contain(c: DataFrame, aArr: DataFrame, bArr: DataFrame,
+                  aBc: Boolean, bBc: Boolean): DataFrame = {
+        val aSide = aArr.select(col("id").as("id_a"),
+          col("arr").as("__arr_a"), col("n").as("n_a"))
+        val bSide = bArr.select(col("id").as("id_b"),
+          col("arr").as("__arr_b"))
+        c.join(if (aBc) broadcast(aSide) else aSide, Seq("id_a"))
+          .join(if (bBc) broadcast(bSide) else bSide, Seq("id_b"))
+          .withColumn("containment",
+            size(array_intersect(col("__arr_a"), col("__arr_b")))
+              .cast("double") / col("n_a"))
+          .select("id_a", "id_b", "containment")
+      }
+      val interNO = contain(candNO, batchArr, oldArr,
+        aBc = true, bBc = false)
+      val interON = contain(candON, oldArr, batchArr,
+        aBc = false, bBc = true)
+      val interNN = contain(candNN, batchArr, batchArr,
+        aBc = true, bBc = true)
       // materialize BEFORE the append so the lazy probes cannot rescan
       // an index that already contains this batch
-      val found = newContained.unionByName(oldContained).unionByName(coNN)
+      val found = interNO.unionByName(interON).unionByName(interNN)
         .filter(col("containment") >= theta)
-        .select("id_a", "id_b", "containment")
         .localCheckpoint(true)
       ranked.write.mode("append").parquet(postingsPath)
       found

@@ -39,7 +39,13 @@ object IndexScale {
     spark.sparkContext.setLogLevel("WARN")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val base = s"/tmp/graft_idxscale_$op"
+    // scratch root keyed by (op, sfDir): two ladder runs at different
+    // scale factors must not share a feed/index tree — a concurrent
+    // sf0.1 base run once deleted a live sf10 run's lake mid-flight
+    // and both appended to one index (679 "pairs" from a 512-pair
+    // corpus — a corrupted-measurement foot-gun, not an operator bug)
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/tmp/graft_idxscale_${op}_$sfTag"
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     // stage the feed ONCE, partitioned by batch id — the continuous-
     // crawl contract: each timed update reads only ITS batch directory
