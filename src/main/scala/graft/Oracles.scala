@@ -3307,7 +3307,9 @@ object Oracles {
     // the incremental index's contract is answer-equality with the
     // one-shot containment join over the full corpus — same naive
     // all-pairs oracle by design (the bandIndexUpdate discipline,
-    // exact here: no bucket-cap caveats)
+    // exact here: no bucket-cap caveats); the micro-batch-GROUPED
+    // spelling (updateMany, r15) makes the same promise for ANY
+    // grouping of the arrival stream, so it shares the oracle too
     "containment_incremental" ->
       (s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents
          |  WHERE doc_id < 150),
@@ -3347,6 +3349,32 @@ object Oracles {
          |FROM pairs JOIN sizes sa ON sa.id = id_a
          |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
          |ORDER BY id_a, id_b""".stripMargin),
+
+    // grouping k arrived batches per lake scan must not change the
+    // answer — the shared one-shot all-pairs oracle, verbatim
+    "containment_update_many" ->
+      (s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents
+         |  WHERE doc_id < 150),
+         |d AS (SELECT doc_id, tk FROM d0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, tk[1:(len(tk) + 2) // 3] FROM d0),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+         |  THEN list_transform(range(0, len(tk)-2), i -> array_to_string(tk[i+1:i+3], ' '))
+         |  ELSE [array_to_string(tk, ' ')] END) AS s FROM d),
+         |ex AS (SELECT doc_id AS id, unnest(s) AS s FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id <> b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
+         |FROM pairs JOIN sizes sa ON sa.id = id_a
+         |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // the rebuild returns the one-shot bucket-join answer over the
+    // full (rebuilt) lake at the same planes — oracle shared with the
+    // one-shot and incremental spellings
+    "embedding_rebuild" -> embedNearDupsSql,
 
     // three synchronous LPA rounds unrolled: neighbor-label counts,
     // argmax by (cnt DESC, label ASC) — the heap's exact tie order

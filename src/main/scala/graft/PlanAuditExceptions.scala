@@ -34,6 +34,11 @@ object PlanAuditExceptions {
     "class_terms", "classifier_eval", "collocations", "curriculum_shards",
     "doc_tfidf", "dsir_select", "dsir_weights", "funnel_windowed",
     "hybrid_rrf", "lm_score", "nb_classify", "quantile_gate",
+    // quantile_pipeline chains gate -> winsorize over ONE shared
+    // domain-hinted stat scan; it carries the same C1 shape as its
+    // sibling quantile_gate (r15 review: the BNLJ build is the one-row
+    // gate-threshold frame, the SinglePartition is its 1-row aggregate)
+    "quantile_pipeline",
     "temperature_sample", "time_decay_score", "token_budget_sample",
     "winsorize_chars")
 
@@ -130,6 +135,10 @@ object PlanAuditExceptions {
     "dsir_weights" -> Map(gb(Rel) ->
       "per-feature-hash-bucket weight frame: 2^k rows by construction"),
     "embed_near_dups" -> Map(gb(Rel) ->
+      "bucket keep frame: <= 2^planes sign-LSH bucket keys by construction"),
+    // the rebuild's returned pair set IS the one-shot embeddingNearDups
+    // over the rebuilt lake — same reviewed bucket-keep shape
+    "embedding_rebuild" -> Map(gb(Rel) ->
       "bucket keep frame: <= 2^planes sign-LSH bucket keys by construction"),
     "grouped_mad_outliers" -> Map(gb(Rel) ->
       ("per-group med/mad one-row frames (groups = lang codes, " +

@@ -119,12 +119,18 @@ object Queries {
     // standing-index lifecycles (multi-update + compact over a lake)
     "dedup_lsh_incremental", "dedup_lsh_compact",
     "containment_incremental", "containment_compact",
+    "containment_update_many", "embedding_rebuild",
     "embed_near_dups_incremental", "embed_near_dups_compact",
     "ann_ivf_incremental", "ann_ivf_compact",
     // checkpointed structured-streaming rows (microbatch-commit-bound)
     "replicate_stream", "replicate_stream_fs", "monotonic_guard",
     "stream_dedup_lsh", "stream_sketch", "stream_join", "stream_enrich",
-    "watermark_dedup")
+    "watermark_dedup",
+    // multi-phase fixed-overhead rows missed by the r14 split (r14
+    // verdict #4): a 5-phase table-set surgery (each phase its own
+    // write-read cycle) and a checkpointed multi-table foreachBatch
+    // merge — both ~90% phase/commit overhead at sf0.1
+    "add_tables_lifecycle", "merge_multitable")
 
   private def wireCache(s: SparkSession, dir: String, key: String)
                        (build: => DataFrame): DataFrame = {
@@ -4513,6 +4519,61 @@ object Queries {
       }
       updates.reduce(_ unionByName _)
         .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "containment_update_many" -> ((s, dir) => {
+      // micro-batch GROUPING (r15): the same corpus arrives in six
+      // batches but the index is updated three times, two batches per
+      // lake scan via containmentIndexUpdateMany — the documented
+      // 100-TB amortization of the update's one linear term (the
+      // full-lake probe read). Grouping must not change the answer:
+      // the cumulative union over any grouping of the arrival stream
+      // equals the one-shot batch operator (shared naive all-pairs
+      // oracle; the fresh-sf10 ladder measures the k× scan saving).
+      val base = "/tmp/graft_containment_idx_many"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val tk = TextAnalysis.tokens(col("text"))
+      val quotes = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(tk, lit(1),
+          floor((size(tk) + lit(2)) / lit(3)).cast("int")), " ").as("text"))
+      val corpus = d.unionByName(quotes)
+      val updates = (0 to 2).map(g =>
+        Dedup.containmentIndexUpdateMany(base,
+          Seq(2 * g, 2 * g + 1).map(m =>
+            corpus.filter(pmod(col("doc_id"), lit(6)) === m)),
+          "text", "doc_id", shingleN = 3, theta = 0.8))
+      updates.reduce(_ unionByName _)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "embedding_rebuild" -> ((s, dir) => {
+      // the over-cap recovery path (r15): the standing embedding index
+      // is built incrementally, then REBUILT offline at a raised cap —
+      // the exact recovery embeddingIndexUpdate's fail-fast exception
+      // prescribes. The rebuild re-buckets the lake from its stored
+      // vectors, swaps it in crash-safely, and returns the FULL pair
+      // set via the one-shot bucket-join operator (never a corpus
+      // broadcast) — so its answer is the one-shot oracle verbatim,
+      // and updates resume against the rebuilt lake (the law spec
+      // also exercises a planes CHANGE, which the pinned-planes
+      // oracle here cannot).
+      val base = "/tmp/graft_embindex_rebuild"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val e = t(s, dir, "embeddings")
+      Seq(0, 1, 2).foreach(m =>
+        Dedup.embeddingIndexUpdate(s"$base/idx",
+          e.filter(pmod(col("vec_id"), lit(3)) === m), "embedding",
+          "vec_id", planes = 8, minCos = 0.35).count())
+      Dedup.embeddingIndexRebuild(s, s"$base/idx",
+          planes = 8, minCos = 0.35, maxBucketSize = 1000000)
+        .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
     }),
 

@@ -672,7 +672,9 @@ object Dedup {
   def containmentIndexUpdate(indexPath: String, newDocs: DataFrame,
                              textCol: String, idCol: String,
                              shingleN: Int = 3,
-                             theta: Double = 0.8): DataFrame = {
+                             theta: Double = 0.8,
+                             maxBatchPostings: Long = 10000000L)
+      : DataFrame = {
     require(theta > 0 && theta <= 1, "theta in (0, 1]")
     val spark = newDocs.sparkSession
     val W = org.apache.spark.sql.expressions.Window
@@ -714,6 +716,30 @@ object Dedup {
       .drop("__df")
       .persist()
     try {
+      // Fail-fast bound on the batch-side broadcasts (ADVICE r14 /
+      // What's-wrong #5): everything the probe BROADCASTS below —
+      // the batch's prefix postings, the full ranked postings, and
+      // the per-doc shingle arrays — is batch-postings-sized, and
+      // the "ingest-sized by contract" promise was previously
+      // unenforced: a caller feeding a 10 GB batch got a driver OOM
+      // instead of a contract error. The cap counts POSTINGS rows
+      // (docs × distinct shingles — the unit that actually
+      // serializes; measured: a 16.7k-doc fixture batch's postings
+      // deserialize past Spark's 8 GiB broadcast hard cap). The
+      // count doubles as the persist's materialization. Mirrors
+      // embeddingIndexUpdate's over-cap IllegalStateException; split
+      // the ingest batch to get under the cap —
+      // [[containmentIndexUpdateMany]] GROUPS batches per lake scan,
+      // it never relaxes this bound (the union is what broadcasts).
+      val nPostings = ranked.count()
+      if (nPostings > maxBatchPostings)
+        throw new IllegalStateException(
+          s"containmentIndexUpdate: ingest batch carries $nPostings " +
+            s"postings (docs x distinct shingles) > maxBatchPostings=" +
+            s"$maxBatchPostings — the probe broadcasts batch-sized " +
+            s"frames by contract, and a batch this size would OOM " +
+            s"the driver instead. Split the ingest batch (or raise " +
+            s"the cap on a driver sized for it).")
       val idx =
         if (hasIdx) spark.read.parquet(postingsPath)
         else ranked.limit(0)
@@ -802,6 +828,46 @@ object Dedup {
       ranked.write.mode("append").parquet(postingsPath)
       found
     } finally ranked.unpersist()
+  }
+
+  /** Micro-batch grouping for the containment index — the documented
+    * 100-TB answer (PLANS.md r14) to the update's one linear term:
+    * each [[containmentIndexUpdate]] pays ONE full lake scan
+    * (~2.7 s/100k lake docs measured on the fresh-sf10 ladder), so at
+    * streaming cadence the scans dominate long before the batch-side
+    * work does. Grouping k ARRIVED batches into one update amortizes
+    * that scan k× — at a lake L with per-batch cost `aL + b`,
+    * sequential cost is `k(aL + b)` vs grouped `aL + kb'`.
+    *
+    * Semantics are exact, not approximate: the pair space partitions
+    * identically either way. update(b₁ ∪ … ∪ bₖ) discovers precisely
+    * the pairs the k sequential updates discover — lake↔new pairs in
+    * the NO/ON probes, and every within-group and cross-group
+    * new↔new pair in the NN probe (sequential runs split those
+    * across updates; the union is the same set) — so the cumulative
+    * union over ANY grouping of the same arrival stream equals the
+    * one-shot [[prefixContainmentPairs]] over the full corpus.
+    * Law-tested against the same naive all-pairs oracle as the
+    * per-batch row (group-of-1 ≡ [[containmentIndexUpdate]]).
+    *
+    * The `maxBatchPostings` cap applies to the UNION — the grouped
+    * batch is what broadcasts — so the cap is exactly what bounds k:
+    * group as many batches as fit under it, never more. Batches must
+    * share the new-docs schema; duplicate doc ids across the group
+    * are the caller's bug (same as re-ingesting a doc id across
+    * updates). */
+  def containmentIndexUpdateMany(indexPath: String,
+                                 batches: Seq[DataFrame],
+                                 textCol: String, idCol: String,
+                                 shingleN: Int = 3,
+                                 theta: Double = 0.8,
+                                 maxBatchPostings: Long = 10000000L)
+      : DataFrame = {
+    require(batches.nonEmpty, "containmentIndexUpdateMany: no batches")
+    val union = batches.map(_.select(col(idCol), col(textCol)))
+      .reduce(_.unionByName(_))
+    containmentIndexUpdate(indexPath, union, textCol, idCol, shingleN,
+      theta, maxBatchPostings)
   }
 
   /** Maintenance for the persisted containment index — the one
@@ -937,8 +1003,12 @@ object Dedup {
             s"$maxBucketSize — the incremental==one-shot equivalence " +
             s"contract cannot hold once a bucket crosses the cap " +
             s"(earlier updates' emitted pairs are not retractable). " +
-            s"Raise maxBucketSize (and rebuild via the one-shot " +
-            s"operator) or re-bucket with more planes. First cells: " +
+            s"Recover with Dedup.embeddingIndexRebuild(spark, " +
+            s"indexPath, planes, minCos, raisedCap) — it re-buckets " +
+            s"the lake " +
+            s"(planes may change), swaps it in crash-safely, and " +
+            s"returns the full pair set at the new parameters. " +
+            s"First cells: " +
             overCap.map(r => s"${r.get(0)}(n=${r.get(1)})").mkString(", "))
       val prunedNew = nb
       val cross = idx
@@ -990,6 +1060,123 @@ object Dedup {
       : graft.sinks.Sinks.CompactionStats =
     graft.sinks.Sinks.compact(spark, indexPath,
       partitionCols = Seq("bucket"))
+
+  /** Offline REBUILD of the persisted embedding bucket index at new
+    * parameters — the entry point the [[embeddingIndexUpdate]]
+    * over-cap exception sends callers to (r14 verdict #6: the
+    * exception said "rebuild via the one-shot operator" but no helper
+    * did it). A cap crossing is an irreconcilable break for the
+    * INCREMENTAL contract (earlier updates' pairs are unretractable),
+    * so the recovery is: re-bucket the whole lake at the new
+    * `planes`, swap it in crash-safely, and return the FULL pair set
+    * at the new parameters computed by the one-shot
+    * [[embeddingNearDups]] — a bucket-keyed shuffle join over the
+    * corpus, never a corpus broadcast (rebuild is the one place the
+    * corpus may shuffle; it runs off the update path, like
+    * compaction). After the swap, incremental updates resume against
+    * the rebuilt lake at the raised cap.
+    *
+    * Law (spec-tested): the returned pairs equal a FRESH incremental
+    * run over the same arrival stream at the new parameters — both
+    * equal the one-shot operator over the full corpus. Vectors are
+    * re-bucketed from the stored `v` column, so `planes` may change;
+    * the two-phase swap (stage → main→bak → tmp→main, every rename
+    * checked) leaves either the old lake or the new one on any
+    * crash, and a half-staged tmp from a previous crash is cleared
+    * on entry. */
+  def embeddingIndexRebuild(spark: SparkSession, indexPath: String,
+                            planes: Int = 8, minCos: Double = 0.95,
+                            maxBucketSize: Int = 10000): DataFrame = {
+    require(planes >= 1 && planes <= 20,
+      s"planes must be in [1, 20]: $planes")
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexPath + ".__rebuild_tmp")
+    val bak = new org.apache.hadoop.fs.Path(indexPath + ".__rebuild_bak")
+    def renameOrDie(from: org.apache.hadoop.fs.Path,
+                    to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to),
+        s"embeddingIndexRebuild: rename failed: $from -> $to")
+    // crash recovery, same window analysis as Sinks.compact: main
+    // missing means the crash hit between the swap renames — tmp (a
+    // complete staged lake) or bak holds the sole copy; finish the
+    // swap instead of deleting it
+    if (!fs.exists(hPath)) {
+      if (fs.exists(tmp)) renameOrDie(tmp, hPath)
+      else if (fs.exists(bak)) renameOrDie(bak, hPath)
+    }
+    Seq(tmp, bak).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    spark.read.option("basePath", indexPath).parquet(indexPath)
+      .select(col("id"),
+        Similarity.hyperplaneBucket(col("v"), planes).cast("int")
+          .as("bucket"),
+        col("v"))
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    renameOrDie(hPath, bak)
+    renameOrDie(tmp, hPath)
+    fs.delete(bak, true)
+    embeddingNearDups(
+      spark.read.option("basePath", indexPath).parquet(indexPath)
+        .select(col("id"), col("v")),
+      "v", "id", planes, minCos, maxBucketSize)
+  }
+
+  /** Offline REBUILD of the containment index's shingle ORDER under a
+    * fresh document-frequency snapshot — the "full re-rank under a
+    * fresh snapshot is an offline rebuild" escape hatch
+    * [[containmentIndexUpdate]]'s scaladoc promises for shingles that
+    * turn hot AFTER bootstrap (they default to frozen-df 0 → rare →
+    * they land in every prefix, degrading probe speed; correctness
+    * never degrades — every probe is prefix-vs-FULL, lossless under
+    * ANY order). Recomputes df over the CURRENT corpus from the
+    * postings themselves (texts not needed), re-ranks every doc under
+    * the fresh `(df, stable hash, shingle)` order, and swaps both
+    * `dford/` and `postings/` in crash-safely via
+    * [[graft.sinks.Sinks.compact]]'s two-phase discipline. A crash
+    * between the two swaps leaves a new dford with old postings —
+    * safe: order affects prefix SELECTION speed only, and the next
+    * rebuild completes it. Probes answer identically before and
+    * after (law-tested). Corpus-scale shuffle by design — run it
+    * off the update path, at compaction cadence. */
+  def containmentIndexRebuild(spark: SparkSession,
+                              indexPath: String): Unit = {
+    val W = org.apache.spark.sql.expressions.Window
+    val postingsPath = s"$indexPath/postings"
+    val dfordPath = s"$indexPath/dford"
+    val postings = spark.read.parquet(postingsPath).select("id", "s")
+      .persist()
+    try {
+      val freshDf = postings.groupBy("s").agg(count(lit(1)).as("__df"))
+      val ranked = postings.join(freshDf, Seq("s"))
+        .withColumn("__rk", row_number().over(
+          W.partitionBy("id").orderBy(col("__df"),
+            Hashing.hex8ToLong(col("s")), col("s"))))
+        .withColumn("__n", count(lit(1)).over(W.partitionBy("id")))
+        .drop("__df")
+      def swapIn(path: String, df: DataFrame): Unit = {
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(path + ".__rebuild_tmp")
+        val bak = new org.apache.hadoop.fs.Path(path + ".__rebuild_bak")
+        def renameOrDie(from: org.apache.hadoop.fs.Path,
+                        to: org.apache.hadoop.fs.Path): Unit =
+          require(fs.rename(from, to),
+            s"containmentIndexRebuild: rename failed: $from -> $to")
+        if (!fs.exists(hPath)) {
+          if (fs.exists(tmp)) renameOrDie(tmp, hPath)
+          else if (fs.exists(bak)) renameOrDie(bak, hPath)
+        }
+        Seq(tmp, bak).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+        df.write.parquet(tmp.toString)
+        renameOrDie(hPath, bak)
+        renameOrDie(tmp, hPath)
+        fs.delete(bak, true)
+      }
+      swapIn(dfordPath, freshDf)
+      swapIn(postingsPath, ranked)
+    } finally postings.unpersist()
+  }
 
 
   // ---------------- benchmark decontamination ----------------

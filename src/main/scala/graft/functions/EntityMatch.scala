@@ -126,8 +126,19 @@ object EntityMatch {
     *  - the block join key ships as a 64-bit hash, not the O(length)
     *    key string — with [[deletionBlocker2]] a 30-char name emits
     *    ~200-450 keys × ~20-30 bytes, so hashing cuts the exploded
-    *    shuffle several-fold (hash collisions only widen the candidate
-    *    set; the exact distance verify keeps the answer identical);
+    *    shuffle several-fold. This makes blocking PROBABILISTIC: for
+    *    recall-complete blockers (the deletion family, where blocking
+    *    is purely a candidate-generation optimization and the banded
+    *    distance is the semantics) a 2^-64 collision only admits an
+    *    extra candidate that the exact verify then judges — answer
+    *    identical. For blockers whose block predicate IS part of the
+    *    semantics (suffixBlocker, maskBlocker: "must share a suffix /
+    *    mask"), a colliding within-maxDist pair that shares NO true
+    *    block would appear where the unhashed spelling excludes it —
+    *    probability ~n²·2^-64, negligible but nonzero; callers
+    *    needing exact semantic blocking should verify the block
+    *    predicate downstream or accept the documented odds (r14
+    *    ADVICE review: documented as probabilistic by design);
     *  - the free length-band prune (ed(a,b) ≥ |len(a)-len(b)|) runs
     *    before the distance;
     *  - the distance is the BANDED levenshtein (threshold form):
@@ -177,8 +188,22 @@ object EntityMatch {
     * (input-sized, pre-explode); an input already at or above target
     * parallelism passes through untouched. */
   private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // guard the conf parse (managed platforms set non-numeric values
+    // like "auto"), falling back to cluster parallelism — and read
+    // the CURRENT width from the pre-adaptive physical plan rather
+    // than df.rdd: constructing the RDD finalizes the AQE plan and
+    // can EXECUTE upstream stages whose work the repartition below
+    // then repeats (ADVICE r14). For a plan whose partitioning is
+    // unknown pre-execution (e.g. a bare file scan) numPartitions
+    // reads 0 and we repartition — the safe side: the shuffle moves
+    // only the raw pre-explode names, input-sized.
+    val sess = df.sparkSession
+    val target = scala.util.Try(
+      sess.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(sess.sparkContext.defaultParallelism)
+    val current = scala.util.Try(
+      df.queryExecution.sparkPlan.outputPartitioning.numPartitions)
+      .getOrElse(0)
+    if (current < target) df.repartition(target) else df
   }
 }

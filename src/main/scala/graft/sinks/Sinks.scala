@@ -139,9 +139,20 @@ object Sinks {
     // destroyed the lake on exactly this crash window). With main
     // present, a leftover tmp is an unswapped rewrite and a leftover
     // bak a finished swap — both safe to drop.
+    // Hadoop FileSystem.rename reports many failures by returning
+    // FALSE rather than throwing; the cleanup below unconditionally
+    // deletes tmp and bak, so an unchecked failed recovery rename
+    // would delete the sole surviving copy of the lake — the exact
+    // loss this recovery exists to prevent (ADVICE r14, medium).
+    // Check every rename and abort the pass on failure.
+    def renameOrDie(from: org.apache.hadoop.fs.Path,
+                    to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to),
+        s"Sinks.compact: rename failed (no exception, returned " +
+          s"false): $from -> $to — aborting before any cleanup delete")
     if (!fs.exists(hPath)) {
-      if (fs.exists(tmp)) fs.rename(tmp, hPath)
-      else if (fs.exists(bak)) fs.rename(bak, hPath)
+      if (fs.exists(tmp)) renameOrDie(tmp, hPath)
+      else if (fs.exists(bak)) renameOrDie(bak, hPath)
     }
     Seq(tmp, bak).foreach(p => if (fs.exists(p)) fs.delete(p, true))
     val files = {
@@ -162,8 +173,8 @@ object Sinks {
       df.repartition(partitionCols.map(col): _*)
         .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
     }
-    fs.rename(hPath, bak)
-    fs.rename(tmp, hPath)
+    renameOrDie(hPath, bak)
+    renameOrDie(tmp, hPath)
     fs.delete(bak, true)
     val after = {
       val it = fs.listFiles(hPath, true)

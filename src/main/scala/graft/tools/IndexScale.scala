@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   * total seconds, per-update seconds, and the cumulative pair count.
   *
   * Usage:
-  *   runMain graft.tools.IndexScale <sfDir> containment [batches]
-  *   runMain graft.tools.IndexScale <sfDir> embedding   [batches]
+  *   runMain graft.tools.IndexScale <sfDir> containment [batches] [group]
+  *   runMain graft.tools.IndexScale <sfDir> embedding   [batches] [group]
+  *
+  * `group` (containment only, default 1): feed the index `group`
+  * arrived batches per update via
+  * [[graft.functions.Dedup.containmentIndexUpdateMany]] — the
+  * micro-batch amortization of the update's one full-lake probe scan
+  * (r15). Same arrival stream, same cumulative pair set (law-tested);
+  * the ladder's k-vs-1 total ratio is the measured amortization.
   *
   * Run once at sf0.1 and once at a ScaleUp fresh-sf10 dir; the ratio
   * of totals is the ladder entry (100x data → the sub-linear bar).
@@ -25,6 +32,9 @@ object IndexScale {
     val sfDir = args(0)
     val op = args(1)
     val batches = if (args.length > 2) args(2).toInt else 3
+    val group = if (args.length > 3) args(3).toInt else 1
+    require(group == 1 || op == "containment",
+      "group > 1 is the containment updateMany knob")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
     val spark = graft.GraftSession.init(graft.GraftSession
@@ -45,7 +55,8 @@ object IndexScale {
     // and both appended to one index (679 "pairs" from a 512-pair
     // corpus — a corrupted-measurement foot-gun, not an operator bug)
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"/tmp/graft_idxscale_${op}_$sfTag"
+    val gTag = if (group > 1) s"_g$group" else ""
+    val base = s"/tmp/graft_idxscale_${op}_$sfTag$gTag"
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     // stage the feed ONCE, partitioned by batch id — the continuous-
     // crawl contract: each timed update reads only ITS batch directory
@@ -61,18 +72,33 @@ object IndexScale {
       .withColumn("__b", pmod(col(idCol), lit(batches)))
       .write.partitionBy("__b").parquet(s"$base/feed")
     var pairs = 0L
-    val updateSecs = (0 until batches).map { m =>
-      val batch = spark.read.parquet(s"$base/feed/__b=$m")
+    val nUpdates = (batches + group - 1) / group
+    val updateSecs = (0 until nUpdates).map { m =>
+      val batchIds = (m * group until math.min((m + 1) * group, batches))
+      val batch = spark.read.parquet(s"$base/feed/__b=${batchIds.head}")
       val t0 = System.nanoTime()
       val found = op match {
+        case "containment" if group > 1 =>
+          graft.functions.Dedup.containmentIndexUpdateMany(
+            s"$base/idx",
+            batchIds.map(b => spark.read.parquet(s"$base/feed/__b=$b")
+              .select(col(idCol), col("text"))),
+            "text", idCol, shingleN = 3, theta = 0.8,
+            // group-scaled postings cap: the union is what broadcasts
+            maxBatchPostings = 10000000L * group)
         case "containment" =>
           graft.functions.Dedup.containmentIndexUpdate(
             s"$base/idx", batch.select(col(idCol), col("text")),
             "text", idCol, shingleN = 3, theta = 0.8)
         case "embedding" =>
+          // explicit large cap (as Stress.scala's sfN runs use): with
+          // the r14 fail-fast over-cap behavior the DEFAULT 10k cap
+          // would abort the whole ladder on one hot sign-LSH bucket at
+          // larger scale factors, losing the partial trajectory this
+          // tool exists to collect (ADVICE r14)
           graft.functions.Dedup.embeddingIndexUpdate(
             s"$base/idx", batch, "embedding", idCol,
-            planes = 8, minCos = 0.95)
+            planes = 8, minCos = 0.95, maxBucketSize = 1000000)
       }
       pairs += found.count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -100,9 +126,10 @@ object IndexScale {
     def r3(v: Double) = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def dec(xs: Seq[Double]) = r3(xs.sum / xs.length)
-    val (firstDec, lastDec) = (updateSecs.take(math.max(1, batches / 10)),
-      updateSecs.takeRight(math.max(1, batches / 10)))
+    val (firstDec, lastDec) = (updateSecs.take(math.max(1, nUpdates / 10)),
+      updateSecs.takeRight(math.max(1, nUpdates / 10)))
     println(s"""{"op":"$op","sf":"$sfDir","batches":$batches,""" +
+      s""""group":$group,""" +
       s""""total_sec":${r3(updateSecs.sum)},""" +
       s""""first_decile_avg":${dec(firstDec)},""" +
       s""""last_decile_avg":${dec(lastDec)},""" +

@@ -984,6 +984,161 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r == r2)
   }
 
+  test("containment index: oversized ingest batch fails fast before " +
+    "the broadcast; updateMany groups batches without changing the answer") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val d = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).limit(120)
+    // fail-fast: the probe broadcasts batch-postings-sized frames by
+    // contract; an over-cap batch must throw the named contract error,
+    // not OOM the driver (r14 verdict #5)
+    val capIdx = "/tmp/graft_cont_idx_cap"
+    fs.delete(new org.apache.hadoop.fs.Path(capIdx), true)
+    val ex = intercept[IllegalStateException] {
+      Dedup.containmentIndexUpdate(capIdx, d, "text", "doc_id",
+        maxBatchPostings = 100L)
+    }
+    assert(ex.getMessage.contains("maxBatchPostings"))
+    // updateMany == the same stream fed batch-by-batch == one-shot:
+    // the pair space partitions identically under ANY grouping
+    val oneShot = Dedup.prefixContainmentPairs(d, "text", "doc_id",
+        shingleN = 3, theta = 0.6)
+      .collect().map(_.toSeq).toSet
+    val manyIdx = "/tmp/graft_cont_idx_many_spec"
+    fs.delete(new org.apache.hadoop.fs.Path(manyIdx), true)
+    val viaMany = (0 to 1).map(g =>
+        Dedup.containmentIndexUpdateMany(manyIdx,
+          Seq(3 * g, 3 * g + 1, 3 * g + 2).map(m =>
+            d.filter(pmod(col("doc_id"), lit(6)) === m)),
+          "text", "doc_id", shingleN = 3, theta = 0.6))
+      .reduce(_ unionByName _).collect().map(_.toSeq).toSet
+    assert(viaMany == oneShot)
+    // group-of-1 degenerates to the plain update (same lake state)
+    val oneIdx = "/tmp/graft_cont_idx_many_one"
+    fs.delete(new org.apache.hadoop.fs.Path(oneIdx), true)
+    val viaOnes = (0 to 1).map(m =>
+        Dedup.containmentIndexUpdateMany(oneIdx,
+          Seq(d.filter(pmod(col("doc_id"), lit(2)) === m)),
+          "text", "doc_id", shingleN = 3, theta = 0.6))
+      .reduce(_ unionByName _).collect().map(_.toSeq).toSet
+    assert(viaOnes == oneShot)
+  }
+
+  test("embedding index rebuild: over-cap recovery at a raised cap and " +
+    "changed planes equals a fresh incremental run; updates resume") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.withColumn("cos", round(col("cos"), 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val idx = "/tmp/graft_emb_idx_rebuild_spec"
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    // build the lake in two updates at planes=8, then hit the cap
+    (0 to 1).foreach(m => Dedup.embeddingIndexUpdate(idx,
+      e.filter(pmod(col("vec_id"), lit(3)) === m),
+      "embedding", "vec_id", planes = 8, minCos = 0.35).count())
+    val ex = intercept[IllegalStateException] {
+      Dedup.embeddingIndexUpdate(idx,
+        e.filter(pmod(col("vec_id"), lit(3)) === 2),
+        "embedding", "vec_id", planes = 8, minCos = 0.35,
+        maxBucketSize = 1)
+    }
+    // the exception routes callers to the rebuild entry point
+    assert(ex.getMessage.contains("embeddingIndexRebuild"))
+    // rebuild the 2/3 lake at DIFFERENT planes (6) and a raised cap:
+    // returned pairs must equal the one-shot operator over the lake's
+    // corpus at the new parameters (== a fresh incremental run's
+    // cumulative union, by the already-proven equivalence law)
+    val lakeCorpus = e.filter(pmod(col("vec_id"), lit(3)) < 2)
+    val rebuilt = pairs(Dedup.embeddingIndexRebuild(spark, idx,
+      planes = 6, minCos = 0.35, maxBucketSize = 1000000))
+    val oneShot6 = pairs(Dedup.embeddingNearDups(lakeCorpus,
+      "embedding", "vec_id", planes = 6, minCos = 0.35,
+      maxBucketSize = 1000000))
+    assert(rebuilt == oneShot6 && rebuilt.nonEmpty)
+    // the swapped-in lake serves further updates at the new planes:
+    // the third batch's update completes the full-corpus pair set
+    val u3 = pairs(Dedup.embeddingIndexUpdate(idx,
+      e.filter(pmod(col("vec_id"), lit(3)) === 2),
+      "embedding", "vec_id", planes = 6, minCos = 0.35,
+      maxBucketSize = 1000000))
+    val fullOneShot6 = pairs(Dedup.embeddingNearDups(e,
+      "embedding", "vec_id", planes = 6, minCos = 0.35,
+      maxBucketSize = 1000000))
+    assert(rebuilt ++ u3 == fullOneShot6)
+    // rebuilt lake keeps the partition-pruned probe layout
+    val plan = Dedup.embeddingIndexScan(spark, idx, Seq(0, 1))
+      .queryExecution.executedPlan.toString
+    val idxScan = plan.linesIterator
+      .find(l => l.contains("rebuild_spec") && l.contains("FileScan"))
+      .getOrElse("")
+    assert(idxScan.contains("PartitionFilters: [bucket"),
+      "pruning lost after rebuild:\n" + plan)
+  }
+
+  test("containment index rebuild: fresh-df re-rank preserves probe " +
+    "answers and re-ranks emerged-hot shingles out of prefixes") {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val d = graft.Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).limit(120)
+    val probe = d.filter(pmod(col("doc_id"), lit(4)) === 3)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    def run(idx: String, rebuild: Boolean): Set[Seq[Any]] = {
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      var out = Set.empty[Seq[Any]]
+      for (m <- 0 to 2)
+        out ++= Dedup.containmentIndexUpdate(idx,
+            d.filter(pmod(col("doc_id"), lit(4)) === m),
+            "text", "doc_id", theta = 0.6)
+          .collect().map(_.toSeq)
+      if (rebuild) Dedup.containmentIndexRebuild(spark, idx)
+      out ++ Dedup.containmentIndexUpdate(idx, probe,
+          "text", "doc_id", theta = 0.6)
+        .collect().map(_.toSeq)
+    }
+    val plain = run("/tmp/graft_cont_idx_rb_plain", rebuild = false)
+    val rebuilt = run("/tmp/graft_cont_idx_rb", rebuild = true)
+    assert(rebuilt == plain && plain.nonEmpty)
+    // the re-rank actually uses the FRESH corpus dfs: a shingle that
+    // was rare at bootstrap but saturated the corpus afterwards must
+    // sort to the BOTTOM of every doc's order after the rebuild
+    val idx2 = "/tmp/graft_cont_idx_rb_order"
+    fs.delete(new org.apache.hadoop.fs.Path(idx2), true)
+    // bootstrap: 3 distinct docs, NONE carrying the future-hot trigram
+    // — it must be unseen at freeze time (frozen df 0)
+    val boot = Seq((1L, "alpha beta gamma delta"),
+      (2L, "delta epsilon zeta eta"),
+      (3L, "theta iota kappa lambda")).toDF("doc_id", "text")
+    Dedup.containmentIndexUpdate(idx2, boot, "text", "doc_id",
+      theta = 0.9).count()
+    // then "x x x" floods in: 30 docs all carrying it, each alongside
+    // three doc-unique (also df-0) shingles
+    val flood = (10L until 40L).map(i =>
+      (i, s"x x x unique$i filler$i tail$i")).toDF("doc_id", "text")
+    Dedup.containmentIndexUpdate(idx2, flood, "text", "doc_id",
+      theta = 0.9).count()
+    def hotRanks(path: String): Seq[(Long, Int)] =
+      spark.read.parquet(s"$path/postings")
+        .filter(col("s") === "x x x")
+        .select(col("id"),
+          (col("__n") - col("__rk")).cast("int").as("fromBottom"))
+        .as[(Long, Int)].collect().toSeq
+    // before rebuild: "x x x" carries frozen df 0 like its doc-unique
+    // neighbors, so the hash tie-break scatters it across positions —
+    // prefix-eligible in some docs (the speed degradation the rebuild
+    // exists to cure)
+    assert(hotRanks(idx2).exists(_._2 > 0),
+      "test premise broken: hot shingle already at the bottom everywhere")
+    Dedup.containmentIndexRebuild(spark, idx2)
+    // after rebuild under the fresh df (30 occurrences — the corpus
+    // max), "x x x" is the LAST-ranked shingle in every doc carrying it
+    assert(hotRanks(idx2).forall(_._2 == 0),
+      s"hot shingle not re-ranked to the bottom: ${hotRanks(idx2)}")
+  }
+
   test("incremental band index caps hot buckets on the TOTAL bucket size") {
     val dir = java.nio.file.Files.createTempDirectory("bandidxcap").toString
     val idx = s"$dir/idx"
