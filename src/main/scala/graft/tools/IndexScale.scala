@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   * total seconds, per-update seconds, and the cumulative pair count.
   *
   * Usage:
-  *   runMain graft.tools.IndexScale <sfDir> containment [batches] [group]
-  *   runMain graft.tools.IndexScale <sfDir> embedding   [batches] [group]
+  *   runMain graft.tools.IndexScale <sfDir> containment [batches] [group] [limit]
+  *   runMain graft.tools.IndexScale <sfDir> embedding   [batches] [group] [limit]
+  *
+  * `limit` (default: all): stop after this many UPDATES — a ladder
+  * SEGMENT at contract batch sizes (batch size is corpus/batches, so a
+  * 60-update segment at 300 staged batches keeps the 1.67k-doc
+  * contract batch without paying the full-corpus run).
   *
   * `group` (containment only, default 1): feed the index `group`
   * arrived batches per update via
@@ -72,7 +77,8 @@ object IndexScale {
       .withColumn("__b", pmod(col(idCol), lit(batches)))
       .write.partitionBy("__b").parquet(s"$base/feed")
     var pairs = 0L
-    val nUpdates = (batches + group - 1) / group
+    val limit = if (args.length > 4) args(4).toInt else Int.MaxValue
+    val nUpdates = math.min((batches + group - 1) / group, limit)
     val updateSecs = (0 until nUpdates).map { m =>
       val batchIds = (m * group until math.min((m + 1) * group, batches))
       val batch = spark.read.parquet(s"$base/feed/__b=${batchIds.head}")
