@@ -766,23 +766,50 @@ object Dedup {
       //    then intersects the two docs' DISTINCT-SHINGLE ARRAYS
       //    directly. The batch's arrays broadcast (ingest-sized by
       //    contract); the lake contributes only the CANDIDATE docs'
-      //    postings — one scan, semi-filtered by the broadcast
-      //    candidate-id set, grouped to answer+candidate-scale arrays
-      //    — so nothing pair-expanded is ever built and the lake never
-      //    shuffles. Ladder: 33-50 s/update (r13 verify) → 2-15 s,
-      //    linear only in the single lake scan; StressR13 case 31
-      //    exact at 110k hot-shingle docs.
+      //    postings — semi-filtered by the broadcast candidate-id
+      //    set, grouped to answer+candidate-scale arrays — so nothing
+      //    pair-expanded is ever built and the lake never shuffles.
+      //    Ladder: 33-50 s/update (r13 verify) → 2-15 s; StressR13
+      //    case 31 exact at 110k hot-shingle docs. First shipped as
+      //    TWO candidate scans (one per direction) + the verify scan:
+      //    fresh-sf10 ladder fit 4.3 s + 9.8 s/100k lake docs — the
+      //    linear term is the SCAN COUNT, so r15 merges the candidate
+      //    directions into one pass (below), 3 lake scans → 2.
+      //
+      // Candidate generation, ONE lake scan for BOTH directions: each
+      // lake posting row probes (s, 0) — the new-contained-in-old
+      // direction, whose prefix theorem needs the NEW doc's prefix to
+      // hit ANY old posting — and, only when the row is inside its own
+      // doc's prefix at θ, also (s, 1) — old-contained-in-new, OLD
+      // prefix against ANY batch posting. The broadcast map is keyed
+      // by (s, direction): direction 0 holds the batch's PREFIX rows
+      // only, direction 1 the full batch postings. The direction key
+      // is what keeps the merge hot-shingle-safe, identical to the two
+      // separate joins it replaces: a universal shingle has no entry
+      // under (hot, 0) — prefixes exclude it under the frozen-df order
+      // — and (hot, 1) is only ever probed by lake PREFIX rows, which
+      // exclude it the same way. Match volume, per direction, is
+      // exactly the old per-direction join's; one shared distinct
+      // (candidate-scale) replaces two.
       val pl = prefixLen(theta)
       val newPref = ranked.filter(col("__rk") <= pl)
-      val candNO = idx.select(col("id").as("id_b"), col("s"))
-        .join(broadcast(newPref.select(col("id").as("id_a"), col("s"))),
-          Seq("s"))
-        .select("id_a", "id_b").distinct()
-      val candON = idx.filter(col("__rk") <= pl)
-        .select(col("id").as("id_a"), col("s"))
-        .join(broadcast(ranked.select(col("id").as("id_b"), col("s"))),
-          Seq("s"))
-        .select("id_a", "id_b").distinct()
+      val bside = newPref.select(col("s"), lit(0).as("__want"),
+          col("id").as("__bid"))
+        .unionByName(ranked.select(col("s"), lit(1).as("__want"),
+          col("id").as("__bid")))
+      val probes = idx.select(col("id").as("__lid"), col("s"),
+        explode(when(col("__rk") <= pl, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))).as("__want"))
+      val candLake = probes.join(broadcast(bside), Seq("s", "__want"))
+        .select(
+          when(col("__want") === 0, col("__bid")).otherwise(col("__lid"))
+            .as("id_a"),
+          when(col("__want") === 0, col("__lid")).otherwise(col("__bid"))
+            .as("id_b"),
+          col("__want"))
+        .distinct()
+      val candNO = candLake.filter(col("__want") === 0).drop("__want")
+      val candON = candLake.filter(col("__want") === 1).drop("__want")
       val candNN = newPref.select(col("id").as("id_a"), col("s"))
         .join(ranked.select(col("id").as("id_b"), col("s")), Seq("s"))
         .filter(col("id_a") =!= col("id_b"))
@@ -791,13 +818,20 @@ object Dedup {
       // lake side materializes ONLY the candidate docs (either probe
       // direction), so the group-by shuffles candidate-doc postings,
       // never the lake. Raw shingle strings, not hashes: exactness is
-      // the contract and doc arrays are doc-sized either way.
+      // the contract. The lake-side arrays are further restricted to
+      // the BATCH'S VOCABULARY (r15): every intersect below meets a
+      // batch-doc array, which is ⊆ the batch vocab by construction,
+      // so dropping a candidate doc's out-of-vocab shingles cannot
+      // change |A ∩ B| — and the containment denominator is the
+      // STORED per-doc __n, not the array size — while the candidate
+      // shuffle shrinks from doc-sized to shared-vocab-sized.
       val batchArr = ranked.groupBy("id")
         .agg(sort_array(collect_list(col("s"))).as("arr"),
           first(col("__n")).as("n"))
       val oldIds = candNO.select(col("id_b").as("id"))
         .unionByName(candON.select(col("id_a").as("id"))).distinct()
       val oldArr = idx.join(broadcast(oldIds), Seq("id"))
+        .join(broadcast(sh.select("s").distinct()), Seq("s"))
         .groupBy("id")
         .agg(sort_array(collect_list(col("s"))).as("arr"),
           first(col("__n")).as("n"))
@@ -874,8 +908,9 @@ object Dedup {
     * standing index that was missing a compaction entry point (r14;
     * band/IVF/embedding each got theirs in r12-r13). Every
     * [[containmentIndexUpdate]] appends its own part files to
-    * `postings/`, and each update performs THREE probe reads of the
-    * lake, so at streaming cadence the scans turn LISTING-bound long
+    * `postings/`, and each update performs TWO probe reads of the
+    * lake (merged candidate pass + verify pass — three before r15),
+    * so at streaming cadence the scans turn LISTING-bound long
     * before they turn byte-bound — measured on the fresh-sf10 ladder:
     * per-update cost grew 4.5 → ~25 s by update 24 (768 accumulated
     * part files, ~50 MB of actual bytes) with the growth tracking

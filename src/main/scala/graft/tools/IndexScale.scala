@@ -108,6 +108,21 @@ object IndexScale {
       }
       pairs += found.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // between-update hygiene, OUTSIDE the timer (the Bench.scala r14
+      // discipline applied to the ladder): every update's found-pairs
+      // frame is an eager localCheckpoint — a PERSISTENT RDD that
+      // clearCache never drops — so a 40-update segment pins 40 of
+      // them in the storage pool. Unpersist after the count so each
+      // update is measured against a clean pool, the way a real
+      // per-batch ingest JVM would run. NOTE this is residue hygiene,
+      // not a spike fix: the r15 A/B's 60-300 s outlier updates
+      // appear with and without it, and /proc/stat shows ~100%-idle
+      // zero-iowait windows during them — the sandbox host parks the
+      // whole VM. Ladder conclusions must therefore read the
+      // per-decile MEDIANS, never single-update walls or raw totals.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       // incremental emission: a trajectory is readable even from a
       // truncated run (per-update cost vs lake size IS the ladder
       // signal for a scan-probed standing index)
