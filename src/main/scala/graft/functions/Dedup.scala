@@ -79,15 +79,20 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
                       w: Int = 3, minOccurrences: Long = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // windows via the native shingle expression (one byte pass per
+    // doc; the composed transform/slice/concat_ws spelling ran the
+    // interpreted HOF tree per window — the same ~16 µs/window cost
+    // profiled in the minhash kernel). For size >= w docs the shingle
+    // array IS the ordered window list, so posexplode carries the
+    // 1-based token position; md5 moves after the explode, where it
+    // runs codegen'd per window row. Sub-w docs are filtered BEFORE
+    // shingling (the fallback whole-doc shingle must not fingerprint).
     val wins = docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= w)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("__t")) - (w - 1)),
-        i => struct(i.as("pos"),
-          md5(concat_ws(" ", slice(col("__t"), i, lit(w)))).as("fp"))))
-        .as("__w"))
-      .select(col(idCol), col("__w.pos").as("pos"), col("__w.fp").as("fp"))
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= w)
+      .select(col(idCol),
+        posexplode(shingles(col(textCol), w)).as(Seq("__p0", "__s")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"),
+        md5(col("__s")).as("fp"))
     val dup = wins.groupBy("fp").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minOccurrences).select("fp")
     val marked = wins.join(dup, Seq("fp"))
@@ -142,7 +147,24 @@ object Dedup {
           .as("cut_tokens"))
   }
 
-  def shingles(text: Column, n: Int): Column = {
+  /** Word shingles, backed by the native
+    * [[org.apache.spark.sql.graft.ShinglesExpr]] (one byte pass per
+    * doc). Byte-identical to [[shinglesComposed]] for non-null text —
+    * law-tested over the fixture corpus plus whitespace adversaries;
+    * the one divergence is null text (native: null; composed: [""] via
+    * concat_ws null-skipping), and every caller shingles a non-null
+    * document column. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.graft.ShinglesExpr(
+        org.apache.spark.sql.graft.bridge.expression(text), n))
+
+  /** The Column-function spelling [[shingles]] replaced (kept for the
+    * parity law test): the nested higher-order tree evaluates
+    * sequence → transform → slice → concat_ws per shingle on the
+    * interpreted path — profiled at 4.3 s of the 5.0 s sf0.1 minhash
+    * kernel, ~16 µs/shingle, vs one byte pass in the native form. */
+  private[graft] def shinglesComposed(text: Column, n: Int): Column = {
     val t = TextAnalysis.tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),

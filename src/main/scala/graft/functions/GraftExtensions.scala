@@ -60,6 +60,20 @@ object GraftFunctions {
         org.apache.spark.sql.graft.TopKExpr(args(0), args(1), k)
           .toAggregateExpression()
       }),
+    ("graft_shingles",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.graft.ShinglesExpr].getName,
+        "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_shingles(text, n) takes two arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles n must be an integer literal, got $other")
+        }
+        org.apache.spark.sql.graft.ShinglesExpr(args.head, n)
+      }),
     ("graft_nfc",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.graft.NfcNormalizeExpr].getName,

@@ -27,6 +27,39 @@ class ExtensionsDeltaSpec extends SparkSpec {
     assert(plan.linesIterator.next().startsWith("*("), plan)
   }
 
+  test("graft_shingles: native expression equals the composed HOF " +
+      "spelling on the fixture corpus and whitespace adversaries") {
+    GraftFunctions.register(spark)
+    // the real corpus (the strings the minhash family actually hashes)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select(col("text"))
+    // adversaries for the tokenization edges the scaladoc pins:
+    // leading/trailing tabs+newlines survive trim (leading/trailing ""
+    // tokens), runs of mixed whitespace, empty and whitespace-only
+    // text, fewer tokens than n, multibyte text
+    val edges = Seq("", " ", "\t", "\n\n", "a", "a b", "\ta b\nc\t",
+      "a  b\t\tc", " \t a ", "héllo wörld déjà vu",
+      "one two three four five").toDF("text")
+    for (df <- Seq(docs, edges); n <- Seq(1, 3, 5)) {
+      val both = df.select(
+        Dedup.shingles(col("text"), n).as("native"),
+        Dedup.shinglesComposed(col("text"), n).as("composed"))
+      assert(both.collect().forall(r =>
+        r.getSeq[String](0) == r.getSeq[String](1)),
+        s"n=$n mismatch: " + both.collect()
+          .filter(r => r.getSeq[String](0) != r.getSeq[String](1))
+          .take(3).mkString("; "))
+    }
+    // codegen: the projection stays whole-stage compiled
+    val plan = spark.range(10).select(col("id").cast("string").as("t"))
+      .select(Dedup.shingles(col("t"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+    // SQL registration
+    assert(spark.sql("SELECT graft_shingles('a b c d', 3)")
+      .head().getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+
   test("graft_dot: native dot product equals HOF spelling, stays codegen'd") {
     GraftFunctions.register(spark)
     import spark.implicits._
