@@ -28,6 +28,21 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Adjacent-token bigrams as space-joined strings, via the native
+    * shingle expression ([[org.apache.spark.sql.graft.ShinglesExpr]])
+    * — one byte pass per doc where the transform/element_at lambda
+    * tree ran interpreted per bigram (the r15 shingle lesson; tokens
+    * are space-free by construction, so the joined string is a
+    * lossless pair encoding and `substring_index(bg, ' ', ±1)`
+    * recovers w1/w2 exactly, empty edge tokens included). Callers
+    * must guard size(tokens) >= 2 themselves — below that the
+    * expression returns its whole-doc fallback shingle, not an empty
+    * array. */
+  private[functions] def bigrams(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.graft.ShinglesExpr(
+        org.apache.spark.sql.graft.bridge.expression(text), 2))
+
   /** BPE-ish subword-boundary count: word chunks plus standalone
     * punctuation, the usual pre-tokenizer regex shape. */
   val BpePattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
@@ -155,10 +170,7 @@ object TextAnalysis {
     // otherwise re-split the whole document per bigram index
     val stats = bindOnce(tokens(c)) { t =>
       val n = size(t)
-      val bigrams = when(n >= 2,
-          transform(sequence(lit(1), n - 1),
-            i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-        .otherwise(array())
+      val bigrams = when(n >= 2, TextAnalysis.bigrams(c)).otherwise(array())
       struct(
         n.as("n_tokens"),
         (size(array_distinct(t)).cast(DoubleType) / n)
@@ -602,12 +614,10 @@ object TextAnalysis {
   def collocations(df: DataFrame, textCol: String,
                    minCount: Long = 5, topK: Int = 50): DataFrame = {
     val t = tokens(col(textCol))
-    val bi = df.select(t.as("__t")).filter(size(col("__t")) >= 2)
-      .select(explode(transform(
-        sequence(lit(0), size(col("__t")) - 2),
-        i => struct(element_at(col("__t"), i + 1).as("w1"),
-          element_at(col("__t"), i + 2).as("w2")))).as("__bg"))
-      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val bi = df.filter(size(t) >= 2)
+      .select(explode(bigrams(col(textCol))).as("__bg"))
+      .groupBy(substring_index(col("__bg"), " ", 1).as("w1"),
+        substring_index(col("__bg"), " ", -1).as("w2"))
       .agg(count(lit(1)).as("cb"))
       .filter(col("cb") >= minCount)
     val uni = df.select(explode(t).as("w"))
@@ -668,13 +678,11 @@ object TextAnalysis {
 
   def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = tokens(col(textCol))
-    val docBi = df.select(col(idCol), t.as("__t"))
-      .filter(size(col("__t")) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), size(col("__t")) - 2),
-        i => struct(element_at(col("__t"), i + 1).as("w1"),
-          element_at(col("__t"), i + 2).as("w2")))).as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val docBi = df.filter(size(t) >= 2)
+      .select(col(idCol), explode(bigrams(col(textCol))).as("__bg"))
+      .select(col(idCol),
+        substring_index(col("__bg"), " ", 1).as("w1"),
+        substring_index(col("__bg"), " ", -1).as("w2"))
     val docTf = docBi.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("k"))
     val biCounts = docTf.groupBy("w1", "w2").agg(sum("k").as("cb"))
