@@ -28,6 +28,29 @@ object Bench {
     // SPARK_GRAFT_REPEAT=n runs each query n times and reports the LAST
     // time — steady-state triage (cold-vs-warm split without a profiler)
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // Streaming rows are LATENCY-bound, not compute-bound: their wall
+    // time is micro-batch trigger work PLUS trigger scheduling waits,
+    // and on a parking VM the waits absorb multi-second host stalls
+    // that then read as row regressions (r15: stream_sketch 2.85→7.61 s
+    // with untouched code). Accumulate each row's actual per-trigger
+    // compute (`durationMs.triggerExecution` summed over every progress
+    // event in the row's window) so the artifact carries a wait-free
+    // "busy" number per streaming row and the diff tool can normalize
+    // streaming rows on compute, making VM-park false flags
+    // structurally impossible (r15 verdict task 6).
+    val streamBusyMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val d = e.progress.durationMs
+          if (d != null && d.containsKey("triggerExecution"))
+            streamBusyMs.addAndGet(d.get("triggerExecution").longValue())
+        }
+      })
+    val streamBusy = scala.collection.mutable.Map[String, Double]()
     // materialize the wire-parse fixture caches BEFORE the timed loop: a
     // regenerated sf dir invalidates their signature and a cold rebuild
     // inside the timed region charges the parse query ~10x its
@@ -43,10 +66,19 @@ object Bench {
           try {
             var last = 0.0
             for (_ <- 1 to repeat) {
+              // reset per iteration: the reported busy matches the LAST
+              // (reported) run, same convention as the wall time
+              streamBusyMs.set(0)
               val t0 = System.nanoTime()
               fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               last = (System.nanoTime() - t0) / 1e9
             }
+            // progress events are async — drain the bus before reading
+            // the accumulator or the final trigger undercounts
+            org.apache.spark.sql.graft.bridge
+              .drainListenerBus(spark, 2000L)
+            val busyMs = streamBusyMs.get()
+            if (busyMs > 0) streamBusy(name) = busyMs / 1e3
             Right(last)
           } catch {
             case e: Throwable =>
@@ -128,7 +160,12 @@ object Bench {
     } catch { case _: Throwable => (-1.0, """"transfer":{}""") }
     val lifecycleNames = Queries.lifecycle.toSeq.sorted
       .map(n => s""""$n"""").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"lifecycle":$lifecycleNames,"queries":$qs,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir"}"""
+    // per-streaming-row compute seconds (wall − busy = trigger waits):
+    // the diff tool prefers busy for rows present here in both
+    // artifacts, so trigger-wait jitter cannot read as a regression
+    val streamBusyJson = streamBusy.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"lifecycle":$lifecycleNames,"queries":$qs,"stream_busy":$streamBusyJson,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir"}"""
     // The final printed line must fit the driver's ~2 KB tail-capture
     // window: 158 queries x 17-digit doubles is 4.6 KB and arrives
     // decapitated (BENCH_r04/r05 `parsed: null`). Print a COMPACT summary

@@ -795,43 +795,55 @@ object Dedup {
       //    case 31 exact at 110k hot-shingle docs. First shipped as
       //    TWO candidate scans (one per direction) + the verify scan:
       //    fresh-sf10 ladder fit 4.3 s + 9.8 s/100k lake docs — the
-      //    linear term is the SCAN COUNT, so r15 merges the candidate
-      //    directions into one pass (below), 3 lake scans → 2.
+      //    linear term is the SCAN COUNT, so r15 merged the candidate
+      //    directions into one pass (3 lake scans → 2) and r16 merges
+      //    candidates + verify onto ONE vocab-restricted scan (below).
       //
-      // Candidate generation, ONE lake scan for BOTH directions: each
-      // lake posting row probes (s, 0) — the new-contained-in-old
-      // direction, whose prefix theorem needs the NEW doc's prefix to
-      // hit ANY old posting — and, only when the row is inside its own
-      // doc's prefix at θ, also (s, 1) — old-contained-in-new, OLD
-      // prefix against ANY batch posting. The broadcast map is keyed
-      // by (s, direction): direction 0 holds the batch's PREFIX rows
-      // only, direction 1 the full batch postings. The direction key
-      // is what keeps the merge hot-shingle-safe, identical to the two
-      // separate joins it replaces: a universal shingle has no entry
-      // under (hot, 0) — prefixes exclude it under the frozen-df order
-      // — and (hot, 1) is only ever probed by lake PREFIX rows, which
-      // exclude it the same way. Match volume, per direction, is
-      // exactly the old per-direction join's; one shared distinct
-      // (candidate-scale) replaces two.
+      // ONE lake scan for candidates AND verify (r16; two scans in
+      // r15, three in r14 — the fresh-sf10 ladder says the linear term
+      // IS the scan count). The observation: every lake row either
+      // pass ever USES has its shingle inside the BATCH'S VOCABULARY —
+      //   - candidate dir 0 (new-contained-in-old: the NEW doc's
+      //     prefix must hit ANY old posting — the lake side cannot be
+      //     prefix-restricted, the old doc's matching token may sit
+      //     anywhere in its order) matches lake rows with
+      //     s ∈ batch PREFIX vocab;
+      //   - candidate dir 1 (old-contained-in-new: OLD prefix against
+      //     ANY batch posting) matches lake PREFIX rows with
+      //     s ∈ batch full vocab;
+      //   - the verify needs candidate docs' postings restricted to
+      //     the batch vocab (r15: out-of-vocab shingles cannot change
+      //     |A ∩ B| — every intersect meets a batch-doc array — and
+      //     the denominator is the STORED __n).
+      // So one scan materializes `matched` = lake ⨝ broadcast(vocab) —
+      // each row tagged with whether its shingle is in the batch's
+      // prefix vocab and whether the row sits in its OWN doc's prefix
+      // at θ — and the three consumers re-read the (vocab-restricted,
+      // persisted) frame instead of the lake. Hot-shingle shape: a
+      // universal shingle in the batch vocab contributes ≤ one matched
+      // row per lake doc carrying it — LINEAR in lake docs, never
+      // pair-quadratic (candidates stay prefix-derived: dir 0 keys on
+      // prefix vocab, which excludes hot shingles under the frozen-df
+      // order, and dir 1 probes only lake prefix rows, which exclude
+      // them the same way — the r15 merge's argument, unchanged).
       val pl = prefixLen(theta)
       val newPref = ranked.filter(col("__rk") <= pl)
-      val bside = newPref.select(col("s"), lit(0).as("__want"),
-          col("id").as("__bid"))
-        .unionByName(ranked.select(col("s"), lit(1).as("__want"),
-          col("id").as("__bid")))
-      val probes = idx.select(col("id").as("__lid"), col("s"),
-        explode(when(col("__rk") <= pl, array(lit(0), lit(1)))
-          .otherwise(array(lit(0)))).as("__want"))
-      val candLake = probes.join(broadcast(bside), Seq("s", "__want"))
-        .select(
-          when(col("__want") === 0, col("__bid")).otherwise(col("__lid"))
-            .as("id_a"),
-          when(col("__want") === 0, col("__lid")).otherwise(col("__bid"))
-            .as("id_b"),
-          col("__want"))
-        .distinct()
-      val candNO = candLake.filter(col("__want") === 0).drop("__want")
-      val candON = candLake.filter(col("__want") === 1).drop("__want")
+      // batch vocabulary, flagged: __pref0 = shingle appears in SOME
+      // batch doc's prefix (batch-sized agg, broadcast)
+      val vocab = ranked.groupBy("s")
+        .agg(max(when(col("__rk") <= pl, 1).otherwise(0)).as("__pref0"))
+      val matched = idx.join(broadcast(vocab), Seq("s"))
+        .select(col("s"), col("id").as("__lid"), col("__pref0"),
+          (col("__rk") <= pl).as("__lpref"), col("__n").as("__ln"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candNO = matched.filter(col("__pref0") === 1)
+        .join(broadcast(newPref.select(col("s"), col("id").as("id_a"))),
+          Seq("s"))
+        .select(col("id_a"), col("__lid").as("id_b")).distinct()
+      val candON = matched.filter(col("__lpref"))
+        .join(broadcast(ranked.select(col("s"), col("id").as("id_b"))),
+          Seq("s"))
+        .select(col("__lid").as("id_a"), col("id_b")).distinct()
       val candNN = newPref.select(col("id").as("id_a"), col("s"))
         .join(ranked.select(col("id").as("id_b"), col("s")), Seq("s"))
         .filter(col("id_a") =!= col("id_b"))
@@ -839,24 +851,20 @@ object Dedup {
       // per-doc sorted distinct-shingle arrays. Batch side broadcasts;
       // lake side materializes ONLY the candidate docs (either probe
       // direction), so the group-by shuffles candidate-doc postings,
-      // never the lake. Raw shingle strings, not hashes: exactness is
-      // the contract. The lake-side arrays are further restricted to
-      // the BATCH'S VOCABULARY (r15): every intersect below meets a
-      // batch-doc array, which is ⊆ the batch vocab by construction,
-      // so dropping a candidate doc's out-of-vocab shingles cannot
-      // change |A ∩ B| — and the containment denominator is the
-      // STORED per-doc __n, not the array size — while the candidate
-      // shuffle shrinks from doc-sized to shared-vocab-sized.
+      // never the lake — and the input is the already-persisted
+      // vocab-restricted `matched`, not a second lake read. Raw
+      // shingle strings, not hashes: exactness is the contract.
       val batchArr = ranked.groupBy("id")
         .agg(sort_array(collect_list(col("s"))).as("arr"),
           first(col("__n")).as("n"))
       val oldIds = candNO.select(col("id_b").as("id"))
         .unionByName(candON.select(col("id_a").as("id"))).distinct()
-      val oldArr = idx.join(broadcast(oldIds), Seq("id"))
-        .join(broadcast(sh.select("s").distinct()), Seq("s"))
+      val oldArr = matched.select(col("__lid").as("id"), col("s"),
+          col("__ln"))
+        .join(broadcast(oldIds), Seq("id"))
         .groupBy("id")
         .agg(sort_array(collect_list(col("s"))).as("arr"),
-          first(col("__n")).as("n"))
+          first(col("__ln")).as("n"))
       def contain(c: DataFrame, aArr: DataFrame, bArr: DataFrame,
                   aBc: Boolean, bBc: Boolean): DataFrame = {
         val aSide = aArr.select(col("id").as("id_a"),
@@ -881,6 +889,9 @@ object Dedup {
       val found = interNO.unionByName(interON).unionByName(interNN)
         .filter(col("containment") >= theta)
         .localCheckpoint(true)
+      // `found` is eagerly materialized above — the one-scan frame's
+      // cache is dead weight from here on
+      matched.unpersist(blocking = false)
       ranked.write.mode("append").parquet(postingsPath)
       found
     } finally ranked.unpersist()
@@ -909,9 +920,15 @@ object Dedup {
     * The `maxBatchPostings` cap applies to the UNION — the grouped
     * batch is what broadcasts — so the cap is exactly what bounds k:
     * group as many batches as fit under it, never more. Batches must
-    * share the new-docs schema; duplicate doc ids across the group
-    * are the caller's bug (same as re-ingesting a doc id across
-    * updates). */
+    * share the new-docs schema. A doc id shared by TWO grouped batches
+    * FAILS FAST (r15 verdict #4): sequential updates would treat the
+    * second arrival as a fresh doc probed against a lake that already
+    * holds the first, while the grouped union merges both into one
+    * postings set — silently violating the grouping==sequential law
+    * this operator is built on. The same id across separate
+    * [[containmentIndexUpdate]] calls keeps its documented
+    * re-ingestion semantics; only the grouped shortcut is ill-defined
+    * and only it throws. */
   def containmentIndexUpdateMany(indexPath: String,
                                  batches: Seq[DataFrame],
                                  textCol: String, idCol: String,
@@ -920,6 +937,28 @@ object Dedup {
                                  maxBatchPostings: Long = 10000000L)
       : DataFrame = {
     require(batches.nonEmpty, "containmentIndexUpdateMany: no batches")
+    if (batches.length > 1) {
+      // batch-sized work (k ingest-batch distincts + one tiny agg) —
+      // the group's batches are ingest-sized by the postings cap, so
+      // this precondition check never touches the lake
+      val colliding = batches.zipWithIndex
+        .map { case (b, i) =>
+          b.select(col(idCol).as("id")).distinct()
+            .withColumn("__batch", lit(i)) }
+        .reduce(_.unionByName(_))
+        .groupBy("id").agg(count(lit(1)).as("__nb"))
+        .filter(col("__nb") > 1)
+        .select("id").limit(10).collect().map(_.get(0))
+      if (colliding.nonEmpty)
+        throw new IllegalArgumentException(
+          s"containmentIndexUpdateMany: doc id(s) " +
+            s"[${colliding.mkString(", ")}] appear in more than one " +
+            s"grouped batch — the grouped union would merge their " +
+            s"postings into one doc, silently diverging from the " +
+            s"sequential updates this grouping stands in for. Feed " +
+            s"re-ingested ids through separate containmentIndexUpdate " +
+            s"calls instead.")
+    }
     val union = batches.map(_.select(col(idCol), col(textCol)))
       .reduce(_.unionByName(_))
     containmentIndexUpdate(indexPath, union, textCol, idCol, shingleN,
@@ -930,8 +969,8 @@ object Dedup {
     * standing index that was missing a compaction entry point (r14;
     * band/IVF/embedding each got theirs in r12-r13). Every
     * [[containmentIndexUpdate]] appends its own part files to
-    * `postings/`, and each update performs TWO probe reads of the
-    * lake (merged candidate pass + verify pass — three before r15),
+    * `postings/`, and each update performs ONE probe read of the
+    * lake (merged candidate + verify pass — two in r15, three in r14),
     * so at streaming cadence the scans turn LISTING-bound long
     * before they turn byte-bound — measured on the fresh-sf10 ladder:
     * per-update cost grew 4.5 → ~25 s by update 24 (768 accumulated

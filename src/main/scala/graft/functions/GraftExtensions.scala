@@ -29,6 +29,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   type Builder = Seq[Expression] => Expression
 
+  /** Evaluate a scalar argument that must be a plan-time Int — ADVICE
+    * r15: matching only `Literal(_: Int)` rejected BIGINT literals
+    * (`graft_shingles(t, 3L)`, `CAST(3 AS BIGINT)`) and any foldable
+    * arithmetic (`2 + 1`), all of which a SQL user legitimately
+    * writes. Any foldable integral expression folds here; a value
+    * outside Int range or a non-integral type stays a plan-build
+    * error. */
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable,
+      s"$what must be a literal (foldable) integer, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal in Int range, got " +
+          s"$other (${e.dataType.simpleString})")
+    }
+  }
+
   val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("graft_stable_hash64",
       new ExpressionInfo(
@@ -52,11 +73,7 @@ object GraftFunctions {
         "graft_topk"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_topk(score, id, k) takes three arguments")
-        val k = args(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_topk k must be an integer literal, got $other")
-        }
+        val k = intArg(args(2), "graft_topk k")
         org.apache.spark.sql.graft.TopKExpr(args(0), args(1), k)
           .toAggregateExpression()
       }),
@@ -67,11 +84,7 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2,
           "graft_shingles(text, n) takes two arguments")
-        val n = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_shingles n must be an integer literal, got $other")
-        }
+        val n = intArg(args(1), "graft_shingles n")
         org.apache.spark.sql.graft.ShinglesExpr(args.head, n)
       }),
     ("graft_nfc",
@@ -88,11 +101,7 @@ object GraftFunctions {
         "graft_mask"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_mask(str, seed) takes two arguments")
-        val seed = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_mask seed must be an integer literal, got $other")
-        }
+        val seed = intArg(args(1), "graft_mask seed")
         org.apache.spark.sql.graft.MaskPreserveExpr(args.head, seed)
       }))
 

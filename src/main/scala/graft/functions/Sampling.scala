@@ -175,15 +175,25 @@ object Sampling {
       .withColumn("__b",
         pmod(conv(substring(md5(col("__tok")), 1, 4), 16, 10).cast("long"),
           lit(buckets.toLong)))
-    val perDoc = tok.groupBy(col(idCol), col("__b"))
+    // ONE corpus tokenize+md5 pass (r16): the bucket-count models
+    // (rawC/tgtC/totals) are pure roll-ups of the per-doc bucket
+    // counts, so they derive from `perDoc` — previously each re-ran
+    // the token explode + md5 over the corpus (4 passes total,
+    // profiled as the row's dominant cost at sf0.1). Counts are exact
+    // integers either way; `__is_t` rides the groupBy key (per-doc
+    // constant) so the target slice stays separable.
+    // no explicit cache: every consumer sits on the SAME partial-agg
+    // exchange (id, is_t, b), so AQE's stage reuse runs the corpus
+    // pass once and the three roll-ups read the shuffle output
+    val perDoc = tok.groupBy(col(idCol), col("__is_t"), col("__b"))
       .agg(count(lit(1)).as("__k"))
-    val rawC = tok.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val tgtC = tok.filter(col("__is_t")).groupBy("__b")
-      .agg(count(lit(1)).as("__ct"))
+    val rawC = perDoc.groupBy("__b").agg(sum("__k").as("__cr"))
+    val tgtC = perDoc.filter(col("__is_t")).groupBy("__b")
+      .agg(sum("__k").as("__ct"))
     // bucket weight table: `buckets` rows joined full-outer so empty
     // target buckets still smooth to (0+1)/(Tt+B)
-    val totals = tok.agg(count(lit(1)).as("__tr"),
-      sum(col("__is_t").cast("long")).as("__tt"))
+    val totals = perDoc.agg(sum("__k").as("__tr"),
+      sum(when(col("__is_t"), col("__k")).otherwise(0L)).as("__tt"))
     val weights = rawC.join(tgtC, Seq("__b"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("__w",

@@ -82,6 +82,12 @@ object IndexScale {
     val updateSecs = (0 until nUpdates).map { m =>
       val batchIds = (m * group until math.min((m + 1) * group, batches))
       val batch = spark.read.parquet(s"$base/feed/__b=${batchIds.head}")
+      // snapshot what was deliberately cached BEFORE the update so the
+      // residue sweep below can unpersist only the update's own
+      // localCheckpoint leavings — a blanket sweep would silently evict
+      // any future cross-update cached frame and recompute it inside
+      // the next timed region, skewing the ladder (ADVICE r15)
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val found = op match {
         case "containment" if group > 1 =>
@@ -120,8 +126,9 @@ object IndexScale {
       // zero-iowait windows during them — the sandbox host parks the
       // whole VM. Ladder conclusions must therefore read the
       // per-decile MEDIANS, never single-update walls or raw totals.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (rddId, _) => pinnedBefore(rddId) }
+        .values.foreach(_.unpersist(blocking = false))
       System.gc()
       // incremental emission: a trajectory is readable even from a
       // truncated run (per-update cost vs lake size IS the ladder

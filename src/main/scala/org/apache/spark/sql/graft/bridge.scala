@@ -39,6 +39,16 @@ object bridge {
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 
+  /** Block until the shared listener bus has delivered every queued
+    * event (`SparkContext.listenerBus` is `private[spark]`). Streaming
+    * progress events are delivered asynchronously; a bench reading its
+    * busy-time accumulator right after `query.stop()` would undercount
+    * the final trigger without this drain. Returns true if the bus
+    * emptied within the timeout. */
+  def drainListenerBus(spark: SparkSession, timeoutMillis: Long): Boolean =
+    try { spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
+
   /** Wrap a logical plan back into a DataFrame. */
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -1023,6 +1023,31 @@ class DedupSimilaritySpec extends SparkSpec {
           "text", "doc_id", shingleN = 3, theta = 0.6))
       .reduce(_ unionByName _).collect().map(_.toSeq).toSet
     assert(viaOnes == oneShot)
+    // grouped batches sharing a doc id fail fast (r15 verdict #4):
+    // the grouped union would merge the two arrivals into one postings
+    // set, silently violating the grouping==sequential law — while the
+    // SAME id across separate sequential updates keeps its documented
+    // re-ingestion semantics (exercised by the fresh-index call below)
+    val dupIdx = "/tmp/graft_cont_idx_many_dup"
+    fs.delete(new org.apache.hadoop.fs.Path(dupIdx), true)
+    val dupEx = intercept[IllegalArgumentException] {
+      Dedup.containmentIndexUpdateMany(dupIdx,
+        Seq(d.filter(pmod(col("doc_id"), lit(6)) < 4),
+          d.filter(pmod(col("doc_id"), lit(6)) < 2)), // residues 0,1 collide
+        "text", "doc_id", shingleN = 3, theta = 0.6)
+    }
+    assert(dupEx.getMessage.contains("more than one grouped batch"))
+    // the throw happened BEFORE any index mutation: a clean retry with
+    // disjoint batches bootstraps the index normally
+    Dedup.containmentIndexUpdateMany(dupIdx,
+      Seq(d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)),
+      "text", "doc_id", shingleN = 3, theta = 0.6).count()
+    // sequential re-ingestion of an already-indexed id still goes
+    // through the single-update path without throwing
+    Dedup.containmentIndexUpdate(dupIdx,
+      d.filter(pmod(col("doc_id"), lit(6)) === 0), "text", "doc_id",
+      shingleN = 3, theta = 0.6).count()
   }
 
   test("embedding index rebuild: over-cap recovery at a raised cap and " +

@@ -58,6 +58,27 @@ class ExtensionsDeltaSpec extends SparkSpec {
     // SQL registration
     assert(spark.sql("SELECT graft_shingles('a b c d', 3)")
       .head().getSeq[String](0) == Seq("a b c", "b c d"))
+    // ADVICE r15: n as a BIGINT literal or a foldable expression must
+    // build, not throw at plan time — SQL users write 3L / CAST / 2+1
+    for (nExpr <- Seq("3L", "CAST(3 AS BIGINT)", "2 + 1"))
+      assert(spark.sql(s"SELECT graft_shingles('a b c d', $nExpr)")
+        .head().getSeq[String](0) == Seq("a b c", "b c d"), nExpr)
+    // an out-of-Int-range n stays a plan-build error, not a silent wrap
+    intercept[Exception](
+      spark.sql("SELECT graft_shingles('a b', 4294967296L)").head())
+    // ADVICE r15: the ONE documented divergence from the composed
+    // spelling — null text maps to NULL natively ([""] composed, via
+    // concat_ws null-skipping). Asserted as INTENDED: explode() then
+    // drops null-text docs from shingle pipelines instead of indexing
+    // one empty shingle, which is the semantics every caller wants.
+    val nullDf = Seq[Option[String]](None, Some("a b c")).toDF("text")
+    val nr = nullDf.select(
+      Dedup.shingles(col("text"), 3).as("native"),
+      Dedup.shinglesComposed(col("text"), 3).as("composed")).collect()
+    assert(nr(0).isNullAt(0), "native shingles of NULL text must be NULL")
+    assert(nr(0).getSeq[String](1) == Seq(""),
+      "composed spelling maps NULL text to [\"\"] — divergence is real")
+    assert(nr(1).getSeq[String](0) == nr(1).getSeq[String](1))
   }
 
   test("graft_dot: native dot product equals HOF spelling, stays codegen'd") {

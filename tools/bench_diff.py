@@ -47,17 +47,37 @@ def main():
     # on byte-identical code); the median query ratio divides out
     # whole-session speed while being immune to the handful of genuine
     # movers it exists to expose.
+    # r16+: artifacts carry per-streaming-row compute time ("busy" =
+    # sum of triggerExecution durations; wall - busy = trigger waits).
+    # Streaming rows absorb VM parks into their waits, so when BOTH
+    # artifacts carry busy for a row, the regression test runs on busy
+    # (compute), not wall — a stalled-host trigger wait cannot read as
+    # a code regression (r15: stream_sketch 2.85->7.61s, code untouched).
+    osb = old.get("stream_busy") or {}
+    nsb = new.get("stream_busy") or {}
     shared = sorted(set(oq) & set(nq))
-    ratios = sorted(nq[n] / oq[n] for n in shared if oq[n] > 0)
+    ratios = sorted(nq[n] / oq[n] for n in shared
+                    if isinstance(oq[n], (int, float))
+                    and isinstance(nq[n], (int, float)) and oq[n] > 0)
     norm = ratios[len(ratios) // 2] if ratios else 1.0
     rows = []
     for name in shared:
         a, b = oq[name], nq[name]
+        if not (isinstance(a, (int, float)) and isinstance(b, (int, float))):
+            continue  # err marker rows carry no time to compare
+        note = ""
+        if name in osb and name in nsb:
+            a, b = osb[name], nsb[name]
+            note = (f" [streaming: busy-normalized; wall "
+                    f"{oq[name]:.2f}->{nq[name]:.2f}s]")
+        elif name in nsb:
+            note = (f" [streaming: new busy {nsb[name]:.2f}s of "
+                    f"{b:.2f}s wall; old artifact has no busy split]")
         if max(a, b) < min_sec:
             continue  # sub-noise rows: absolute cost too small to triage
         ratio = (b / norm) / a if a > 0 else float("inf")
         if ratio >= thresh or ratio <= 1.0 / thresh:
-            rows.append((ratio, name, a, b))
+            rows.append((ratio, name + note, a, b))
     print(f"# bench diff: {args[0]} -> {args[1]}")
     print(f"session normalizer (median query ratio): {norm:.3f}; "
           f"transfer medians old={old_med}s new={new_med}s; "
@@ -89,6 +109,13 @@ def main():
     print(f"{'norm-ratio':>10}  {'old-s':>8}  {'new-s':>8}  query")
     for ratio, name, a, b in sorted(rows, reverse=True):
         print(f"{ratio:>10.2f}  {a:>8.2f}  {b:>8.2f}  {name}")
+    inband = sorted(n for n in set(osb) & set(nsb)
+                    if osb[n] > 0
+                    and 1.0 / thresh < (nsb[n] / norm) / osb[n] < thresh
+                    and not any(n in r[1] for r in rows))
+    if inband:
+        print(f"\nstreaming rows in-band on busy (trigger waits excluded): "
+              f"{', '.join(inband)}")
 
 
 if __name__ == "__main__":
