@@ -175,7 +175,10 @@ object Bench {
     val top5 = results.collect { case (k, Right(v)) => k -> v }
       .sortBy(-_._2).take(5)
       .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"queries":$top5,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""
+    val fullPath =
+      if (only.isDefined) "/tmp/graft_bench_only.json"
+      else "/tmp/graft_bench.json"
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"queries":$top5,"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir","full":"$fullPath"}"""
     // Emission must be un-losable: streaming queries leave state-store
     // maintenance threads that race RpcEnv shutdown and can dump multi-KB
     // stack traces AFTER our output (this cost round 4 its perf signal —
@@ -201,8 +204,14 @@ object Bench {
         d = d.getParentFile
       if (d == null) sys.props.getOrElse("user.dir", ".") else d.getPath
     }
-    for (p <- Seq("/tmp/graft_bench.json",
-                  s"$repoRoot/BENCH_full_latest.json"))
+    // an SPARK_GRAFT_ONLY-filtered run is a triage probe, not a full
+    // bench — it must never clobber the committed full-artifact trail
+    // (r16: an isolated stream_sketch run overwrote the session's
+    // 278-row anchor artifact with a 1-row file)
+    val artifacts =
+      if (only.isDefined) Seq("/tmp/graft_bench_only.json")
+      else Seq("/tmp/graft_bench.json", s"$repoRoot/BENCH_full_latest.json")
+    for (p <- artifacts)
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
           (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
