@@ -76,6 +76,12 @@ object LinkScale {
       c, "c_custkey", "c_name",
       EntityMatch.deletionBlocker2, maxDist = 2).count()
     val linkSec = (System.nanoTime() - t0) / 1e9
+    // emit the headline immediately: the census below costs MORE than
+    // the link at large scales (it materializes the candidate set the
+    // operator exists to avoid), and a truncated run must not lose
+    // the timed number it already has
+    println(f"link_done masters=$masters survivors=$survivors " +
+      f"link_sec=$linkSec%.3f")
     // phase 2 — diagnostic candidate census (the operator never
     // materializes this set; it exists to SIZE the regime the banded
     // distance streams through). Distinct pairs sharing a block key,

@@ -19,15 +19,20 @@ object ProfKernels {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val rowFilter = if (args.length > 1) args(1) else ""
-    def on(row: String): Boolean = rowFilter.isEmpty || rowFilter == row
+    def on(row: String): Boolean =
+      rowFilter.isEmpty || rowFilter.split(",").contains(row)
     def time(name: String)(f: => Long): Unit = {
       f; f
       val t0 = System.nanoTime(); val n = f
       println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      // no blanket RDD sweep here: the ijv/cc sections hold their own
+      // localCheckpoints ACROSS stages, and unpersisting a local
+      // checkpoint kills its blocks (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
       spark.catalog.clearCache()
+    }
+    def sweep(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-    }
 
     if (on("dsir")) {
       val docs = graft.Tables.load(spark, dir, "documents")
@@ -51,6 +56,8 @@ object ProfKernels {
           hiPermille = 1000).count()
       }
     }
+
+    sweep()
 
     if (on("gram")) {
       val emb = graft.Tables.load(spark, dir, "embeddings")
@@ -77,6 +84,8 @@ object ProfKernels {
       time("gram: full (decimal sums)")(
         Pca.gram(emb, "embedding").count())
     }
+
+    sweep()
 
     if (on("ijv")) {
       import graft.operators.IncrementalJoin
@@ -105,6 +114,8 @@ object ProfKernels {
         IncrementalJoin.step(viewPrev, aRel, dA, bRel, dB,
           Seq("o_orderkey")).count())
     }
+
+    sweep()
 
     if (on("cc")) {
       val d = graft.Tables.load(spark, dir, "documents").select("doc_id")
