@@ -1179,7 +1179,15 @@ object Dedup {
     * the two-phase swap (stage → main→bak → tmp→main, every rename
     * checked) leaves either the old lake or the new one on any
     * crash, and a half-staged tmp from a previous crash is cleared
-    * on entry. */
+    * on entry.
+    *
+    * Cadence (fresh-sf10 ladder, tools/RebuildScale, PLANS.md r16):
+    * rebuild wall grows linearly with the lake past a fixed
+    * intercept — ~21 s at 40k vectors, ~55 s at 168k (park-free
+    * minima; one rebuild ≈ 2-4 incremental updates' wall at 8k-vector
+    * batches) — and post-rebuild updates stay on the pair trajectory.
+    * Run it only on plane change / over-cap recovery, never as
+    * routine maintenance (that is compaction's job). */
   def embeddingIndexRebuild(spark: SparkSession, indexPath: String,
                             planes: Int = 8, minCos: Double = 0.95,
                             maxBucketSize: Int = 10000): DataFrame = {

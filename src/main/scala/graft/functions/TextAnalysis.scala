@@ -728,14 +728,25 @@ object TextAnalysis {
                  idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = tokens(col(textCol))
-    val docTf = df.select(col(idCol), explode(t).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // ONE corpus tokenize+explode (ProfKernels discipline, the dsir
+    // rewrite applied here): docTf, tokC and vocabN are all pure
+    // roll-ups of the per-(doc, class, token) count frame, so they
+    // derive from it and share its partial-agg exchange (AQE stage
+    // reuse runs the corpus pass once) instead of re-exploding the
+    // corpus three times. Counts are exact integers → bit-identical
+    // scores. (id, token) determines the class, so the widened
+    // grouping key adds no rows.
+    val perDocTok = df
+      .select(col(idCol), col(labelCol).as("__cls"), explode(t).as("token"))
+      .groupBy(col(idCol), col("__cls"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docTf = perDocTok.select(col(idCol), col("token"), col("tf"))
     val priors = df.groupBy(col(labelCol).as("cls"))
       .agg(count(lit(1)).as("n_docs"))
-    val tokC = df.select(col(labelCol).as("cls"), explode(t).as("token"))
-      .groupBy("cls", "token").agg(count(lit(1)).as("ct"))
+    val tokC = perDocTok.groupBy(col("__cls").as("cls"), col("token"))
+      .agg(sum("tf").as("ct"))
     val clsTotals = tokC.groupBy("cls").agg(sum("ct").as("cls_tokens"))
-    val vocabN = df.select(explode(t).as("token")).agg(
+    val vocabN = perDocTok.select("token").agg(
       count_distinct(col("token")).as("__v"))
     val nTotal = df.agg(count(lit(1)).as("__n"))
     val classes = priors.join(clsTotals, Seq("cls"))

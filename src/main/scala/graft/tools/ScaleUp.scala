@@ -81,6 +81,14 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (src, dst, factor) = (args(0), args(1), args(2).toInt)
     val freshMode = args.length > 3 && args(3) == "fresh"
+    // optional 5th arg: comma-separated table subset — ladder harnesses
+    // that only need one table (e.g. the embedding rebuild ladder's
+    // 200k-vector feed) shouldn't pay a full 60M-row lineitem rewrite.
+    // Key spans still come from the FULL fixture, so a subset-staged
+    // table is bit-identical to the same table from a full staging.
+    val tableFilter: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").map(_.trim).toSet)
+      else None
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = graft.GraftSession.init(graft.GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus)
@@ -100,7 +108,7 @@ object ScaleUp {
       }
       .groupBy(_._1).map { case (d, vs) => d -> (vs.map(_._2).max + 1L) }
 
-    for (t <- graft.Tables.all) {
+    for (t <- graft.Tables.all if tableFilter.forall(_.contains(t))) {
       val df = spark.read.parquet(s"$src/$t.parquet")
       val out = keyDomains.get(t) match {
         case None => df // dimension table: copy
