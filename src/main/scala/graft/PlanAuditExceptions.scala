@@ -130,9 +130,12 @@ object PlanAuditExceptions {
     "decontaminate" -> Map(gb(Rel) ->
       ("benchmark shingle set: eval-suite-sized by contract — the " +
         "training corpus side is never broadcast")),
-    "dsir_select" -> Map(gb(Rel) ->
+    // leaf is LogicalRDD since r16 session 2: the weight/totals
+    // frames roll up the eagerly-checkpointed per-doc bucket counts
+    // (the reuse fix) — still 2^k / one-row frames by construction
+    "dsir_select" -> Map(gb("LogicalRDD") ->
       "per-feature-hash-bucket weight frame: 2^k rows by construction"),
-    "dsir_weights" -> Map(gb(Rel) ->
+    "dsir_weights" -> Map(gb("LogicalRDD") ->
       "per-feature-hash-bucket weight frame: 2^k rows by construction"),
     "embed_near_dups" -> Map(gb(Rel) ->
       "bucket keep frame: <= 2^planes sign-LSH bucket keys by construction"),
@@ -156,7 +159,11 @@ object PlanAuditExceptions {
     "incremental_join_view" -> Map(gb(s"$Rel+LogicalRDD") ->
       ("hot/delta key set: batch-sized by the incremental-maintenance " +
         "contract (the standing view is never broadcast)")),
-    "nb_classify" -> Map(gb(Rel) ->
+    // leaf gained LogicalRDD in r16 session 2: clsTotals/vocab now
+    // roll up the eagerly-checkpointed tf frame (the reuse fix);
+    // priors still scan the relation — the broadcast stays
+    // label-domain-sized either way
+    "nb_classify" -> Map(gb(s"$Rel+LogicalRDD") ->
       "class list frame: one row per label (label-domain-sized)"),
     "semantic_dedup" -> Map(gb(Rel) ->
       "centroid fit frame: <= k centroid ids by construction"),

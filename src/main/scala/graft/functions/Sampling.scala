@@ -182,11 +182,16 @@ object Sampling {
     // profiled as the row's dominant cost at sf0.1). Counts are exact
     // integers either way; `__is_t` rides the groupBy key (per-doc
     // constant) so the target slice stays separable.
-    // no explicit cache: every consumer sits on the SAME partial-agg
-    // exchange (id, is_t, b), so AQE's stage reuse runs the corpus
-    // pass once and the three roll-ups read the shuffle output
+    // Eagerly checkpointed: plan-level sharing does NOT happen here —
+    // analyzer re-aliasing across the four consumers breaks exchange
+    // identity, so ReuseExchange/AQE deduplicates nothing (measured
+    // r16 session 2: 4 file scans, 4 explodes, 0 reuses without
+    // this). The frame is bounded at docs × min(doc-vocab, `buckets`)
+    // rows — the materialization, not the recompute, is the 100-TB
+    // shape.
     val perDoc = tok.groupBy(col(idCol), col("__is_t"), col("__b"))
       .agg(count(lit(1)).as("__k"))
+      .localCheckpoint(true)
     val rawC = perDoc.groupBy("__b").agg(sum("__k").as("__cr"))
     val tgtC = perDoc.filter(col("__is_t")).groupBy("__b")
       .agg(sum("__k").as("__ct"))

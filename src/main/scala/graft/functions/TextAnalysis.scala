@@ -730,16 +730,21 @@ object TextAnalysis {
     val t = tokens(col(textCol))
     // ONE corpus tokenize+explode (ProfKernels discipline, the dsir
     // rewrite applied here): docTf, tokC and vocabN are all pure
-    // roll-ups of the per-(doc, class, token) count frame, so they
-    // derive from it and share its partial-agg exchange (AQE stage
-    // reuse runs the corpus pass once) instead of re-exploding the
-    // corpus three times. Counts are exact integers → bit-identical
-    // scores. (id, token) determines the class, so the widened
-    // grouping key adds no rows.
+    // roll-ups of the per-(doc, class, token) count frame. The frame
+    // is eagerly checkpointed because plan-level sharing does NOT
+    // happen — analyzer re-aliasing across the derived branches breaks
+    // exchange identity, so ReuseExchange/AQE never deduplicates the
+    // corpus pass (measured: 6 file scans, 4 explodes, 0 reuses in
+    // the un-checkpointed plan). Materializing the tf frame once is
+    // also the 100-TB shape: it is the table every model roll-up and
+    // the scoring join consume. Counts are exact integers →
+    // bit-identical scores. (id, token) determines the class, so the
+    // widened grouping key adds no rows.
     val perDocTok = df
       .select(col(idCol), col(labelCol).as("__cls"), explode(t).as("token"))
       .groupBy(col(idCol), col("__cls"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val docTf = perDocTok.select(col(idCol), col("token"), col("tf"))
     val priors = df.groupBy(col(labelCol).as("cls"))
       .agg(count(lit(1)).as("n_docs"))
@@ -812,23 +817,42 @@ object TextAnalysis {
   /** Per-class precision/recall/F1 from a (label, prediction) frame —
     * the QA half of model-based labeling: after a classifier (NB,
     * fastText-style, an LM gate) tags the corpus, this scores the
-    * tags against ground truth. One conditional aggregation over
-    * `rows x classes` (classes is a broadcast distinct — domain-sized,
-    * never corpus-sized); ratios rounded to 6dp AFTER exact integer
+    * tags against ground truth. ONE pass over the frame: the
+    * (label, pred) confusion matrix aggregates directly (map-side
+    * combined, ≤|classes|² rows leave the mappers — the earlier
+    * rows×classes broadcast expansion both scanned the input twice,
+    * once for the class list and once for the counts, and multiplied
+    * every row by |classes| before filtering; ProfKernels r16 measured
+    * the double-computation at 2× the classify cost when the input is
+    * itself a classifier pipeline). tp/fp/fn are exact-integer
+    * roll-ups of the matrix; the class list is the matrix's distinct
+    * LABEL side, as before. Ratios rounded to 6dp AFTER exact integer
     * counting, F1 derived from the ROUNDED p/r so engines agree
     * bit-for-bit. Empty denominators yield NULL, not 0. */
   def classifierEval(df: DataFrame, labelCol: String,
                      predCol: String): DataFrame = {
-    val classes = df.select(col(labelCol).as("cls")).distinct()
-    val counts = df.crossJoin(broadcast(classes))
+    // eager checkpoint: the matrix is DOMAIN-sized (≤|classes|² rows),
+    // and its three consumers below would otherwise each re-run the
+    // corpus-sized input pipeline — analyzer re-aliasing across the
+    // self-union/self-join breaks exchange identity, so AQE's
+    // ReusedExchange never fires (measured: 0 reuses, 21 file scans
+    // in the classifier_eval plan without this)
+    val matrix = df.groupBy(col(labelCol).as("__l"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n")).localCheckpoint(true)
+    val counts = matrix
+      .select(col("__l").as("cls"),
+        when(col("__p") === col("__l"), col("__n")).otherwise(0L).as("tp"),
+        lit(0L).as("fp"),
+        when(col("__p") =!= col("__l"), col("__n")).otherwise(0L).as("fn"))
+      .unionByName(matrix
+        .select(col("__p").as("cls"), lit(0L).as("tp"),
+          when(col("__l") =!= col("__p"), col("__n")).otherwise(0L).as("fp"),
+          lit(0L).as("fn"))
+        // a predicted class that never occurs as a LABEL was absent
+        // from the old class list — keep the same contract
+        .join(matrix.select(col("__l").as("cls")).distinct(), Seq("cls")))
       .groupBy("cls")
-      .agg(
-        sum(when(col(labelCol) === col("cls") &&
-          col(predCol) === col("cls"), 1L).otherwise(0L)).as("tp"),
-        sum(when(col(predCol) === col("cls") &&
-          col(labelCol) =!= col("cls"), 1L).otherwise(0L)).as("fp"),
-        sum(when(col(labelCol) === col("cls") &&
-          col(predCol) =!= col("cls"), 1L).otherwise(0L)).as("fn"))
+      .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"))
     def ratio(num: Column, den: Column): Column =
       when(den === 0L, lit(null))
         .otherwise(round(num.cast(DoubleType) / den, 6))
