@@ -120,7 +120,10 @@ object PlanAuditExceptions {
       "exact oracle baseline; scale path bitextMineLsh (oracle-gated)"),
     "bm25_search" -> Map(
       gb(Loc) -> "query-term frame: one row per distinct QUERY token",
-      gb(s"$Rel+$Loc") ->
+      // leaf is LogicalRDD since r16 session 2: the df frame rolls up
+      // the eagerly-checkpointed query-vocab-pruned tf table (the
+      // reuse fix) — still query-vocabulary-sized
+      gb("LogicalRDD") ->
         ("df frame keyed by the query's tokens: query-vocabulary-sized " +
           "(corpus tokens pruned to the query vocab before the shuffle)")),
     "classifier_eval" -> Map(gb(Rel) ->
@@ -150,7 +153,9 @@ object PlanAuditExceptions {
     "score_percentiles" -> Map(gb(Rel) -> adaptiveSmall),
     "hybrid_rrf" -> Map(
       gb(Loc) -> "query-term frame: one row per distinct QUERY token",
-      gb(s"$Rel+$Loc") ->
+      // leaf is LogicalRDD since r16 session 2 (checkpointed tf table
+      // inside bm25TopK, same reviewed shape as bm25_search)
+      gb("LogicalRDD") ->
         "df frame keyed by the query's tokens: query-vocabulary-sized",
       ub(Rel) -> queryFixture),
     "image_dhash_neardup" -> Map(gb(Rel) ->

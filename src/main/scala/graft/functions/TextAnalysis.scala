@@ -376,8 +376,14 @@ object TextAnalysis {
   def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // eager checkpoint (r16 session 2): tf feeds both the df roll-up
+    // and the scoring join; exchange reuse never deduplicates the two
+    // branches, so the corpus explode ran twice (measured 3 scans /
+    // 2 explodes). The per-doc tf table is the materialization a real
+    // keyword pipeline keeps.
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(idCol))
@@ -419,10 +425,15 @@ object TextAnalysis {
     val docTok = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), size(col("__t")).as("dl"),
         explode(col("__t")).as("token"))
-    // prune to the query vocabulary BEFORE the shuffle
+    // prune to the query vocabulary BEFORE the shuffle; eager
+    // checkpoint (r16 session 2): tf is query-vocabulary-bounded and
+    // feeds both the df roll-up and the scoring join — without it the
+    // corpus token stream re-runs per consumer (exchange reuse never
+    // fires across the re-aliased branches)
     val tf = docTok.join(broadcast(vocab), Seq("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(tokens(col(textCol)))).as("total_tokens"))
@@ -620,8 +631,11 @@ object TextAnalysis {
         substring_index(col("__bg"), " ", -1).as("w2"))
       .agg(count(lit(1)).as("cb"))
       .filter(col("cb") >= minCount)
+    // eager checkpoint (r16 session 2): uni feeds the corpus total
+    // and BOTH count-attach joins — vocab-sized, and without it the
+    // token explode re-runs per consumer (exchange reuse never fires)
     val uni = df.select(explode(t).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .groupBy("w").agg(count(lit(1)).as("cu")).localCheckpoint(true)
     val n = uni.agg(sum(col("cu")).as("__n"))
     val dec = "decimal(38,0)"
     bi.join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
@@ -656,11 +670,18 @@ object TextAnalysis {
                  minCount: Long = 5, topK: Int = 10): DataFrame = {
     val tok = df.select(col(classCol).as("cls"),
       explode(tokens(col(textCol))).as("tok"))
-    val tfCt = tok.groupBy("cls", "tok").agg(count(lit(1)).as("tf_ct"))
-      .filter(col("tf_ct") >= minCount)
-    val tfT = tok.groupBy("tok").agg(count(lit(1)).as("tf_t"))
-    val nC = tok.groupBy("cls").agg(count(lit(1)).as("n_c"))
-    val n = tok.agg(count(lit(1)).as("__n"))
+    // ONE corpus explode (r16 session 2): tf_t, n_c and N are pure
+    // integer roll-ups of the (class, token) count frame, which is
+    // class×vocab-bounded — previously all four consumers re-ran the
+    // corpus explode (measured 4 scans / 4 explodes; exchange reuse
+    // never fires across re-aliased branches). minCount filters AFTER
+    // the shared frame so the roll-ups still see the full counts.
+    val ctAll = tok.groupBy("cls", "tok").agg(count(lit(1)).as("tf_ct"))
+      .localCheckpoint(true)
+    val tfCt = ctAll.filter(col("tf_ct") >= minCount)
+    val tfT = ctAll.groupBy("tok").agg(sum("tf_ct").as("tf_t"))
+    val nC = ctAll.groupBy("cls").agg(sum("tf_ct").as("n_c"))
+    val n = ctAll.agg(sum("tf_ct").as("__n"))
     val dec = "decimal(38,0)"
     val scored = tfCt.join(tfT, "tok").join(nC, "cls")
       .crossJoin(broadcast(n))
@@ -683,11 +704,19 @@ object TextAnalysis {
       .select(col(idCol),
         substring_index(col("__bg"), " ", 1).as("w1"),
         substring_index(col("__bg"), " ", -1).as("w2"))
+    // eager checkpoints (r16 session 2, the reuse finding): docTf is
+    // consumed by the model roll-up AND the scoring join, uniCounts by
+    // the vocab count AND the join — plan-level exchange reuse never
+    // fires across the re-aliased branches, so without materialization
+    // the bigram explode runs twice and the token explode twice
+    // (measured: 4 scans / 4 explodes). The per-doc bigram tf table
+    // and the vocab count table are exactly what an LM pipeline
+    // persists; counts are exact integers either way.
     val docTf = docBi.groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("k")).localCheckpoint(true)
     val biCounts = docTf.groupBy("w1", "w2").agg(sum("k").as("cb"))
     val uniCounts = df.select(explode(t).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("cu"))
+      .groupBy("w1").agg(count(lit(1)).as("cu")).localCheckpoint(true)
     val vocabN = uniCounts.agg(count(lit(1)).as("__v"))
     docTf.join(biCounts, Seq("w1", "w2"))
       .join(uniCounts, Seq("w1"))
