@@ -1944,7 +1944,13 @@ object Queries {
         pmod(graft.functions.Hashing.hex8ToLong(
           concat(lit("split:"), col("doc_id").cast(StringType))),
           lit(10L)) === 0)
+      // eager checkpoint (r16 session 2 diamond sweep): pairs is
+      // candidate-pair-sized (the banded-candidate OUTPUT, never
+      // all-pairs) and is probed from BOTH directions below — without
+      // it the whole shingle+minhash+band pipeline runs twice
+      // (measured 5 scans / 6 explodes in the executed plan)
       val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+        .localCheckpoint(true)
       val evalIds = tagged.filter(col("is_eval"))
         .select(col("doc_id").as("eid"))
       val leaky = pairs.join(evalIds, col("id_a") === col("eid"))
