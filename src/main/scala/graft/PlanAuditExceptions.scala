@@ -158,10 +158,15 @@ object PlanAuditExceptions {
       gb("LogicalRDD") ->
         "df frame keyed by the query's tokens: query-vocabulary-sized",
       ub(Rel) -> queryFixture),
-    "image_dhash_neardup" -> Map(gb(Rel) ->
+    // leaf is LogicalRDD since r16 session 2: the keep frame rolls up
+    // the checkpointed band postings (the scan-census fix) — still
+    // bounded by the 16-bit band domain
+    "image_dhash_neardup" -> Map(gb("LogicalRDD") ->
       ("band keep frame: <= 4 x 2^16 (slot, value) keys by the 16-bit " +
         "band domain")),
-    "incremental_join_view" -> Map(gb(s"$Rel+LogicalRDD") ->
+    // leaf narrowed to LogicalRDD in r16 session 2: deltas and prev
+    // state are all checkpointed now (the scan-census fix)
+    "incremental_join_view" -> Map(gb("LogicalRDD") ->
       ("hot/delta key set: batch-sized by the incremental-maintenance " +
         "contract (the standing view is never broadcast)")),
     // leaf gained LogicalRDD in r16 session 2: clsTotals/vocab now
@@ -170,11 +175,14 @@ object PlanAuditExceptions {
     // label-domain-sized either way
     "nb_classify" -> Map(gb(s"$Rel+LogicalRDD") ->
       "class list frame: one row per label (label-domain-sized)"),
-    "semantic_dedup" -> Map(gb(Rel) ->
+    // leaves are LogicalRDD since r16 session 2 (checkpointed
+    // assignment table / stratum stat frames — the scan-census fixes);
+    // the broadcast frames stay centroid-/domain-sized
+    "semantic_dedup" -> Map(gb("LogicalRDD") ->
       "centroid fit frame: <= k centroid ids by construction"),
-    "temperature_sample" -> Map(gb(Rel) ->
+    "temperature_sample" -> Map(ub("LogicalRDD") ->
       "per-domain rate frame: one row per domain label (feature-sized)"),
-    "token_budget_sample" -> Map(gb(Rel) ->
+    "token_budget_sample" -> Map(ub("LogicalRDD") ->
       "per-domain rate frame: one row per domain label (feature-sized)"))
 
   def all: Map[String, Map[String, String]] = {

@@ -833,8 +833,16 @@ object Queries {
           (col("o_orderkey") + 100000000L).as("o_orderkey"),
           col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
           col("o_orderdate"), col("o_orderpriority")))
+        // the drifted table stands in for a STORED replica (reality:
+        // read from disk); materialize it once instead of re-deriving
+        // the planted drift in every diff/apply leg (r16 scan census:
+        // 11 scans in this row's executed plan)
+        .localCheckpoint()
+      // the repair batch is drift-sized by contract and applyRepair
+      // consumes it twice (touched keys + replacement rows) — without
+      // materialization the full-outer diff ran twice
       val repair = graft.operators.Checksum.repairBatch(
-        src, drifted, Seq("o_orderkey"))
+        src, drifted, Seq("o_orderkey")).localCheckpoint()
       graft.operators.Checksum.applyRepair(drifted, repair, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
@@ -1158,10 +1166,16 @@ object Queries {
       // the cross-engine compare never rides on float rounding ties.
       import graft.functions.Sketches
       val o = t(s, dir, "orders")
+      // eager checkpoints (r16 scan census): each 256-row sketch is
+      // consumed by BOTH the union and the intersection join — without
+      // materialization each consumer re-ran the corpus scan (6 scans
+      // measured for a row whose whole point is fixed-size sketches)
       val sa = Sketches.kmvSketch(
         o.filter(col("o_orderkey") % 3 =!= 0).select("o_custkey"), "o_custkey")
+        .localCheckpoint(true)
       val sb = Sketches.kmvSketch(
         o.filter(col("o_orderkey") % 2 === 0).select("o_custkey"), "o_custkey")
+        .localCheckpoint(true)
       val u = Sketches.kmvUnion(Seq(sa, sb))
       val summ = u.agg(count(lit(1)).as("k_eff"), max(col("h")).as("kth"))
       val inter = u.join(sa, "h").join(sb, "h")
@@ -4238,18 +4252,24 @@ object Queries {
           col("l_quantity"))
       val aPrev = o.filter(col("o_orderkey") % 31 =!= 0)
       val bPrev = l.filter(col("l_linenumber") =!= 7)
+      // deltas are BATCH-sized by contract and the step expansion
+      // references each twice (dA x B, dA x dB / A x dB, dA x dB) —
+      // without materialization every reference re-runs the two-sided
+      // delta construction (r16 scan census: 21 scans in this row's
+      // executed plan; exchange reuse never fires across re-aliased
+      // branches)
       val dA = IncrementalJoin.delta(
         o.filter(col("o_orderkey") % 31 === 0),
-        aPrev.filter(col("o_orderkey") % 37 === 0))
+        aPrev.filter(col("o_orderkey") % 37 === 0)).localCheckpoint()
       val dB = IncrementalJoin.delta(
         l.filter(col("l_linenumber") === 7),
-        l.limit(0))
+        l.limit(0)).localCheckpoint()
       // orders is PK-keyed (duplicate-free) -> asRel, zero shuffle;
       // the projected lineitem slice is NOT unique -> lift
-      // consolidates it. The prev view is materialized once, as a
-      // real maintenance step reads it from storage rather than
-      // recomputing the join per consumer branch.
-      val aRel = IncrementalJoin.asRel(aPrev)
+      // consolidates it. Prev state (aRel, bRel, viewPrev) is
+      // materialized once, as a real maintenance step reads it from
+      // storage rather than recomputing it per consumer branch.
+      val aRel = IncrementalJoin.asRel(aPrev).localCheckpoint()
       val bRel = IncrementalJoin.lift(bPrev).localCheckpoint()
       val viewPrev = IncrementalJoin
         .joinRel(aRel, bRel, Seq("o_orderkey")).localCheckpoint()

@@ -446,11 +446,19 @@ object Dedup {
     // Docs lose the dropped shingles from BOTH the intersection and
     // their sizes, so jaccard stays a true Jaccard over the filtered
     // shingle universe.
+    // eager checkpoints (r16 session 2 diamond sweep): grouped feeds
+    // both the size model and the pair stream, sizes is joined from
+    // both pair sides — exchange reuse never deduplicates re-aliased
+    // branches, so each consumer re-ran the corpus shingle explode
+    // (measured 3 scans / 6 explodes). grouped IS the capped postings
+    // lake; sizes is doc-count-sized.
     val grouped = sh.groupBy("s")
       .agg(sort_array(collect_list(col("id"))).as("__ids"))
       .filter(size(col("__ids")) <= maxDf)
+      .localCheckpoint(true)
     val sizes = grouped.select(explode(col("__ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val ids = col("__ids")
     val pairStructs = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)),
@@ -553,8 +561,15 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int = 3, theta: Double = 0.5): DataFrame = {
     require(theta > 0 && theta <= 1, "theta in (0, 1]")
+    // eager checkpoint (r16 session 2 diamond sweep): the posting
+    // frame feeds df counts, ranking, verify legs and sizes — without
+    // materialization each consumer re-runs the corpus shingle explode
+    // (exchange reuse never fires across re-aliased branches; measured
+    // 6 scans / 7 explodes in setsim_prefix_join's executed plan).
+    // Materializing postings once IS the PPJoin scale shape.
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+      .localCheckpoint(true)
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
     // per-doc rarity rank; doc-sized sort groups, corpus-keyed shuffle
     val w = org.apache.spark.sql.expressions.Window
@@ -623,8 +638,16 @@ object Dedup {
                              shingleN: Int = 3,
                              theta: Double = 0.8): DataFrame = {
     require(theta > 0 && theta <= 1, "theta in (0, 1]")
+    // eager checkpoint (r16 session 2 diamond sweep): FIVE consumers
+    // below (df counts, ranking, candidate probe, both intersect legs,
+    // sizes) each re-ran the corpus shingle explode without it
+    // (measured 12 scans / 6 explodes in containment_join's executed
+    // plan). Materializing the postings once is the operator's own
+    // scale story — it is exactly the postings lake the incremental
+    // variant keeps on disk.
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+      .localCheckpoint(true)
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("__df"), col("s"))
@@ -1405,9 +1428,17 @@ object Dedup {
   def semanticDedup(df: DataFrame, centroids: DataFrame, vecCol: String,
                     idCol: String, minCos: Double,
                     maxCellSize: Int = 100000): DataFrame = {
-    val assign = Similarity.ivfAssign(df, centroids, vecCol, idCol)
+    // eager checkpoint (r16 scan census): the assignment table feeds
+    // the cell-size model, both self-join legs and the final verdict —
+    // without materialization each consumer re-ran the IVF assign over
+    // the corpus (9 scans measured). The (id, centroid, vector) table
+    // is what a real semantic-dedup pipeline persists between the
+    // assign and pair phases.
+    val withV = Similarity.ivfAssign(df, centroids, vecCol, idCol)
       .select(col(idCol), col("centroid_id"))
-    val withV = assign.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .localCheckpoint(true)
+    val assign = withV.select(col(idCol), col("centroid_id"))
     val fits = withV.groupBy("centroid_id").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxCellSize).select("centroid_id")
     val cell = withV.join(broadcast(fits), Seq("centroid_id"))

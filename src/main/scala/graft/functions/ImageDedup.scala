@@ -93,9 +93,16 @@ object ImageDedup {
   def nearDupPairs(hashed: DataFrame, idCol: String = "doc_id",
                    maxHamming: Int = 6, bucketCap: Int = 1000): DataFrame = {
     val clean = hashed.filter(col("b0").isNotNull)
+    // eager checkpoint (r16 scan census): the band postings feed the
+    // bucket-cap model AND both pair-join legs — without it every
+    // consumer re-ran the upstream image decode + dHash (4 scans / 4
+    // explodes measured; the decode is the expensive kernel). Four
+    // 8-byte band rows per image is the cheapest thing to materialize
+    // in the whole pipeline.
     val bx = clean.select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("bi", "bv")))
+      .localCheckpoint(true)
     // ≤ 4·2^16 distinct (slot, value) keys — broadcastable by construction
     val ok = bx.groupBy("bi", "bv").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= bucketCap).drop("__n")

@@ -63,8 +63,13 @@ object Sampling {
     val perDoc = df.select(col(strataCol).as("stratum"),
       col(idCol).cast("string").as("__k"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("__nt"))
+    // eager checkpoint (r16 session 2): byStratum is stratum-domain-
+    // sized and feeds totals + rates — without it each consumer re-ran
+    // the corpus tokenize scan (measured 5 scans where the documented
+    // shape is two: one stats pass, one membership pass)
     val byStratum = perDoc.groupBy("stratum")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("tokens"))
+      .localCheckpoint(true)
     val totals = byStratum
       .agg(sum(col("tokens")).as("__total"),
         count(lit(1)).as("__n_strata"))
@@ -100,10 +105,13 @@ object Sampling {
                          budgetNum: Int, budgetDen: Int): DataFrame = {
     val perDoc = df.select(col(strataCol).as("stratum"),
       col(idCol).cast("string").as("__k"))
+    // eager checkpoint (r16 session 2): same two-scan restoration as
+    // tokenBudgetSummary — the stratum stat frame feeds totals + rates
     val byStratum = perDoc.groupBy("stratum")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("weight",
         round(sqrt(col("n_docs").cast("double")), 6).cast("decimal(18,6)"))
+      .localCheckpoint(true)
     val totals = byStratum.agg(sum(col("n_docs")).as("__total"),
       sum(col("weight")).as("__w"))
     val rates = byStratum.crossJoin(broadcast(totals))
