@@ -1111,7 +1111,13 @@ object Queries {
             (col("o_totalprice") + 100).cast(DecimalType(18, 2)))
             .otherwise(col("o_totalprice")))
         .select("o_orderpriority", "o_totalprice")
-      val st = Rollup.foldWithExtrema(s0, Rollup.retractions(changes),
+      // the retraction batch stands in for a STORED changelog slice
+      // (reality: read from the stream/log); materialize it once —
+      // foldWithExtrema consumes it twice (additive delta + extrema
+      // scan) and the lazy plan re-derived the 3-leg fixture union per
+      // consumer (r16 scan census: 13 scans in this row's plan)
+      val st = Rollup.foldWithExtrema(s0,
+        Rollup.retractions(changes).localCheckpoint(),
         base, keys, mets)
       st.select(col("o_orderpriority"), col("n_rows"),
           col("sum_o_totalprice").cast("double").as("total_price"),
