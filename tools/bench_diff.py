@@ -16,6 +16,13 @@ Exit status 0 always (it is a report, not a gate): regressions need a
 human (or the round's builder) to triage, and a jitter-heavy session
 must not fail CI on noise. The output is meant to be committed as
 BENCH_DIFF_r{N}.md by the round that runs it.
+
+r17+: artifacts carry per-row `park_secs` (heartbeat-detected whole-VM
+stall seconds inside each row's window) — batch rows compare on
+(wall - park), and when either artifact's park coverage exceeds 15% of
+its measured query wall the tool REFUSES the verdict instead of
+flagging rows a stalled host inflated (r16: the driver artifact read
+1.45x the committed anchor purely on parks).
 """
 import json
 import sys
@@ -55,6 +62,15 @@ def main():
     # a code regression (r15: stream_sketch 2.85->7.61s, code untouched).
     osb = old.get("stream_busy") or {}
     nsb = new.get("stream_busy") or {}
+    # r17+: artifacts carry per-row PARK overlap ("park_secs" = seconds
+    # of heartbeat-detected whole-VM stalls inside the row's measured
+    # window). Parks inflate batch rows the way trigger waits inflate
+    # streaming rows — r16's driver artifact read 1.45x its committed
+    # anchor purely on parks (containment_compact 132.8s vs 13.0s
+    # isolated). Rows compare on (wall - park); a missing map (pre-r17
+    # artifact) discounts zero, the conservative old behavior.
+    opk = old.get("park_secs") or {}
+    npk = new.get("park_secs") or {}
     shared = sorted(set(oq) & set(nq))
     ratios = sorted(nq[n] / oq[n] for n in shared
                     if isinstance(oq[n], (int, float))
@@ -73,6 +89,16 @@ def main():
         elif name in nsb:
             note = (f" [streaming: new busy {nsb[name]:.2f}s of "
                     f"{b:.2f}s wall; old artifact has no busy split]")
+        # park discount on whichever number survived the busy swap: a
+        # park lands in compute as readily as in waits (r16 verdict #1:
+        # replicate_stream's BUSY read 47.3s vs ~17s anchor on parks),
+        # so busy-normalized rows are discounted too. Floor at 1% of
+        # the raw number — a fully-parked window must not divide by ~0.
+        pa, pb = opk.get(name, 0.0), npk.get(name, 0.0)
+        if pa >= 0.05 or pb >= 0.05:
+            a = max(a - pa, 0.01 * max(a, 1e-9))
+            b = max(b - pb, 0.01 * max(b, 1e-9))
+            note += f" [park-discounted: old -{pa:.2f}s new -{pb:.2f}s]"
         if max(a, b) < min_sec:
             continue  # sub-noise rows: absolute cost too small to triage
         ratio = (b / norm) / a if a > 0 else float("inf")
@@ -101,8 +127,25 @@ def main():
         print(f"added rows: {', '.join(added)}")
     if gone:
         print(f"removed rows: {', '.join(gone)}")
+    # park coverage gate: when parks ate a large share of a session's
+    # measured query wall, per-row park windows are themselves noisy
+    # (the heartbeat localizes a stall to ~100ms granularity and cannot
+    # see sub-250ms steals) — no per-row verdict is trustworthy. Report
+    # the rows for forensics but refuse the adjudication.
+    refused = False
+    for label, art in (("old", old), ("new", new)):
+        pk = art.get("park_in_queries_secs")
+        tot = art.get("value")
+        if pk and tot and pk / tot > 0.15:
+            print(f"VERDICT REFUSED: {label} artifact's park coverage is "
+                  f"{pk:.1f}s of {tot:.1f}s measured wall "
+                  f"({100 * pk / tot:.0f}% > 15%) — the session is too "
+                  f"stall-ridden to adjudicate per-row; re-run on a "
+                  f"quieter window. Rows below are forensic only.")
+            refused = True
     if not rows:
-        print(f"clean: no query moved >={thresh}x normalized")
+        if not refused:
+            print(f"clean: no query moved >={thresh}x normalized")
         return
     print(f"\n{len(rows)} row(s) moved >={thresh}x normalized "
           "(ratio >1 = slower in new):")
