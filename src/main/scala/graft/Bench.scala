@@ -70,32 +70,9 @@ object Bench {
     // quiesce between rows GCs outside the timers), so discounting it
     // errs on the side of not flagging — the conservative direction
     // for a regression canary whose false flags cost a round of triage.
-    val parks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
-    val hbPeriodNs = 100L * 1000000L
-    val hbThreshNs = 250L * 1000000L
-    @volatile var hbStop = false
-    val heartbeat = new Thread(() => {
-      while (!hbStop) {
-        val t0 = System.nanoTime()
-        try Thread.sleep(100L) catch { case _: InterruptedException => }
-        val dt = System.nanoTime() - t0
-        // attribute the stall to the tail of the interval: the sleep
-        // was due at t0+period, everything after that is overshoot
-        if (dt - hbPeriodNs > hbThreshNs) parks.add((t0 + hbPeriodNs, t0 + dt))
-      }
-    }, "graft-bench-heartbeat")
-    heartbeat.setDaemon(true)
-    heartbeat.start()
-    def parkOverlapSecs(winStart: Long, winEnd: Long): Double = {
-      var sum = 0L
-      val it = parks.iterator()
-      while (it.hasNext) {
-        val (ps, pe) = it.next()
-        val o = math.min(winEnd, pe) - math.max(winStart, ps)
-        if (o > 0) sum += o
-      }
-      sum / 1e9
-    }
+    val parkMeter = new graft.ParkMeter()
+    def parkOverlapSecs(winStart: Long, winEnd: Long): Double =
+      parkMeter.overlapSecs(winStart, winEnd)
     val parkSecs = scala.collection.mutable.Map[String, Double]()
     // materialize the wire-parse fixture caches BEFORE the timed loop: a
     // regenerated sf dir invalidates their signature and a cold rebuild
@@ -230,7 +207,7 @@ object Bench {
     // per-row park overlap (heartbeat overshoot ∩ row window) + the
     // session-wide park total: bench_diff normalizes batch rows on
     // (wall − park) and refuses a verdict when coverage is too high
-    hbStop = true
+    parkMeter.stop()
     val parkJson = parkSecs.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val parkInQueries = parkSecs.values.sum

@@ -122,8 +122,11 @@ object PlanAuditExceptions {
       gb(Loc) -> "query-term frame: one row per distinct QUERY token",
       // leaf is LogicalRDD since r16 session 2: the df frame rolls up
       // the eagerly-checkpointed query-vocab-pruned tf table (the
-      // reuse fix) — still query-vocabulary-sized
-      gb("LogicalRDD") ->
+      // reuse fix) — still query-vocabulary-sized. Keys carry the
+      // broadcast side's output schema since r17 (ADVICE r16): a
+      // FUTURE broadcast over a different checkpointed frame in the
+      // same query gets a NEW key instead of riding this review.
+      gb("LogicalRDD[token,df]") ->
         ("df frame keyed by the query's tokens: query-vocabulary-sized " +
           "(corpus tokens pruned to the query vocab before the shuffle)")),
     "classifier_eval" -> Map(gb(Rel) ->
@@ -136,9 +139,9 @@ object PlanAuditExceptions {
     // leaf is LogicalRDD since r16 session 2: the weight/totals
     // frames roll up the eagerly-checkpointed per-doc bucket counts
     // (the reuse fix) — still 2^k / one-row frames by construction
-    "dsir_select" -> Map(gb("LogicalRDD") ->
+    "dsir_select" -> Map(gb("LogicalRDD[__b,__w]") ->
       "per-feature-hash-bucket weight frame: 2^k rows by construction"),
-    "dsir_weights" -> Map(gb("LogicalRDD") ->
+    "dsir_weights" -> Map(gb("LogicalRDD[__b,__w]") ->
       "per-feature-hash-bucket weight frame: 2^k rows by construction"),
     "embed_near_dups" -> Map(gb(Rel) ->
       "bucket keep frame: <= 2^planes sign-LSH bucket keys by construction"),
@@ -155,34 +158,35 @@ object PlanAuditExceptions {
       gb(Loc) -> "query-term frame: one row per distinct QUERY token",
       // leaf is LogicalRDD since r16 session 2 (checkpointed tf table
       // inside bm25TopK, same reviewed shape as bm25_search)
-      gb("LogicalRDD") ->
+      gb("LogicalRDD[token,df]") ->
         "df frame keyed by the query's tokens: query-vocabulary-sized",
       ub(Rel) -> queryFixture),
     // leaf is LogicalRDD since r16 session 2: the keep frame rolls up
     // the checkpointed band postings (the scan-census fix) — still
     // bounded by the 16-bit band domain
-    "image_dhash_neardup" -> Map(gb("LogicalRDD") ->
+    "image_dhash_neardup" -> Map(gb("LogicalRDD[bi,bv]") ->
       ("band keep frame: <= 4 x 2^16 (slot, value) keys by the 16-bit " +
         "band domain")),
     // leaf narrowed to LogicalRDD in r16 session 2: deltas and prev
     // state are all checkpointed now (the scan-census fix)
-    "incremental_join_view" -> Map(gb("LogicalRDD") ->
+    "incremental_join_view" -> Map(gb("LogicalRDD[o_orderkey]") ->
       ("hot/delta key set: batch-sized by the incremental-maintenance " +
         "contract (the standing view is never broadcast)")),
     // leaf gained LogicalRDD in r16 session 2: clsTotals/vocab now
     // roll up the eagerly-checkpointed tf frame (the reuse fix);
     // priors still scan the relation — the broadcast stays
     // label-domain-sized either way
-    "nb_classify" -> Map(gb(s"$Rel+LogicalRDD") ->
-      "class list frame: one row per label (label-domain-sized)"),
+    "nb_classify" -> Map(
+      gb(s"$Rel+LogicalRDD[cls,n_docs,cls_tokens,__v,__n]") ->
+        "class list frame: one row per label (label-domain-sized)"),
     // leaves are LogicalRDD since r16 session 2 (checkpointed
     // assignment table / stratum stat frames — the scan-census fixes);
     // the broadcast frames stay centroid-/domain-sized
-    "semantic_dedup" -> Map(gb("LogicalRDD") ->
+    "semantic_dedup" -> Map(gb("LogicalRDD[centroid_id]") ->
       "centroid fit frame: <= k centroid ids by construction"),
-    "temperature_sample" -> Map(ub("LogicalRDD") ->
+    "temperature_sample" -> Map(ub("LogicalRDD[stratum,rate_bp]") ->
       "per-domain rate frame: one row per domain label (feature-sized)"),
-    "token_budget_sample" -> Map(ub("LogicalRDD") ->
+    "token_budget_sample" -> Map(ub("LogicalRDD[stratum,rate_bp]") ->
       "per-domain rate frame: one row per domain label (feature-sized)"))
 
   def all: Map[String, Map[String, String]] = {

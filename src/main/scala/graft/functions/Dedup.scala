@@ -431,7 +431,9 @@ object Dedup {
     * carry no near-dup signal — this trades exactly their noise for a
     * bounded shuffle. Pass Int.MaxValue to disable (skips the df
     * pre-pass entirely); the `candidates` pre-filter remains the
-    * documented bulk route. */
+    * documented bulk route. EAGER by contract: the grouped postings
+    * materialize at call time (no streaming inputs — [[Materialize]]
+    * has the durability policy). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.0,
                         candidates: Option[DataFrame] = None,
@@ -452,13 +454,12 @@ object Dedup {
     // branches, so each consumer re-ran the corpus shingle explode
     // (measured 3 scans / 6 explodes). grouped IS the capped postings
     // lake; sizes is doc-count-sized.
-    val grouped = sh.groupBy("s")
+    val grouped = Materialize.corpus(sh.groupBy("s")
       .agg(sort_array(collect_list(col("id"))).as("__ids"))
-      .filter(size(col("__ids")) <= maxDf)
-      .localCheckpoint(true)
-    val sizes = grouped.select(explode(col("__ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .filter(size(col("__ids")) <= maxDf))
+    val sizes = Materialize.corpus(
+      grouped.select(explode(col("__ids")).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n")))
     val ids = col("__ids")
     val pairStructs = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)),
@@ -566,10 +567,12 @@ object Dedup {
     // materialization each consumer re-runs the corpus shingle explode
     // (exchange reuse never fires across re-aliased branches; measured
     // 6 scans / 7 explodes in setsim_prefix_join's executed plan).
-    // Materializing postings once IS the PPJoin scale shape.
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
-      .localCheckpoint(true)
+    // Materializing postings once IS the PPJoin scale shape. The frame
+    // is CORPUS-postings-sized: [[Materialize.corpus]] documents the
+    // executor-loss trade and the `spark.graft.checkpointDir` knob; at
+    // cluster scale prefer [[containmentIndexUpdate]]'s parquet lake.
+    val sh = Materialize.corpus(df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("s")))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
     // per-doc rarity rank; doc-sized sort groups, corpus-keyed shuffle
     val w = org.apache.spark.sql.expressions.Window
@@ -644,10 +647,10 @@ object Dedup {
     // (measured 12 scans / 6 explodes in containment_join's executed
     // plan). Materializing the postings once is the operator's own
     // scale story — it is exactly the postings lake the incremental
-    // variant keeps on disk.
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
-      .localCheckpoint(true)
+    // variant keeps on disk; [[Materialize.corpus]] documents the
+    // executor-loss trade and the reliable-checkpoint knob.
+    val sh = Materialize.corpus(df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("s")))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("__df"), col("s"))
@@ -718,7 +721,8 @@ object Dedup {
                              textCol: String, idCol: String,
                              shingleN: Int = 3,
                              theta: Double = 0.8,
-                             maxBatchPostings: Long = 10000000L)
+                             maxBatchPostings: Long = 10000000L,
+                             maxMatchedPostings: Long = 500000000L)
       : DataFrame = {
     require(theta > 0 && theta <= 1, "theta in (0, 1]")
     val spark = newDocs.sparkSession
@@ -859,6 +863,28 @@ object Dedup {
         .select(col("s"), col("id").as("__lid"), col("__pref0"),
           (col("__rk") <= pl).as("__lpref"), col("__n").as("__ln"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Cap on the one-scan frame (r16 verdict #7): `matched` is
+      // vocab-RESTRICTED, not vocab-bounded — in the worst case
+      // (batch vocab ⊇ lake vocab, e.g. a batch of concatenated
+      // corpus samples) it approaches the whole lake's postings, and
+      // a silent executor-storage blowup is worse than a named
+      // contract error. The count IS the persist's materialization
+      // (the three probe consumers below re-read the cache), so the
+      // guard costs zero extra lake scans — same discipline as
+      // nPostings doubling as `ranked`'s materialization above.
+      val nMatched = matched.count()
+      if (nMatched > maxMatchedPostings) {
+        matched.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"containmentIndexUpdate: the batch's vocabulary matches " +
+            s"$nMatched lake postings > maxMatchedPostings=" +
+            s"$maxMatchedPostings — the one-scan probe frame would " +
+            s"approach lake size in executor storage. The batch's " +
+            s"vocab covers too much of the lake (concatenated / " +
+            s"corpus-sampled ingest?); split the batch, or raise the " +
+            s"cap on a cluster whose aggregate storage is sized for " +
+            s"a lake-scale cache.")
+      }
       val candNO = matched.filter(col("__pref0") === 1)
         .join(broadcast(newPref.select(col("s"), col("id").as("id_a"))),
           Seq("s"))
@@ -957,7 +983,8 @@ object Dedup {
                                  textCol: String, idCol: String,
                                  shingleN: Int = 3,
                                  theta: Double = 0.8,
-                                 maxBatchPostings: Long = 10000000L)
+                                 maxBatchPostings: Long = 10000000L,
+                                 maxMatchedPostings: Long = 500000000L)
       : DataFrame = {
     require(batches.nonEmpty, "containmentIndexUpdateMany: no batches")
     if (batches.length > 1) {
@@ -985,7 +1012,7 @@ object Dedup {
     val union = batches.map(_.select(col(idCol), col(textCol)))
       .reduce(_.unionByName(_))
     containmentIndexUpdate(indexPath, union, textCol, idCol, shingleN,
-      theta, maxBatchPostings)
+      theta, maxBatchPostings, maxMatchedPostings)
   }
 
   /** Maintenance for the persisted containment index — the one
@@ -1424,7 +1451,10 @@ object Dedup {
     * The same hot-cell guard as [[embeddingNearDups]] drops degenerate
     * cells (a collapsed fit) instead of letting one cell go quadratic
     * in the corpus. Returns every vector with its cell and the keep
-    * verdict. */
+    * verdict — including NULL-id and duplicate-id rows (the assign is
+    * a pure projection; nothing joins on the id). EAGER by contract:
+    * the assignment table materializes at call time (no streaming
+    * inputs — [[Materialize]] has the durability policy). */
   def semanticDedup(df: DataFrame, centroids: DataFrame, vecCol: String,
                     idCol: String, minCos: Double,
                     maxCellSize: Int = 100000): DataFrame = {
@@ -1433,11 +1463,15 @@ object Dedup {
     // without materialization each consumer re-ran the IVF assign over
     // the corpus (9 scans measured). The (id, centroid, vector) table
     // is what a real semantic-dedup pipeline persists between the
-    // assign and pair phases.
-    val withV = Similarity.ivfAssign(df, centroids, vecCol, idCol)
-      .select(col(idCol), col("centroid_id"))
-      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
-      .localCheckpoint(true)
+    // assign and pair phases. The vector CARRIES through the assign
+    // projection (ADVICE r16): the previous spelling joined the assign
+    // back to df on idCol, which silently dropped NULL-id rows and
+    // multiplied duplicate ids — "returns every vector" is the
+    // contract, and a pure projection keeps it by construction.
+    val withV = Materialize.corpus(
+      Similarity.ivfAssign(df, centroids, vecCol, idCol,
+          carryCols = Seq(vecCol))
+        .select(col(idCol), col("centroid_id"), col(vecCol)))
     val assign = withV.select(col(idCol), col("centroid_id"))
     val fits = withV.groupBy("centroid_id").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxCellSize).select("centroid_id")

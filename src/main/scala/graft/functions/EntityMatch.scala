@@ -155,16 +155,44 @@ object EntityMatch {
     *    65M-row shuffle (51 s measured) to save distance evaluations
     *    that cost microseconds each in codegen, while filter-first
     *    streams the 65M candidates through the banded distance
-    *    map-side and shuffles only the answer-sized survivor set. */
+    *    map-side and shuffles only the answer-sized survivor set.
+    *
+    * OPERATING ENVELOPE + candidate budget (r16 verdict: the third
+    * LinkScale decade): filter-first is still quadratic in per-block
+    * occupancy. On precision-degenerate corpora (structured ids whose
+    * deletion neighborhoods collapse onto shared keys) candidates grow
+    * ~quadratically in masters — fresh-sf1 measured 296M candidates,
+    * fresh-sf3 a construction-implied ~2.7G with SURVIVORS no longer
+    * answer-sized (304.6M rows), and map-side distance throughput
+    * HALVED (6.2M → 3.4M cand/s) because the survivor shuffle stopped
+    * being free. Past that regime the operator walks into an unbounded
+    * join. So, the `maxBatchPostings` discipline applied to the link
+    * path: before the candidate join, ONE block-occupancy aggregate
+    * per side (map-side-combined counts over the exploded keys, a
+    * distinct-block-sized join, a scalar sum — Σ_b d_b·m_b is the
+    * EXACT pre-prune candidate count, not an estimate) and an
+    * IllegalStateException naming the hottest block keys when it
+    * crosses `maxCandidates` (default 1e9 ≈ the measured regime where
+    * throughput degrades). The guard costs one extra pass over each
+    * exploded side — blocker-explode-sized, never candidate-sized.
+    * Callers that KNOW their corpus (or want the sf3-style run anyway)
+    * pass `maxCandidates = Long.MaxValue`, which skips the histogram
+    * pass entirely; answers are identical either way (guard is a
+    * precondition, not a filter). */
   def link(dirty: DataFrame, dKey: String, dName: String,
            master: DataFrame, mKey: String, mName: String,
-           blocker: Column => Column, maxDist: Int): DataFrame = {
-    val d = widen(dirty).select(col(dKey), col(dName),
+           blocker: Column => Column, maxDist: Int,
+           maxCandidates: Long = 1000000000L): DataFrame = {
+    val dRaw = widen(dirty).select(col(dKey), col(dName),
       explode(blocker(col(dName))).as("__bk"))
-      .select(col(dKey), col(dName), xxhash64(col("__bk")).as("__block"))
-    val m = widen(master).select(col(mKey), col(mName),
+    val mRaw = widen(master).select(col(mKey), col(mName),
       explode(blocker(col(mName))).as("__bk"))
-      .select(col(mKey), col(mName), xxhash64(col("__bk")).as("__block"))
+    val d = dRaw.select(col(dKey), col(dName),
+      xxhash64(col("__bk")).as("__block"))
+    val m = mRaw.select(col(mKey), col(mName),
+      xxhash64(col("__bk")).as("__block"))
+    if (maxCandidates < Long.MaxValue)
+      guardCandidates(dRaw, mRaw, maxCandidates)
     d.join(m, "__block")
       .filter(abs(length(col(dName)) - length(col(mName))) <= maxDist)
       .withColumn("dist",
@@ -176,6 +204,58 @@ object EntityMatch {
       // so min == the value) — map-side combined, survivor-sized
       .groupBy(col(dKey), col(mKey))
       .agg(min(col("dist")).as("dist"))
+  }
+
+  /** The exact candidate-row count the block join would stream:
+    * Σ over block keys of (dirty occupancy × master occupancy) —
+    * pre-length-prune, pre-dedup (a multi-block pair counts once per
+    * shared block, exactly like the join). One map-side-combined
+    * count aggregate per exploded side + a distinct-block-sized join;
+    * never candidate-sized. Public so scale harnesses (LinkScale) can
+    * report the guard's number next to the measured census. */
+  def candidateEstimate(dirty: DataFrame, dKey: String, dName: String,
+                        master: DataFrame, mKey: String, mName: String,
+                        blocker: Column => Column): Long = {
+    val dRaw = dirty.select(col(dKey), col(dName),
+      explode(blocker(col(dName))).as("__bk"))
+    val mRaw = master.select(col(mKey), col(mName),
+      explode(blocker(col(mName))).as("__bk"))
+    occupancy(dRaw, mRaw).agg(coalesce(sum("__cand"), lit(0L)))
+      .first().getLong(0)
+  }
+
+  /** Per-block candidate products over the RAW keys (so failure
+    * messages can name them); counts match the hashed join modulo
+    * 2^-64 collisions. */
+  private def occupancy(dRaw: DataFrame, mRaw: DataFrame): DataFrame =
+    dRaw.groupBy("__bk").agg(count(lit(1)).as("__dc"))
+      .join(mRaw.groupBy("__bk").agg(count(lit(1)).as("__mc")), "__bk")
+      .select(col("__bk"), (col("__dc") * col("__mc")).as("__cand"))
+
+  private def guardCandidates(dRaw: DataFrame, mRaw: DataFrame,
+                              maxCandidates: Long): Unit = {
+    val occ = occupancy(dRaw, mRaw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val est = occ.agg(coalesce(sum("__cand"), lit(0L)))
+        .first().getLong(0)
+      if (est > maxCandidates) {
+        // failure path only: name the degenerate blocks (bounded)
+        val hot = occ.orderBy(col("__cand").desc).limit(5).collect()
+          .map(r => s"'${r.getString(0).take(48)}' -> ${r.getLong(1)}")
+          .mkString("; ")
+        throw new IllegalStateException(
+          s"EntityMatch.link: the blocker produces $est candidate " +
+            s"pairs (exact Sum over blocks of dirty x master " +
+            s"occupancy) > maxCandidates=$maxCandidates — the block " +
+            s"join would be occupancy-quadratic, not answer-sized. " +
+            s"Hottest block keys: $hot. The blocker is degenerate " +
+            s"for this corpus (shared structural key material); use " +
+            s"a more selective blocker (e.g. maskBlocker's " +
+            s"position-tagged keys for structured ids), pre-split " +
+            s"the corpus, or raise maxCandidates deliberately.")
+      }
+    } finally occ.unpersist()
   }
 
   /** Spread a narrow input across the session's shuffle parallelism

@@ -99,10 +99,10 @@ object ImageDedup {
     // explodes measured; the decode is the expensive kernel). Four
     // 8-byte band rows per image is the cheapest thing to materialize
     // in the whole pipeline.
-    val bx = clean.select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("bi", "bv")))
-      .localCheckpoint(true)
+    val bx = Materialize.corpus(
+      clean.select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("bi", "bv"))))
     // ≤ 4·2^16 distinct (slot, value) keys — broadcastable by construction
     val ok = bx.groupBy("bi", "bv").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= bucketCap).drop("__n")

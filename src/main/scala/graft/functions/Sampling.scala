@@ -56,7 +56,9 @@ object Sampling {
     * per-stratum sums → one global row) and two broadcast joins of the
     * tiny rate table back onto the corpus — the corpus itself is
     * scanned twice and never shuffled. Returns the per-stratum summary
-    * (docs/tokens before, rate, docs/tokens kept). */
+    * (docs/tokens before, rate, docs/tokens kept). EAGER by contract:
+    * the stratum stat frame materializes at call time (no streaming
+    * inputs — [[Materialize]]). */
   def tokenBudgetSummary(df: DataFrame, textCol: String, strataCol: String,
                          idCol: String, budgetNum: Int,
                          budgetDen: Int): DataFrame = {
@@ -100,7 +102,9 @@ object Sampling {
     * is then one fixed shape of double arithmetic over those exact
     * operands, floored to integer basis points. Membership is the
     * stable hash threshold of [[keep]]. Same two-scan,
-    * zero-corpus-shuffle shape as [[tokenBudgetSummary]]. */
+    * zero-corpus-shuffle shape as [[tokenBudgetSummary]], same EAGER
+    * contract (stat frame materializes at call time; no streaming
+    * inputs — [[Materialize]]). */
   def temperatureSummary(df: DataFrame, strataCol: String, idCol: String,
                          budgetNum: Int, budgetDen: Int): DataFrame = {
     val perDoc = df.select(col(strataCol).as("stratum"),
@@ -175,7 +179,9 @@ object Sampling {
     *
     * Output: (id, n_tok, logw, keep) — `keep` is the fixed
     * threshold-at-zero gate; at production scale resampling uses this
-    * weight with a per-shard quota rather than a global sort. */
+    * weight with a per-shard quota rather than a global sort. EAGER
+    * by contract: the per-doc bucket counts materialize at call time
+    * (no streaming inputs — [[Materialize]]). */
   def dsirWeights(df: DataFrame, textCol: String, idCol: String,
                   targetPred: Column, buckets: Int = 256): DataFrame = {
     val tok = df.select(col(idCol), targetPred.as("__is_t"),
@@ -197,9 +203,9 @@ object Sampling {
     // this). The frame is bounded at docs × min(doc-vocab, `buckets`)
     // rows — the materialization, not the recompute, is the 100-TB
     // shape.
-    val perDoc = tok.groupBy(col(idCol), col("__is_t"), col("__b"))
-      .agg(count(lit(1)).as("__k"))
-      .localCheckpoint(true)
+    val perDoc = Materialize.corpus(
+      tok.groupBy(col(idCol), col("__is_t"), col("__b"))
+        .agg(count(lit(1)).as("__k")))
     val rawC = perDoc.groupBy("__b").agg(sum("__k").as("__cr"))
     val tgtC = perDoc.filter(col("__is_t")).groupBy("__b")
       .agg(sum("__k").as("__ct"))

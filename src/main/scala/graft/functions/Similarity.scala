@@ -539,11 +539,17 @@ object Similarity {
     * materialize the reconstruction first (read it back from storage,
     * or cache/localCheckpoint). */
   def ivfAssign(df: DataFrame, centroids: DataFrame, vecCol: String,
-                idCol: String, roundTo: Int = 6): DataFrame = {
+                idCol: String, roundTo: Int = 6,
+                carryCols: Seq[String] = Nil): DataFrame = {
     val cents = collectCentroids(centroids, vecCol)
+    // carryCols ride the projection so consumers that need the vector
+    // (or any payload) alongside the cell id stay join-free: a join
+    // back on idCol would silently drop NULL ids and multiply
+    // duplicates (ADVICE r16 on semanticDedup) — a pure projection
+    // keeps every input row by construction
     df.withColumn("__best", assignStruct(col(vecCol), cents, roundTo))
-      .select(col(idCol), col("__best.centroid_id").as("centroid_id"),
-        col("__best.score").as("score"))
+      .select(col(idCol) +: col("__best.centroid_id").as("centroid_id")
+        +: col("__best.score").as("score") +: carryCols.map(col): _*)
   }
 
   // ------------------------------------------------------------ product

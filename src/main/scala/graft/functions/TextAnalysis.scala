@@ -372,7 +372,11 @@ object TextAnalysis {
     * (rarer wins), then token — so every engine agrees exactly; the
     * float tf·ln(N/df) score is reported (rounded) but never sorted
     * on. Two balanced shuffles (doc-token, then token) plus a
-    * broadcast of the one-row corpus count. */
+    * broadcast of the one-row corpus count.
+    *
+    * EAGER by contract (r16 reuse fix): construction materializes the
+    * per-doc tf table — a Spark job runs at call time; streaming
+    * inputs are unsupported ([[Materialize]] has the policy). */
   def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -381,9 +385,11 @@ object TextAnalysis {
     // branches, so the corpus explode ran twice (measured 3 scans /
     // 2 explodes). The per-doc tf table is the materialization a real
     // keyword pipeline keeps.
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    // per-doc×term = corpus-sized: Materialize.corpus carries the
+    // durability policy (localCheckpoint vs the checkpointDir knob)
+    val tf = Materialize.corpus(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+        .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(idCol))
@@ -412,7 +418,10 @@ object TextAnalysis {
     * one-row-sized broadcasts, and top-k resolves per query partition.
     * Cross-engine determinism: per-term contributions are rounded then
     * accumulated as DECIMAL(18,6) (order-independent sums — the
-    * [[bigramLmScore]] discipline) and ranking ties break on doc id. */
+    * [[bigramLmScore]] discipline) and ranking ties break on doc id.
+    * EAGER by contract: construction materializes the query-vocab tf
+    * frame (a Spark job at call time; no streaming inputs —
+    * [[Materialize]]). */
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)],
                textCol: String, idCol: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -430,10 +439,9 @@ object TextAnalysis {
     // feeds both the df roll-up and the scoring join — without it the
     // corpus token stream re-runs per consumer (exchange reuse never
     // fires across the re-aliased branches)
-    val tf = docTok.join(broadcast(vocab), Seq("token"))
+    val tf = Materialize.corpus(docTok.join(broadcast(vocab), Seq("token"))
       .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(tokens(col(textCol)))).as("total_tokens"))
@@ -621,7 +629,8 @@ object TextAnalysis {
     * Scale shape: bigram + unigram counts are map-side-combined
     * explode-aggregates; two token-keyed joins attach unigram counts;
     * N is a broadcast scalar; minCount prunes the long tail BEFORE
-    * the joins. */
+    * the joins. EAGER by contract: the shared vocab-count frames
+    * materialize at call time (no streaming inputs — [[Materialize]]). */
   def collocations(df: DataFrame, textCol: String,
                    minCount: Long = 5, topK: Int = 50): DataFrame = {
     val t = tokens(col(textCol))
@@ -665,7 +674,9 @@ object TextAnalysis {
     * Scale shape: one (class, token) count aggregate (map-side
     * combined), token- and class-keyed count joins, a broadcast
     * total, and a per-class bounded window over candidates already
-    * reduced to (class × vocab) — never row-level data. */
+    * reduced to (class × vocab) — never row-level data. EAGER by
+    * contract: the (class, token) count frame materializes at call
+    * time (no streaming inputs — [[Materialize]]). */
   def classTerms(df: DataFrame, textCol: String, classCol: String,
                  minCount: Long = 5, topK: Int = 10): DataFrame = {
     val tok = df.select(col(classCol).as("cls"),
@@ -752,7 +763,9 @@ object TextAnalysis {
     * as DECIMAL·tf (order-independent, engine-exact — see
     * [[bigramLmScore]]); the argmax resolves on (rounded score desc,
     * class asc), so every engine picks the same winner. Returns one row
-    * per (doc, class) with `rank`; filter rank=1 for the verdict. */
+    * per (doc, class) with `rank`; filter rank=1 for the verdict.
+    * EAGER by contract: the per-doc tf frame materializes at call
+    * time (no streaming inputs — [[Materialize]]). */
   def nbClassify(df: DataFrame, textCol: String, labelCol: String,
                  idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -769,11 +782,10 @@ object TextAnalysis {
     // the scoring join consume. Counts are exact integers →
     // bit-identical scores. (id, token) determines the class, so the
     // widened grouping key adds no rows.
-    val perDocTok = df
+    val perDocTok = Materialize.corpus(df
       .select(col(idCol), col(labelCol).as("__cls"), explode(t).as("token"))
       .groupBy(col(idCol), col("__cls"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("tf")))
     val docTf = perDocTok.select(col(idCol), col("token"), col("tf"))
     val priors = df.groupBy(col(labelCol).as("cls"))
       .agg(count(lit(1)).as("n_docs"))
@@ -857,7 +869,9 @@ object TextAnalysis {
     * roll-ups of the matrix; the class list is the matrix's distinct
     * LABEL side, as before. Ratios rounded to 6dp AFTER exact integer
     * counting, F1 derived from the ROUNDED p/r so engines agree
-    * bit-for-bit. Empty denominators yield NULL, not 0. */
+    * bit-for-bit. Empty denominators yield NULL, not 0. EAGER by
+    * contract: the confusion matrix materializes at call time (no
+    * streaming inputs — [[Materialize]]). */
   def classifierEval(df: DataFrame, labelCol: String,
                      predCol: String): DataFrame = {
     // eager checkpoint: the matrix is DOMAIN-sized (≤|classes|² rows),

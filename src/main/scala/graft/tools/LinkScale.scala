@@ -70,18 +70,35 @@ object LinkScale {
       .select(col("c_custkey"), col("c_name"))
     val d = dirty(c)
     val masters = c.count()
-    // phase 1 — the TIMED production operator, nothing else running
+    // phase 0 — the r17 guard's occupancy estimate (the number link's
+    // default budget compares against), timed separately so the ladder
+    // prices the guard itself; at degenerate scales the estimate must
+    // land within ~2x of the census's distinct-pair count (it counts
+    // per-shared-block rows, the join's true stream size)
+    val tg = System.nanoTime()
+    val guardEst = EntityMatch.candidateEstimate(d, "d_key", "d_name",
+      c, "c_custkey", "c_name", EntityMatch.deletionBlocker2)
+    val guardSec = (System.nanoTime() - tg) / 1e9
+    println(f"guard_estimate=$guardEst guard_sec=$guardSec%.3f " +
+      f"default_budget_trips=${guardEst > 1000000000L}")
+    // phase 1 — the TIMED production operator, nothing else running;
+    // guard OFF so the ladder can measure the degenerate regime the
+    // guard exists to refuse. Park-annotated (r17).
+    val meter = new graft.ParkMeter()
     val t0 = System.nanoTime()
     val survivors = EntityMatch.link(d, "d_key", "d_name",
       c, "c_custkey", "c_name",
-      EntityMatch.deletionBlocker2, maxDist = 2).count()
-    val linkSec = (System.nanoTime() - t0) / 1e9
+      EntityMatch.deletionBlocker2, maxDist = 2,
+      maxCandidates = Long.MaxValue).count()
+    val t0e = System.nanoTime()
+    val linkSec = (t0e - t0) / 1e9
+    val linkPark = meter.overlapSecs(t0, t0e)
     // emit the headline immediately: the census below costs MORE than
     // the link at large scales (it materializes the candidate set the
     // operator exists to avoid), and a truncated run must not lose
     // the timed number it already has
     println(f"link_done masters=$masters survivors=$survivors " +
-      f"link_sec=$linkSec%.3f")
+      f"link_sec=$linkSec%.3f link_park=$linkPark%.3f")
     // phase 2 — diagnostic candidate census (the operator never
     // materializes this set; it exists to SIZE the regime the banded
     // distance streams through). Distinct pairs sharing a block key,
@@ -98,7 +115,9 @@ object LinkScale {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     println(s"""{"tool":"LinkScale","sf":"$sfDir","masters":$masters,""" +
       s""""candidates":$candidates,"survivors":$survivors,""" +
-      s""""link_sec":${r3(linkSec)},"census_sec":${r3(censusSec)}}""")
+      s""""guard_estimate":$guardEst,"guard_sec":${r3(guardSec)},""" +
+      s""""link_sec":${r3(linkSec)},"link_park":${r3(linkPark)},""" +
+      s""""census_sec":${r3(censusSec)}}""")
     spark.stop()
     sys.exit(0)
   }

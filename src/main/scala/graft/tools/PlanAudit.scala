@@ -166,8 +166,19 @@ object PlanAudit {
         Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right))
           .flatMap {
             case (Some(h), side) if h.strategy.contains(logical.BROADCAST) =>
-              val leaves = side.collectLeaves().map(_.nodeName).distinct
+              val leafNames = side.collectLeaves().map(_.nodeName).distinct
                 .mkString("+")
+              // LogicalRDD leaves (checkpointed frames) are anonymous —
+              // the nodeName alone would let any FUTURE broadcast over
+              // any checkpointed frame in the same query ride a stale
+              // justification (ADVICE r16). Append the broadcast
+              // side's output schema so the exception key names WHICH
+              // frame was reviewed; a new frame = a new key = NEW hit.
+              val leaves =
+                if (leafNames.contains("LogicalRDD"))
+                  leafNames +
+                    side.output.map(_.name).mkString("[", ",", "]")
+                else leafNames
               logicalBound(side) match {
                 case Hard => Nil
                 case GroupedAgg => Seq(s"grouped-agg-broadcast($leaves)")

@@ -20,6 +20,7 @@ import graft.functions.{Dedup, Hashing}
   * in Dedup, so the shipped operator has exactly one spelling.
   *
   * Usage: runMain graft.tools.ProbeAB <sfDir> [batches] [limit]
+  *        [bulk] [groupK]
   */
 object ProbeAB {
   /** r15 two-scan probe, verbatim except for the index-path plumbing:
@@ -135,6 +136,11 @@ object ProbeAB {
     // segment alone cannot reach in-session — the scan-term regime
     // where the spellings should diverge.
     val bulk = if (args.length > 3) args(3).toInt else 0
+    // groupK > 0: after the interleaved segment, run groupK MORE
+    // batches twice from identical state — sequentially on idxNew vs
+    // one containmentIndexUpdateMany group on a byte-copy — to price
+    // the kx lake-scan amortization at this lake size (verdict r16 #3)
+    val groupK = if (args.length > 4) args(4).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
     val spark = graft.GraftSession.init(graft.GraftSession
@@ -173,28 +179,34 @@ object ProbeAB {
       println(s"bulk_loaded batches=$bulk docs=${u.count()} " +
         s"postings=${ranked.count()}")
     }
+    // park annotation (r17): each arm's window carries its measured
+    // stall overlap so a park-inflated pair is visible in the line
+    // itself instead of inferred from the ratio distribution
+    val meter = new graft.ParkMeter()
     var pairsOld = 0L
     var pairsNew = 0L
     for (m <- bulk until bulk + limit) {
       val batch = spark.read.parquet(s"$base/feed/__b=$m")
         .select(col("doc_id"), col("text"))
       val pinned = spark.sparkContext.getPersistentRDDs.keySet
-      def runOld(): Double = {
+      def runOld(): (Double, Double) = {
         val t0 = System.nanoTime()
         pairsOld += oldUpdate(s"$base/idxOld", batch, "text", "doc_id",
           3, 0.8).count()
-        (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        ((t1 - t0) / 1e9, meter.overlapSecs(t0, t1))
       }
-      def runNew(): Double = {
+      def runNew(): (Double, Double) = {
         val t0 = System.nanoTime()
         pairsNew += Dedup.containmentIndexUpdate(s"$base/idxNew", batch,
           "text", "doc_id", 3, 0.8).count()
-        (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        ((t1 - t0) / 1e9, meter.overlapSecs(t0, t1))
       }
       // alternate arm ORDER per update: the second arm re-reads a
       // warmer feed batch and inherits the first's page cache — the
       // alternation cancels that bias across the segment
-      val (tOld, tNew) =
+      val ((tOld, pOld), (tNew, pNew)) =
         if (m % 2 == 0) { val a = runOld(); val b = runNew(); (a, b) }
         else { val b = runNew(); val a = runOld(); (a, b) }
       spark.sparkContext.getPersistentRDDs
@@ -202,6 +214,7 @@ object ProbeAB {
         .values.foreach(_.unpersist(blocking = false))
       System.gc()
       println(f"update=$m old=$tOld%.2f new=$tNew%.2f " +
+        f"park_old=$pOld%.2f park_new=$pNew%.2f " +
         f"ratio=${tOld / tNew}%.2f pairs_old=$pairsOld pairs_new=$pairsNew")
       if (m % 10 == 9) {
         Dedup.containmentIndexCompact(spark, s"$base/idxOld")
@@ -210,6 +223,48 @@ object ProbeAB {
     }
     println(s"""{"metric":"probe_ab","pairs_old":$pairsOld,""" +
       s""""pairs_new":$pairsNew,"match":${pairsOld == pairsNew}}""")
+    // Grouped-update arm (r16 verdict task 3): measure
+    // containmentIndexUpdateMany's kx scan amortization ON TOP of the
+    // merged one-scan probe, at this lake size, in this session.
+    // idxGrp starts as a byte-copy of idxNew's current state; the
+    // SAME groupK batches then run sequentially on idxNew (k probes,
+    // k lake scans) and as ONE grouped update on idxGrp (one probe,
+    // one lake scan) — cumulative pairs must match exactly (the
+    // grouping==sequential law), walls are the amortization number.
+    if (groupK > 0) {
+      val grpBase = s"$base/idxGrp"
+      fs.delete(new org.apache.hadoop.fs.Path(grpBase), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$base/idxNew"), fs,
+        new org.apache.hadoop.fs.Path(grpBase), false,
+        spark.sparkContext.hadoopConfiguration)
+      val gBatches = (bulk + limit until bulk + limit + groupK).map(m =>
+        spark.read.parquet(s"$base/feed/__b=$m")
+          .select(col("doc_id"), col("text")))
+      var seqPairs = 0L
+      val (tSeq, pSeq) = {
+        val t0 = System.nanoTime()
+        gBatches.foreach { b =>
+          seqPairs += Dedup.containmentIndexUpdate(s"$base/idxNew", b,
+            "text", "doc_id", 3, 0.8).count()
+        }
+        val t1 = System.nanoTime()
+        ((t1 - t0) / 1e9, meter.overlapSecs(t0, t1))
+      }
+      var grpPairs = 0L
+      val (tGrp, pGrp) = {
+        val t0 = System.nanoTime()
+        grpPairs = Dedup.containmentIndexUpdateMany(grpBase, gBatches,
+          "text", "doc_id", 3, 0.8).count()
+        val t1 = System.nanoTime()
+        ((t1 - t0) / 1e9, meter.overlapSecs(t0, t1))
+      }
+      println(f"""{"metric":"group_ab","k":$groupK,""" +
+        f""""seq_secs":$tSeq%.1f,"grp_secs":$tGrp%.1f,""" +
+        f""""park_seq":$pSeq%.1f,"park_grp":$pGrp%.1f,""" +
+        f""""ratio":${tSeq / tGrp}%.2f,"pairs_seq":$seqPairs,""" +
+        f""""pairs_grp":$grpPairs,"match":${seqPairs == grpPairs}}""")
+    }
     spark.stop()
     sys.exit(0)
   }

@@ -47,8 +47,13 @@ object RebuildScale {
       .write.partitionBy("__b").parquet(s"$base/feed")
     val points = Seq(firstPoint, 2 * firstPoint, 4 * firstPoint)
     val lastUpdate = points.last + 1
+    // park annotation (r16 verdict #4: the embedding ladder's numbers
+    // were park-floor minima read by hand; now every line carries its
+    // measured stall overlap so a contaminated point is visible in the
+    // artifact, not inferred from repeats)
+    val meter = new graft.ParkMeter()
     var pairs = 0L
-    def update(m: Int): Double = {
+    def update(m: Int): (Double, Double) = {
       val batch = spark.read.parquet(s"$base/feed/__b=$m")
       val pinned = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
@@ -63,14 +68,14 @@ object RebuildScale {
             planes = 8, minCos = 0.95, maxBucketSize = 1000000)
       }
       pairs += found.count()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => pinned(id) }
         .values.foreach(_.unpersist(blocking = false))
       System.gc()
-      sec
+      ((t1 - t0) / 1e9, meter.overlapSecs(t0, t1))
     }
-    def rebuild(): Double = {
+    def rebuild(): (Double, Double) = {
       val t0 = System.nanoTime()
       op match {
         case "containment" =>
@@ -82,7 +87,8 @@ object RebuildScale {
           graft.functions.Dedup.embeddingIndexRebuild(spark, s"$base/idx",
             planes = 8, minCos = 0.95, maxBucketSize = 1000000).count()
       }
-      (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      ((t1 - t0) / 1e9, meter.overlapSecs(t0, t1))
     }
     def lakeDocs(): Long =
       (if (op == "containment")
@@ -91,13 +97,13 @@ object RebuildScale {
         spark.read.option("basePath", s"$base/idx").parquet(s"$base/idx"))
         .select("id").distinct().count()
     for (m <- 0 until lastUpdate) {
-      val sec = update(m)
-      println(f"update=$m sec=$sec%.2f cum_pairs=$pairs")
+      val (sec, park) = update(m)
+      println(f"update=$m sec=$sec%.2f park=$park%.2f cum_pairs=$pairs")
       if (points.contains(m + 1)) {
         val docs = lakeDocs()
-        val rsec = rebuild()
+        val (rsec, rpark) = rebuild()
         println(f"rebuild_at_updates=${m + 1} lake_docs=$docs " +
-          f"sec=$rsec%.2f")
+          f"sec=$rsec%.2f park=$rpark%.2f")
         // the post-rebuild probe cost: the NEXT loop iteration's
         // update= line, read it against the pre-rebuild trajectory
       }

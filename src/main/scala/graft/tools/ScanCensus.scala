@@ -10,9 +10,11 @@ package graft.tools
   * exceeds its input-table count is paying a hidden multi-pass tax
   * that localCheckpointing its smallest bounded frame removes.
   *
-  * Census, not verdict: joins legitimately scan 2+, multi-phase
-  * lifecycle rows legitimately re-read their own state. Triage by
-  * hand; the numbers make the candidates visible.
+  * GATED since r17 (r16 verdict #6), the PlanAudit discipline: a
+  * flagged row (scans+generates >= 5, zero reuse) must carry a
+  * reviewed justification in [[graft.ScanCensusExceptions]] or the
+  * run exits 1 — so the diamond class of regression cannot silently
+  * return. Run it in the round-close checklist alongside PlanAudit.
   *
   * Usage: runMain graft.tools.ScanCensus [sfDir] [all|core]
   */
@@ -28,7 +30,8 @@ object ScanCensus {
     spark.sparkContext.setLogLevel("ERROR")
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => scope == "all" || !graft.Queries.lifecycle(n))
-    var flagged = 0
+    var reviewedFlags = 0
+    var newFlags = 0
     for (name <- names) {
       try {
         val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -39,7 +42,12 @@ object ScanCensus {
         val reused = "ReusedExchange".r.findAllIn(s).length
         // the flag line: lots of scans or explodes with zero reuse is
         // where hidden multi-pass diamonds live
-        val flag = if (scans + gens >= 5 && reused == 0) { flagged += 1; " <<" }
+        val flag =
+          if (scans + gens >= 5 && reused == 0)
+            graft.ScanCensusExceptions.reviewed.get(name) match {
+              case Some(why) => reviewedFlags += 1; s" << OK ($why)"
+              case None => newFlags += 1; " << NEW (unreviewed)"
+            }
           else ""
         println(f"[census] $name%-38s scans=$scans%-3d generates=$gens%-3d reused=$reused$flag")
       } catch {
@@ -53,8 +61,9 @@ object ScanCensus {
       try org.apache.spark.sql.graft.bridge.unloadStateStores()
       catch { case _: Throwable => }
     }
-    println(s"[census] done: ${names.length} rows, $flagged flagged")
+    println(s"[census] done: ${names.length} rows, " +
+      s"$reviewedFlags reviewed flags, $newFlags NEW")
     spark.stop()
-    sys.exit(0)
+    sys.exit(if (newFlags > 0) 1 else 0)
   }
 }

@@ -895,6 +895,15 @@ class DedupSimilaritySpec extends SparkSpec {
     val capped = Dedup.semanticDedup(vecs, cents, "embedding", "vec_id",
       minCos = 0.99, maxCellSize = 2)
     assert(capped.filter(!col("kept")).count() == 0)
+    // "returns EVERY vector" contract (ADVICE r16): a NULL id survives
+    // to the output with its cell and verdict — the assign is a pure
+    // projection, never an id-keyed join that would drop it
+    val withNull = vecs.unionByName(
+      Seq((Option.empty[Long], va(10.0))).toDF("vec_id", "embedding"))
+    val nOut = Dedup.semanticDedup(withNull, cents, "embedding",
+      "vec_id", minCos = 0.99)
+    assert(nOut.count() == withNull.count())
+    assert(nOut.filter(col("vec_id").isNull).count() == 1)
   }
 
   test("canonicalize keeps isolated docs and resolves transitive clusters") {
@@ -1000,6 +1009,24 @@ class DedupSimilaritySpec extends SparkSpec {
         maxBatchPostings = 100L)
     }
     assert(ex.getMessage.contains("maxBatchPostings"))
+    // matched-frame cap (r16 verdict #7): the one-scan probe persists
+    // the lake's vocab-restricted postings — when the batch's vocab
+    // covers the lake, that frame approaches lake size; the cap turns
+    // the executor-storage surprise into a named contract error. Build
+    // a real lake first (the cap counts LAKE matches, so a bootstrap
+    // never trips it), then probe with overlapping vocab under a tiny
+    // cap; the throw precedes the postings append, so a retry at the
+    // default cap sees an unpoisoned index.
+    val mIdx = "/tmp/graft_cont_idx_matched_cap"
+    fs.delete(new org.apache.hadoop.fs.Path(mIdx), true)
+    Dedup.containmentIndexUpdate(mIdx, d.limit(60), "text", "doc_id")
+      .count()
+    val mEx = intercept[IllegalStateException] {
+      Dedup.containmentIndexUpdate(mIdx, d, "text", "doc_id",
+        maxMatchedPostings = 10L)
+    }
+    assert(mEx.getMessage.contains("maxMatchedPostings"))
+    Dedup.containmentIndexUpdate(mIdx, d, "text", "doc_id").count()
     // updateMany == the same stream fed batch-by-batch == one-shot:
     // the pair space partitions identically under ANY grouping
     val oneShot = Dedup.prefixContainmentPairs(d, "text", "doc_id",

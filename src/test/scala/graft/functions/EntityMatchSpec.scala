@@ -226,4 +226,43 @@ class EntityMatchSpec extends SparkSpec {
       .select(EntityMatch.suffixBlocker(5)(col("name")).as("b"))
     assert(df.as[Seq[String]].head() == Seq("00042"))
   }
+
+  test("link candidate budget: a degenerate blocker (constant shared " +
+    "key) trips the guard, naming the hot block and the exact count") {
+    // every name ends "XYZ" → suffixBlocker(3) sends ALL rows to one
+    // block: candidates = 60 x 60 = 3600, occupancy-quadratic — the
+    // sf3-style regime in miniature
+    val master = (1L to 60L).map(i => (i, f"M$i%04d-XYZ"))
+      .toDF("m_key", "m_name")
+    val dirty = (1L to 60L).map(i => (i + 100, f"M$i%04d-XYZ"))
+      .toDF("d_key", "d_name")
+    val e = intercept[IllegalStateException] {
+      EntityMatch.link(dirty, "d_key", "d_name",
+        master, "m_key", "m_name", EntityMatch.suffixBlocker(3),
+        maxDist = 1, maxCandidates = 1000L)
+    }
+    // message carries the exact pre-prune candidate count and the
+    // degenerate key itself — the forensics a 100 TB operator needs
+    assert(e.getMessage.contains("3600 candidate pairs"))
+    assert(e.getMessage.contains("'XYZ' -> 3600"))
+  }
+
+  test("link candidate budget: LAW — a budget that clears produces the " +
+    "same answer as guard-off (the guard is a precondition, not a " +
+    "filter), and the default budget clears normal corpora") {
+    val master = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("m_key", "m_name")
+    val dirty = Seq((10L, "alphA"), (11L, "betaX"), (12L, "zzz"))
+      .toDF("d_key", "d_name")
+    val guarded = EntityMatch.link(dirty, "d_key", "d_name",
+        master, "m_key", "m_name", EntityMatch.deletionBlocker,
+        maxDist = 1, maxCandidates = 1000000L)
+      .as[(Long, Long, Int)].collect().toSet
+    val off = EntityMatch.link(dirty, "d_key", "d_name",
+        master, "m_key", "m_name", EntityMatch.deletionBlocker,
+        maxDist = 1, maxCandidates = Long.MaxValue)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(guarded == off)
+    assert(guarded == Set((10L, 1L, 1), (11L, 2L, 1)))
+  }
 }
