@@ -209,28 +209,36 @@ object EntityMatch {
   /** The exact candidate-row count the block join would stream:
     * Σ over block keys of (dirty occupancy × master occupancy) —
     * pre-length-prune, pre-dedup (a multi-block pair counts once per
-    * shared block, exactly like the join). One map-side-combined
-    * count aggregate per exploded side + a distinct-block-sized join;
-    * never candidate-sized. Public so scale harnesses (LinkScale) can
-    * report the guard's number next to the measured census. */
+    * shared block, exactly like the join). Runs on the HASHED keys
+    * the join itself ships (the first spelling grouped the raw key
+    * strings and cost ~3× the non-degenerate link wall — measured
+    * 131 s vs a 47 s link at fresh-sf1; 8-byte hashes with map-side
+    * combine make the guard a fraction of the join it protects).
+    * Exact modulo 2^-64 hash collisions, like the join. Public so
+    * scale harnesses (LinkScale) can report the guard's number next
+    * to the measured census. */
   def candidateEstimate(dirty: DataFrame, dKey: String, dName: String,
                         master: DataFrame, mKey: String, mName: String,
                         blocker: Column => Column): Long = {
-    val dRaw = dirty.select(col(dKey), col(dName),
+    // widen BEFORE the explode, like link(): a single-split source
+    // would otherwise run the O(rows·length²) key generation on one
+    // core (the same trap widen() documents for the join's map side)
+    val dRaw = widen(dirty).select(col(dKey), col(dName),
       explode(blocker(col(dName))).as("__bk"))
-    val mRaw = master.select(col(mKey), col(mName),
+    val mRaw = widen(master).select(col(mKey), col(mName),
       explode(blocker(col(mName))).as("__bk"))
     occupancy(dRaw, mRaw).agg(coalesce(sum("__cand"), lit(0L)))
       .first().getLong(0)
   }
 
-  /** Per-block candidate products over the RAW keys (so failure
-    * messages can name them); counts match the hashed join modulo
-    * 2^-64 collisions. */
+  /** Per-hashed-block candidate products; `__block` rides along so
+    * the failure path can resolve hot hashes back to key names. */
   private def occupancy(dRaw: DataFrame, mRaw: DataFrame): DataFrame =
-    dRaw.groupBy("__bk").agg(count(lit(1)).as("__dc"))
-      .join(mRaw.groupBy("__bk").agg(count(lit(1)).as("__mc")), "__bk")
-      .select(col("__bk"), (col("__dc") * col("__mc")).as("__cand"))
+    dRaw.select(xxhash64(col("__bk")).as("__block"))
+      .groupBy("__block").agg(count(lit(1)).as("__dc"))
+      .join(mRaw.select(xxhash64(col("__bk")).as("__block"))
+        .groupBy("__block").agg(count(lit(1)).as("__mc")), "__block")
+      .select(col("__block"), (col("__dc") * col("__mc")).as("__cand"))
 
   private def guardCandidates(dRaw: DataFrame, mRaw: DataFrame,
                               maxCandidates: Long): Unit = {
@@ -240,10 +248,23 @@ object EntityMatch {
       val est = occ.agg(coalesce(sum("__cand"), lit(0L)))
         .first().getLong(0)
       if (est > maxCandidates) {
-        // failure path only: name the degenerate blocks (bounded)
-        val hot = occ.orderBy(col("__cand").desc).limit(5).collect()
-          .map(r => s"'${r.getString(0).take(48)}' -> ${r.getLong(1)}")
-          .mkString("; ")
+        // failure path only: resolve the degenerate blocks' NAMES
+        // (bounded: 5 hashes broadcast against the dirty side, which
+        // shares every flagged block by construction of the product)
+        val hotHash = occ.orderBy(col("__cand").desc).limit(5)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val hotDf = dRaw.sparkSession
+          .createDataFrame(hotHash.toSeq).toDF("__block", "__cand")
+        val names = dRaw
+          .select(xxhash64(col("__bk")).as("__block"), col("__bk"))
+          .join(broadcast(hotDf), Seq("__block"))
+          .groupBy("__block")
+          .agg(first(col("__bk")).as("__bk"), first(col("__cand")).as("__cand"))
+          .collect()
+          .map(r => (r.getString(1), r.getLong(2)))
+          .sortBy(-_._2)
+        val hot = names
+          .map { case (k, c) => s"'${k.take(48)}' -> $c" }.mkString("; ")
         throw new IllegalStateException(
           s"EntityMatch.link: the blocker produces $est candidate " +
             s"pairs (exact Sum over blocks of dirty x master " +

@@ -25,7 +25,12 @@ import graft.functions.{EntityMatch, Hashing}
   *     in its own run phase — the candidate census is diagnostic
   *     instrumentation and runs AFTER the timed link).
   *
-  * Usage: runMain graft.tools.LinkScale <sfDir>
+  * Usage: runMain graft.tools.LinkScale <sfDir> [guardOnly]
+  *
+  * `guardOnly` runs ONLY the r17 occupancy-guard estimate (phase 0) —
+  * minutes instead of the sf3 run's ~13-minute link + census, for
+  * checking the guard's number against a known census at a scale
+  * where re-running the full link is a session's budget.
   */
 object LinkScale {
   /** The entity_match_edit2 fixture: two hash-driven edits
@@ -81,6 +86,13 @@ object LinkScale {
     val guardSec = (System.nanoTime() - tg) / 1e9
     println(f"guard_estimate=$guardEst guard_sec=$guardSec%.3f " +
       f"default_budget_trips=${guardEst > 1000000000L}")
+    if (args.length > 1 && args(1) == "guardOnly") {
+      println(s"""{"tool":"LinkScale","sf":"$sfDir","masters":$masters,""" +
+        s""""guard_estimate":$guardEst,"guard_sec":$guardSec,""" +
+        s""""mode":"guardOnly"}""")
+      spark.stop()
+      sys.exit(0)
+    }
     // phase 1 — the TIMED production operator, nothing else running;
     // guard OFF so the ladder can measure the degenerate regime the
     // guard exists to refuse. Park-annotated (r17).
