@@ -463,9 +463,17 @@ object Similarity {
                      centroids: DataFrame, vecCol: String, idCol: String,
                      roundTo: Int = 6): Unit = {
     val cents = collectCentroids(centroids, vecCol)
-    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        notNull(assignStruct(col(vecCol), cents, roundTo)
-          .getField("centroid_id")).as("centroid_id"))
+    // cell assignment stays a pure projection; the explicit-count
+    // spread on the cell id before the partitioned append is the write
+    // shape only (r17): a bare partitionBy write makes one AQE-coalesced
+    // task write every touched `centroid_id=` dir serially — the same
+    // measured 8-22 s/append cliff as the embedding index. Batch-sized
+    // shuffle; one file per cell per append either way.
+    graft.sinks.Sinks.spreadByCols(
+        batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          notNull(assignStruct(col(vecCol), cents, roundTo)
+            .getField("centroid_id")).as("centroid_id")),
+        Seq(col("centroid_id")))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(indexPath)
   }

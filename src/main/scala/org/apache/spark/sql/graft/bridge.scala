@@ -49,6 +49,22 @@ object bridge {
     try { spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis); true }
     catch { case _: java.util.concurrent.TimeoutException => false }
 
+  /** Recursive leaf-file listing of a lake directory through Spark's
+    * own InMemoryFileIndex (`execution.datasources` is private API
+    * surface, hence bridged): above the parallel-discovery threshold
+    * (32 dirs) the listing fans out as a Spark job over executors
+    * instead of a driver-side sequential walk. Measured (r17): a
+    * 250-partition-dir index cost 3.0 s per `fs.listFiles(path, true)`
+    * driver walk vs ~0.5 s parallel — and Sinks.compact walked it
+    * twice. Returns (path, bytes) for every data file (hidden/_ files
+    * excluded, same filter Spark's scans apply). */
+  def listLeafFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      Seq(new org.apache.hadoop.fs.Path(path)), Map.empty, None)
+    idx.allFiles().map(f => (f.getPath.toString, f.getLen))
+  }
+
   /** Wrap a logical plan back into a DataFrame. */
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
