@@ -734,27 +734,29 @@ object Dedup {
     val hasIdx = fs.exists(new org.apache.hadoop.fs.Path(postingsPath))
     val sh = newDocs.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
-    // empty batch: no postings to append, and — critically on a FRESH
-    // index — no dford freeze: an empty overwrite would leave a
-    // parquet-less dford dir that poisons every later update's read
-    // (same guard as embeddingIndexUpdate, ADVICE r13)
-    if (newDocs.isEmpty)
-      return newDocs.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
-        lit(0.0).as("containment"))
     // bootstrap: freeze THIS batch's df as the order's first component
-    // (immutable side table — the order must never change again)
-    if (!hasIdx)
-      // overwrite: a crash between the dford write and the postings
-      // append leaves no postings, so re-freezing on retry is safe
-      sh.groupBy("s").agg(count(lit(1)).as("__df"))
-        .write.mode("overwrite").parquet(dfordPath)
+    // (immutable side table — the order must never change again). The
+    // WRITE is deferred until the batch is known non-empty (below): an
+    // empty overwrite would leave a parquet-less dford dir that poisons
+    // every later update's read (same guard as embeddingIndexUpdate,
+    // ADVICE r13) — and deferring it also lets the emptiness check ride
+    // the nPostings materialization instead of a separate isEmpty scan
+    // of the (often filter-heavy) batch lineage (r17: one job per
+    // update).
+    val bootDf =
+      if (hasIdx) None
+      else Some(sh.groupBy("s").agg(count(lit(1)).as("__df")))
     // per-shingle frozen df for the batch's vocabulary: the df table
     // is probed map-side by the batch's distinct shingles (the index
     // side never shuffles), then the batch-vocab-sized result rides a
     // broadcast; shingles unseen at bootstrap default to df 0 (rare →
-    // prefix-eligible, always lossless)
-    val dford = spark.read.parquet(dfordPath)
-      .join(broadcast(sh.select("s").distinct()), Seq("s"))
+    // prefix-eligible, always lossless). On bootstrap the frozen df IS
+    // this batch's df: the vocab restriction is an identity join there,
+    // so the in-memory frame stands in for the read-back + semi-join
+    // (r17 — two jobs off every bootstrap).
+    val dford = bootDf.getOrElse(
+      spark.read.parquet(dfordPath)
+        .join(broadcast(sh.select("s").distinct()), Seq("s")))
     val ranked = sh
       .join(broadcast(dford), Seq("s"), "left")
       .withColumn("__df", coalesce(col("__df"), lit(0L)))
@@ -789,9 +791,20 @@ object Dedup {
             s"frames by contract, and a batch this size would OOM " +
             s"the driver instead. Split the ingest batch (or raise " +
             s"the cap on a driver sized for it).")
+      // empty batch: no postings to append, and — on a FRESH index —
+      // no dford freeze either (an empty overwrite would poison later
+      // reads). Detected off the nPostings materialization, not a
+      // separate isEmpty scan of the batch lineage.
+      if (nPostings == 0L)
+        return newDocs.select(col(idCol).as("id_a"),
+          col(idCol).as("id_b"), lit(0.0).as("containment"))
+      // bootstrap dford freeze, deferred past the emptiness gate:
+      // overwrite mode — a crash between this write and the postings
+      // append leaves no postings, so re-freezing on retry is safe
+      bootDf.foreach(_.write.mode("overwrite").parquet(dfordPath))
       val idx =
         if (hasIdx) spark.read.parquet(postingsPath)
-        else ranked.limit(0)
+        else ranked.limit(0) // bootstrap: lake arms skipped below
       // Probe = lossless PREFIX candidates + per-doc ARRAY-INTERSECT
       // verify. Three spellings were measured before this one stuck:
       //
@@ -855,44 +868,6 @@ object Dedup {
       // them the same way — the r15 merge's argument, unchanged).
       val pl = prefixLen(theta)
       val newPref = ranked.filter(col("__rk") <= pl)
-      // batch vocabulary, flagged: __pref0 = shingle appears in SOME
-      // batch doc's prefix (batch-sized agg, broadcast)
-      val vocab = ranked.groupBy("s")
-        .agg(max(when(col("__rk") <= pl, 1).otherwise(0)).as("__pref0"))
-      val matched = idx.join(broadcast(vocab), Seq("s"))
-        .select(col("s"), col("id").as("__lid"), col("__pref0"),
-          (col("__rk") <= pl).as("__lpref"), col("__n").as("__ln"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Cap on the one-scan frame (r16 verdict #7): `matched` is
-      // vocab-RESTRICTED, not vocab-bounded — in the worst case
-      // (batch vocab ⊇ lake vocab, e.g. a batch of concatenated
-      // corpus samples) it approaches the whole lake's postings, and
-      // a silent executor-storage blowup is worse than a named
-      // contract error. The count IS the persist's materialization
-      // (the three probe consumers below re-read the cache), so the
-      // guard costs zero extra lake scans — same discipline as
-      // nPostings doubling as `ranked`'s materialization above.
-      val nMatched = matched.count()
-      if (nMatched > maxMatchedPostings) {
-        matched.unpersist(blocking = false)
-        throw new IllegalStateException(
-          s"containmentIndexUpdate: the batch's vocabulary matches " +
-            s"$nMatched lake postings > maxMatchedPostings=" +
-            s"$maxMatchedPostings — the one-scan probe frame would " +
-            s"approach lake size in executor storage. The batch's " +
-            s"vocab covers too much of the lake (concatenated / " +
-            s"corpus-sampled ingest?); split the batch, or raise the " +
-            s"cap on a cluster whose aggregate storage is sized for " +
-            s"a lake-scale cache.")
-      }
-      val candNO = matched.filter(col("__pref0") === 1)
-        .join(broadcast(newPref.select(col("s"), col("id").as("id_a"))),
-          Seq("s"))
-        .select(col("id_a"), col("__lid").as("id_b")).distinct()
-      val candON = matched.filter(col("__lpref"))
-        .join(broadcast(ranked.select(col("s"), col("id").as("id_b"))),
-          Seq("s"))
-        .select(col("__lid").as("id_a"), col("id_b")).distinct()
       val candNN = newPref.select(col("id").as("id_a"), col("s"))
         .join(ranked.select(col("id").as("id_b"), col("s")), Seq("s"))
         .filter(col("id_a") =!= col("id_b"))
@@ -906,14 +881,6 @@ object Dedup {
       val batchArr = ranked.groupBy("id")
         .agg(sort_array(collect_list(col("s"))).as("arr"),
           first(col("__n")).as("n"))
-      val oldIds = candNO.select(col("id_b").as("id"))
-        .unionByName(candON.select(col("id_a").as("id"))).distinct()
-      val oldArr = matched.select(col("__lid").as("id"), col("s"),
-          col("__ln"))
-        .join(broadcast(oldIds), Seq("id"))
-        .groupBy("id")
-        .agg(sort_array(collect_list(col("s"))).as("arr"),
-          first(col("__ln")).as("n"))
       def contain(c: DataFrame, aArr: DataFrame, bArr: DataFrame,
                   aBc: Boolean, bBc: Boolean): DataFrame = {
         val aSide = aArr.select(col("id").as("id_a"),
@@ -927,20 +894,80 @@ object Dedup {
               .cast("double") / col("n_a"))
           .select("id_a", "id_b", "containment")
       }
-      val interNO = contain(candNO, batchArr, oldArr,
-        aBc = true, bBc = false)
-      val interON = contain(candON, oldArr, batchArr,
-        aBc = false, bBc = true)
       val interNN = contain(candNN, batchArr, batchArr,
         aBc = true, bBc = true)
+      // Bootstrap short-circuit (r17): on a FRESH index the lake arms
+      // are empty by construction (idx is a zero-row frame), yet the
+      // full probe still built, persisted, counted and joined the
+      // empty `matched` frame through ~8 extra jobs — measured ~2x the
+      // wall of a post-bootstrap update. Skip the lake arms entirely;
+      // the batch-vs-batch NN arm is the whole answer on bootstrap.
+      var matchedCache: Option[DataFrame] = None
+      val inter =
+        if (!hasIdx) interNN
+        else {
+          // batch vocabulary, flagged: __pref0 = shingle appears in
+          // SOME batch doc's prefix (batch-sized agg, broadcast)
+          val vocab = ranked.groupBy("s")
+            .agg(max(when(col("__rk") <= pl, 1).otherwise(0))
+              .as("__pref0"))
+          val matched = idx.join(broadcast(vocab), Seq("s"))
+            .select(col("s"), col("id").as("__lid"), col("__pref0"),
+              (col("__rk") <= pl).as("__lpref"), col("__n").as("__ln"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          matchedCache = Some(matched)
+          // Cap on the one-scan frame (r16 verdict #7): `matched` is
+          // vocab-RESTRICTED, not vocab-bounded — in the worst case
+          // (batch vocab ⊇ lake vocab, e.g. a batch of concatenated
+          // corpus samples) it approaches the whole lake's postings, and
+          // a silent executor-storage blowup is worse than a named
+          // contract error. The count IS the persist's materialization
+          // (the probe consumers below re-read the cache), so the
+          // guard costs zero extra lake scans — same discipline as
+          // nPostings doubling as `ranked`'s materialization above.
+          val nMatched = matched.count()
+          if (nMatched > maxMatchedPostings) {
+            matched.unpersist(blocking = false)
+            throw new IllegalStateException(
+              s"containmentIndexUpdate: the batch's vocabulary matches " +
+                s"$nMatched lake postings > maxMatchedPostings=" +
+                s"$maxMatchedPostings — the one-scan probe frame would " +
+                s"approach lake size in executor storage. The batch's " +
+                s"vocab covers too much of the lake (concatenated / " +
+                s"corpus-sampled ingest?); split the batch, or raise the " +
+                s"cap on a cluster whose aggregate storage is sized for " +
+                s"a lake-scale cache.")
+          }
+          val candNO = matched.filter(col("__pref0") === 1)
+            .join(broadcast(newPref.select(col("s"), col("id").as("id_a"))),
+              Seq("s"))
+            .select(col("id_a"), col("__lid").as("id_b")).distinct()
+          val candON = matched.filter(col("__lpref"))
+            .join(broadcast(ranked.select(col("s"), col("id").as("id_b"))),
+              Seq("s"))
+            .select(col("__lid").as("id_a"), col("id_b")).distinct()
+          val oldIds = candNO.select(col("id_b").as("id"))
+            .unionByName(candON.select(col("id_a").as("id"))).distinct()
+          val oldArr = matched.select(col("__lid").as("id"), col("s"),
+              col("__ln"))
+            .join(broadcast(oldIds), Seq("id"))
+            .groupBy("id")
+            .agg(sort_array(collect_list(col("s"))).as("arr"),
+              first(col("__ln")).as("n"))
+          val interNO = contain(candNO, batchArr, oldArr,
+            aBc = true, bBc = false)
+          val interON = contain(candON, oldArr, batchArr,
+            aBc = false, bBc = true)
+          interNO.unionByName(interON).unionByName(interNN)
+        }
       // materialize BEFORE the append so the lazy probes cannot rescan
       // an index that already contains this batch
-      val found = interNO.unionByName(interON).unionByName(interNN)
+      val found = inter
         .filter(col("containment") >= theta)
         .localCheckpoint(true)
       // `found` is eagerly materialized above — the one-scan frame's
-      // cache is dead weight from here on
-      matched.unpersist(blocking = false)
+      // cache is dead weight from here on (absent on bootstrap)
+      matchedCache.foreach(_.unpersist(blocking = false))
       ranked.write.mode("append").parquet(postingsPath)
       found
     } finally ranked.unpersist()
