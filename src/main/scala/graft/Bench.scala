@@ -74,6 +74,14 @@ object Bench {
     def parkOverlapSecs(winStart: Long, winEnd: Long): Double =
       parkMeter.overlapSecs(winStart, winEnd)
     val parkSecs = scala.collection.mutable.Map[String, Double]()
+    // sustained sub-threshold steal (r17): a host stealing 30-60% of
+    // the vCPU continuously trips NO park interval yet inflates rows
+    // 2-6x in alphabetical bands (r16 verdict; reproduced this round:
+    // mysql_binlog_parse 16.6 s in-session vs 1.1 s isolated with
+    // park_secs 0). Emitted per row as a DIAGNOSTIC — bench_diff
+    // refuses a verdict on a steal-soaked session but never subtracts
+    // it (see ParkMeter's note on heartbeat lag under legitimate load).
+    val stealSecs = scala.collection.mutable.Map[String, Double]()
     // materialize the wire-parse fixture caches BEFORE the timed loop: a
     // regenerated sf dir invalidates their signature and a cold rebuild
     // inside the timed region charges the parse query ~10x its
@@ -104,6 +112,8 @@ object Bench {
             // same convention as the wall time and busy split
             val pk = parkOverlapSecs(winStart, winEnd)
             if (pk >= 0.05) parkSecs(name) = pk
+            val st = parkMeter.stealSecs(winStart, winEnd)
+            if (st >= 0.25) stealSecs(name) = st
             // progress events are async — drain the bus before reading
             // the accumulator or the final trigger undercounts
             org.apache.spark.sql.graft.bridge
@@ -211,7 +221,10 @@ object Bench {
     val parkJson = parkSecs.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val parkInQueries = parkSecs.values.sum
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"lifecycle":$lifecycleNames,"queries":$qs,"stream_busy":$streamBusyJson,"park_secs":$parkJson,"park_in_queries_secs":${r3(parkInQueries)},"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir"}"""
+    val stealJson = stealSecs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val stealInQueries = stealSecs.values.sum
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"lifecycle":$lifecycleNames,"queries":$qs,"stream_busy":$streamBusyJson,"park_secs":$parkJson,"park_in_queries_secs":${r3(parkInQueries)},"steal_secs":$stealJson,"steal_in_queries_secs":${r3(stealInQueries)},"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir"}"""
     // The final printed line must fit the driver's ~2 KB tail-capture
     // window: 158 queries x 17-digit doubles is 4.6 KB and arrives
     // decapitated (BENCH_r04/r05 `parsed: null`). Print a COMPACT summary
@@ -224,7 +237,7 @@ object Bench {
     val fullPath =
       if (only.isDefined) "/tmp/graft_bench_only.json"
       else "/tmp/graft_bench.json"
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"queries":$top5,"park_in_queries_secs":${r3(parkInQueries)},"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir","full":"$fullPath"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_core":${r3(coreSum)},"value_lifecycle":${r3(lifecycleSum)},"queries":$top5,"park_in_queries_secs":${r3(parkInQueries)},"steal_in_queries_secs":${r3(stealInQueries)},"n_ok":${ok.size},"n_err":$nErr,"transfer_rows_per_sec":${rowsPerSec.round},$transferEvidence,"sf":"$sfDir","full":"$fullPath"}"""
     // Emission must be un-losable: streaming queries leave state-store
     // maintenance threads that race RpcEnv shutdown and can dump multi-KB
     // stack traces AFTER our output (this cost round 4 its perf signal —

@@ -133,6 +133,31 @@ object ProfIndex {
       }
       println(s"files after: $after")
     }
+
+    if (family == "merge") {
+      val base = "/tmp/graft_prof_merge"
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val state = s"$base/state/orders"
+      val o = graft.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("val"))
+      import graft.model.{CdcEnvelope => E}
+      def env(df: org.apache.spark.sql.DataFrame, kind: String,
+              lsnOff: Long): org.apache.spark.sql.DataFrame =
+        df.select(col("k"), col("val"), lit(kind).as(E.Kind),
+          (col("k") * 10 + lsnOff).as(E.Lsn), lit(0).as(E.Counter))
+      val b1 = env(o, "insert", 0)
+      val b2 = env(o.filter(col("k") % 3 === 0)
+        .withColumn("val", col("val") + 5000.0), "update", 1)
+      val b3 = env(o.filter(col("k") % 7 === 0), "delete", 2)
+      Seq(("batch1 insert", b1), ("batch2 update", b2),
+          ("batch3 delete", b3)).foreach { case (n, b) =>
+        phase(n)(graft.streaming.CdcStream.mergeBatch(b, state, Seq("k")))
+      }
+      phase("readState")(
+        graft.streaming.CdcStream.readState(spark, state).orderBy("k")
+          .write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }

@@ -71,6 +71,8 @@ def main():
     # artifact) discounts zero, the conservative old behavior.
     opk = old.get("park_secs") or {}
     npk = new.get("park_secs") or {}
+    ost = old.get("steal_secs") or {}
+    nst = new.get("steal_secs") or {}
     shared = sorted(set(oq) & set(nq))
     ratios = sorted(nq[n] / oq[n] for n in shared
                     if isinstance(oq[n], (int, float))
@@ -99,6 +101,12 @@ def main():
             a = max(a - pa, 0.01 * max(a, 1e-9))
             b = max(b - pb, 0.01 * max(b, 1e-9))
             note += f" [park-discounted: old -{pa:.2f}s new -{pb:.2f}s]"
+        # sustained-steal annotation (r17): shown, never subtracted —
+        # a flagged row whose window carried heavy sub-park steal needs
+        # isolated re-measurement, not a discount
+        sa, sb = ost.get(name, 0.0), nst.get(name, 0.0)
+        if sa >= 0.25 or sb >= 0.25:
+            note += f" [steal in window: old {sa:.2f}s new {sb:.2f}s]"
         if max(a, b) < min_sec:
             continue  # sub-noise rows: absolute cost too small to triage
         ratio = (b / norm) / a if a > 0 else float("inf")
@@ -142,6 +150,21 @@ def main():
                   f"({100 * pk / tot:.0f}% > 15%) — the session is too "
                   f"stall-ridden to adjudicate per-row; re-run on a "
                   f"quieter window. Rows below are forensic only.")
+            refused = True
+        # r17: sustained SUB-threshold steal (accumulated heartbeat lag
+        # that never tripped a park interval) inflates rows 2-6x in
+        # alphabetical bands with park_secs ~0. It is DIAGNOSTIC only —
+        # never subtracted per-row, because the heartbeat also lags a
+        # little under the bench's own full-core load — but a session
+        # whose steal coverage is large is equally unadjudicable.
+        st = art.get("steal_in_queries_secs")
+        if st and tot and st / tot > 0.15:
+            print(f"VERDICT REFUSED: {label} artifact's sustained-steal "
+                  f"coverage is {st:.1f}s of {tot:.1f}s measured wall "
+                  f"({100 * st / tot:.0f}% > 15%) — sub-park host steal "
+                  f"this heavy inflates rows without tripping the park "
+                  f"detector; re-run on a quieter window. Rows below are "
+                  f"forensic only.")
             refused = True
     if not rows:
         if not refused:
