@@ -158,6 +158,28 @@ object ProfIndex {
         graft.streaming.CdcStream.readState(spark, state).orderBy("k")
           .write.format("noop").mode("overwrite").save())
     }
+
+    if (family == "band") {
+      val base = "/tmp/graft_prof_band"
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = graft.Tables.load(spark, dir, "documents")
+      phase("lshBands alone (noop)")(
+        Dedup.lshBands(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+            "text", "doc_id")
+          .write.format("noop").mode("overwrite").save())
+      val us = Seq(0, 1, 2).map { m =>
+        val u = phase(s"update $m")(
+          Dedup.bandIndexUpdate(s"$base/idx",
+            docs.filter(pmod(col("doc_id"), lit(3)) === m), "text",
+            "doc_id"))
+        if (m == 1)
+          phase("compact")(Dedup.bandIndexCompact(spark, s"$base/idx"))
+        u
+      }
+      phase("union+sort+noop")(
+        us.reduce(_ unionByName _).orderBy("id_a", "id_b")
+          .write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }
