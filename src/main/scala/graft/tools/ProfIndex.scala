@@ -180,6 +180,38 @@ object ProfIndex {
         us.reduce(_ unionByName _).orderBy("id_a", "id_b")
           .write.format("noop").mode("overwrite").save())
     }
+
+    if (family == "nodata") {
+      // does the replicate loop pay no-data micro-batches, and what do
+      // they cost? run the replicate_stream body twice: default conf vs
+      // noDataMicroBatches disabled, counting progress events.
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val busyMs = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.streams.addListener(new StreamingQueryListener {
+        import StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          batches.incrementAndGet()
+          val d = e.progress.durationMs
+          if (d != null && d.containsKey("triggerExecution"))
+            busyMs.addAndGet(d.get("triggerExecution").longValue())
+          println(s"[progress] rows=${e.progress.numInputRows} " +
+            s"trigger=${if (d == null) -1 else d.get("triggerExecution")}ms")
+        }
+      })
+      Seq("true", "false").foreach { nd =>
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", nd)
+        batches.set(0); busyMs.set(0)
+        val t0 = System.nanoTime()
+        graft.Queries.all("replicate_stream")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.graft.bridge.drainListenerBus(spark, 2000L)
+        println(f"[nodata=$nd] wall=${(System.nanoTime()-t0)/1e9}%.2f s " +
+          s"batches=${batches.get()} busyMs=${busyMs.get()}")
+      }
+    }
     spark.stop()
   }
 }
