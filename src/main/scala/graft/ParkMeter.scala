@@ -38,12 +38,34 @@ final class ParkMeter(periodMs: Long = 100L, threshMs: Long = 250L) {
   private val stealPath = java.nio.file.Paths.get("/proc/stat")
   private val hasProcStat = java.nio.file.Files.isReadable(stealPath)
   private val nCpus = Runtime.getRuntime.availableProcessors()
+  // steal divisor: the number of per-cpu lines /proc/stat ITSELF
+  // reports, counted once on the first tick — in a cgroup-limited
+  // container availableProcessors() returns the (smaller) quota while
+  // the aggregate `cpu ` line spans the whole host/VM, and mixing the
+  // two overstates whole-VM-equivalent steal enough to trip
+  // bench_diff's 15% refusal spuriously (ADVICE r17). Falls back to
+  // availableProcessors() when /proc/stat carries no cpuN lines.
+  @volatile private var nCpusStat = 0
   private def stealJiffies(): Long =
     try {
-      val line = java.nio.file.Files.newBufferedReader(stealPath).readLine()
-      // cpu  user nice system idle iowait irq softirq steal ...
-      val parts = line.trim.split("\\s+")
-      if (parts.length > 8) parts(8).toLong else -1L
+      // reader CLOSED every tick (ADVICE r17 medium: the old unclosed
+      // BufferedReader leaked one fd per 100 ms tick for the session)
+      val r = java.nio.file.Files.newBufferedReader(stealPath)
+      try {
+        val first = r.readLine()
+        if (nCpusStat == 0) {
+          var n = 0
+          var line = r.readLine()
+          while (line != null) {
+            if (line.startsWith("cpu")) n += 1
+            line = r.readLine()
+          }
+          if (n > 0) nCpusStat = n
+        }
+        // cpu  user nice system idle iowait irq softirq steal ...
+        val parts = first.trim.split("\\s+")
+        if (parts.length > 8) parts(8).toLong else -1L
+      } finally r.close()
     } catch { case _: Throwable => -1L }
   private val periodNs = periodMs * 1000000L
   private val threshNs = threshMs * 1000000L
@@ -96,7 +118,8 @@ final class ParkMeter(periodMs: Long = 100L, threshMs: Long = 250L) {
       }
     }
     if (first < 0 || last < first) 0.0
-    else (last - first) / 100.0 / math.max(1, nCpus)
+    else (last - first) / 100.0 /
+      math.max(1, if (nCpusStat > 0) nCpusStat else nCpus)
   }
 
   def stop(): Unit = stopped = true

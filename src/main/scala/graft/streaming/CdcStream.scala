@@ -71,8 +71,19 @@ object CdcStream {
       lit(n.toLong)).cast("int")
 
   /** State-dir metadata pinning the bucket count and column set so every
-    * batch agrees on the layout and bucket schemas stay homogeneous. */
-  private final case class StateMeta(numBuckets: Int, columns: Seq[String])
+    * batch agrees on the layout and bucket schemas stay homogeneous.
+    * `schema` (r18) is the TYPED union across drifts: with it, state
+    * reads pass an explicit schema instead of mergeSchema, skipping the
+    * per-batch footer-inference job over every affected bucket — at
+    * lake scale a mergeSchema read sweeps EVERY file footer of the
+    * affected buckets before the real read even starts, and at
+    * streaming cadence that job recurs per micro-batch. Lagging buckets
+    * (lazy DDL migration) read identically either way: the parquet
+    * reader surfaces null for schema columns a file predates — the
+    * exact semantics mergeSchema produced. Absent on metas written
+    * before r18 (readers fall back to mergeSchema). */
+  private final case class StateMeta(numBuckets: Int, columns: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def fsOf(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -93,15 +104,30 @@ object CdcStream {
       val cols = """"columns"\s*:\s*\[(.*?)\]""".r.findFirstMatchIn(raw)
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
           .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
-      nb.map(StateMeta(_, cols.getOrElse(Nil)))
+      // typed schema, base64 of StructType.json — base64 keeps the
+      // regex-parsed meta file free of nested quotes/braces. Any parse
+      // failure degrades to None (mergeSchema fallback), never an error.
+      val schema = """"schemaB64"\s*:\s*"([A-Za-z0-9+/=]*)"""".r
+        .findFirstMatchIn(raw).map(_.group(1)).flatMap { b64 =>
+          scala.util.Try {
+            org.apache.spark.sql.types.DataType.fromJson(new String(
+              java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+          }.toOption
+        }
+      nb.map(StateMeta(_, cols.getOrElse(Nil), schema))
     }
   }
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, dir: String,
                         meta: StateMeta): Unit = {
     val out = fs.create(metaPath(dir), true)
+    val schemaField = meta.schema.map { s =>
+      s""","schemaB64":"${java.util.Base64.getEncoder
+        .encodeToString(s.json.getBytes("UTF-8"))}""""
+    }.getOrElse("")
     val json = s"""{"numBuckets":${meta.numBuckets},"columns":[""" +
-      meta.columns.map("\"" + _ + "\"").mkString(",") + "]}"
+      meta.columns.map("\"" + _ + "\"").mkString(",") + s"]$schemaField}"
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
@@ -110,7 +136,14 @@ object CdcStream {
     * different drift generations; the union schema surfaces null for
     * columns a lagging bucket predates. */
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(stateDir)
+    // typed meta schema (r18): skip the footer-inference/mergeSchema
+    // job — the union schema is already known; lagging buckets surface
+    // null for columns they predate either way (see [[StateMeta]])
+    val schema = readMeta(fsOf(spark), stateDir).flatMap(_.schema)
+    val df = schema match {
+      case Some(s) => spark.read.schema(s).parquet(stateDir)
+      case None => spark.read.option("mergeSchema", "true").parquet(stateDir)
+    }
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
@@ -168,23 +201,21 @@ object CdcStream {
     * every rewrite), untouched buckets keep their pre-drift files
     * byte-identical, and converge to the new schema when a later batch
     * CARRYING the drifted columns touches them — directly, or via the
-    * schema-merging affected-bucket read whenever any co-touched bucket
-    * already migrated. A later batch that touches ONLY lagging buckets
-    * and itself lacks the drifted column rewrites them still without
-    * it: disk schemas may lag the meta's logical union indefinitely,
-    * by design — reads stay correct (mergeSchema + null backfill), and
-    * projecting every rewrite to the meta union would require the meta
-    * to carry column TYPES for columns absent from the live frame
-    * (parquet cannot write an untyped all-null column), i.e. a full
-    * DDL catalog the reference also does not keep per-sink. The read
-    * paths ([[readState]], the merge's own
-    * affected-bucket read) are schema-merging, so lagging buckets
-    * surface null for columns they predate — Delta mergeSchema
-    * semantics without a stop-the-world rewrite, which at 100 TB of
-    * state would be an unbounded pause inside one micro-batch. The
-    * meta's column set records the logical union across drifts. A
-    * legacy flat-layout dir is still migrated whole on first contact
-    * (its layout, not just its schema, changes). */
+    * schema-union affected-bucket read. Untouched buckets may lag the
+    * meta's union indefinitely, by design: reads stay correct (the
+    * union schema null-backfills columns a file predates) without the
+    * stop-the-world rewrite that at 100 TB of state would be an
+    * unbounded pause inside one micro-batch. Since r18 the meta
+    * carries the TYPED union schema, so (a) state reads pass it
+    * explicitly instead of paying a mergeSchema footer sweep per
+    * batch, and (b) any rewrite a batch does perform projects the
+    * touched buckets to the union (null-filled drifted columns) —
+    * observable results are identical either way, convergence is just
+    * faster. Metas written before r18 lack the typed schema and fall
+    * back to mergeSchema reads. The meta's column set records the
+    * logical union across drifts. A legacy flat-layout dir is still
+    * migrated whole on first contact (its layout, not just its
+    * schema, changes). */
   def mergeBatch(batch0: DataFrame, stateDir: String, pks: Seq[String],
                  numBuckets: Int = DefaultBuckets): Unit = {
     // plain (non-enveloped) frames merge as snapshot inserts
@@ -245,12 +276,21 @@ object CdcStream {
           .map(i => new org.apache.hadoop.fs.Path(stateDir, s"$BucketCol=$i"))
           .filter(fs.exists(_)).map(_.toString)
         if (paths.isEmpty) None
-        // mergeSchema: affected buckets may sit at different drift
-        // generations (lazy migration) — the read must union their
-        // schemas, not inherit whichever file the reader samples first
-        else Some(spark.read.option("basePath", stateDir)
-          .option("mergeSchema", "true")
-          .parquet(paths: _*).drop(BucketCol))
+        // affected buckets may sit at different drift generations
+        // (lazy migration) — the read must union their schemas, not
+        // inherit whichever file the reader samples first. With a
+        // typed meta schema (r18) that union is KNOWN: pass it
+        // explicitly and skip the per-batch mergeSchema footer sweep
+        // (the parquet reader nulls out columns a lagging file
+        // predates — identical semantics, one fewer job per batch).
+        else {
+          val rd = spark.read.option("basePath", stateDir)
+          val rd2 = meta.flatMap(_.schema) match {
+            case Some(s) => rd.schema(s)
+            case None => rd.option("mergeSchema", "true")
+          }
+          Some(rd2.parquet(paths: _*).drop(BucketCol))
+        }
       }
 
     val merged = existing match {
@@ -323,7 +363,21 @@ object CdcStream {
     val logicalCols =
       meta.map(_.columns).getOrElse(Nil) ++
         outCols.filterNot(meta.map(_.columns).getOrElse(Nil).contains)
-    writeMeta(fs, stateDir, StateMeta(n, logicalCols))
+    // typed union schema (r18): this write's data schema wins for the
+    // columns it carries (it already absorbed every affected bucket's
+    // drift via the schema-union read above); columns only PREVIOUS
+    // metas knew — dropped by DDL but still present in lagging buckets
+    // — are retained so reads keep surfacing them as null
+    val outSchema = org.apache.spark.sql.types.StructType(
+      out.schema.filter(_.name != BucketCol).map(_.copy(nullable = true)))
+    val unionSchema = meta.flatMap(_.schema) match {
+      case Some(prev) =>
+        val names = outSchema.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          outSchema.fields ++ prev.fields.filterNot(f => names(f.name)))
+      case None => outSchema
+    }
+    writeMeta(fs, stateDir, StateMeta(n, logicalCols, Some(unionSchema)))
     collapsed.unpersist()
     ()
   }

@@ -487,6 +487,20 @@ class DedupSimilaritySpec extends SparkSpec {
       "text", "doc_id").isEmpty)
     assert(Dedup.containmentIndexUpdate(cIdx, docs.limit(50),
       "text", "doc_id").columns.length == 3)
+    // r17 verdict What's-wrong #1: a NON-empty batch whose texts are
+    // all NULL produces zero postings (ShinglesExpr null-propagates,
+    // explode drops the rows) yet a non-empty newDocs — the update must
+    // return an EMPTY frame, not (id, id, 0.0) self-pairs that bypass
+    // the theta filter. Checked on bootstrap AND post-bootstrap.
+    val allNull = docs.limit(3).select(col("doc_id"),
+      lit(null).cast("string").as("text"))
+    val nIdx = "/tmp/graft_cont_idx_nulltext"
+    fs.delete(new org.apache.hadoop.fs.Path(nIdx), true)
+    assert(Dedup.containmentIndexUpdate(nIdx, allNull, "text", "doc_id")
+      .isEmpty, "all-NULL-text batch on bootstrap must emit no pairs")
+    Dedup.containmentIndexUpdate(nIdx, docs.limit(50), "text", "doc_id")
+    assert(Dedup.containmentIndexUpdate(nIdx, allNull, "text", "doc_id")
+      .isEmpty, "all-NULL-text batch post-bootstrap must emit no pairs")
   }
 
   test("embedding index compaction: pairs after a mid-stream compact " +

@@ -171,6 +171,33 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == o.count())
   }
 
+  test("partitioned sink salt spreads a hot partition value over >1 file") {
+    // skew envelope (r17 verdict What's-wrong #3): the partitioned lake
+    // write makes no one-file-per-dir promise, so a hot value may split
+    // across up to `spark.graft.write.salt` deterministic salt groups
+    // instead of serializing through one straggler task / giant file
+    val df = spark.range(10000).select(
+      when(col("id") % 100 === 0, lit("cold")).otherwise(lit("hot"))
+        .as("k"),
+      col("id").as("v"))
+    def parquetFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    val p0 = tmp() + "/salt_off"
+    Sinks.parquet(df, p0, partitionCols = Seq("k"))
+    assert(parquetFiles(p0 + "/k=hot") == 1,
+      "default (salt off) keeps one file per value dir")
+    val p1 = tmp() + "/salt_on"
+    spark.conf.set("spark.graft.write.salt", "4")
+    try Sinks.parquet(df, p1, partitionCols = Seq("k"))
+    finally spark.conf.unset("spark.graft.write.salt")
+    val hot = parquetFiles(p1 + "/k=hot")
+    assert(hot > 1 && hot <= 4, s"hot dir expected 2..4 files, got $hot")
+    // content identical either way
+    assert(spark.read.parquet(p1).orderBy("v").collect().toSeq ==
+      spark.read.parquet(p0).orderBy("v").collect().toSeq)
+  }
+
   test("compaction clears stale staging trees from a crashed run") {
     val path = tmp() + "/crashed"
     spark.range(100).write.parquet(path)

@@ -25,12 +25,49 @@ flagging rows a stalled host inflated (r16: the driver artifact read
 1.45x the committed anchor purely on parks).
 """
 import json
+import os
 import sys
 
 
 def load(path):
     with open(path) as f:
         d = json.load(f)
+    # driver-wrapper artifacts (BENCH_rNN.json) hold the bench line
+    # under "parsed" — unwrap so they can be diffed directly
+    if "queries" not in d and isinstance(d.get("parsed"), dict) \
+            and "queries" in d["parsed"]:
+        d = d["parsed"]
+    # r18 (r17 verdict #6): a COMPACT bench line carries only the top-5
+    # rows plus "qdigest", the digest of the session's FULL per-query
+    # map, and a "full" pointer. Resolve it to the full artifact rather
+    # than diffing 5 rows — the r17 phantom "dropped_from_bench" came
+    # exactly from the top-5 window. The digest match is mandatory: a
+    # stale BENCH_full_latest.json must never masquerade as this
+    # session's map.
+    dig = d.get("qdigest")
+    if dig and len(d.get("queries") or {}) < (d.get("rows") or 0):
+        cands = [d.get("full"),
+                 os.path.join(os.path.dirname(os.path.abspath(path)),
+                              "BENCH_full_latest.json")]
+        resolved = False
+        for c in cands:
+            if not c or not os.path.exists(c):
+                continue
+            try:
+                with open(c) as f2:
+                    full = json.load(f2)
+            except Exception:
+                continue
+            if full.get("qdigest") == dig:
+                d = full
+                resolved = True
+                break
+        if not resolved:
+            print(f"WARNING: {path} is a compact top-5 line "
+                  f"(qdigest {dig}) and no full artifact with a "
+                  f"matching digest was found — diffing the top-5 "
+                  f"window only; absent rows are NOT dropped queries "
+                  f"(rows={d.get('rows')}, n_ok={d.get('n_ok')}).")
     runs = (d.get("transfer") or {}).get("run_secs") or []
     # session speed proxy: median transfer time (lower = faster session)
     med = sorted(runs)[len(runs) // 2] if runs else None
