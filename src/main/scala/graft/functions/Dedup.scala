@@ -317,27 +317,37 @@ object Dedup {
       val root = new org.apache.hadoop.fs.Path(indexPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasIdx = fs.exists(root)
+      // ONE aggregation serves the emptiness gate, the index
+      // semi-filter, and the hot-bucket cap's batch side (r18):
+      // previously `isEmpty` scanned the minhash lineage in its own
+      // job, the semi-filter ran a DISTINCT over the same keys, and
+      // the cap re-aggregated them a third time — three passes over
+      // the batch's band keys where one suffices. The count doubles
+      // as the persist's materialization (the same discipline as
+      // containmentIndexUpdate's nPostings).
+      val batchSizes = newBands.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bn")).persist()
+      cached += batchSizes
       // empty batch: nothing to probe AND nothing to append — an
       // append of zero rows can create a parquet-less directory that
       // poisons the next update's schema inference (same guard as
       // embeddingIndexUpdate, ADVICE r13)
-      if (newBands.isEmpty)
-        return newBands.select(col("id").as("id_a"), col("id").as("id_b"))
+      if (batchSizes.count() == 0L)
+        return newBands.limit(0)
+          .select(col("id").as("id_a"), col("id").as("id_b"))
       // matching index rows only: the batch's distinct band keys
       // broadcast into a map-side semi-filter, so everything after
       // this line is candidate-scale, never index-scale
       val matchedIdx =
         if (hasIdx) {
           val m = spark.read.parquet(indexPath)
-            .join(broadcast(newBands.select(keys.map(col): _*).distinct()), keys)
+            .join(broadcast(batchSizes.select(keys.map(col): _*)), keys)
             .persist()
           cached += m
           m
         } else newBands.limit(0)
       // the hot-bucket cap counts the TOTAL bucket (index + batch) —
       // the same population a full recompute would cap on
-      val batchSizes = newBands.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__bn"))
       val idxSizes = matchedIdx.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__in"))
       val okKeys = batchSizes.join(idxSizes, keys, "left")
@@ -1197,9 +1207,15 @@ object Dedup {
       val root = new org.apache.hadoop.fs.Path(indexPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // the batch's cell set: ≤ 2^planes ints — request-sized, and the
-      // literal IN list is what turns the index scan partition-pruned
-      val cells = nb.select("bucket").distinct()
-        .collect().map(_.getAs[Number](0).intValue()).sorted
+      // literal IN list is what turns the index scan partition-pruned.
+      // ONE aggregation yields the cell set AND the cap's batch-side
+      // bucket sizes (r18): the distinct-cells collect and the
+      // batchSizes groupBy previously ran the same shuffle twice. The
+      // collected rows carry one extra long per cell — the same
+      // ≤ 2^planes driver bound the IN-list already accepts.
+      val sizeRows = nb.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+        .collect()
+      val cells = sizeRows.map(_.getAs[Number](0).intValue()).sorted
       // empty batch: nothing to probe AND nothing to append — an
       // append of zero rows would create a parquet-less directory that
       // poisons the next update's read (ADVICE r13)
@@ -1211,7 +1227,13 @@ object Dedup {
           embeddingIndexScan(spark, indexPath, cells.toSeq).persist()
         else nb.limit(0)
       matchedIdx += idx
-      val batchSizes = nb.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      // batch sizes re-enter as a driver-local relation (collected
+      // above) — the cap join's batch side costs no second shuffle
+      val batchSizes = {
+        import spark.implicits._
+        sizeRows.map(r => (r.getAs[Number](0).intValue(), r.getLong(1)))
+          .toSeq.toDF("bucket", "__bn")
+      }
       val idxSizes = idx.groupBy("bucket")
         .agg(count(lit(1)).as("__in"))
       // hot-bucket cap over the TOTAL bucket (index + batch) — the

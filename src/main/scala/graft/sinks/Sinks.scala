@@ -237,9 +237,14 @@ object Sinks {
     def leafParquet(): Seq[Long] =
       org.apache.spark.sql.graft.bridge.listLeafFiles(spark, path)
         .collect { case (p, len) if p.endsWith(".parquet") => len }
-    val files = leafParquet()
+    // ONE listing feeds both the before-stats and the rewrite's read
+    // (r18): spark.read.parquet would re-list the unmutated tree for
+    // partition discovery — a second distributed listing job per pass
+    val (df, allFiles) =
+      org.apache.spark.sql.graft.bridge.parquetWithListing(spark, path)
+    val files = allFiles.collect {
+      case (p, len) if p.endsWith(".parquet") => len }
     val totalBytes = files.sum
-    val df = spark.read.parquet(path)
     if (partitionCols.isEmpty) {
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       df.coalesce(nOut.toInt).write.parquet(tmp.toString)

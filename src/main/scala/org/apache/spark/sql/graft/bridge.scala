@@ -65,6 +65,32 @@ object bridge {
     idx.allFiles().map(f => (f.getPath.toString, f.getLen))
   }
 
+  /** List a parquet lake ONCE and return both the leaf files and a
+    * DataFrame reading through that same listing (r18): a compaction
+    * pass previously listed the lake for its before-stats and then
+    * `spark.read.parquet` re-listed it for partition discovery — two
+    * distributed listing jobs over the same unmutated tree (measured
+    * ~0.4 s each on a 250-dir index; at lake scale each is a full
+    * object-store sweep). Partition columns are discovered from the
+    * directory layout exactly as `spark.read.parquet` would. */
+  def parquetWithListing(spark: SparkSession, path: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(String, Long)]) = {
+    import org.apache.spark.sql.execution.datasources._
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val idx = new InMemoryFileIndex(
+      cs, Seq(new org.apache.hadoop.fs.Path(path)), Map.empty, None)
+    val files = idx.allFiles()
+    val fmt = new parquet.ParquetFileFormat
+    val dataSchema = fmt.inferSchema(cs, Map.empty, files).getOrElse(
+      throw new IllegalArgumentException(
+        s"parquetWithListing: no parquet schema inferable at $path"))
+    val rel = HadoopFsRelation(idx, idx.partitionSchema, dataSchema,
+      bucketSpec = None, fmt, Map.empty)(cs)
+    val df = org.apache.spark.sql.classic.Dataset.ofRows(
+      cs, LogicalRelation(rel))
+    (df, files.map(f => (f.getPath.toString, f.getLen)))
+  }
+
   /** Wrap a logical plan back into a DataFrame. */
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
