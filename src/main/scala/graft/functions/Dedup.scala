@@ -1023,6 +1023,22 @@ object Dedup {
               col("__p.containment"))
           lakeArms.unionByName(interNN)
         }
+      // plan-evidence hook (diagnostic only): the probe's physical plan
+      // is execution-internal (localCheckpointed before return), so the
+      // committed before/after explain for plans/rNN comes from here —
+      // set -Dgraft.debug.containmentPlanDir=<dir> (or the env twin,
+      // which survives sbt's forked run JVM) to dump it
+      sys.props.get("graft.debug.containmentPlanDir")
+        .orElse(sys.env.get("GRAFT_DEBUG_CONTAINMENT_PLAN_DIR"))
+        .foreach { d =>
+        val p = java.nio.file.Paths.get(d)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.write(
+          p.resolve(s"containment_probe_${if (hasIdx) "post" else "boot"}.txt"),
+          inter.filter(col("containment") >= theta).queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       // materialize BEFORE the append so the lazy probes cannot rescan
       // an index that already contains this batch
       val found = inter
